@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared SparkSession construction for the engine's mains (Verify, Bench)
+  * and tests: one place for the scale-relevant knobs.
+  *
+  * Notes:
+  *  - testdata `events.ts` is parquet TIMESTAMP(NANOS) which vanilla Spark
+  *    rejects; `nanosAsLong` reads it as long and [[Tables.events]] converts
+  *    to TIMESTAMP_NTZ (micros) — same truncation DuckDB applies.
+  *  - `inferTimestampNTZ` keeps isAdjustedToUTC=false parquet timestamps
+  *    naive, so results written back compare cleanly against the DuckDB
+  *    oracle (naive TIMESTAMP), independent of session zone.
+  *  - AQE is on (default) — coalesces post-shuffle partitions and re-plans
+  *    skew joins, the behavior we rely on at cluster scale.
+  */
+object GraftSession {
+  def builder(cpus: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.ui.enabled", "false")
+
+  def local(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val s = builder(cpus).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,424 @@
+package graft
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import graft.operators.{AnnSearch, TemporalDedup}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The engine's query corpus: one entry per operator in SURVEY.md §2 plus
+  * the §2.E training-data-pipeline extensions, each over the driver's
+  * synthetic tables with a DuckDB-checkable oracle (SparkEntry.oracleSql).
+  *
+  * Cross-engine determinism rules used throughout (so hash-compare passes):
+  *  - money/decimal aggregates: cast to DECIMAL(18,2) before SUM (exact,
+  *    order-independent), cast the result to DOUBLE;
+  *  - integer aggregates: CAST(SUM(..) AS BIGINT) on the oracle side
+  *    (DuckDB widens BIGINT sums to HUGEINT);
+  *  - float folds (dot products, norms): sequential left-to-right DOUBLE
+  *    accumulation on both sides — bit-identical — then ROUND(.., 6);
+  *  - every query ends in a total ORDER BY.
+  */
+object Queries {
+  private val Dec = "decimal(18,2)"
+  private def dec(c: Column): Column = c.cast(Dec)
+  private def one: Column = lit(1).cast(Dec)
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- §2.B ops
+
+  /** B1 extension filter (watcher.js:25-29 analog). */
+  val b1ExtFilter: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .where(substring($"source", -1, 1).isin("0", "1", "2", "3"))
+      .select($"doc_id", $"source")
+      .orderBy($"doc_id")
+  }
+
+  /** B2 path → (head, tail) projection (watcher.js:22-23). */
+  val b2PathProject: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", concat_ws("/", $"source", $"doc_id").as("path"))
+      .select($"doc_id",
+        element_at(split($"path", "/"), 1).as("head"),
+        element_at(split($"path", "/"), -1).as("tail"))
+      .orderBy($"doc_id")
+  }
+
+  /** B3 whitelist predicate (hasher.js:28-49). */
+  val b3Whitelist: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .where($"event_type".isin("click", "view", "error"))
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
+
+  /** B4 regex numeric extract (hasher.js:93-99 pts_time analog). */
+  val b4RegexExtract: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"event_id",
+        regexp_extract($"props", "\"k\":\\s*([0-9]+)", 1).cast("long").as("k"))
+      .orderBy($"event_id")
+  }
+
+  /** B7 hex→int parse (loader.js:110-117): 3-hex-digit codes from md5. */
+  val b7HexParse: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id",
+        conv(substring(md5($"text"), 1, 3), 16, 10).cast("long").as("hex_val"))
+      .orderBy($"doc_id")
+  }
+
+  /** B8 L2 normalization (loader.js:120-128). */
+  val b8L2Normalize: Q = (s, d) => {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding", l2Norm($"embedding").as("n"))
+      .select($"vec_id",
+        round($"n", 6).as("norm"),
+        round(element_at($"embedding", 1).cast("double") / $"n", 6).as("e1"))
+      .orderBy($"vec_id")
+  }
+
+  /** B9 char-code-sum primary key (loader.js:131-143). */
+  val b9CharcodeKey: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", charCodeSum($"source").as("pk"))
+      .orderBy($"doc_id")
+  }
+
+  /** B10 composite hash_id build (loader.js:241). */
+  val b10HashId: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id",
+        concat_ws("/", $"source", $"doc_id",
+          format_string("%.2f", $"n_chars".cast("double"))).as("hash_id"))
+      .orderBy($"doc_id")
+  }
+
+  /** B11 per-entity max broadcast onto rows (loader.js:200,244). */
+  val b11DurationWindow: Q = (s, d) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id")
+    Tables.events(s, d)
+      .select($"event_id", $"user_id", max($"ts").over(w).as("user_max_ts"))
+      .orderBy($"event_id")
+  }
+
+  /** B12 MD5 content hash (searcher.js:146-149). */
+  val b12Md5: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", md5($"text").as("digest"))
+      .orderBy($"doc_id")
+  }
+
+  /** B13 magic-byte type sniff (searcher.js:151-155) — hex-prefix CASE. */
+  val b13MagicSniff: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id",
+        when(substring(md5($"text"), 1, 1).isin("0", "1", "2", "3"), "png")
+          .when(substring(md5($"text"), 1, 1).isin("4", "5", "6", "7"), "jpg")
+          .otherwise("other").as("kind"))
+      .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------- §2.C ops
+
+  /** C1 sort by timecode (hasher.js:154-159). */
+  val c1SortLimit: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"event_id", $"ts")
+      .orderBy($"ts", $"event_id")
+      .limit(100)
+  }
+
+  /** C3 temporal kept-set dedup — EXACT reference semantics
+    * (loader.js:202-212); not SQL-expressible, rows-only check. Events per
+    * user ordered by ts, key = event_type, 600 s window, 24-kept lookback.
+    */
+  val c3TemporalDedup: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .withColumn("t", unix_micros($"ts".cast("timestamp")) / 1e6)
+    TemporalDedup.dedup(ev, Seq("user_id"), "t", "event_type", 600.0)
+      .select($"event_id").orderBy($"event_id")
+  }
+
+  /** C3' seen-set window variant (SQL-expressible; divergence documented in
+    * SURVEY §7.4.1). Integer-microsecond math for cross-engine exactness.
+    */
+  val c3WindowDedup: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .withColumn("tus", unix_micros($"ts".cast("timestamp")))
+    TemporalDedup.dedupSeenSet(ev, Seq("user_id"), "tus", "event_type", 600e6)
+      .select($"event_id").orderBy($"event_id")
+  }
+
+  /** C4 max/sum aggregate per entity (loader.js:200). */
+  val c4MaxAgg: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy($"user_id")
+      .agg(max($"ts").as("max_ts"), count(lit(1)).as("n"),
+        sum(dec($"value")).cast("double").as("sum_value"))
+      .orderBy($"user_id")
+  }
+
+  /** C5 fixed-size chunking (loader.js:233-255). */
+  val c5Chunking: Q = (s, d) => {
+    import s.implicits._
+    val w = Window.orderBy($"event_id")
+    Tables.events(s, d)
+      .select($"event_id", floor((row_number().over(w) - 1) / 1000.0).cast("long").as("chunk"))
+      .groupBy($"chunk")
+      .agg(count(lit(1)).as("n"), min($"event_id").as("min_id"), max($"event_id").as("max_id"))
+      .orderBy($"chunk")
+  }
+
+  /** C8 exact ANN top-15 by inner product (searcher.js:99-110) — the
+    * reference's core serving query; query vector = embedding of vec_id 0.
+    */
+  val c8AnnExact: Q = (s, d) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val q = e.where($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    AnnSearch.exactTopK(e.where($"vec_id" =!= 0), "embedding", "vec_id", q, 15)
+      .select($"vec_id", round($"score", 6).as("score"))
+  }
+
+  // ------------------------------------------------------------- joins / agg
+
+  /** TPC-H Q1-style pricing summary (filters+group+decimal aggregates). */
+  val q1PricingAgg: Q = (s, d) => {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .where($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum(dec($"l_quantity")).cast("double").as("sum_qty"),
+        sum(dec($"l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(dec($"l_extendedprice") * (one - dec($"l_discount"))).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** 3-way join + revenue rollup (customer ⋈ orders ⋈ lineitem); customer
+    * side broadcasts at small SF, shuffle-hash at scale — left to AQE.
+    */
+  val j1JoinRevenue: Q = (s, d) => {
+    import s.implicits._
+    val rev = dec($"l_extendedprice") * (one - dec($"l_discount"))
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), $"c_custkey" === $"o_custkey")
+      .join(Tables.lineitem(s, d), $"o_orderkey" === $"l_orderkey")
+      .groupBy($"c_mktsegment")
+      .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_rows"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** JSON scalar extraction + aggregate (events.props). */
+  val j2JsonExtract: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"event_type", get_json_object($"props", "$.k").cast("long").as("k"))
+      .groupBy($"event_type")
+      .agg(sum($"k").as("sum_k"), count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
+
+  /** Tumbling-window time aggregation (streaming-shaped, batch checked). */
+  val w1TimeWindow: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", $"ts").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum(dec($"value")).cast("double").as("sum_value"))
+      .orderBy($"w", $"event_type")
+  }
+
+  // ------------------------------------------------------------- §2.E ops
+
+  /** Exact dedup: canonical row per distinct text (dropDuplicates made
+    * deterministic as min-id-per-group).
+    */
+  val e1ExactDedup: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .groupBy($"text")
+      .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("dup_count"))
+      .select($"doc_id", $"dup_count")
+      .orderBy($"doc_id")
+  }
+
+  /** Top-k per group via ranking window (§2.E). */
+  val e6TopkPerGroup: Q = (s, d) => {
+    import s.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" <= 3)
+      .select($"o_orderpriority", $"rn", $"o_orderkey", $"o_totalprice")
+      .orderBy($"o_orderpriority", $"rn")
+  }
+
+  /** Exact distinct cardinality (oracle-checkable counterpart of HLL). */
+  val e7ExactDistinct: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"event_type")
+  }
+
+  /** HLL approximate distinct (sketch differs per engine → rows-only). */
+  val e7HllDistinct: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id").as("approx_users"))
+      .orderBy($"event_type")
+  }
+
+  // ------------------------------------------------------- oracle SQL texts
+
+  val oracle: Map[String, String] = Map(
+    "b1_ext_filter" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE right(source, 1) IN ('0','1','2','3') ORDER BY doc_id""".stripMargin,
+    "b2_path_project" ->
+      """WITH p AS (SELECT doc_id, source || '/' || CAST(doc_id AS VARCHAR) AS path FROM documents)
+        |SELECT doc_id, string_split(path,'/')[1] AS head, string_split(path,'/')[-1] AS tail
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "b3_whitelist" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events
+        |WHERE event_type IN ('click','view','error') GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "b4_regex_extract" ->
+      """SELECT event_id, CAST(regexp_extract(props, '"k":\s*([0-9]+)', 1) AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "b7_hex_parse" ->
+      """SELECT doc_id, CAST(('0x' || substring(md5(text),1,3)) AS BIGINT) AS hex_val
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "b8_l2_normalize" ->
+      """WITH n AS (SELECT vec_id, embedding,
+        |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))::DOUBLE) AS nn
+        |  FROM embeddings)
+        |SELECT vec_id, round(nn, 6) AS norm, round(embedding[1]::DOUBLE / nn, 6) AS e1
+        |FROM n ORDER BY vec_id""".stripMargin,
+    "b9_charcode_key" ->
+      """SELECT doc_id, CAST(list_sum(list_transform(string_split(source,''), x -> ord(x))) AS BIGINT) AS pk
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "b10_hash_id" ->
+      """SELECT doc_id, source || '/' || CAST(doc_id AS VARCHAR) || '/' || printf('%.2f', n_chars::DOUBLE) AS hash_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "b11_duration_window" ->
+      """SELECT event_id, user_id, max(ts) OVER (PARTITION BY user_id) AS user_max_ts
+        |FROM events ORDER BY event_id""".stripMargin,
+    "b12_md5" ->
+      "SELECT doc_id, md5(text) AS digest FROM documents ORDER BY doc_id",
+    "b13_magic_sniff" ->
+      """SELECT doc_id, CASE WHEN substring(md5(text),1,1) IN ('0','1','2','3') THEN 'png'
+        |WHEN substring(md5(text),1,1) IN ('4','5','6','7') THEN 'jpg' ELSE 'other' END AS kind
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "c1_sort_limit" ->
+      "SELECT event_id, ts FROM events ORDER BY ts, event_id LIMIT 100",
+    "c3_window_dedup" ->
+      """SELECT event_id FROM (
+        |  SELECT event_id, epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |    PARTITION BY user_id, event_type ORDER BY epoch_us(ts)) AS dt
+        |  FROM events) t
+        |WHERE dt IS NULL OR dt >= 600000000 ORDER BY event_id""".stripMargin,
+    "c4_max_agg" ->
+      """SELECT user_id, max(ts) AS max_ts, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "c5_chunking" ->
+      """WITH r AS (SELECT event_id, CAST(floor((row_number() OVER (ORDER BY event_id) - 1) / 1000.0) AS BIGINT) AS chunk FROM events)
+        |SELECT chunk, CAST(COUNT(*) AS BIGINT) AS n, min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM r GROUP BY chunk ORDER BY chunk""".stripMargin,
+    "c8_ann_exact" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |s AS (SELECT vec_id,
+        |  list_sum(list_transform(list_zip(embedding, (SELECT qv FROM q)),
+        |    x -> x[1]::DOUBLE * x[2]::DOUBLE))::DOUBLE AS score_raw
+        |  FROM embeddings WHERE vec_id <> 0)
+        |SELECT vec_id, round(score_raw, 6) AS score FROM s
+        |ORDER BY score_raw DESC, vec_id LIMIT 15""".stripMargin,
+    "q1_pricing_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(COUNT(*) AS BIGINT) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "j1_join_revenue" ->
+      """SELECT c_mktsegment,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "j2_json_extract" ->
+      """SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "w1_time_window" ->
+      """SELECT date_trunc('hour', ts) AS w, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "e1_exact_dedup" ->
+      """SELECT min(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS dup_count
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "e6_topk_per_group" ->
+      """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin,
+    "e7_exact_distinct" ->
+      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+  )
+
+  /** name → query function; keys must match [[oracle]] keys (where present). */
+  val all: Map[String, Q] = Map(
+    "b1_ext_filter" -> b1ExtFilter,
+    "b2_path_project" -> b2PathProject,
+    "b3_whitelist" -> b3Whitelist,
+    "b4_regex_extract" -> b4RegexExtract,
+    "b7_hex_parse" -> b7HexParse,
+    "b8_l2_normalize" -> b8L2Normalize,
+    "b9_charcode_key" -> b9CharcodeKey,
+    "b10_hash_id" -> b10HashId,
+    "b11_duration_window" -> b11DurationWindow,
+    "b12_md5" -> b12Md5,
+    "b13_magic_sniff" -> b13MagicSniff,
+    "c1_sort_limit" -> c1SortLimit,
+    "c3_temporal_dedup" -> c3TemporalDedup,
+    "c3_window_dedup" -> c3WindowDedup,
+    "c4_max_agg" -> c4MaxAgg,
+    "c5_chunking" -> c5Chunking,
+    "c8_ann_exact" -> c8AnnExact,
+    "q1_pricing_agg" -> q1PricingAgg,
+    "j1_join_revenue" -> j1JoinRevenue,
+    "j2_json_extract" -> j2JsonExtract,
+    "w1_time_window" -> w1TimeWindow,
+    "e1_exact_dedup" -> e1ExactDedup,
+    "e6_topk_per_group" -> e6TopkPerGroup,
+    "e7_exact_distinct" -> e7ExactDistinct,
+    "e7_hll_distinct" -> e7HllDistinct,
+  )
+}

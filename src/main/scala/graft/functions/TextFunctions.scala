@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column expressions for the LLM-training-data pipeline ops
+  * (SURVEY §2.E): tokenization, cross-engine-stable hashing, shingling,
+  * language-ID heuristics, and quality scoring over the `documents` table.
+  *
+  * All built from codegen'd built-ins (no UDFs). Hashing uses md5 → first 15
+  * hex digits → 60-bit positive long, which both this engine and the DuckDB
+  * oracle can compute bit-identically (`conv(substring(md5(x),1,15),16,10)`).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens (single-space split — the synthetic corpus is
+    * single-space delimited; see FIXTURES.md B).
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Deterministic 60-bit positive hash of a string, identical across
+    * engines that agree on md5 (everything does). Used as the base hash for
+    * MinHash / SimHash / fingerprint sketches so oracles can replicate them.
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Seeded variant for MinHash hash families: h_j(x) = hash60(j || '|' || x). */
+  def hash60Seeded(c: Column, seed: Int): Column =
+    hash60(concat_ws("|", lit(seed), c))
+
+  /** k-word shingles as space-joined strings; empty array when the document
+    * has fewer than k tokens.
+    */
+  def shingles(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      transform(
+        sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(array())
+
+  /** Count of tokens contained in `words` (NOT deduplicated — a frequency
+    * count, matching stopword-density semantics).
+    */
+  def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  // Minimal per-language function-word lists for the n-gram/stopword
+  // language-ID heuristic. Deliberately tiny and deterministic.
+  val StopwordsEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  val StopwordsDe: Seq[String] = Seq("der", "die", "das", "und", "ist", "ein", "zu", "mit")
+  val StopwordsEs: Seq[String] = Seq("el", "la", "de", "y", "es", "un", "en", "que")
+  val StopwordsFr: Seq[String] = Seq("le", "la", "de", "et", "est", "un", "en", "que")
+
+  /** Punctuation character count (quality-scoring signal). */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,;:!?]", ""))
+
+  /** Quality score in [0,1]: mean of three bounded signals — length band,
+    * low punctuation density, stopword presence. Deterministic arithmetic.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val lenOk = when(nTok >= 5 && nTok <= 2000, 1.0).otherwise(0.0)
+    val punctRatio = punctCount(text).cast("double") / greatest(length(text).cast("double"), lit(1.0))
+    val punctOk = when(punctRatio <= 0.1, 1.0).otherwise(0.0)
+    val swRatio = countIn(toks, StopwordsEn).cast("double") / greatest(nTok, lit(1.0))
+    (lenOk + punctOk + least(swRatio * 5.0, lit(1.0))) / 3.0
+  }
+}

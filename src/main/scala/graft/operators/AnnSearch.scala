@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Top-k inner-product / cosine search over an embedding column — the
+  * reference's serving query (`searcher.js:63-110`, Milvus top-15 IP).
+  *
+  * Exact path: a scored scan + `TakeOrderedAndProject` (Spark plans
+  * `orderBy(desc).limit(k)` as a per-partition bounded heap + driver merge —
+  * no global sort, no full shuffle; this is the correctness anchor).
+  *
+  * IVF path ([[IvfIndex]]): KMeans coarse quantization (nlist clusters ≈
+  * `loader.js:332-334` IVF_SQ8 nlist=128), data laid out partitioned by
+  * `cluster_id`, searches rank centroids and scan only `nprobe` partitions —
+  * partition pruning does the work of Milvus's inverted file.
+  */
+object AnnSearch {
+
+  /** Exact top-k by inner product against a literal query vector.
+    * Deterministic: ties broken by `idCol`.
+    */
+  def exactTopK(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      query: Seq[Double],
+      k: Int): DataFrame =
+    df.select(
+        col(idCol),
+        dot(col(vecCol), typedlit(query)).as("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+
+  /** Exact top-k cosine (IP over normalized vectors — SURVEY §1.3). */
+  def exactTopKCosine(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      query: Seq[Double],
+      k: Int): DataFrame = {
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    df.select(
+        col(idCol),
+        (dot(col(vecCol), typedlit(query)) / (l2Norm(col(vecCol)) * lit(qn))).as("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+}
+
+/** IVF coarse-quantization index: build once (periodic job), serve many.
+  * At 100 TB the indexed table is written `partitionBy("cluster_id")` so a
+  * search touches only `nprobe`/`nlist` of the files (partition pruning at
+  * the source, visible as PartitionFilters in the scan node).
+  */
+object IvfIndex {
+  import org.apache.spark.ml.clustering.KMeans
+  import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+
+  final case class Model(centroids: Array[Array[Double]])
+
+  /** Fit nlist centroids and return (df + cluster_id, model). */
+  def build(
+      df: DataFrame,
+      vecCol: String,
+      nlist: Int,
+      seed: Long = 42L): (DataFrame, Model) = {
+    val withVec = df.withColumn("__v", array_to_vector(col(vecCol)))
+    val km = new KMeans()
+      .setK(nlist).setSeed(seed).setMaxIter(20)
+      .setFeaturesCol("__v").setPredictionCol("cluster_id")
+    val model = km.fit(withVec)
+    val assigned = model.transform(withVec).drop("__v")
+    (assigned, Model(model.clusterCenters.map(_.toArray)))
+  }
+
+  /** Persist the indexed table laid out for pruning. */
+  def write(indexed: DataFrame, path: String): Unit =
+    indexed.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+
+  /** Rank centroids by IP with the query (driver-side, nlist is tiny),
+    * prune to `nprobe` clusters, exact top-k within the probed subset.
+    */
+  def search(
+      indexed: DataFrame,
+      model: Model,
+      vecCol: String,
+      idCol: String,
+      query: Seq[Double],
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val probed = model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.zip(query).map { case (a, b) => a * b }.sum) }
+      .sortBy(-_._2).take(nprobe).map(_._1)
+    AnnSearch.exactTopK(
+      indexed.where(col("cluster_id").isin(probed.toIndexedSeq: _*)),
+      vecCol, idCol, query, k)
+  }
+}
