@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{AnnSearch, TemporalDedup}
+import graft.operators.{AnnSearch, IvfIndex, TemporalDedup, TextDedup}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -293,6 +293,121 @@ object Queries {
       .orderBy($"event_type")
   }
 
+  /** B5 positional (ordinal) zip join — the reference's only join
+    * (hasher.js:101-112): i-th element of one ordered list paired with the
+    * i-th of another.
+    */
+  val b5PositionalZip: Q = (s, d) => {
+    import s.implicits._
+    val wo = Window.orderBy($"o_orderkey")
+    val wp = Window.orderBy($"p_partkey")
+    val o = Tables.orders(s, d)
+      .select($"o_orderkey", row_number().over(wo).as("pos")).where($"pos" <= 20)
+    val p = Tables.part(s, d)
+      .select($"p_partkey", row_number().over(wp).as("pos")).where($"pos" <= 20)
+    o.join(p, "pos").select($"pos", $"o_orderkey", $"p_partkey").orderBy($"pos")
+  }
+
+  /** C7 IVF coarse-quantization build (loader.js:327-336, nlist analog) —
+    * KMeans is not oracle-expressible → rows-only check; recall is covered
+    * by the ScalaTest suite.
+    */
+  val c7IvfCluster: Q = (s, d) => {
+    import s.implicits._
+    val (assigned, _) = IvfIndex.build(Tables.embeddings(s, d), "embedding", 16)
+    assigned.select($"vec_id", $"cluster_id".cast("int").as("cluster_id"))
+      .orderBy($"vec_id")
+  }
+
+  /** C8' IVF nprobe-pruned ANN (searcher.js:99-110 approximate path) —
+    * rows-only (approximate by design; recall measured in tests).
+    */
+  val c8AnnIvf: Q = (s, d) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val q = e.where($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val (assigned, model) = IvfIndex.build(e.where($"vec_id" =!= 0), "embedding", 16)
+    IvfIndex.search(assigned, model, "embedding", "vec_id", q, 15, nprobe = 4)
+      .select($"vec_id", round($"score", 6).as("score"))
+  }
+
+  /** E2 MinHash signatures (k=8 families, 3-word shingles). */
+  val e2MinhashSig: Q = (s, d) =>
+    TextDedup.minhashSignatures(Tables.documents(s, d), "text", "doc_id", 8, 3)
+      .orderBy(col("doc_id"), col("j"))
+
+  /** E2' MinHash LSH candidate pairs (4 bands × 2 rows). */
+  val e2MinhashPairs: Q = (s, d) =>
+    TextDedup.minhashBandPairs(Tables.documents(s, d), "text", "doc_id", 8, 3, 4)
+      .orderBy(col("d1"), col("d2"))
+
+  /** E3 SimHash 60-bit fingerprints. */
+  val e3Simhash: Q = (s, d) =>
+    TextDedup.simhash(Tables.documents(s, d), "text", "doc_id")
+      .orderBy(col("doc_id"))
+
+  /** E4 exact token-set Jaccard near-dup pairs (lang-blocked, τ=0.9). */
+  val e4JaccardPairs: Q = (s, d) =>
+    TextDedup.jaccardPairs(Tables.documents(s, d), "text", "doc_id", "lang", 0.9)
+      .orderBy(col("d1"), col("d2"))
+
+  /** E5 embedding-cosine near-dup pairs (label-blocked, τ=0.3). */
+  val e5CosinePairs: Q = (s, d) =>
+    TextDedup.cosinePairs(Tables.embeddings(s, d), "embedding", "vec_id", "label", 0.3)
+      .orderBy(col("v1"), col("v2"))
+
+  /** T1 language-ID heuristic: stopword-density votes per language. */
+  val t1Langid: Q = (s, d) => {
+    import s.implicits._
+    val toks = tokens($"text")
+    val sEn = countIn(toks, StopwordsEn).cast("long")
+    val sDe = countIn(toks, StopwordsDe).cast("long")
+    val sEs = countIn(toks, StopwordsEs).cast("long")
+    val sFr = countIn(toks, StopwordsFr).cast("long")
+    Tables.documents(s, d)
+      .select($"doc_id", sEn.as("s_en"), sDe.as("s_de"), sEs.as("s_es"), sFr.as("s_fr"))
+      .withColumn("pred",
+        when($"s_en" >= $"s_de" && $"s_en" >= $"s_es" && $"s_en" >= $"s_fr", "en")
+          .when($"s_de" >= $"s_es" && $"s_de" >= $"s_fr", "de")
+          .when($"s_es" >= $"s_fr", "es")
+          .otherwise("fr"))
+      .orderBy($"doc_id")
+  }
+
+  /** T2 quality scoring: length band, punctuation density, stopword ratio. */
+  val t2Quality: Q = (s, d) => {
+    import s.implicits._
+    val toks = tokens($"text")
+    val nTok = size(toks).cast("long")
+    val punct = punctCount($"text").cast("double") /
+      greatest(length($"text").cast("double"), lit(1.0))
+    val sw = countIn(toks, StopwordsEn).cast("double") /
+      greatest(nTok.cast("double"), lit(1.0))
+    Tables.documents(s, d)
+      .select($"doc_id", nTok.as("n_tokens"),
+        round(punct, 6).as("punct_ratio"),
+        round(sw, 6).as("stopword_ratio"),
+        round(qualityScore($"text"), 6).as("quality"))
+      .orderBy($"doc_id")
+  }
+
+  /** T3 token counting: whitespace tokens + regex (BPE-ish) tokens. */
+  val t3TokenStats: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id",
+        size(tokens($"text")).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all($"text", lit("[a-z0-9]+"), lit(0))).cast("long").as("n_re_tokens"),
+        length($"text").cast("long").as("n_chars_m"))
+      .orderBy($"doc_id")
+  }
+
+  /** T4 min-k shingle-hash document fingerprint (winnowing-style). */
+  val t4Fingerprint: Q = (s, d) =>
+    TextDedup.fingerprintMinK(Tables.documents(s, d), "text", "doc_id", 3, 4)
+      .orderBy(col("doc_id"))
+
   // ------------------------------------------------------- oracle SQL texts
 
   val oracle: Map[String, String] = Map(
@@ -391,6 +506,98 @@ object Queries {
     "e7_exact_distinct" ->
       """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "b5_positional_zip" ->
+      """WITH o AS (SELECT * FROM (SELECT o_orderkey, CAST(row_number() OVER (ORDER BY o_orderkey) AS INT) AS pos FROM orders) t WHERE pos <= 20),
+        |p AS (SELECT * FROM (SELECT p_partkey, CAST(row_number() OVER (ORDER BY p_partkey) AS INT) AS pos FROM part) t WHERE pos <= 20)
+        |SELECT o.pos AS pos, o_orderkey, p_partkey FROM o JOIN p ON o.pos = p.pos ORDER BY pos""".stripMargin,
+    "e2_minhash_sig" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM toks),
+        |sig AS (SELECT doc_id, j, min(('0x' || substring(md5(CAST(j AS VARCHAR) || '|' || s), 1, 15))::BIGINT) AS minh
+        |  FROM sh CROSS JOIN generate_series(0, 7) g(j) GROUP BY doc_id, j)
+        |SELECT doc_id, CAST(j AS INT) AS j, minh FROM sig ORDER BY doc_id, j""".stripMargin,
+    "e2_minhash_pairs" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM toks),
+        |sig AS (SELECT doc_id, j, min(('0x' || substring(md5(CAST(j AS VARCHAR) || '|' || s), 1, 15))::BIGINT) AS minh
+        |  FROM sh CROSS JOIN generate_series(0, 7) g(j) GROUP BY doc_id, j),
+        |wide AS (SELECT doc_id,
+        |  max(CASE WHEN j=0 THEN minh END) AS m0, max(CASE WHEN j=1 THEN minh END) AS m1,
+        |  max(CASE WHEN j=2 THEN minh END) AS m2, max(CASE WHEN j=3 THEN minh END) AS m3,
+        |  max(CASE WHEN j=4 THEN minh END) AS m4, max(CASE WHEN j=5 THEN minh END) AS m5,
+        |  max(CASE WHEN j=6 THEN minh END) AS m6, max(CASE WHEN j=7 THEN minh END) AS m7
+        |  FROM sig GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, md5(CAST(m0 AS VARCHAR) || ',' || CAST(m1 AS VARCHAR)) AS bsig FROM wide
+        |  UNION ALL SELECT doc_id, 1, md5(CAST(m2 AS VARCHAR) || ',' || CAST(m3 AS VARCHAR)) FROM wide
+        |  UNION ALL SELECT doc_id, 2, md5(CAST(m4 AS VARCHAR) || ',' || CAST(m5 AS VARCHAR)) FROM wide
+        |  UNION ALL SELECT doc_id, 3, md5(CAST(m6 AS VARCHAR) || ',' || CAST(m7 AS VARCHAR)) FROM wide)
+        |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+        |ORDER BY d1, d2""".stripMargin,
+    "e3_simhash" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |h AS (SELECT doc_id, ('0x' || substring(md5(t), 1, 15))::BIGINT AS hv FROM tok),
+        |bits AS (SELECT doc_id, b, SUM(CASE WHEN ((hv >> b) & 1) = 1 THEN 1 ELSE -1 END) AS c
+        |  FROM h CROSS JOIN generate_series(0, 59) g(b) GROUP BY doc_id, b)
+        |SELECT doc_id, CAST(SUM(CASE WHEN c > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "e4_jaccard_pairs" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS t FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+        |  FROM tok a JOIN tok b ON a.t = b.t AND a.lang = b.lang AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT d1, d2, round(i*1.0/(s1.n+s2.n-i), 6) AS jaccard
+        |FROM inter JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2
+        |WHERE i*1.0/(s1.n+s2.n-i) >= 0.9 ORDER BY d1, d2""".stripMargin,
+    "e5_cosine_pairs" ->
+      """WITH n AS (SELECT vec_id, label, embedding,
+        |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))::DOUBLE) AS nn FROM embeddings)
+        |SELECT a.vec_id AS v1, b.vec_id AS v2,
+        |  round(list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE))::DOUBLE / (a.nn * b.nn), 6) AS cos
+        |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE))::DOUBLE / (a.nn * b.nn) > 0.3
+        |ORDER BY v1, v2""".stripMargin,
+    "t1_langid" ->
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |c AS (SELECT doc_id,
+        |  CAST(len(list_filter(w, t -> t IN ('the','a','of','and','to','in','is','it'))) AS BIGINT) AS s_en,
+        |  CAST(len(list_filter(w, t -> t IN ('der','die','das','und','ist','ein','zu','mit'))) AS BIGINT) AS s_de,
+        |  CAST(len(list_filter(w, t -> t IN ('el','la','de','y','es','un','en','que'))) AS BIGINT) AS s_es,
+        |  CAST(len(list_filter(w, t -> t IN ('le','la','de','et','est','un','en','que'))) AS BIGINT) AS s_fr
+        |  FROM s)
+        |SELECT doc_id, s_en, s_de, s_es, s_fr,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "t2_quality" ->
+      """WITH b AS (SELECT doc_id, text, string_split(text, ' ') AS w,
+        |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS np FROM documents),
+        |c AS (SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS n_tokens,
+        |  np::DOUBLE / greatest(length(text)::DOUBLE, 1.0) AS punct_ratio,
+        |  CAST(len(list_filter(w, t -> t IN ('the','a','of','and','to','in','is','it'))) AS BIGINT)::DOUBLE / greatest(len(w)::DOUBLE, 1.0) AS sw_ratio
+        |  FROM b)
+        |SELECT doc_id, n_tokens, round(punct_ratio, 6) AS punct_ratio, round(sw_ratio, 6) AS stopword_ratio,
+        |  round(((CASE WHEN n_tokens::DOUBLE >= 5 AND n_tokens::DOUBLE <= 2000 THEN 1.0 ELSE 0.0 END)
+        |    + (CASE WHEN punct_ratio <= 0.1 THEN 1.0 ELSE 0.0 END)
+        |    + least(sw_ratio * 5.0, 1.0)) / 3.0, 6) AS quality
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "t3_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_re_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_m
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t4_fingerprint" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM toks),
+        |h AS (SELECT doc_id, ('0x' || substring(md5(s), 1, 15))::BIGINT AS hv FROM sh),
+        |r AS (SELECT doc_id, hv, row_number() OVER (PARTITION BY doc_id ORDER BY hv) AS rn FROM h)
+        |SELECT doc_id, max(CASE WHEN rn=1 THEN hv END) AS f1, max(CASE WHEN rn=2 THEN hv END) AS f2,
+        |  max(CASE WHEN rn=3 THEN hv END) AS f3, max(CASE WHEN rn=4 THEN hv END) AS f4
+        |FROM r WHERE rn <= 4 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 
   /** name → query function; keys must match [[oracle]] keys (where present). */
@@ -420,5 +627,17 @@ object Queries {
     "e6_topk_per_group" -> e6TopkPerGroup,
     "e7_exact_distinct" -> e7ExactDistinct,
     "e7_hll_distinct" -> e7HllDistinct,
+    "b5_positional_zip" -> b5PositionalZip,
+    "c7_ivf_cluster" -> c7IvfCluster,
+    "c8_ann_ivf" -> c8AnnIvf,
+    "e2_minhash_sig" -> e2MinhashSig,
+    "e2_minhash_pairs" -> e2MinhashPairs,
+    "e3_simhash" -> e3Simhash,
+    "e4_jaccard_pairs" -> e4JaccardPairs,
+    "e5_cosine_pairs" -> e5CosinePairs,
+    "t1_langid" -> t1Langid,
+    "t2_quality" -> t2Quality,
+    "t3_token_stats" -> t3TokenStats,
+    "t4_fingerprint" -> t4Fingerprint,
   )
 }
