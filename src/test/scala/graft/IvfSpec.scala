@@ -1,0 +1,39 @@
+package graft
+
+import graft.operators.{AnnSearch, IvfIndex}
+import org.apache.spark.sql.functions._
+
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("IVF with nprobe == nlist reproduces exact top-k; pruning keeps recall") {
+    val e = Tables.embeddings(spark, Sf0001)
+    val q = e.where($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val base = e.where($"vec_id" =!= 0)
+
+    val exact = AnnSearch.exactTopK(base, "embedding", "vec_id", q, 15)
+      .collect().map(_.getLong(0)).toSeq
+
+    val (assigned, model) = IvfIndex.build(base, "embedding", nlist = 8)
+    val full = IvfIndex.search(assigned, model, "embedding", "vec_id", q, 15, nprobe = 8)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full == exact, "nprobe == nlist must be exhaustive == exact")
+
+    val pruned = IvfIndex.search(assigned, model, "embedding", "vec_id", q, 15, nprobe = 2)
+      .collect().map(_.getLong(0)).toSet
+    val recall = pruned.intersect(exact.toSet).size / 15.0
+    info(f"recall@15 nprobe=2/8: $recall%.2f")
+    assert(recall >= 0.2, "pruned search should retain some of the true top-k")
+  }
+
+  test("exactTopK is the sorted prefix of the full scored scan") {
+    val e = Tables.embeddings(spark, Sf0001)
+    val q = e.where($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val top = AnnSearch.exactTopK(e, "embedding", "vec_id", q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top.length == 10)
+    assert(top.map(-_._2) == top.map(-_._2).sorted) // descending scores
+  }
+}
