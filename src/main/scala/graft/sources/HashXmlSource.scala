@@ -1,0 +1,74 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, ByteArrayInputStream}
+
+import org.apache.commons.compress.compressors.xz.XZCompressorInputStream
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Compatibility reader for the reference's hash-artifact interchange format
+  * (SURVEY A8/A9/B6): LIRE-Solr XML `<add><doc>…` documents, usually
+  * xz-compressed (`hasher.js:169`, `loader.js:185`), one `<doc>` per frame
+  * with fields `id` (timecode seconds), `${algo}_hi`, `${algo}_ha`.
+  *
+  * Spark-first shape: a `binaryFile` scan + `mapPartitions` parse — the
+  * decompress+parse runs distributed, one task per artifact file; no
+  * driver-side I/O. Parsing uses the JDK DOM parser (artifacts are ≤ a few
+  * MB — one video's frames).
+  */
+object HashXmlSource {
+
+  val schema: StructType = StructType(Seq(
+    StructField("src", StringType, nullable = false),
+    StructField("time", DoubleType, nullable = false),
+    StructField("hi", StringType, nullable = true),
+    StructField("ha", StringType, nullable = true)))
+
+  /** Read one or many artifacts (glob ok). `algo` selects the `_hi`/`_ha`
+    * field names, matching the reference's env-driven schema
+    * (`loader.js:20-21`).
+    */
+  def read(spark: SparkSession, path: String, algo: String): DataFrame = {
+    val bin = spark.read.format("binaryFile").load(path)
+      .select("path", "content")
+    val rows = bin.rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val p = r.getString(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        parseArtifact(p, bytes, algo).iterator
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Decompress (if .xz) and parse one artifact into frame rows. */
+  def parseArtifact(path: String, bytes: Array[Byte], algo: String): Seq[Row] = {
+    val in =
+      if (path.endsWith(".xz"))
+        new XZCompressorInputStream(new BufferedInputStream(new ByteArrayInputStream(bytes)))
+      else new ByteArrayInputStream(bytes)
+    val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      .newDocumentBuilder().parse(in)
+    val docs = doc.getElementsByTagName("doc")
+    (0 until docs.getLength).map { i =>
+      val fields = docs.item(i).getChildNodes
+      var time: Double = Double.NaN
+      var hi: String = null
+      var ha: String = null
+      (0 until fields.getLength).foreach { j =>
+        val n = fields.item(j)
+        if (n.getNodeType == org.w3c.dom.Node.ELEMENT_NODE) {
+          val name = n.getAttributes.getNamedItem("name")
+          if (name != null) name.getNodeValue match {
+            // loader.js:188-197: id → float time; algo-prefixed hi/ha
+            case "id"                   => time = n.getTextContent.toDouble
+            case s if s == s"${algo}_hi" => hi = n.getTextContent
+            case s if s == s"${algo}_ha" => ha = n.getTextContent
+            case _                      =>
+          }
+        }
+      }
+      Row(path, time, hi, ha)
+    }
+  }
+}

@@ -1,0 +1,144 @@
+package graft.streaming
+
+import graft.functions.VectorFunctions._
+import graft.operators.TemporalDedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The reference's ingest dataflow (SURVEY §3.1-3.2: watcher → hasher →
+  * loader) collapsed into ONE Structured Streaming query:
+  *
+  *   binaryFile stream (A1 watch; replaces chokidar + HTTP + WebSocket hops)
+  *     → mp4 filter + path projection        (B1/B2)
+  *     → per-file frame+feature extraction   (A15/A16, mapPartitions)
+  *     → hex-parse + L2-normalize + keys     (B7-B10)
+  *     → per-file temporal dedup             (C3)
+  *     → append to the frames table, partitioned by algo (A10)
+  *
+  * Exactly-once bookkeeping comes from the file-source + checkpoint —
+  * stronger than the reference's at-least-once WebSocket ack/retry loops
+  * (`hasher.js:188-196`, `loader.js:359-364`). The 2 s write-stability
+  * window (`watcher.js:66 awaitWriteFinish`) maps to `maxFilesPerTrigger` +
+  * trigger interval backpressure.
+  */
+object IngestPipeline {
+
+  /** One extracted frame before vectorization: timecode seconds, LIRE-style
+    * feature string (`_hi`), space-separated hex hash codes (`_ha`).
+    */
+  case class RawFrame(imdbId: String, fileName: String, time: Double,
+                      hi: String, ha: String)
+
+  /** Frame+feature extraction boundary (SURVEY A15/A16). The real engine
+    * shells to ffmpeg (`-vf fps=12,scale=-2:180`, `hasher.js:87`) and calls
+    * LIRE `GlobalFeature.extract` + `BitSampling.generateHashes` in-JVM;
+    * neither ffmpeg nor the LIRE jar is present in this environment, so
+    * [[StubFrameFeatureExtractor]] fakes the decode deterministically while
+    * every Spark-side seam (schema, partitioning, task-parallel extraction)
+    * is real and tested.
+    */
+  trait FrameFeatureExtractor extends Serializable {
+    def extract(imdbId: String, fileName: String, bytes: Array[Byte]): Iterator[RawFrame]
+  }
+
+  /** Deterministic STUB for the ffmpeg+LIRE stage: synthesizes
+    * `12 fps × pseudo-duration(bytes)` frames whose hash codes are seeded
+    * md5s — stable across runs, so dedup/search downstream is testable.
+    * Swap for an ffmpeg/LIRE-backed implementation in production.
+    */
+  object StubFrameFeatureExtractor extends FrameFeatureExtractor {
+    val Fps = 12 // hasher.js:87
+    def extract(imdbId: String, fileName: String, bytes: Array[Byte]): Iterator[RawFrame] = {
+      val durationSec = math.max(1, bytes.length / 1024) // ??? real: ffprobe
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until durationSec * Fps).iterator.map { i =>
+        val t = i.toDouble / Fps
+        // every 4th frame repeats the previous hash to exercise dedup
+        val effective =
+          if (i % 4 == 3) s"$imdbId/$fileName/${i - 1}" else s"$imdbId/$fileName/$i"
+        val h2 = md.digest(effective.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val ha = (0 until 100).map { d =>
+          Integer.parseInt(h2.substring((d * 3) % 29, (d * 3) % 29 + 3), 16).toHexString
+        }.mkString(" ")
+        RawFrame(imdbId, fileName, t, h2, ha)
+      }
+    }
+  }
+
+  /** A1+B1+B2: recursive binary-file stream filtered to .mp4 with
+    * (imdbId, fileName) projected from the path (`watcher.js:22-29`).
+    */
+  /** binaryFile's fixed schema — streaming sources require it explicitly. */
+  private val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
+
+  def mediaStream(spark: SparkSession, watchDir: String, maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("pathGlobFilter", "*.mp4")
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(watchDir)
+      .select(
+        element_at(split(col("path"), "/"), -2).as("imdb_id"),
+        element_at(split(col("path"), "/"), -1).as("file_name"),
+        col("content"))
+
+  /** A15/A16 as a distributed stage: one extraction task per media file
+    * partition (the reference's `-n 16` thread pool ≈ task parallelism).
+    */
+  def extractFrames(media: DataFrame, extractor: FrameFeatureExtractor): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select($"imdb_id", $"file_name", $"content").as[(String, String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (i, f, c) => extractor.extract(i, f, c) })
+      .toDF()
+  }
+
+  /** B7-B11: vectorize, normalize, build keys, attach duration. */
+  def vectorize(frames: DataFrame, algo: String, dim: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("imdbId"), col("fileName"))
+    frames
+      .withColumn("vec_raw", parseHexVector(col("ha"), dim))
+      .withColumn("norm", l2Norm(col("vec_raw")))
+      .withColumn("ha_vec", l2NormalizeWith(col("vec_raw"), col("norm")))
+      .withColumn("duration", max(col("time")).over(w).cast("float"))
+      .withColumn("hash_id", hashId(col("imdbId"), col("fileName"), col("time")))
+      .withColumn("primary_key", enginePrimaryKey(col("hash_id")))
+      .withColumn("algo", lit(algo))
+      .select(
+        col("imdbId").as("imdb_id"), col("fileName").as("file_name"),
+        col("time"), col("hi"), col("ha_vec").as("ha"),
+        col("duration"), col("primary_key"), col("hash_id"), col("algo"))
+  }
+
+  /** The full streaming query. Each micro-batch: extract → vectorize →
+    * C3 dedup (batch-exact, since files arrive whole) → append parquet
+    * partitioned by algo (partition pruning for per-descriptor queries).
+    */
+  def start(
+      spark: SparkSession,
+      watchDir: String,
+      framesPath: String,
+      checkpoint: String,
+      algo: String,
+      extractor: FrameFeatureExtractor = StubFrameFeatureExtractor,
+      availableNow: Boolean = false): StreamingQuery = {
+    val stream = mediaStream(spark, watchDir)
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val frames = vectorize(extractFrames(batch, extractor), algo)
+        val deduped = TemporalDedup.dedup(
+          frames, Seq("imdb_id", "file_name"), "time", "hi",
+          windowSec = 2.0, lookback = 24) // loader.js:205-208
+        deduped.write.mode("append").partitionBy("algo").parquet(framesPath)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+}
