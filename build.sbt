@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] = driver and all executor threads share ONE heap; 8g starves
+  // 32 tasks' execution memory at sf0.1 (observed GC/spill collapse on the
+  // later bench queries). The box has 128 GiB; use a third of it.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "40g")}",
+  "-XX:+UseG1GC",
 )

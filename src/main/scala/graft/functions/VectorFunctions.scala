@@ -28,6 +28,14 @@ object VectorFunctions {
       lit(0.0),
       (acc, x) => acc + x)
 
+  /** Same semantics as [[dot]] (bit-identical sequential double fold) via
+    * the native codegen'd [[graft.functions.DotProduct]] expression —
+    * requires a session with [[graft.GraftExtensions]] registered
+    * (GraftSession sets `spark.sql.extensions`). One fused loop, no
+    * intermediate array: the hot-path form for scored scans.
+    */
+  def fastDot(a: Column, b: Column): Column = call_function("fast_dot", a, b)
+
   /** Sum of squares, sequential double fold. */
   def sumSquares(v: Column): Column =
     aggregate(v, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))

@@ -29,7 +29,7 @@ object AnnSearch {
       k: Int): DataFrame =
     df.select(
         col(idCol),
-        dot(col(vecCol), typedlit(query)).as("score"))
+        fastDot(col(vecCol), typedlit(query)).as("score"))
       .orderBy(desc("score"), col(idCol))
       .limit(k)
 
@@ -43,7 +43,7 @@ object AnnSearch {
     val qn = math.sqrt(query.map(x => x * x).sum)
     df.select(
         col(idCol),
-        (dot(col(vecCol), typedlit(query)) / (l2Norm(col(vecCol)) * lit(qn))).as("score"))
+        (fastDot(col(vecCol), typedlit(query)) / (l2Norm(col(vecCol)) * lit(qn))).as("score"))
       .orderBy(desc("score"), col(idCol))
       .limit(k)
   }

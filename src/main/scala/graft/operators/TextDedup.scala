@@ -16,17 +16,45 @@ import org.apache.spark.sql.functions._
   */
 object TextDedup {
 
+  /** (id, shingle) rows, engineered for the two traps of higher-order
+    * functions on small-file corpora:
+    *  1. HOF lambdas are interpreted (not codegen'd) — referencing
+    *     `split(text)` INSIDE the shingle lambda re-splits the document per
+    *     element, O(len·shingles) per row (observed 200+ s single-thread at
+    *     sf0.1). Tokenize ONCE into a column; the lambda touches only the
+    *     materialized array.
+    *  2. A small parquet file scans as ONE task, serializing the
+    *     compute-heavy explode. `repartition(idCol)` spreads the work AND
+    *     pre-aligns the downstream per-doc groupBy/window so they reuse the
+    *     hash partitioning instead of shuffling again.
+    */
+  private def shingleRows(
+      df: DataFrame, textCol: String, idCol: String, shingleK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // posexplode + lead() keeps shingle assembly fully codegen'd (HOF
+    // lambdas would run interpreted); window is per-doc, aligned with the
+    // repartition so no extra shuffle.
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val leads = (0 until shingleK).map {
+      case 0 => col("t")
+      case i => lead(col("t"), i).over(w)
+    }
+    df.repartition(col(idCol))
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "t")))
+      .select(col(idCol), concat_ws(" ", leads: _*).as("s"),
+        leads.last.isNotNull.as("__full"))
+      .where(col("__full"))
+      .select(col(idCol), col("s"))
+  }
+
   /** MinHash signatures: k independent hash families over `shingleK`-word
     * shingles, one (doc, j, minh) row per family. Single shuffle
-    * (explode → groupBy doc → k min-aggregates → unpivot).
+    * (repartition → explode → partition-local groupBy → unpivot).
     */
   def minhashSignatures(
       df: DataFrame, textCol: String, idCol: String,
       k: Int, shingleK: Int): DataFrame = {
-    val sh = df.select(col(idCol),
-      explode(shingles(tokens(col(textCol)), shingleK)).as("s"))
-    val aggs = (0 until k).map(j => min(hash60Seeded(col("s"), j)).as(s"m$j"))
-    val wide = sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val wide = minhashWide(df, textCol, idCol, k, shingleK)
     val stackArgs = (0 until k).map(j => s"$j, m$j").mkString(", ")
     wide.selectExpr(idCol, s"stack($k, $stackArgs) AS (j, minh)")
       .select(col(idCol), col("j").cast("int").as("j"), col("minh"))
@@ -36,16 +64,21 @@ object TextDedup {
   def minhashWide(
       df: DataFrame, textCol: String, idCol: String,
       k: Int, shingleK: Int): DataFrame = {
-    val sh = df.select(col(idCol),
-      explode(shingles(tokens(col(textCol)), shingleK)).as("s"))
+    val sh = shingleRows(df, textCol, idCol, shingleK)
     val aggs = (0 until k).map(j => min(hash60Seeded(col("s"), j)).as(s"m$j"))
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: docs whose signatures agree on ALL rows of some band are
-    * candidate near-dups. `bands` bands of `k/bands` rows; the pair join is
-    * an equi-join on (band, band-signature) — the scale path that replaces
-    * the O(n²) pair scan.
+    * candidate near-dups (`bands` bands of `k/bands` rows).
+    *
+    * Shape matters at scale: a naive self-join of a unionAll of per-band
+    * projections makes Catalyst recompute the shingle+minhash pipeline
+    * 2×bands times (measured 8× at bands=4 — 400+ s at sf0.1). Instead:
+    * compute the signature matrix ONCE, explode the per-doc band
+    * signatures, ONE shuffle into (band, bsig) buckets, and emit each
+    * bucket's id-sorted pair combinations locally — cost Σ bucket², the
+    * true LSH candidate count, with no join at all.
     */
   def minhashBandPairs(
       df: DataFrame, textCol: String, idCol: String,
@@ -53,31 +86,39 @@ object TextDedup {
     require(k % bands == 0, "k must divide into bands")
     val rowsPer = k / bands
     val wide = minhashWide(df, textCol, idCol, k, shingleK)
-    val bandDfs = (0 until bands).map { b =>
+    val bandStructs = array((0 until bands).map { b =>
       val cols = (b * rowsPer until (b + 1) * rowsPer).map(j => col(s"m$j"))
-      wide.select(col(idCol), lit(b).as("band"),
-        md5(concat_ws(",", cols: _*)).as("bsig"))
-    }
-    val all = bandDfs.reduce(_ unionAll _)
-    all.as("a").join(all.as("b"),
-        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
+      struct(lit(b).as("band"), md5(concat_ws(",", cols: _*)).as("bsig"))
+    }: _*)
+    wide
+      .select(col(idCol), explode(bandStructs).as("bs"))
+      .groupBy(col("bs.band"), col("bs.bsig"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x AS d1, y AS d2))))")).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .distinct()
   }
 
-  /** 60-bit SimHash over whitespace tokens (md5-hash bit voting).
-    * explode → per-(doc,bit) vote sum → fingerprint assembly; narrow rows,
-    * two partial-aggregated shuffles.
+  /** 60-bit SimHash over whitespace tokens (md5-hash bit voting) as 60
+    * codegen'd conditional aggregates over the token rows — one partial-agg
+    * shuffle whose payload is 60 ints PER DOC (an explode-by-bit
+    * formulation ships 60 rows per TOKEN through the shuffle and its
+    * transform lambda runs interpreted; measured 10× slower).
     */
   def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("t"))
+    val tok = df.repartition(col(idCol))
+      .select(col(idCol), explode(tokens(col(textCol))).as("t"))
     val h = tok.select(col(idCol), hash60(col("t")).as("hv"))
-    val bits = h.selectExpr(idCol,
-      "posexplode(transform(sequence(0, 59), b -> CASE WHEN (shiftright(hv, b) & 1) = 1 THEN 1 ELSE -1 END)) AS (pos, sgn)")
-    bits.groupBy(col(idCol), col("pos")).agg(sum(col("sgn")).as("c"))
-      .groupBy(col(idCol))
-      .agg(expr("CAST(sum(CASE WHEN c > 0 THEN shiftleft(CAST(1 AS BIGINT), pos) ELSE CAST(0 AS BIGINT) END) AS BIGINT)").as("simhash"))
+    val bitAggs = (0 until 60).map { b =>
+      sum(when(expr(s"(shiftright(hv, $b) & 1) = 1"), 1).otherwise(-1)).as(s"c$b")
+    }
+    val fp = (0 until 60)
+      .map(b => when(col(s"c$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    h.groupBy(col(idCol)).agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col(idCol), fp.cast("long").as("simhash"))
   }
 
   /** Exact n-gram (token-set) Jaccard similarity join above `tau`,
@@ -88,8 +129,9 @@ object TextDedup {
   def jaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
       blockCol: String, tau: Double): DataFrame = {
-    val tok = df.select(col(idCol), col(blockCol),
-      explode(array_distinct(tokens(col(textCol)))).as("t"))
+    val tok = df.repartition(col(idCol))
+      .select(col(idCol), col(blockCol),
+        explode(array_distinct(tokens(col(textCol)))).as("t"))
     val sz = tok.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val inter = tok.as("a").join(tok.as("b"),
         col("a.t") === col("b.t") &&
@@ -118,7 +160,7 @@ object TextDedup {
         col(s"a.$blockCol") === col(s"b.$blockCol") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("v1"), col(s"b.$idCol").as("v2"),
-        (dot(col(s"a.$vecCol"), col(s"b.$vecCol")) /
+        (fastDot(col(s"a.$vecCol"), col(s"b.$vecCol")) /
           (col("a.nn") * col("b.nn"))).as("c"))
       .where(col("c") > tau)
       .select(col("v1"), col("v2"), round(col("c"), 6).as("cos"))
@@ -131,8 +173,7 @@ object TextDedup {
       df: DataFrame, textCol: String, idCol: String,
       shingleK: Int, kMin: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = df.select(col(idCol),
-      explode(shingles(tokens(col(textCol)), shingleK)).as("s"))
+    val sh = shingleRows(df, textCol, idCol, shingleK)
       .select(col(idCol), hash60(col("s")).as("hv"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("hv"))
     val ranked = sh.withColumn("rn", row_number().over(w)).where(col("rn") <= kMin)
