@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.DotProduct
+import graft.functions.{ByteDot, DotProduct}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -17,5 +17,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "fast_dot"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProduct(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("byte_dot"),
+      new ExpressionInfo(classOf[ByteDot].getName, "byte_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ByteDot(children.head, children(1))))
+    // ANN auto-rewrite: ORDER BY fast_dot DESC LIMIT k -> nprobe-pruned scan
+    // (no-op unless an IvfRegistry model is registered).
+    ext.injectOptimizerRule(_ => graft.plans.IvfTopKRewrite())
   }
 }

@@ -332,6 +332,22 @@ object Queries {
       .select($"vec_id", round($"score", 6).as("score"))
   }
 
+  /** C7'' SQ8 scalar-quantized ANN (loader.js:332-334 IVF_SQ8's SQ8 half)
+    * — approximate by construction → rows-only; error bound + recall
+    * asserted in Sq8Spec.
+    */
+  val c7Sq8Ann: Q = (s, d) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val q = e.where($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val base = e.where($"vec_id" =!= 0)
+    val model = graft.operators.Sq8.fit(base, "embedding")
+    val enc = graft.operators.Sq8.encode(base, "embedding", model)
+    graft.operators.Sq8.searchTopK(enc, "codes", "vec_id", model, q, 15)
+      .select($"vec_id", round($"score", 6).as("score"))
+  }
+
   /** E2 MinHash signatures (k=8 families, 3-word shingles). */
   val e2MinhashSig: Q = (s, d) =>
     TextDedup.minhashSignatures(Tables.documents(s, d), "text", "doc_id", 8, 3)
@@ -450,6 +466,35 @@ object Queries {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "c1_sort_limit" ->
       "SELECT event_id, ts FROM events ORDER BY ts, event_id LIMIT 100",
+    // Exact kept-set semantics (loader.js:202-212) as a recursive CTE: each
+    // iteration advances every group by one time-ordered row, carrying the
+    // last-24-kept (t, k) buffer as a list-of-structs column.
+    "c3_temporal_dedup" ->
+      """WITH RECURSIVE ordered AS (
+        |  SELECT user_id, event_id, event_type AS k,
+        |         epoch_us(ts) / 1000000.0 AS t,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS rn
+        |  FROM events
+        |),
+        |gsz AS (SELECT user_id, max(rn) AS n FROM ordered GROUP BY user_id),
+        |rec AS (
+        |  SELECT o.user_id, o.rn,
+        |         [struct_pack(t := o.t, k := o.k)] AS kept,
+        |         [o.event_id] AS out_ids
+        |  FROM ordered o WHERE o.rn = 1
+        |  UNION ALL
+        |  SELECT o.user_id, o.rn,
+        |         CASE WHEN dup THEN r.kept
+        |              ELSE list_slice(list_append(r.kept, struct_pack(t := o.t, k := o.k)),
+        |                              greatest(len(r.kept) + 1 - 24 + 1, 1), len(r.kept) + 1) END,
+        |         CASE WHEN dup THEN r.out_ids ELSE list_append(r.out_ids, o.event_id) END
+        |  FROM rec r JOIN ordered o ON o.user_id = r.user_id AND o.rn = r.rn + 1,
+        |  LATERAL (SELECT len(list_filter(r.kept, e -> (o.t - e.t) < 600.0 AND e.k = o.k)) > 0 AS dup) d
+        |),
+        |final AS (
+        |  SELECT r.user_id, r.out_ids FROM rec r JOIN gsz g ON r.user_id = g.user_id AND r.rn = g.n
+        |)
+        |SELECT unnest(out_ids) AS event_id FROM final ORDER BY event_id""".stripMargin,
     "c3_window_dedup" ->
       """SELECT event_id FROM (
         |  SELECT event_id, epoch_us(ts) - lag(epoch_us(ts)) OVER (
@@ -629,6 +674,7 @@ object Queries {
     "e7_hll_distinct" -> e7HllDistinct,
     "b5_positional_zip" -> b5PositionalZip,
     "c7_ivf_cluster" -> c7IvfCluster,
+    "c7_sq8_ann" -> c7Sq8Ann,
     "c8_ann_ivf" -> c8AnnIvf,
     "e2_minhash_sig" -> e2MinhashSig,
     "e2_minhash_pairs" -> e2MinhashPairs,

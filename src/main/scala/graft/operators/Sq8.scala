@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SQ8 scalar quantization (SURVEY §4; Milvus IVF_SQ8 analog,
+  * loader.js:332-334): per-dimension affine byte codes.
+  *
+  *   code[i] = round((v[i] − min[i]) / scale[i]),  scale[i] = (max−min)/255
+  *
+  * Vectors are stored as ONE BinaryType byte-string (1 B/dim vs 4 B/dim
+  * float32 — the at-rest and scan-I/O win this codec exists for). Search
+  * never dequantizes: with w = scale ⊙ q and bias = Σ min[i]·q[i], the
+  * approximate IP is `byte_dot(codes, w) + bias` (codegen'd, see
+  * [[graft.functions.ByteDot]]). Accuracy is bounded by scale/2 per
+  * dimension; recall vs the exact path is measured in Sq8Spec.
+  */
+object Sq8 {
+
+  /** Per-dimension affine params. Tiny (2·dim doubles) — a driver value
+    * broadcast into expressions, refreshed by the same periodic job that
+    * refreshes IVF centroids.
+    */
+  final case class Model(mins: Array[Double], scales: Array[Double]) {
+    def dim: Int = mins.length
+  }
+
+  /** Fit per-dimension min/max. One shuffle of (pos → min, max) pairs. */
+  def fit(df: DataFrame, vecCol: String): Model = {
+    val stats = df
+      .select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
+      .orderBy(col("pos"))
+      .collect()
+    val mins = stats.map(_.getDouble(1))
+    val scales = stats.map(r => math.max((r.getDouble(2) - r.getDouble(1)) / 255.0, 1e-12))
+    Model(mins, scales)
+  }
+
+  /** Column expression producing the byte codes for `vec` under `model`:
+    * clamp(round((x − min)/scale), 0, 255) per dimension, packed to binary.
+    * Built-ins only — transform to ints, cast bytes, pack via concat of
+    * 1-byte binaries is not expressible, so we go through a compact
+    * codegen-friendly route: int array → `binary` via UDF-free trick is
+    * unavailable in Spark; this one place uses a typed map (documented
+    * trade: encode is an ingest-time batch op, not the query hot path).
+    */
+  def encode(df: DataFrame, vecCol: String, model: Model, outCol: String = "codes"): DataFrame = {
+    val spark = df.sparkSession
+    val bMins = spark.sparkContext.broadcast(model.mins)
+    val bScales = spark.sparkContext.broadcast(model.scales)
+    val enc = udf { (v: Seq[Float]) =>
+      val mins = bMins.value; val scales = bScales.value
+      val out = new Array[Byte](v.length)
+      var i = 0
+      while (i < v.length) {
+        val c = math.round((v(i) - mins(i)) / scales(i)).toInt
+        out(i) = math.min(255, math.max(0, c)).toByte
+        i += 1
+      }
+      out
+    }
+    df.withColumn(outCol, enc(col(vecCol)))
+  }
+
+  /** Approximate IP score of encoded codes against a float query. */
+  def score(codesCol: Column, model: Model, query: Seq[Double]): Column = {
+    require(query.length == model.dim)
+    val w = query.indices.map(i => model.scales(i) * query(i))
+    val bias = query.indices.map(i => model.mins(i) * query(i)).sum
+    call_function("byte_dot", codesCol, typedlit(w)) + lit(bias)
+  }
+
+  /** Top-k approximate search over an SQ8-encoded table. */
+  def searchTopK(encoded: DataFrame, codesCol: String, idCol: String,
+                 model: Model, query: Seq[Double], k: Int): DataFrame =
+    encoded
+      .select(col(idCol), score(col(codesCol), model, query).as("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+}
