@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{AnnSearch, IvfIndex, TemporalDedup, TextDedup}
+import graft.operators.{AnnSearch, AsOfJoin, IvfIndex, TemporalDedup, TextDedup}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -247,6 +247,35 @@ object Queries {
       .groupBy(date_trunc("hour", $"ts").as("w"), $"event_type")
       .agg(count(lit(1)).as("n"), sum(dec($"value")).cast("double").as("sum_value"))
       .orderBy($"w", $"event_type")
+  }
+
+  /** As-of join (nearest prior event): for each click, the most recent
+    * error event of the same user at-or-before it. Union+window form —
+    * one shuffle, no range-join blowup ([[AsOfJoin]]).
+    */
+  val j3AsofJoin: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .withColumn("tus", unix_micros($"ts".cast("timestamp")))
+    val clicks = ev.where($"event_type" === "click")
+      .select($"event_id", $"user_id", $"tus")
+    val errors = ev.where($"event_type" === "error")
+      .select($"user_id", $"tus", $"event_id".as("err_id"))
+    AsOfJoin.nearestPrior(clicks, errors, "user_id", "tus", "err_id")
+      .select($"event_id", $"asof_err_id")
+      .orderBy($"event_id")
+  }
+
+  /** ROLLUP grouping sets (free via Catalyst; declared absent in the
+    * reference, SURVEY §2.D).
+    */
+  val q2Rollup: Q = (s, d) => {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(sum(dec($"l_quantity")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
   }
 
   // ------------------------------------------------------------- §2.E ops
@@ -551,6 +580,18 @@ object Queries {
     "e7_exact_distinct" ->
       """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "j3_asof_join" ->
+      """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events WHERE event_type = 'click'),
+        |e AS (SELECT event_id AS err_id, user_id, epoch_us(ts) AS tus FROM events WHERE event_type = 'error')
+        |SELECT c.event_id, e.err_id AS asof_err_id
+        |FROM c ASOF LEFT JOIN e ON c.user_id = e.user_id AND e.tus <= c.tus
+        |ORDER BY c.event_id""".stripMargin,
+    "q2_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "b5_positional_zip" ->
       """WITH o AS (SELECT * FROM (SELECT o_orderkey, CAST(row_number() OVER (ORDER BY o_orderkey) AS INT) AS pos FROM orders) t WHERE pos <= 20),
         |p AS (SELECT * FROM (SELECT p_partkey, CAST(row_number() OVER (ORDER BY p_partkey) AS INT) AS pos FROM part) t WHERE pos <= 20)
@@ -673,6 +714,8 @@ object Queries {
     "e7_exact_distinct" -> e7ExactDistinct,
     "e7_hll_distinct" -> e7HllDistinct,
     "b5_positional_zip" -> b5PositionalZip,
+    "j3_asof_join" -> j3AsofJoin,
+    "q2_rollup" -> q2Rollup,
     "c7_ivf_cluster" -> c7IvfCluster,
     "c7_sq8_ann" -> c7Sq8Ann,
     "c8_ann_ivf" -> c8AnnIvf,

@@ -58,8 +58,10 @@ def main(sf_dir, out_dir):
         if spark_cols != o_cols:
             results[name] = f"SCHEMA-MISMATCH spark={spark_cols} oracle={o_cols}"
             continue
-        a = sorted([tuple(norm_cell(c) for c in r) for r in spark_rows])
-        b = sorted([tuple(norm_cell(c) for c in r) for r in o_rows])
+        def key(row):
+            return tuple((c is None, str(c)) for c in row)
+        a = sorted([tuple(norm_cell(c) for c in r) for r in spark_rows], key=key)
+        b = sorted([tuple(norm_cell(c) for c in r) for r in o_rows], key=key)
         if len(a) != len(b):
             results[name] = f"ROWCOUNT-MISMATCH spark={len(a)} oracle={len(b)}"
         elif a != b:
