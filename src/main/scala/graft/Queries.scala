@@ -304,6 +304,21 @@ object Queries {
       .orderBy($"o_orderpriority", $"rn")
   }
 
+  /** Top-k per group via the custom bounded-heap TypedImperativeAggregate
+    * (`topk_ids`) — O(k) state per group, partial-aggregated map-side, vs
+    * the full per-group sort of the row_number window in [[e6TopkPerGroup]].
+    * Same answer, checked against the same windowed SQL oracle.
+    */
+  val e6TopkHeapAgg: Q = (s, d) => {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy($"o_orderpriority")
+      .agg(expr("topk_ids(o_totalprice, o_orderkey, 3)").as("ids"))
+      .select($"o_orderpriority", posexplode($"ids").as(Seq("pos", "o_orderkey")))
+      .select($"o_orderpriority", $"pos".cast("int").as("pos"), $"o_orderkey")
+      .orderBy($"o_orderpriority", $"pos")
+  }
+
   /** Exact distinct cardinality (oracle-checkable counterpart of HLL). */
   val e7ExactDistinct: Q = (s, d) => {
     import s.implicits._
@@ -577,6 +592,12 @@ object Queries {
         |    CAST(row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
         |  FROM orders) t
         |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin,
+    "e6_topk_heap_agg" ->
+      """SELECT o_orderpriority, CAST(rn - 1 AS INT) AS pos, o_orderkey FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_orderpriority, pos""".stripMargin,
     "e7_exact_distinct" ->
       """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
@@ -711,6 +732,7 @@ object Queries {
     "w1_time_window" -> w1TimeWindow,
     "e1_exact_dedup" -> e1ExactDedup,
     "e6_topk_per_group" -> e6TopkPerGroup,
+    "e6_topk_heap_agg" -> e6TopkHeapAgg,
     "e7_exact_distinct" -> e7ExactDistinct,
     "e7_hll_distinct" -> e7HllDistinct,
     "b5_positional_zip" -> b5PositionalZip,
