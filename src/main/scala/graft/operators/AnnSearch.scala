@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Top-k inner-product / cosine search over an embedding column — the
@@ -21,6 +21,14 @@ object AnnSearch {
   /** Exact top-k by inner product against a literal query vector.
     * Deterministic: ties broken by `idCol`.
     */
+  /** The native fast_dot expression needs GraftExtensions in the session;
+    * fall back to the (bit-identical) composed fold when serving a foreign
+    * session — e.g. the driver's own smoke-check session.
+    */
+  private def bestDot(df: DataFrame)(a: Column, b: Column): Column =
+    if (df.sparkSession.catalog.functionExists("fast_dot")) fastDot(a, b)
+    else dot(a, b)
+
   def exactTopK(
       df: DataFrame,
       vecCol: String,
@@ -29,7 +37,7 @@ object AnnSearch {
       k: Int): DataFrame =
     df.select(
         col(idCol),
-        fastDot(col(vecCol), typedlit(query)).as("score"))
+        bestDot(df)(col(vecCol), typedlit(query)).as("score"))
       .orderBy(desc("score"), col(idCol))
       .limit(k)
 
@@ -43,7 +51,7 @@ object AnnSearch {
     val qn = math.sqrt(query.map(x => x * x).sum)
     df.select(
         col(idCol),
-        (fastDot(col(vecCol), typedlit(query)) / (l2Norm(col(vecCol)) * lit(qn))).as("score"))
+        (bestDot(df)(col(vecCol), typedlit(query)) / (l2Norm(col(vecCol)) * lit(qn))).as("score"))
       .orderBy(desc("score"), col(idCol))
       .limit(k)
   }

@@ -160,7 +160,9 @@ object TextDedup {
         col(s"a.$blockCol") === col(s"b.$blockCol") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("v1"), col(s"b.$idCol").as("v2"),
-        (fastDot(col(s"a.$vecCol"), col(s"b.$vecCol")) /
+        ((if (df.sparkSession.catalog.functionExists("fast_dot"))
+            fastDot(col(s"a.$vecCol"), col(s"b.$vecCol"))
+          else dot(col(s"a.$vecCol"), col(s"b.$vecCol"))) /
           (col("a.nn") * col("b.nn"))).as("c"))
       .where(col("c") > tau)
       .select(col("v1"), col("v2"), round(col("c"), 6).as("cos"))
