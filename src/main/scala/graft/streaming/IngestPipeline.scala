@@ -117,6 +117,55 @@ object IngestPipeline {
         col("duration"), col("primary_key"), col("hash_id"), col("algo"))
   }
 
+  /** A9/B6 in streaming form — the reference's loader role: watch for
+    * LIRE-Solr XML hash artifacts (plain or .xz), parse them distributed,
+    * and emit RawFrame rows with (imdbId, fileName) projected from the
+    * artifact path (`loader.js:170`).
+    */
+  def hashArtifactStream(spark: SparkSession, watchDir: String, algo: String,
+                         maxFilesPerTrigger: Int = 16): DataFrame = {
+    import spark.implicits._
+    spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("pathGlobFilter", "*.xml*")
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(watchDir)
+      .select($"path", $"content").as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (path, bytes) =>
+        val parts = path.split("/")
+        val imdbId = if (parts.length >= 2) parts(parts.length - 2) else ""
+        val fileName = parts.last.replaceAll("\\.xml(\\.xz)?$", "")
+        graft.sources.HashXmlSource.parseArtifact(path, bytes, algo).iterator
+          .map(r => RawFrame(imdbId, fileName, r.getDouble(1), r.getString(2), r.getString(3)))
+      })
+      .toDF()
+  }
+
+  /** Streaming loader (§3.2): artifact stream → vectorize → C3 dedup →
+    * frames table. Same sink contract as [[start]].
+    */
+  def startFromArtifacts(
+      spark: SparkSession,
+      watchDir: String,
+      framesPath: String,
+      checkpoint: String,
+      algo: String,
+      availableNow: Boolean = false): StreamingQuery = {
+    val stream = hashArtifactStream(spark, watchDir, algo)
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // artifacts missing the algo's fields yield null hi/ha — skip them
+        val frames = vectorize(
+          batch.where(col("hi").isNotNull && col("ha").isNotNull), algo)
+        val deduped = TemporalDedup.dedup(
+          frames, Seq("imdb_id", "file_name"), "time", "hi", 2.0, 24)
+        deduped.write.mode("append").partitionBy("algo").parquet(framesPath)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
   /** The full streaming query. Each micro-batch: extract → vectorize →
     * C3 dedup (batch-exact, since files arrive whole) → append parquet
     * partitioned by algo (partition pruning for per-descriptor queries).

@@ -83,6 +83,41 @@ class IngestSpec extends SparkSpec {
     assert(Files.exists(Paths.get(frames, "algo=cl")))
   }
 
+  test("streaming loader: xz artifacts -> vectorized deduped frames (§3.2)") {
+    val watch = tmpDir("artwatch")
+    val frames = tmpDir("artframes") + "/tbl"
+    val ckpt = tmpDir("artckpt")
+    Files.createDirectories(Paths.get(watch, "tt0000009"))
+    // two frames 0.16s apart with IDENTICAL cl_hi → C3 drops the second
+    val xml =
+      """<add>
+        |  <doc><field name="id">12.3400</field><field name="cl_hi">SAMEFEAT</field><field name="cl_ha">3ef d3c 2cc</field></doc>
+        |  <doc><field name="id">12.5000</field><field name="cl_hi">SAMEFEAT</field><field name="cl_ha">1a5 5b 4a6</field></doc>
+        |  <doc><field name="id">20.0000</field><field name="cl_hi">OTHERFEAT</field><field name="cl_ha">f78 c30 99</field></doc>
+        |</add>""".stripMargin
+    val xzOut = new java.io.ByteArrayOutputStream()
+    val xz = new org.apache.commons.compress.compressors.xz.XZCompressorOutputStream(xzOut)
+    xz.write(xml.getBytes("UTF-8")); xz.close()
+    Files.write(Paths.get(watch, "tt0000009", "ep9.mp4.xml.xz"), xzOut.toByteArray)
+
+    val q = IngestPipeline.startFromArtifacts(spark, watch, frames, ckpt, "cl",
+      availableNow = true)
+    q.awaitTermination(120000)
+
+    val t = spark.read.parquet(frames).orderBy($"time").collect()
+    assert(t.length == 2) // 12.50 deduped (same hi within 2 s of kept 12.34)
+    val first = t.head
+    assert(first.getAs[String]("imdb_id") == "tt0000009")
+    assert(first.getAs[String]("file_name") == "ep9.mp4")
+    assert(first.getAs[String]("hash_id") == "tt0000009/ep9.mp4/12.34")
+    val v = first.getSeq[Double](first.fieldIndex("ha"))
+    assert(v.length == 100)
+    assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-9)
+    // 0x3ef=1007, 0xd3c=3388, 0x2cc=716 → check first ratio survives normalize
+    assert(math.abs(v(0) / v(2) - 1007.0 / 716.0) < 1e-9)
+    assert(t(1).getAs[String]("hi") == "OTHERFEAT")
+  }
+
   test("StreamingTemporalDedup: kept-set parity with batch across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[TimedRow]
