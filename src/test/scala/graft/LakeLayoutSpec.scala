@@ -1,0 +1,33 @@
+package graft
+
+import graft.sources.LakeLayout
+import org.apache.spark.sql.functions._
+
+class LakeLayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed tables join and aggregate with NO shuffle on the bucket key") {
+    val orders = Tables.orders(spark, Sf0001)
+    val lineitem = Tables.lineitem(spark, Sf0001)
+    LakeLayout.writeBucketed(orders, "orders_b", 8, "o_orderkey")
+    LakeLayout.writeBucketed(
+      lineitem, "lineitem_b", 8, "l_orderkey", Seq("l_orderkey", "l_linenumber"))
+    try {
+      val o = spark.table("orders_b")
+      val l = spark.table("lineitem_b")
+      // disable broadcast so the join would normally shuffle both sides
+      val joined = o.hint("merge").join(l, $"o_orderkey" === $"l_orderkey")
+        .groupBy($"o_orderkey").agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      // and it is still correct
+      val viaBuckets = joined.agg(sum($"n")).head().getLong(0)
+      val direct = orders.join(lineitem, $"o_orderkey" === $"l_orderkey").count()
+      assert(viaBuckets == direct)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+}
