@@ -129,19 +129,25 @@ object TextDedup {
   def jaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
       blockCol: String, tau: Double): DataFrame = {
+    // token-set size travels with each token row: it is functionally
+    // dependent on the doc, so grouping by it later is free and saves two
+    // size joins; and it enables SIZE FILTERING in the join condition —
+    // jaccard ≤ min(n1,n2)/max(n1,n2), so pairs with a size ratio below τ
+    // can never qualify and are pruned before the intersection count
+    // (exactness preserved; candidate volume shrinks sharply at high τ).
     val tok = df.repartition(col(idCol))
-      .select(col(idCol), col(blockCol),
-        explode(array_distinct(tokens(col(textCol)))).as("t"))
-    val sz = tok.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val inter = tok.as("a").join(tok.as("b"),
+      .select(col(idCol), col(blockCol), array_distinct(tokens(col(textCol))).as("ts"))
+      .select(col(idCol), col(blockCol), size(col("ts")).as("n"),
+        explode(col("ts")).as("t"))
+    tok.as("a").join(tok.as("b"),
         col("a.t") === col("b.t") &&
           col(s"a.$blockCol") === col(s"b.$blockCol") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .groupBy(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
+          col(s"a.$idCol") < col(s"b.$idCol") &&
+          col("a.n") >= col("b.n") * lit(tau) &&
+          col("b.n") >= col("a.n") * lit(tau))
+      .groupBy(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"),
+        col("a.n").as("n1"), col("b.n").as("n2"))
       .agg(count(lit(1)).as("i"))
-    inter
-      .join(sz.select(col(idCol).as("d1"), col("n").as("n1")), "d1")
-      .join(sz.select(col(idCol).as("d2"), col("n").as("n2")), "d2")
       .withColumn("jac", col("i") * lit(1.0) / (col("n1") + col("n2") - col("i")))
       .where(col("jac") >= tau)
       .select(col("d1"), col("d2"), round(col("jac"), 6).as("jaccard"))
