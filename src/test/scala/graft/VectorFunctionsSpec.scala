@@ -45,6 +45,21 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(out(3) == 0L)
   }
 
+  test("pts_time regex (hasher.js:93-99) parses ffmpeg showinfo stderr") {
+    // representative showinfo lines (ffmpeg -vf showinfo stderr shape)
+    val stderr =
+      """[Parsed_showinfo_1 @ 0x5600] n:   0 pts:   1001 pts_time:0.0417 pos:     5674 fmt:yuv420p
+        |[Parsed_showinfo_1 @ 0x5600] n:   1 pts:   2002 pts_time:0.08342 pos:    11230 fmt:yuv420p
+        |[Parsed_showinfo_1 @ 0x5600] n:   2 pts:   3003 pts_time:0.125125 pos:   18101 fmt:yuv420p""".stripMargin
+    val out = Seq(stderr).toDF("log")
+      .select(transform(
+        regexp_extract_all($"log", lit("pts_time:\\s*([0-9.]+)\\s*pos"), lit(1)),
+        t => round(t.cast("double"), 4)).as("times"))
+      .head().getSeq[Double](0)
+    // hasher.js:97 does parseFloat(...).toFixed(4)
+    assert(out == Seq(0.0417, 0.0834, 0.1251))
+  }
+
   test("hashId builds the composite key with 2-dp time (loader.js:241)") {
     val out = Seq(("tt1", "ep1.mp4", 12.3456)).toDF("i", "f", "t")
       .select(hashId($"i", $"f", $"t")).head().getString(0)
