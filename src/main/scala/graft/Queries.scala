@@ -152,7 +152,8 @@ object Queries {
     import s.implicits._
     val ev = Tables.events(s, d)
       .withColumn("t", unix_micros($"ts".cast("timestamp")) / 1e6)
-    TemporalDedup.dedup(ev, Seq("user_id"), "t", "event_type", 600.0)
+    TemporalDedup.dedup(ev, Seq("user_id"), "t", "event_type", 600.0,
+        tiebreakCols = Seq("event_id"))
       .select($"event_id").orderBy($"event_id")
   }
 
@@ -163,7 +164,8 @@ object Queries {
     import s.implicits._
     val ev = Tables.events(s, d)
       .withColumn("tus", unix_micros($"ts".cast("timestamp")))
-    TemporalDedup.dedupSeenSet(ev, Seq("user_id"), "tus", "event_type", 600e6)
+    TemporalDedup.dedupSeenSet(ev, Seq("user_id"), "tus", "event_type", 600e6,
+        tiebreakCols = Seq("event_id"))
       .select($"event_id").orderBy($"event_id")
   }
 
@@ -517,7 +519,7 @@ object Queries {
       """WITH RECURSIVE ordered AS (
         |  SELECT user_id, event_id, event_type AS k,
         |         epoch_us(ts) / 1000000.0 AS t,
-        |         row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS rn
+        |         row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
         |  FROM events
         |),
         |gsz AS (SELECT user_id, max(rn) AS n FROM ordered GROUP BY user_id),
@@ -542,7 +544,7 @@ object Queries {
     "c3_window_dedup" ->
       """SELECT event_id FROM (
         |  SELECT event_id, epoch_us(ts) - lag(epoch_us(ts)) OVER (
-        |    PARTITION BY user_id, event_type ORDER BY epoch_us(ts)) AS dt
+        |    PARTITION BY user_id, event_type ORDER BY epoch_us(ts), event_id) AS dt
         |  FROM events) t
         |WHERE dt IS NULL OR dt >= 600000000 ORDER BY event_id""".stripMargin,
     "c4_max_agg" ->

@@ -20,6 +20,8 @@ case class ByteDot(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "byte_dot"
+  // Length mismatch yields NULL even for non-nullable inputs (see DotProduct).
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {

@@ -25,6 +25,11 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "fast_dot"
+  // Length mismatch yields NULL even when both inputs are non-nullable; the
+  // default (left.nullable || right.nullable) would let codegen bind isNull
+  // to FalseLiteral and the interpreted path return null from a
+  // declared-non-nullable expression.
+  override def nullable: Boolean = true
 
   private def elemOk(t: DataType): Boolean = t match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true

@@ -31,7 +31,7 @@ case class TopKIds(
   extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]]
   with TernaryLike[Expression] {
 
-  private lazy val k: Int = third.eval().asInstanceOf[Number].intValue()
+  private lazy val k: Int = TopKIds.toDouble(third.eval()).toInt
 
   // Heap dequeues the WORST entry: lower score is "greater"; on ties a
   // larger id is "greater" (worse), matching (score DESC, id ASC) output.
@@ -49,7 +49,7 @@ case class TopKIds(
     val s = first.eval(input)
     val i = second.eval(input)
     if (s != null && i != null) {
-      val cand = (s.asInstanceOf[Number].doubleValue(), i.asInstanceOf[Number].longValue())
+      val cand = (TopKIds.toDouble(s), TopKIds.toLong(i))
       if (buf.size < k) buf.enqueue(cand)
       else {
         val worst = buf.head
@@ -103,6 +103,8 @@ case class TopKIds(
       TypeCheckResult.TypeCheckFailure("k must be a literal")
     else if (!first.dataType.isInstanceOf[NumericType] || !second.dataType.isInstanceOf[NumericType])
       TypeCheckResult.TypeCheckFailure("topk_ids requires numeric (score, id)")
+    else if (third.eval() == null || k < 1)
+      TypeCheckResult.TypeCheckFailure(s"topk_ids requires k >= 1, got ${third.eval()}")
     else TypeCheckResult.TypeCheckSuccess
 
   override def withNewMutableAggBufferOffset(newOffset: Int): TopKIds =
@@ -112,4 +114,18 @@ case class TopKIds(
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): TopKIds =
     copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object TopKIds {
+  // Spark's Decimal implements Ordered but NOT java.lang.Number — a plain
+  // Number cast passes analysis then throws at runtime on DECIMAL inputs
+  // (e.g. a parquet-decimal o_totalprice).
+  private def toDouble(v: Any): Double = v match {
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case n: java.lang.Number                   => n.doubleValue()
+  }
+  private def toLong(v: Any): Long = v match {
+    case d: org.apache.spark.sql.types.Decimal => d.toLong
+    case n: java.lang.Number                   => n.longValue()
+  }
 }

@@ -36,27 +36,37 @@ object AsOfJoin {
       keyCol: String,
       timeCol: String,
       valueCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
     val leftCols = left.columns
+    // The right payload travels as a NON-NULL struct so `last(ignoreNulls)`
+    // skips only left rows — a right row whose valueCol is NULL must still
+    // win the as-of match (and attach NULL), not fall through to an older
+    // event. The struct doubles as a deterministic window tiebreak when
+    // multiple right rows share (key, time): the largest (t, v) sorts last.
+    val payType = StructType(Seq(
+      StructField("t", right.schema(timeCol).dataType),
+      StructField("v", right.schema(valueCol).dataType)))
     val l = left
       .withColumn("__side", lit(1))
-      .withColumn("__v", lit(null).cast(right.schema(valueCol).dataType))
+      .withColumn("__pay", lit(null).cast(payType))
     val r = right.select(
       col(keyCol), col(timeCol),
-      lit(0).as("__side"), col(valueCol).as("__v"))
+      lit(0).as("__side"),
+      struct(col(timeCol).as("t"), col(valueCol).as("v")).as("__pay"))
     // align columns: left keeps its full row; right rows carry nulls
     val rAligned = leftCols.foldLeft(r) { (df, c) =>
       if (df.columns.contains(c)) df
       else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
-    }.select((leftCols.map(col) :+ col("__side") :+ col("__v")).toIndexedSeq: _*)
-    val unioned = l.select((leftCols.map(col) :+ col("__side") :+ col("__v")).toIndexedSeq: _*)
+    }.select((leftCols.map(col) :+ col("__side") :+ col("__pay")).toIndexedSeq: _*)
+    val unioned = l.select((leftCols.map(col) :+ col("__side") :+ col("__pay")).toIndexedSeq: _*)
       .unionByName(rAligned)
     // right (side=0) sorts before left (side=1) at equal time → "<=" semantics
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(timeCol), col("__side"))
+      .orderBy(col(timeCol), col("__side"), col("__pay"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
-      .withColumn("__asof", last(col("__v"), ignoreNulls = true).over(w))
+      .withColumn("__asof", last(col("__pay"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
-      .select((leftCols.map(col) :+ col("__asof").as(s"asof_$valueCol")).toIndexedSeq: _*)
+      .select((leftCols.map(col) :+ col("__asof").getField("v").as(s"asof_$valueCol")).toIndexedSeq: _*)
   }
 }

@@ -30,6 +30,12 @@ object TemporalDedup {
     * @param keyCol    exact-match dedup key (reference: the `_hi` feature)
     * @param windowSec Δt threshold (reference: 2.0)
     * @param lookback  kept-frame lookback (reference: 24)
+    * @param tiebreakCols extra sort columns after timeCol — pass a unique id
+    *                  to pin the scan order of equal-time rows. Spark's
+    *                  external sort is NOT stable (the reference's JS
+    *                  Array.sort is), so without a total order equal-time
+    *                  rows may swap between runs and flip which one the
+    *                  kept-set retains.
     */
   def dedup(
       df: DataFrame,
@@ -37,12 +43,12 @@ object TemporalDedup {
       timeCol: String,
       keyCol: String,
       windowSec: Double,
-      lookback: Int = 24): DataFrame = {
+      lookback: Int = 24,
+      tiebreakCols: Seq[String] = Nil): DataFrame = {
     val spark = df.sparkSession
     val schema = df.schema
-    val sortCols: Seq[Column] = (groupCols :+ timeCol).map(col)
-    val sorted = df
-      .repartition(groupCols.map(col): _*)
+    val sortCols: Seq[Column] = (groupCols ++ (timeCol +: tiebreakCols)).map(col)
+    val sorted = Spread.byCols(df, groupCols.map(col))
       .sortWithinPartitions(sortCols: _*)
     val gIdx = groupCols.map(schema.fieldIndex)
     val tIdx = schema.fieldIndex(timeCol)
@@ -75,7 +81,9 @@ object TemporalDedup {
   }
 
   /** Reference-oracle port for tests: the literal sequential semantics of
-    * `loader.js:202-212` over one already-time-sorted group.
+    * `loader.js:202-212` over one already-time-sorted group. `sorted` must
+    * be TOTALLY ordered (time plus a unique tiebreak) — equal-time rows in
+    * a different order are a different scan and may keep different rows.
     */
   def dedupOneGroup[T](
       sorted: Seq[T], time: T => Double, key: T => Any,
@@ -101,11 +109,12 @@ object TemporalDedup {
       groupCols: Seq[String],
       timeCol: String,
       keyCol: String,
-      windowSec: Double): DataFrame = {
+      windowSec: Double,
+      tiebreakCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window
       .partitionBy((groupCols :+ keyCol).map(col): _*)
-      .orderBy(col(timeCol))
+      .orderBy((timeCol +: tiebreakCols).map(col): _*)
     val prev = lag(col(timeCol), 1).over(w)
     df.withColumn("__prev_t", prev)
       .where(col("__prev_t").isNull || col(timeCol) - col("__prev_t") >= windowSec)

@@ -39,7 +39,7 @@ object TextDedup {
       case 0 => col("t")
       case i => lead(col("t"), i).over(w)
     }
-    df.repartition(col(idCol))
+    Spread.byCols(df, Seq(col(idCol)))
       .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "t")))
       .select(col(idCol), concat_ws(" ", leads: _*).as("s"),
         leads.last.isNotNull.as("__full"))
@@ -108,7 +108,7 @@ object TextDedup {
     * transform lambda runs interpreted; measured 10× slower).
     */
   def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val tok = df.repartition(col(idCol))
+    val tok = Spread.byCols(df, Seq(col(idCol)))
       .select(col(idCol), explode(tokens(col(textCol))).as("t"))
     val h = tok.select(col(idCol), hash60(col("t")).as("hv"))
     val bitAggs = (0 until 60).map { b =>
@@ -135,7 +135,7 @@ object TextDedup {
     // jaccard ≤ min(n1,n2)/max(n1,n2), so pairs with a size ratio below τ
     // can never qualify and are pruned before the intersection count
     // (exactness preserved; candidate volume shrinks sharply at high τ).
-    val tok = df.repartition(col(idCol))
+    val tok = Spread.byCols(df, Seq(col(idCol)))
       .select(col(idCol), col(blockCol), array_distinct(tokens(col(textCol))).as("ts"))
       .select(col(idCol), col(blockCol), size(col("ts")).as("n"),
         explode(col("ts")).as("t"))

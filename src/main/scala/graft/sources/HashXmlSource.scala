@@ -47,8 +47,17 @@ object HashXmlSource {
       if (path.endsWith(".xz"))
         new XZCompressorInputStream(new BufferedInputStream(new ByteArrayInputStream(bytes)))
       else new ByteArrayInputStream(bytes)
-    val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
-      .newDocumentBuilder().parse(in)
+    // Artifacts are untrusted input from a watch directory: refuse DTDs and
+    // external entities (XXE / entity-expansion hardening; the reference's
+    // xmldoc parser never resolves external entities either).
+    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    dbf.setFeature("http://xml.org/sax/features/external-general-entities", false)
+    dbf.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
+    dbf.setFeature(javax.xml.XMLConstants.FEATURE_SECURE_PROCESSING, true)
+    dbf.setXIncludeAware(false)
+    dbf.setExpandEntityReferences(false)
+    val doc = dbf.newDocumentBuilder().parse(in)
     val docs = doc.getElementsByTagName("doc")
     (0 until docs.getLength).map { i =>
       val fields = docs.item(i).getChildNodes
