@@ -33,15 +33,34 @@ object Profile {
         full.explain("formatted")
       case "bisect" =>
         // Run the timed-pass prefix (sorted order, sf0.1) up to arg(1) names
-        // from a comma list, then time sig.
-        val names = args(1).split(",").toSeq
+        // from a comma list, then time sig with per-stage metrics.
+        import org.apache.spark.scheduler._
+        val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+        spark.sparkContext.addSparkListener(new SparkListener {
+          override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+            val si = sc.stageInfo
+            val m = si.taskMetrics
+            val wall = for { s <- si.submissionTime; c <- si.completionTime } yield c - s
+            stages.add(f"PROFSTAGE id=${si.stageId} tasks=${si.numTasks} " +
+              f"wallMs=${wall.getOrElse(-1L)} runMs=${m.executorRunTime} " +
+              f"cpuMs=${m.executorCpuTime / 1000000} gcMs=${m.jvmGCTime} " +
+              f"deserMs=${m.executorDeserializeTime} resSerMs=${m.resultSerializationTime} " +
+              f"name=${si.name.take(60)}")
+          }
+        })
+        val names = args(1).split(",").toSeq.filter(_.nonEmpty)
         names.foreach { n =>
           val t0 = System.nanoTime()
           try Queries.all(n)(spark, sfDir).count() catch { case _: Throwable => }
           println(f"PROF run:$n t=${(System.nanoTime() - t0) / 1e9}%.2f")
         }
-        (1 to 20).foreach { i =>
-          time(s"sig$i")(Queries.e2MinhashSig(spark, sfDir).count())
+        (1 to 12).foreach { i =>
+          stages.clear()
+          val t0 = System.nanoTime()
+          Queries.e2MinhashSig(spark, sfDir).count()
+          val wall = (System.nanoTime() - t0) / 1e9
+          println(f"PROF sig$i t=$wall%.2f")
+          if (wall > 8) stages.forEach(s => println(s"  $s"))
         }
         println("PROF persistentRDDs=" + spark.sparkContext.getPersistentRDDs.size)
       case "bench2" =>

@@ -179,12 +179,15 @@ object Queries {
       .orderBy($"user_id")
   }
 
-  /** C5 fixed-size chunking (loader.js:233-255). */
+  /** C5 fixed-size chunking (loader.js:233-255). Global ordinals come from
+    * the distributed two-pass [[graft.operators.GlobalRank]] — a global
+    * `row_number()` window would funnel every event through ONE partition.
+    */
   val c5Chunking: Q = (s, d) => {
     import s.implicits._
-    val w = Window.orderBy($"event_id")
-    Tables.events(s, d)
-      .select($"event_id", floor((row_number().over(w) - 1) / 1000.0).cast("long").as("chunk"))
+    val ev = Tables.events(s, d).select($"event_id")
+    graft.operators.GlobalRank.withGlobalIndex(ev, Seq($"event_id"), "rank")
+      .select($"event_id", floor($"rank" / 1000.0).cast("long").as("chunk"))
       .groupBy($"chunk")
       .agg(count(lit(1)).as("n"), min($"event_id").as("min_id"), max($"event_id").as("max_id"))
       .orderBy($"chunk")
@@ -345,13 +348,18 @@ object Queries {
     */
   val b5PositionalZip: Q = (s, d) => {
     import s.implicits._
-    val wo = Window.orderBy($"o_orderkey")
-    val wp = Window.orderBy($"p_partkey")
-    val o = Tables.orders(s, d)
-      .select($"o_orderkey", row_number().over(wo).as("pos")).where($"pos" <= 20)
-    val p = Tables.part(s, d)
-      .select($"p_partkey", row_number().over(wp).as("pos")).where($"pos" <= 20)
-    o.join(p, "pos").select($"pos", $"o_orderkey", $"p_partkey").orderBy($"pos")
+    // Top-20 per side via TakeOrderedAndProject (distributed per-partition
+    // top-k + merge), then a bounded array zip — no global window, and the
+    // only driver-sized object is the 20-element array.
+    val o20 = Tables.orders(s, d).orderBy($"o_orderkey").limit(20)
+      .agg(sort_array(collect_list($"o_orderkey")).as("os"))
+    val p20 = Tables.part(s, d).orderBy($"p_partkey").limit(20)
+      .agg(sort_array(collect_list($"p_partkey")).as("ps"))
+    o20.crossJoin(p20)
+      .select(posexplode(arrays_zip($"os", $"ps")).as(Seq("i", "z")))
+      .select(($"i" + 1).cast("int").as("pos"),
+        $"z.os".as("o_orderkey"), $"z.ps".as("p_partkey"))
+      .orderBy($"pos")
   }
 
   /** C7 IVF coarse-quantization build (loader.js:327-336, nlist analog) —
@@ -622,14 +630,18 @@ object Queries {
     "e2_minhash_sig" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM toks),
-        |sig AS (SELECT doc_id, j, min(('0x' || substring(md5(CAST(j AS VARCHAR) || '|' || s), 1, 15))::BIGINT) AS minh
-        |  FROM sh CROSS JOIN generate_series(0, 7) g(j) GROUP BY doc_id, j)
+        |hp AS (SELECT doc_id, ('0x' || substring(md5(s), 1, 15))::BIGINT AS h1,
+        |               ('0x' || substring(md5(s), 17, 14))::BIGINT AS h2 FROM sh),
+        |sig AS (SELECT doc_id, j, min((h1 + j * h2) & 1152921504606846975) AS minh
+        |  FROM hp CROSS JOIN generate_series(0, 7) g(j) GROUP BY doc_id, j)
         |SELECT doc_id, CAST(j AS INT) AS j, minh FROM sig ORDER BY doc_id, j""".stripMargin,
     "e2_minhash_pairs" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM toks),
-        |sig AS (SELECT doc_id, j, min(('0x' || substring(md5(CAST(j AS VARCHAR) || '|' || s), 1, 15))::BIGINT) AS minh
-        |  FROM sh CROSS JOIN generate_series(0, 7) g(j) GROUP BY doc_id, j),
+        |hp AS (SELECT doc_id, ('0x' || substring(md5(s), 1, 15))::BIGINT AS h1,
+        |               ('0x' || substring(md5(s), 17, 14))::BIGINT AS h2 FROM sh),
+        |sig AS (SELECT doc_id, j, min((h1 + j * h2) & 1152921504606846975) AS minh
+        |  FROM hp CROSS JOIN generate_series(0, 7) g(j) GROUP BY doc_id, j),
         |wide AS (SELECT doc_id,
         |  max(CASE WHEN j=0 THEN minh END) AS m0, max(CASE WHEN j=1 THEN minh END) AS m1,
         |  max(CASE WHEN j=2 THEN minh END) AS m2, max(CASE WHEN j=3 THEN minh END) AS m3,

@@ -25,9 +25,33 @@ object TextFunctions {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** Seeded variant for MinHash hash families: h_j(x) = hash60(j || '|' || x). */
+  /** Seeded variant for MinHash hash families: h_j(x) = hash60(j || '|' || x).
+    * One md5 PER SEED — prefer [[hashPair]] + [[kmHash]] (one md5 total) for
+    * k-family sketches.
+    */
   def hash60Seeded(c: Column, seed: Int): Column =
     hash60(concat_ws("|", lit(seed), c))
+
+  /** Two independent hashes from ONE md5: h1 = bits of hex[1..15] (60-bit),
+    * h2 = bits of hex[17..30] (56-bit — kept under 57 bits so
+    * `h1 + 7 * h2` cannot overflow a signed long, ANSI-safely).
+    */
+  def hashPair(c: Column): Column = {
+    val m = md5(c)
+    struct(
+      conv(substring(m, 1, 15), 16, 10).cast("long").as("h1"),
+      conv(substring(m, 17, 14), 16, 10).cast("long").as("h2"))
+  }
+
+  /** Kirsch–Mitzenmacher composite hash family: h_j = (h1 + j*h2) mod 2^60.
+    * One md5 yields arbitrarily many families with the same collision
+    * statistics as independent hashes ("Less Hashing, Same Performance",
+    * Kirsch & Mitzenmacher 2006) — at 100 TB the k-fold md5 saving is the
+    * difference between hash-bound and scan-bound minhashing. The DuckDB
+    * rendering is `(h1 + j*h2) & 1152921504606846975`.
+    */
+  def kmHash(h1: Column, h2: Column, j: Int): Column =
+    (h1 + h2 * lit(j.toLong)).bitwiseAND(lit((1L << 60) - 1))
 
   /** k-word shingles as space-joined strings; empty array when the document
     * has fewer than k tokens.

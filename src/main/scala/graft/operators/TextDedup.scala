@@ -64,8 +64,13 @@ object TextDedup {
   def minhashWide(
       df: DataFrame, textCol: String, idCol: String,
       k: Int, shingleK: Int): DataFrame = {
+    // One md5 per shingle; the k families derive from (h1, h2) via the
+    // Kirsch–Mitzenmacher construction — 8× less hashing than k seeded
+    // md5s, the dominant cost of the sketch at corpus scale.
     val sh = shingleRows(df, textCol, idCol, shingleK)
-    val aggs = (0 until k).map(j => min(hash60Seeded(col("s"), j)).as(s"m$j"))
+      .select(col(idCol), hashPair(col("s")).as("hp"))
+      .select(col(idCol), col("hp.h1").as("h1"), col("hp.h2").as("h2"))
+    val aggs = (0 until k).map(j => min(kmHash(col("h1"), col("h2"), j)).as(s"m$j"))
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
