@@ -126,33 +126,55 @@ object TextDedup {
       .select(col(idCol), fp.cast("long").as("simhash"))
   }
 
-  /** Exact n-gram (token-set) Jaccard similarity join above `tau`,
-    * blocked by `blockCol` (cross-block near-dups are sacrificed for a
-    * bounded candidate set — the standard trade at corpus scale). The join
-    * is an inverted-index equi-join on token, never a cartesian.
+  /** Exact token-set Jaccard similarity join above `tau`, blocked by
+    * `blockCol` (cross-block near-dups are sacrificed for a bounded
+    * candidate set — the standard trade at corpus scale).
+    *
+    * Prefix-filtered (Bayardo et al. "Scaling Up All Pairs", Xiao et al.
+    * PPJoin): with every doc's token set ordered by a single global
+    * (document-frequency, token) order, two sets with jaccard ≥ τ MUST
+    * share a token among their first `n − ⌈τ·n⌉ + 1` tokens — so only that
+    * rare-token prefix is indexed and equi-joined, not the whole set.
+    * Candidates are then verified exactly with one array intersection. Two
+    * further exact prunes: the SIZE filter (jaccard ≤ min/max of sizes) in
+    * the join condition, and rare-first ordering which makes prefix
+    * postings lists as short as possible. Filtering is lossless, so the
+    * plain inverted-index oracle reproduces the result exactly.
     */
   def jaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
       blockCol: String, tau: Double): DataFrame = {
-    // token-set size travels with each token row: it is functionally
-    // dependent on the doc, so grouping by it later is free and saves two
-    // size joins; and it enables SIZE FILTERING in the join condition —
-    // jaccard ≤ min(n1,n2)/max(n1,n2), so pairs with a size ratio below τ
-    // can never qualify and are pruned before the intersection count
-    // (exactness preserved; candidate volume shrinks sharply at high τ).
     val tok = Spread.byCols(df, Seq(col(idCol)))
       .select(col(idCol), col(blockCol), array_distinct(tokens(col(textCol))).as("ts"))
-      .select(col(idCol), col(blockCol), size(col("ts")).as("n"),
-        explode(col("ts")).as("t"))
-    tok.as("a").join(tok.as("b"),
+    val docTok = tok.select(col(idCol), explode(col("ts")).as("t"))
+    val dfreq = docTok.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    // Per doc: tokens re-sorted by ascending global DF (ties by token) —
+    // array_sort on (df, t) structs gives the deterministic total order the
+    // prefix theorem needs on BOTH sides.
+    val ordered = docTok.join(dfreq, "t")
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("df"), col("t")))).as("st"))
+      .select(col(idCol), expr("transform(st, x -> x.t)").as("toks"))
+    val base = tok.select(col(idCol), col(blockCol), size(col("ts")).as("n"))
+      .join(ordered, idCol)
+    // floor instead of ⌈τ·n⌉-exact keeps the prefix a token longer under
+    // floating rounding — conservative direction (extra candidates, never a
+    // lost pair).
+    val prefLen = (col("n") - floor(col("n") * lit(tau)).cast("int") + 1)
+    val pref = base.select(col(idCol), col(blockCol), col("n"), col("toks"),
+      explode(slice(col("toks"), lit(1), prefLen)).as("t"))
+    val cand = pref.as("a").join(pref.as("b"),
         col("a.t") === col("b.t") &&
           col(s"a.$blockCol") === col(s"b.$blockCol") &&
           col(s"a.$idCol") < col(s"b.$idCol") &&
           col("a.n") >= col("b.n") * lit(tau) &&
           col("b.n") >= col("a.n") * lit(tau))
-      .groupBy(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"),
-        col("a.n").as("n1"), col("b.n").as("n2"))
-      .agg(count(lit(1)).as("i"))
+      .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"),
+        col("a.n").as("n1"), col("b.n").as("n2"),
+        col("a.toks").as("ta"), col("b.toks").as("tb"))
+      .dropDuplicates("d1", "d2")
+    cand
+      .withColumn("i", size(array_intersect(col("ta"), col("tb"))))
       .withColumn("jac", col("i") * lit(1.0) / (col("n1") + col("n2") - col("i")))
       .where(col("jac") >= tau)
       .select(col("d1"), col("d2"), round(col("jac"), 6).as("jaccard"))
