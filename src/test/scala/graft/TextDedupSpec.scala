@@ -22,6 +22,15 @@ class TextDedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 5L || p._1 == 5L))
   }
 
+  test("jaccardPairsPrefix returns exactly the inverted-index result") {
+    def norm(dfr: org.apache.spark.sql.DataFrame) =
+      dfr.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val base = norm(TextDedup.jaccardPairs(docs, "text", "doc_id", "lang", 0.5))
+    val pref = norm(TextDedup.jaccardPairsPrefix(docs, "text", "doc_id", "lang", 0.5))
+    assert(base.nonEmpty)
+    assert(pref == base)
+  }
+
   test("minhash signatures of identical texts are identical; bands pair them") {
     val sig = TextDedup.minhashSignatures(docs, "text", "doc_id", 8, 3)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
