@@ -34,7 +34,19 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     val p1 = pass().toMap
-    val p2 = pass().toMap
+    // Second pass is best-effort under a wall budget: if a steal storm (or
+    // anything else) has already eaten 180 s, stop re-timing rather than
+    // risk the harness timeout — remaining queries keep their pass-1 time.
+    val budgetNs = 180L * 1000 * 1000 * 1000
+    val t0 = System.nanoTime()
+    val p2 = qs.map { case (name, fn) =>
+      if (System.nanoTime() - t0 > budgetNs) name -> p1(name)
+      else {
+        val s = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - s) / 1e9
+      }
+    }.toMap
     val results = qs.map { case (name, _) => name -> math.min(p1(name), p2(name)) }
     val stealD = stealTicks() - steal0
     val qj = results.map { case (k, v) => s"\"" + k + "\":" + v }
