@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{AnnSearch, AsOfJoin, IvfIndex, TemporalDedup, TextDedup}
+import graft.operators.{AnnSearch, AsOfJoin, ConnectedComponents, IvfIndex, TemporalDedup, TextDedup}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -422,6 +422,18 @@ object Queries {
     TextDedup.jaccardPairs(Tables.documents(s, d), "text", "doc_id", "lang", 0.9)
       .orderBy(col("d1"), col("d2"))
 
+  /** E8 dedup clustering: minhash-band candidate pairs → connected
+    * components → (doc, canonical cluster id). The step that turns pairwise
+    * near-dup candidates into a one-document-per-cluster corpus clean.
+    */
+  val e8DedupCluster: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val pairs = TextDedup.minhashBandPairs(docs, "text", "doc_id", 8, 3, 4)
+    ConnectedComponents.minLabel(docs.select($"doc_id"), pairs, "d1", "d2")
+      .orderBy($"doc_id")
+  }
+
   /** E5 embedding-cosine near-dup pairs (label-blocked, τ=0.3). */
   val e5CosinePairs: Q = (s, d) =>
     TextDedup.cosinePairs(Tables.embeddings(s, d), "embedding", "vec_id", "label", 0.3)
@@ -656,6 +668,32 @@ object Queries {
         |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
         |FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
         |ORDER BY d1, d2""".stripMargin,
+    "e8_dedup_cluster" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM toks),
+        |hp AS (SELECT doc_id, ('0x' || substring(md5(s), 1, 15))::BIGINT AS h1,
+        |               ('0x' || substring(md5(s), 17, 14))::BIGINT AS h2 FROM sh),
+        |sig AS (SELECT doc_id, j, min((h1 + j * h2) & 1152921504606846975) AS minh
+        |  FROM hp CROSS JOIN generate_series(0, 7) g(j) GROUP BY doc_id, j),
+        |wide AS (SELECT doc_id,
+        |  max(CASE WHEN j=0 THEN minh END) AS m0, max(CASE WHEN j=1 THEN minh END) AS m1,
+        |  max(CASE WHEN j=2 THEN minh END) AS m2, max(CASE WHEN j=3 THEN minh END) AS m3,
+        |  max(CASE WHEN j=4 THEN minh END) AS m4, max(CASE WHEN j=5 THEN minh END) AS m5,
+        |  max(CASE WHEN j=6 THEN minh END) AS m6, max(CASE WHEN j=7 THEN minh END) AS m7
+        |  FROM sig GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, md5(CAST(m0 AS VARCHAR) || ',' || CAST(m1 AS VARCHAR)) AS bsig FROM wide
+        |  UNION ALL SELECT doc_id, 1, md5(CAST(m2 AS VARCHAR) || ',' || CAST(m3 AS VARCHAR)) FROM wide
+        |  UNION ALL SELECT doc_id, 2, md5(CAST(m4 AS VARCHAR) || ',' || CAST(m5 AS VARCHAR)) FROM wide
+        |  UNION ALL SELECT doc_id, 3, md5(CAST(m6 AS VARCHAR) || ',' || CAST(m7 AS VARCHAR)) FROM wide),
+        |pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+        |edges AS (SELECT d1 AS ea, d2 AS eb FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.a, e.eb FROM reach r JOIN edges e ON r.b = e.ea)
+        |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
     "e3_simhash" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
         |h AS (SELECT doc_id, ('0x' || substring(md5(t), 1, 15))::BIGINT AS hv FROM tok),
@@ -758,6 +796,7 @@ object Queries {
     "e2_minhash_sig" -> e2MinhashSig,
     "e2_minhash_pairs" -> e2MinhashPairs,
     "e3_simhash" -> e3Simhash,
+    "e8_dedup_cluster" -> e8DedupCluster,
     "e4_jaccard_pairs" -> e4JaccardPairs,
     "e5_cosine_pairs" -> e5CosinePairs,
     "t1_langid" -> t1Langid,

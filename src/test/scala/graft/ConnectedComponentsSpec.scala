@@ -1,0 +1,36 @@
+package graft
+
+import graft.operators.ConnectedComponents
+
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("minLabel: chains collapse to min id; singletons keep their own id") {
+    // components: {1,2,3,4} (a 3-link chain), {5,6}, {7} isolated
+    val verts = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    val pairs = Seq((2L, 3L), (1L, 2L), (3L, 4L), (5L, 6L)).toDF("d1", "d2")
+    val got = ConnectedComponents.minLabel(verts, pairs, "d1", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("minLabel matches brute-force closure on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val n = 60
+    val edges = Seq.fill(50)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    // brute-force union-find oracle
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    val got = ConnectedComponents.minLabel(
+        (0L until n.toLong).toDF("id"), edges.toDF("d1", "d2"), "d1", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expect)
+  }
+}
