@@ -75,8 +75,13 @@ object Profile {
         time("sig")(Queries.e2MinhashSig(spark, sfDir).count())
         time("sig2")(Queries.e2MinhashSig(spark, sfDir).count())
       case q =>
+        val t0 = System.nanoTime()
         val full = Queries.all(q)(spark, sfDir)
+        println(f"PROF build t=${(System.nanoTime() - t0) / 1e9}%.2f")
         time("full")(full.count())
+        time("rebuild+count") {
+          Queries.all(q)(spark, sfDir).count()
+        }
         full.explain("formatted")
     }
     spark.stop()

@@ -150,8 +150,12 @@ object Queries {
     */
   val c3TemporalDedup: Q = (s, d) => {
     import s.implicits._
+    // project to the dedup-relevant columns BEFORE the scan: the kept-set
+    // pass leaves Tungsten (rdd.mapPartitions), so every extra column pays
+    // row-materialization cost
     val ev = Tables.events(s, d)
       .withColumn("t", unix_micros($"ts".cast("timestamp")) / 1e6)
+      .select($"user_id", $"t", $"event_type", $"event_id")
     TemporalDedup.dedup(ev, Seq("user_id"), "t", "event_type", 600.0,
         tiebreakCols = Seq("event_id"))
       .select($"event_id").orderBy($"event_id")
@@ -420,6 +424,13 @@ object Queries {
   /** E4 exact token-set Jaccard near-dup pairs (lang-blocked, τ=0.9). */
   val e4JaccardPairs: Q = (s, d) =>
     TextDedup.jaccardPairs(Tables.documents(s, d), "text", "doc_id", "lang", 0.9)
+      .orderBy(col("d1"), col("d2"))
+
+  /** E3b simhash near-dup search: all pairs within hamming distance 3,
+    * block-candidate join + exact bit_count verify (Manku et al. WWW'07).
+    */
+  val e3SimhashNear: Q = (s, d) =>
+    TextDedup.simhashNearPairs(Tables.documents(s, d), "text", "doc_id", 3)
       .orderBy(col("d1"), col("d2"))
 
   /** E8 dedup clustering: minhash-band candidate pairs → connected
@@ -701,6 +712,18 @@ object Queries {
         |  FROM h CROSS JOIN generate_series(0, 59) g(b) GROUP BY doc_id, b)
         |SELECT doc_id, CAST(SUM(CASE WHEN c > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "e3_simhash_near" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |h AS (SELECT doc_id, ('0x' || substring(md5(t), 1, 15))::BIGINT AS hv FROM tok),
+        |bits AS (SELECT doc_id, b, SUM(CASE WHEN ((hv >> b) & 1) = 1 THEN 1 ELSE -1 END) AS c
+        |  FROM h CROSS JOIN generate_series(0, 59) g(b) GROUP BY doc_id, b),
+        |sims AS (SELECT doc_id, CAST(SUM(CASE WHEN c > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS ham
+        |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY d1, d2""".stripMargin,
     "e4_jaccard_pairs" ->
       """WITH tok AS (SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS t FROM documents),
         |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
@@ -796,6 +819,7 @@ object Queries {
     "e2_minhash_sig" -> e2MinhashSig,
     "e2_minhash_pairs" -> e2MinhashPairs,
     "e3_simhash" -> e3Simhash,
+    "e3_simhash_near" -> e3SimhashNear,
     "e8_dedup_cluster" -> e8DedupCluster,
     "e4_jaccard_pairs" -> e4JaccardPairs,
     "e5_cosine_pairs" -> e5CosinePairs,

@@ -219,6 +219,44 @@ object TextDedup {
       .select(col("d1"), col("d2"), round(col("jac"), 6).as("jaccard"))
   }
 
+  /** SimHash near-duplicate pairs: all (d1, d2) whose 60-bit fingerprints
+    * differ in at most `maxHamming` bits.
+    *
+    * Scale shape (Manku et al., "Detecting Near-Duplicates for Web
+    * Crawling", WWW'07): split the fingerprint into `maxHamming + 1` bit
+    * blocks — by pigeonhole, any pair within the hamming budget agrees
+    * EXACTLY on at least one block, so candidates come from an equi-join on
+    * (block index, block value) instead of an all-pairs scan, and each
+    * candidate is verified with one `bit_count(xor)`. Lossless, so a
+    * brute-force oracle reproduces the result.
+    */
+  def simhashNearPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val blocks = maxHamming + 1
+    val bits = 60
+    val width = bits / blocks // 15-bit blocks for the default k=3
+    val fp = simhash(df, textCol, idCol)
+    val blockStructs = array((0 until blocks).map { b =>
+      struct(lit(b).as("b"),
+        shiftright(col("simhash"), b * width)
+          .bitwiseAND(lit((1L << width) - 1)).as("bv"))
+    }: _*)
+    // Same shape as [[minhashBandPairs]]: ONE shuffle into (block, value)
+    // buckets, pairs emitted bucket-locally (a self-join would recompute
+    // the 60-aggregate simhash subtree twice — the measured minhash trap).
+    fp.select(col(idCol), col("simhash"), explode(blockStructs).as("bk"))
+      .groupBy(col("bk"))
+      .agg(sort_array(collect_list(struct(col(idCol).as("id"), col("simhash").as("sh")))).as("xs"))
+      .where(size(col("xs")) > 1)
+      .select(explode(expr(
+        "flatten(transform(xs, (x, i) -> transform(slice(xs, i + 2, size(xs)), y -> struct(x AS p1, y AS p2))))")).as("p"))
+      .select(col("p.p1.id").as("d1"), col("p.p2.id").as("d2"),
+        bit_count(col("p.p1.sh").bitwiseXOR(col("p.p2.sh"))).as("ham"))
+      .where(col("ham") <= maxHamming)
+      .distinct()
+  }
+
   /** Embedding cosine near-dup pairs above `tau`, blocked by `blockCol`.
     * Brute-force within block (the correctness anchor); the LSH/IVF path
     * in [[IvfIndex]] is the approximate scale alternative.

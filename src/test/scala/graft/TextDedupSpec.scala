@@ -53,6 +53,19 @@ class TextDedupSpec extends SparkSpec {
     assert(hammingNear < hammingFar)
   }
 
+  test("simhashNearPairs equals brute-force hamming filter") {
+    val fp = TextDedup.simhash(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = (for {
+      (i, si) <- fp.toSeq; (j, sj) <- fp.toSeq if i < j
+      h = java.lang.Long.bitCount(si ^ sj) if h <= 3
+    } yield (i, j, h)).toSet
+    val got = TextDedup.simhashNearPairs(docs, "text", "doc_id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expect)
+    assert(got.contains((1L, 2L, 0))) // identical docs at hamming 0
+  }
+
   test("fingerprintMinK: deterministic, equal for dups, k ascending values") {
     val fp = TextDedup.fingerprintMinK(docs, "text", "doc_id", 3, 4)
       .collect().map(r => (r.getLong(0), (1 to 4).map(r.getLong))).toMap
