@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{AnnSearch, AsOfJoin, ConnectedComponents, IvfIndex, TemporalDedup, TextDedup}
+import graft.operators.{AnnSearch, AsOfJoin, ConnectedComponents, IvfIndex, RangeJoin, TemporalDedup, TextDedup}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -433,6 +433,22 @@ object Queries {
     TextDedup.simhashNearPairs(Tables.documents(s, d), "text", "doc_id", 3)
       .orderBy(col("d1"), col("d2"))
 
+  /** J4 band range join: event pairs from DIFFERENT users within ±60 s,
+    * via the bucketed equi-join in [[graft.operators.RangeJoin]] (a raw
+    * non-equi join would plan as a broadcast nested loop — quadratic).
+    */
+  val j4RangeJoin: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select($"event_id", $"user_id", unix_micros($"ts".cast("timestamp")).as("tus"))
+    val l = ev.select($"event_id".as("e1"), $"user_id".as("u1"), $"tus".as("t1"))
+    val r = ev.select($"event_id".as("e2"), $"user_id".as("u2"), $"tus".as("t2"))
+    RangeJoin.within(l, r, "t1", "t2", 60000000L,
+        col("e1") < col("e2") && col("u1") =!= col("u2"))
+      .select($"e1", $"e2", ($"t2" - $"t1").as("dt_us"))
+      .orderBy($"e1", $"e2")
+  }
+
   /** E8 dedup clustering: minhash-band candidate pairs → connected
     * components → (doc, canonical cluster id). The step that turns pairwise
     * near-dup candidates into a one-document-per-cluster corpus clean.
@@ -640,6 +656,13 @@ object Queries {
         |SELECT c.event_id, e.err_id AS asof_err_id
         |FROM c ASOF LEFT JOIN e ON c.user_id = e.user_id AND e.tus <= c.tus
         |ORDER BY c.event_id""".stripMargin,
+    "j4_range_join" ->
+      """SELECT a.event_id AS e1, b.event_id AS e2,
+        |       epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
+        |FROM events a JOIN events b
+        |  ON abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 60000000
+        | AND a.event_id < b.event_id AND a.user_id <> b.user_id
+        |ORDER BY e1, e2""".stripMargin,
     "q2_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -812,6 +835,7 @@ object Queries {
     "e7_hll_distinct" -> e7HllDistinct,
     "b5_positional_zip" -> b5PositionalZip,
     "j3_asof_join" -> j3AsofJoin,
+    "j4_range_join" -> j4RangeJoin,
     "q2_rollup" -> q2Rollup,
     "c7_ivf_cluster" -> c7IvfCluster,
     "c7_sq8_ann" -> c7Sq8Ann,
