@@ -225,15 +225,23 @@ object Queries {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
-  /** 3-way join + revenue rollup (customer ⋈ orders ⋈ lineitem); customer
-    * side broadcasts at small SF, shuffle-hash at scale — left to AQE.
+  /** 3-way join + revenue rollup (customer ⋈ orders ⋈ lineitem). The join
+    * shape is pinned for the fact/dim asymmetry instead of left to stats:
+    * customer (the true dimension) broadcasts into orders, and the enriched
+    * orders side is the hinted SHUFFLE_HASH build side against lineitem —
+    * the fact table is always the streamed probe, never a broadcast build
+    * (AQE's stats-driven pick broadcast lineitem at sf0.1: a ~600 k-row
+    * broadcast there, a driver OOM or plan cliff at 100×).
     */
   val j1JoinRevenue: Q = (s, d) => {
     import s.implicits._
     val rev = dec($"l_extendedprice") * (one - dec($"l_discount"))
-    Tables.customer(s, d)
-      .join(Tables.orders(s, d), $"c_custkey" === $"o_custkey")
-      .join(Tables.lineitem(s, d), $"o_orderkey" === $"l_orderkey")
+    val co = Tables.orders(s, d).select($"o_orderkey", $"o_custkey")
+      .join(broadcast(Tables.customer(s, d).select($"c_custkey", $"c_mktsegment")),
+        $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", $"c_mktsegment")
+    Tables.lineitem(s, d)
+      .join(co.hint("shuffle_hash"), $"l_orderkey" === $"o_orderkey")
       .groupBy($"c_mktsegment")
       .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_rows"))
       .orderBy($"c_mktsegment")

@@ -8,15 +8,16 @@ import org.apache.spark.sql.functions._
   * into dedup CLUSTERS with a canonical representative (the minimum id),
   * so a corpus clean keeps exactly one document per component.
   *
-  * Algorithm: distributed min-label propagation. Every vertex starts
-  * labelled with itself; each round every vertex takes the min label over
-  * itself and its neighbours (one equi-join + one min-aggregate, both
-  * shuffle-partitioned on the vertex id — no driver-side graph state).
-  * Rounds needed = graph diameter; near-dup graphs are unions of
-  * near-cliques, so 2–3 rounds converge. For adversarial long-chain graphs
-  * the O(log n) large-star/small-star variant (Kiveris et al., "Connected
-  * Components in MapReduce") is the drop-in upgrade; propagation is kept
-  * here for its simpler plans and the tiny diameters of dedup graphs.
+  * Two interchangeable algorithms, same (id, cluster) contract:
+  *
+  *  - [[minLabel]]: distributed min-label propagation, one join + one
+  *    aggregate per round, O(diameter) rounds. The right default for
+  *    near-dup graphs — unions of near-cliques converge in 2–3 rounds and
+  *    the per-round plan is the simplest possible.
+  *  - [[alternatingStar]]: the large-star/small-star algorithm (Kiveris et
+  *    al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+  *    O(log²/log n) rounds on ANY topology, the scale path for adversarial
+  *    long-chain graphs where propagation would run diameter rounds.
   *
   * Each round ends in `localCheckpoint` — without lineage truncation the
   * iterated plan nests one join deeper per round and analysis cost grows
@@ -42,18 +43,92 @@ object ConnectedComponents {
     var done = false
     var i = 0
     while (!done && i < maxIter) {
+      // The round's own label rides through the aggregate (own=1 branch),
+      // so convergence is read off the SAME materialized round output with
+      // a cheap filter scan — not a separate join job per round (which
+      // doubled the job count: the old probe joined two checkpointed sets).
       val next = edges.join(labels.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), col("lbl"))
-        .union(labels)
-        .groupBy("id").agg(min("lbl").as("lbl"))
+        .select(col("dst").as("id"), col("lbl"), lit(0).as("own"))
+        .union(labels.select(col("id"), col("lbl"), lit(1).as("own")))
+        .groupBy("id")
+        .agg(min("lbl").as("lbl"), max(when(col("own") === 1, col("lbl"))).as("prev"))
         .localCheckpoint()
-      done = next.as("n")
-        .join(labels.as("o"), "id")
-        .where(col("n.lbl") < col("o.lbl"))
-        .isEmpty
-      labels = next
+      done = next.where(col("lbl") < col("prev")).isEmpty
+      labels = next.select("id", "lbl")
       i += 1
     }
     labels.select(col("id").as(idName), col("lbl").as("cluster"))
+  }
+
+  /** Large-star/small-star connected components (Kiveris et al., SoCC'14):
+    * alternate two edge rewrites until the edge set is stable —
+    *
+    *  - large-star: per node u, connect every STRICTLY LARGER neighbor to
+    *    `m = min(u ∪ N(u))`;
+    *  - small-star: per node u over edges directed large→small, connect u
+    *    and its smaller neighbors to their min.
+    *
+    * Both steps preserve connectivity and only ever decrease (node, parent)
+    * pointers; the fixpoint is a star per component whose center is the
+    * component minimum. Rounds are O(log n) on any graph — chains included,
+    * where [[minLabel]] needs diameter rounds. Convergence is detected by
+    * an aggregate signature (count + xor of pair hashes) of the canonical
+    * edge set, computed in the same job that materializes the round.
+    */
+  def alternatingStar(
+      vertices: DataFrame,
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 30): DataFrame = {
+    val idName = vertices.columns.head
+    // Canonical edges point large → small (src > dst); self-loops dropped.
+    def canon(e: DataFrame): DataFrame = e
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+
+    def signature(e: DataFrame): (Long, Long) = {
+      // bit_xor is order-independent and cannot overflow (sum would, under
+      // ANSI); edges are distinct so the xor is a faithful set signature
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val m = sym.groupBy("src").agg(least(min("dst"), first("src")).as("m"))
+      // connect strictly larger neighbors to the min of the neighborhood
+      canon(sym.join(m, "src").where(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst")))
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // e is canonical (src > dst): per src, link src and all its smaller
+      // neighbors to the minimum of the closed neighborhood
+      val m = e.groupBy("src").agg(min("dst").as("m"))
+      val linked = e.join(m, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(m.select(col("src"), col("m").as("dst")))
+      canon(linked)
+    }
+
+    var edges = canon(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))).localCheckpoint()
+    var sig = signature(edges)
+    var done = edges.isEmpty
+    var i = 0
+    while (!done && i < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nsig = signature(next)
+      done = nsig == sig
+      sig = nsig
+      edges = next
+      i += 1
+    }
+    // Fixpoint is a star: every non-root points at its component min.
+    vertices.select(col(idName).as("id"))
+      .join(edges.select(col("src").as("id"), col("dst").as("root")), Seq("id"), "left")
+      .select(col("id").as(idName), coalesce(col("root"), col("id")).as("cluster"))
   }
 }

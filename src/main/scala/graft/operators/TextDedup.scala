@@ -81,13 +81,22 @@ object TextDedup {
     * projections makes Catalyst recompute the shingle+minhash pipeline
     * 2×bands times (measured 8× at bands=4 — 400+ s at sf0.1). Instead:
     * compute the signature matrix ONCE, explode the per-doc band
-    * signatures, ONE shuffle into (band, bsig) buckets, and emit each
-    * bucket's id-sorted pair combinations locally — cost Σ bucket², the
-    * true LSH candidate count, with no join at all.
+    * signatures, shuffle into (band, bsig) buckets, and emit each bucket's
+    * id-sorted pair combinations bucket-locally — cost Σ bucket², the true
+    * LSH candidate count, with no join at all. Skewed buckets (boilerplate
+    * near-identical documents collapse into one signature on a real web
+    * corpus) are triangle-salted and capped — see [[bucketPairs]].
+    *
+    * @param smallCap  bucket size above which pair emission is salted
+    *                  across tasks (exact either way)
+    * @param maxBucket buckets larger than this are dropped (with an
+    *                  `observe` metric) — at web scale a 10⁶-member bucket
+    *                  is boilerplate, and its O(b²) pairs are noise
     */
   def minhashBandPairs(
       df: DataFrame, textCol: String, idCol: String,
-      k: Int, shingleK: Int, bands: Int): DataFrame = {
+      k: Int, shingleK: Int, bands: Int,
+      smallCap: Int = 1024, maxBucket: Long = 1L << 16): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rowsPer = k / bands
     val wide = minhashWide(df, textCol, idCol, k, shingleK)
@@ -95,15 +104,71 @@ object TextDedup {
       val cols = (b * rowsPer until (b + 1) * rowsPer).map(j => col(s"m$j"))
       struct(lit(b).as("band"), md5(concat_ws(",", cols: _*)).as("bsig"))
     }: _*)
-    wide
+    val buckets = wide
       .select(col(idCol), explode(bandStructs).as("bs"))
-      .groupBy(col("bs.band"), col("bs.bsig"))
-      .agg(sort_array(collect_list(col(idCol))).as("ids"))
-      .where(size(col("ids")) > 1)
-      .select(explode(expr(
-        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x AS d1, y AS d2))))")).as("p"))
-      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .select(col("bs").as("__bk"), struct(col(idCol).as("id")).as("__m"))
+    bucketPairs(buckets, smallCap, maxBucket, "graft.lsh.minhash")
+      .select(col("p1.id").as("d1"), col("p2.id").as("d2"))
       .distinct()
+  }
+
+  /** Bucket-local all-pairs emission with skew control. Input: one row per
+    * bucket member — `__bk` (bucket key) and `__m` (payload struct whose
+    * leading field is the id ordering). Output: (`p1`, `p2`) payload pairs,
+    * `p1 < p2`, each unordered pair exactly once per bucket.
+    *
+    * The naive shape (`groupBy(bucket).agg(collect_list)` + local pair
+    * expansion) puts an ENTIRE bucket in one row and its O(b²) emission in
+    * one task — a single-task OOM + straggler on exactly the corpora dedup
+    * is for (boilerplate buckets reach 10⁶ members). Standard practice
+    * (Manku WWW'07 §4) is to bound the bucket. Here:
+    *
+    *  1. One window count sizes every bucket on the bucket shuffle.
+    *  2. Buckets over `maxBucket` are dropped; the dropped member count and
+    *     the max bucket size are recorded via `observe` (metric name =
+    *     `metricName`, readable from a `QueryExecutionListener`).
+    *  3. Every kept bucket is split into `ng = ⌈size / smallCap⌉` hash
+    *     groups and each member replicated to the `ng` triangle cells
+    *     `(min(i, g), max(i, g))` — so each unordered group pair {a, b}
+    *     shares exactly one cell, cells hold ≤ ~2·smallCap members, and
+    *     pair emission lands on `ng·(ng+1)/2` independent tasks. A pair is
+    *     emitted only in the cell matching its two group ids, so each pair
+    *     appears exactly once. Small buckets get `ng = 1` — one cell,
+    *     identical to the naive path.
+    *
+    * Cost: one extra shuffle (cells re-bucket the members) and `ng×`
+    * replication of oversized buckets' members — Σ b²/smallCap rows, i.e.
+    * the pair count divided by the cap; the O(b²) term only ever
+    * materializes spread across tasks.
+    */
+  private[graft] def bucketPairs(
+      buckets: DataFrame, smallCap: Int, maxBucket: Long,
+      metricName: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(smallCap >= 2, "smallCap must be >= 2")
+    val sized = buckets
+      .withColumn("__bsz", count(lit(1)).over(Window.partitionBy(col("__bk"))))
+      .observe(metricName,
+        max(col("__bsz")).as("max_bucket"),
+        sum(when(col("__bsz") > maxBucket, 1L).otherwise(0L)).as("dropped_members"))
+    val cells = sized
+      .where(col("__bsz") <= maxBucket)
+      .withColumn("__ng",
+        greatest(lit(1), ceil(col("__bsz") / lit(smallCap.toDouble))).cast("int"))
+      .withColumn("__g", pmod(xxhash64(col("__m")), col("__ng")).cast("int"))
+      .select(col("__bk"), col("__m"), col("__g"), explode(expr(
+        "transform(sequence(0, __ng - 1), x -> struct(least(x, __g) AS lo, greatest(x, __g) AS hi))")).as("__cell"))
+    cells
+      .groupBy(col("__bk"), col("__cell.lo").as("lo"), col("__cell.hi").as("hi"))
+      .agg(sort_array(collect_list(struct(col("__m").as("m"), col("__g").as("g")))).as("xs"))
+      .where(size(col("xs")) > 1)
+      .select(explode(expr(
+        """flatten(transform(xs, (x, i) ->
+          |  transform(
+          |    filter(slice(xs, i + 2, size(xs)),
+          |           y -> (x.g = lo AND y.g = hi) OR (x.g = hi AND y.g = lo)),
+          |    y -> struct(x.m AS p1, y.m AS p2))))""".stripMargin)).as("p"))
+      .select(col("p.p1").as("p1"), col("p.p2").as("p2"))
   }
 
   /** 60-bit SimHash over whitespace tokens (md5-hash bit voting) as 60
@@ -232,7 +297,8 @@ object TextDedup {
     */
   def simhashNearPairs(
       df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      smallCap: Int = 1024, maxBucket: Long = 1L << 16): DataFrame = {
     val blocks = maxHamming + 1
     val bits = 60
     val width = bits / blocks // 15-bit blocks for the default k=3
@@ -242,17 +308,17 @@ object TextDedup {
         shiftright(col("simhash"), b * width)
           .bitwiseAND(lit((1L << width) - 1)).as("bv"))
     }: _*)
-    // Same shape as [[minhashBandPairs]]: ONE shuffle into (block, value)
+    // Same shape as [[minhashBandPairs]]: shuffle into (block, value)
     // buckets, pairs emitted bucket-locally (a self-join would recompute
-    // the 60-aggregate simhash subtree twice — the measured minhash trap).
-    fp.select(col(idCol), col("simhash"), explode(blockStructs).as("bk"))
-      .groupBy(col("bk"))
-      .agg(sort_array(collect_list(struct(col(idCol).as("id"), col("simhash").as("sh")))).as("xs"))
-      .where(size(col("xs")) > 1)
-      .select(explode(expr(
-        "flatten(transform(xs, (x, i) -> transform(slice(xs, i + 2, size(xs)), y -> struct(x AS p1, y AS p2))))")).as("p"))
-      .select(col("p.p1.id").as("d1"), col("p.p2.id").as("d2"),
-        bit_count(col("p.p1.sh").bitwiseXOR(col("p.p2.sh"))).as("ham"))
+    // the 60-aggregate simhash subtree twice — the measured minhash trap),
+    // with the same triangle-salting/cap skew control.
+    val buckets = fp
+      .select(col(idCol), col("simhash"), explode(blockStructs).as("bk"))
+      .select(col("bk").as("__bk"),
+        struct(col(idCol).as("id"), col("simhash").as("sh")).as("__m"))
+    bucketPairs(buckets, smallCap, maxBucket, "graft.lsh.simhash")
+      .select(col("p1.id").as("d1"), col("p2.id").as("d2"),
+        bit_count(col("p1.sh").bitwiseXOR(col("p2.sh"))).as("ham"))
       .where(col("ham") <= maxHamming)
       .distinct()
   }

@@ -14,6 +14,34 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("alternatingStar: long chain (diameter 63) collapses in O(log n) rounds") {
+    val n = 64L
+    val verts = (0L until n).toDF("doc_id")
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("d1", "d2")
+    val got = ConnectedComponents.alternatingStar(verts, pairs, "d1", "d2", maxIter = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == (0L until n).map(_ -> 0L).toMap)
+  }
+
+  test("alternatingStar agrees with minLabel on chains, singletons and random graphs") {
+    val verts = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    val pairs = Seq((2L, 3L), (1L, 2L), (3L, 4L), (5L, 6L)).toDF("d1", "d2")
+    val star = ConnectedComponents.alternatingStar(verts, pairs, "d1", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(star == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+
+    val rnd = new scala.util.Random(7)
+    val n = 80
+    val edges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val vdf = (0L until n.toLong).toDF("id")
+    val edf = edges.toDF("d1", "d2")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(asMap(ConnectedComponents.alternatingStar(vdf, edf, "d1", "d2")) ==
+      asMap(ConnectedComponents.minLabel(vdf, edf, "d1", "d2")))
+  }
+
   test("minLabel matches brute-force closure on a random graph") {
     val rnd = new scala.util.Random(42)
     val n = 60

@@ -60,4 +60,61 @@ class SearchServiceSpec extends SparkSpec {
       assert(get.statusCode() == 405)
     } finally svc.stop()
   }
+
+  test("envelope parity: docs carry hash_id, duration, primary_key + score (searcher.js:106)") {
+    import graft.functions.VectorFunctions._
+    import org.apache.spark.sql.functions._
+    // frames-shaped fixture: the vectorized schema of IngestPipeline.vectorize
+    val corpus = Seq(
+      (1L, "tt0001", "ep1.mp4", 1.25, png(0, 255)),
+      (2L, "tt0001", "ep1.mp4", 2.50, png(255, 0)),
+      (3L, "tt0002", "ep2.mp4", 0.75, png(128, 128)))
+      .toDF("id", "imdb_id", "file_name", "time", "content")
+    val frames = ImageOps.describeImages(corpus, "id", "content")
+      .join(corpus.drop("content"), "id")
+      .where($"ok")
+      .withColumn("duration", lit(3.0f))
+      .withColumn("hash_id", hashId($"imdb_id", $"file_name", $"time"))
+      .withColumn("primary_key", enginePrimaryKey($"hash_id"))
+      .select($"id", $"descriptor", $"hash_id", $"duration", $"primary_key")
+
+    val svc = new SearchService(frames, "descriptor", "id", grid = 8, topK = 2,
+      outputFields = Seq("hash_id", "duration", "primary_key"))
+    val port = svc.start(0)
+    try {
+      val client = HttpClient.newHttpClient()
+      val resp = client.send(
+        HttpRequest.newBuilder(new URI(s"http://127.0.0.1:$port/search"))
+          .POST(HttpRequest.BodyPublishers.ofByteArray(png(5, 250))).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200)
+      val body = resp.body()
+      // the top doc is image 1 with its full reference output_fields
+      assert(body.contains(""""hash_id":"tt0001/ep1.mp4/1.25""""), body)
+      assert(body.contains(""""duration":3.0"""), body)
+      assert("""\"primary_key\":-?\d+""".r.findFirstIn(body).nonEmpty, body)
+      assert("""\"score\":[-\d.E]+""".r.findFirstIn(body).nonEmpty, body)
+    } finally svc.stop()
+  }
+
+  test("protective surface: 10MB body cap -> 413, rate limit -> 429 (searcher.js:125-136)") {
+    val corpus = Seq((1L, png(0, 255))).toDF("id", "content")
+    val indexed = ImageOps.describeImages(corpus, "id", "content")
+      .where($"ok").select($"id", $"descriptor")
+    val svc = new SearchService(indexed, "descriptor", "id", grid = 8, topK = 1,
+      maxBodyBytes = 64 * 1024, maxReqPerSec = 3)
+    val port = svc.start(0)
+    try {
+      val client = HttpClient.newHttpClient()
+      def post(body: Array[Byte]) = client.send(
+        HttpRequest.newBuilder(new URI(s"http://127.0.0.1:$port/search"))
+          .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(post(new Array[Byte](128 * 1024)).statusCode() == 413)
+      // burst past the 3 req/s budget: at least one 429, service stays up
+      val codes = (1 to 8).map(_ => post(png(0, 255)).statusCode())
+      assert(codes.contains(429), codes.toString)
+      assert(codes.head == 200, codes.toString)
+    } finally svc.stop()
+  }
 }
