@@ -45,15 +45,19 @@ case class ByteDot(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (c, w) => {
+      // fresh names — see DotProduct.doGenCode: hardcoded locals collide
+      // when two instances share a codegen function scope
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
       s"""
          |if ($c.length != $w.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double acc = 0.0;
-         |  for (int i = 0; i < $c.length; i++) {
-         |    acc += ($c[i] & 0xff) * $w.getDouble(i);
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $c.length; $i++) {
+         |    $acc += ($c[$i] & 0xff) * $w.getDouble($i);
          |  }
-         |  ${ev.value} = acc;
+         |  ${ev.value} = $acc;
          |}
        """.stripMargin
     })

@@ -64,18 +64,25 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val lGet = if (isFloat(left)) s"(double) $a.getFloat(i)" else s"$a.getDouble(i)"
-      val rGet = if (isFloat(right)) s"(double) $b.getFloat(i)" else s"$b.getDouble(i)"
+      // fresh names: two instances of this expression can share one codegen
+      // function scope, where a hardcoded `i` is a Janino redefinition error
+      // (silent fallback to interpreted eval — the exact cost this native
+      // expression exists to avoid)
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val lGet = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val rGet = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double acc = 0.0;
-         |  int n = $a.numElements();
-         |  for (int i = 0; i < n; i++) {
-         |    acc += $lGet * $rGet;
+         |  double $acc = 0.0;
+         |  int $n = $a.numElements();
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $lGet * $rGet;
          |  }
-         |  ${ev.value} = acc;
+         |  ${ev.value} = $acc;
          |}
        """.stripMargin
     })

@@ -158,7 +158,13 @@ object TextDedup {
       .withColumn("__g", pmod(xxhash64(col("__m")), col("__ng")).cast("int"))
       .select(col("__bk"), col("__m"), col("__g"), explode(expr(
         "transform(sequence(0, __ng - 1), x -> struct(least(x, __g) AS lo, greatest(x, __g) AS hi))")).as("__cell"))
-    cells
+    // The cell re-shuffle must be EXPLICIT: hash-partitioning on __bk alone
+    // already satisfies the (bk, lo, hi) clustering requirement, so Catalyst
+    // would otherwise keep every cell of a bucket on the bucket's task —
+    // bounding memory but not distributing the O(b²) emission (and AQE can
+    // coalesce the small bucket shuffle to ONE task for the whole stage).
+    val spread = Spread.byCols(cells, Seq(col("__bk"), col("__cell")))
+    spread
       .groupBy(col("__bk"), col("__cell.lo").as("lo"), col("__cell.hi").as("hi"))
       .agg(sort_array(collect_list(struct(col("__m").as("m"), col("__g").as("g")))).as("xs"))
       .where(size(col("xs")) > 1)
@@ -217,7 +223,12 @@ object TextDedup {
       .select(col(idCol), col(blockCol), array_distinct(tokens(col(textCol))).as("ts"))
       .select(col(idCol), col(blockCol), size(col("ts")).as("n"),
         explode(col("ts")).as("t"))
-    tok.as("a").join(tok.as("b"),
+    // The self-join sides are the FULL exploded inverted index — never
+    // broadcastable (Spark's size estimate of the post-explode relation
+    // undercounts and AQE happily builds a multi-million-row hashed
+    // relation; measured as a 3× swing at sf0.1 and an executor OOM shape
+    // at 100×). SHUFFLE_HASH pins the scale-safe shuffled build.
+    tok.as("a").hint("merge").join(tok.as("b"),
         col("a.t") === col("b.t") &&
           col(s"a.$blockCol") === col(s"b.$blockCol") &&
           col(s"a.$idCol") < col(s"b.$idCol") &&
@@ -265,7 +276,9 @@ object TextDedup {
       .join(ordered, idCol)
       .select(col(idCol), col(blockCol), col("n"),
         explode(slice(col("toks"), lit(1), prefLen)).as("t"))
-    val cand = pref.as("a").join(pref.as("b"),
+    // same no-broadcast reasoning as [[jaccardPairs]]: prefix rows are an
+    // exploded inverted index, not a dimension table
+    val cand = pref.as("a").hint("shuffle_hash").join(pref.as("b"),
         col("a.t") === col("b.t") &&
           col(s"a.$blockCol") === col(s"b.$blockCol") &&
           col(s"a.$idCol") < col(s"b.$idCol") &&

@@ -1,15 +1,16 @@
 package graft.plans
 
-import graft.functions.DotProduct
+import graft.functions.{ByteDot, DotProduct}
 import graft.operators.IvfIndex
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Descending, In, Literal, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Descending, Expression, In, Literal, SortOrder}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 
 /** Session-wide opt-in registry for the ANN auto-rewrite: when a query
-  * author registers the current IVF model, any `ORDER BY fast_dot(v, q)
-  * DESC LIMIT k` over a relation carrying a `cluster_id` column is
+  * author registers the current IVF model, any `ORDER BY <score> DESC
+  * LIMIT k` over a relation carrying a `cluster_id` column — where
+  * `<score>` embeds an inner product against a literal query vector — is
   * rewritten to scan only the `nprobe` most promising clusters. Explicit
   * registration keeps the approximation opt-in — an unregistered session
   * never changes results.
@@ -23,14 +24,24 @@ object IvfRegistry {
 
 /** The optimizer rule (SURVEY §7.3 "custom Catalyst, perf only"): matches
   *
-  *   GlobalLimit k ── LocalLimit k ── Sort[fast_dot(vec, qLit) DESC]
-  *     ── Project[.., fast_dot AS score] ── child(with cluster_id)
+  *   GlobalLimit k ── LocalLimit k ── Sort[score DESC]
+  *     ── Project[.., score AS s] ── [Filter] ── child(with cluster_id)
   *
-  * and injects `Filter(cluster_id IN topNprobeClusters(q))` below the
-  * Project. The IN-filter lands on the scan as a partition/predicate
+  * for any score expression whose tree contains
+  *
+  *  - `fast_dot(vec, qLit)`            (plain IP — AnnSearch.exactTopK),
+  *  - `fast_dot(vec, qLit) / norms`    (cosine — AnnSearch.exactTopKCosine),
+  *  - `byte_dot(codes, wLit) + bias`   (SQ8 — Sq8.searchTopK; w = scale·q,
+  *    so centroid ranking in the scale-weighted space preserves the
+  *    quantized score order),
+  *
+  * and injects `Filter(cluster_id IN topNprobeClusters(q))` directly above
+  * the base relation — below any pre-existing Filter, whose predicate is
+  * left untouched. The IN-filter lands on the scan as a partition/predicate
   * filter when the table is laid out `partitionBy(cluster_id)`
   * (IvfIndex.write) — the Milvus nprobe semantics (searcher.js:105)
-  * expressed as partition pruning.
+  * expressed as partition pruning. Idempotent: a plan already carrying a
+  * cluster_id filter between the Sort and the base is left alone.
   */
 case class IvfTopKRewrite() extends Rule[LogicalPlan] {
 
@@ -46,23 +57,38 @@ case class IvfTopKRewrite() extends Rule[LogicalPlan] {
       }
   }
 
+  /** The literal query vector buried anywhere in the score expression. */
+  private def findQuery(e: Expression): Option[Array[Double]] = e.collectFirst {
+    case DotProduct(_, Literal(q: ArrayData, _)) => q.toDoubleArray()
+    case ByteDot(_, Literal(w: ArrayData, _))    => w.toDoubleArray()
+  }
+
   private def rewriteSort(sort: Sort, model: IvfIndex.Model, nprobe: Int): Option[Sort] =
     (sort.order, sort.child) match {
       case (Seq(SortOrder(attr: AttributeReference, Descending, _, _), _*),
-            p @ Project(projList, child))
-          if child.output.exists(_.name == "cluster_id") &&
-            !child.isInstanceOf[Filter] =>
-        projList.collectFirst {
-          case a @ Alias(DotProduct(_, Literal(q: ArrayData, _)), _)
-              if a.exprId == attr.exprId =>
-            val query = q.toDoubleArray()
-            val probed = model.centroids.zipWithIndex
-              .map { case (c, i) => (i, c.zip(query).map { case (x, y) => x * y }.sum) }
-              .sortBy(-_._2).take(nprobe).map(_._1)
-            val cid = child.output.find(_.name == "cluster_id").get
-            val filtered = Filter(In(cid, probed.toIndexedSeq.map(Literal(_))), child)
-            sort.copy(child = p.copy(child = filtered))
-        }
+            p @ Project(projList, pchild)) =>
+        val alreadyPruned = pchild.collectFirst {
+          case Filter(cond, _) if cond.references.exists(_.name == "cluster_id") => ()
+        }.isDefined
+        val cidOpt = pchild.output.find(_.name == "cluster_id")
+        if (alreadyPruned || cidOpt.isEmpty) None
+        else
+          projList.collectFirst { case a: Alias if a.exprId == attr.exprId => a }
+            .flatMap(a => findQuery(a.child))
+            .map { query =>
+              val probed = model.centroids.zipWithIndex
+                .map { case (c, i) => (i, c.zip(query).map { case (x, y) => x * y }.sum) }
+                .sortBy(-_._2).take(nprobe).map(_._1)
+              // below any user Filter: prune reaches the scan first
+              val pruned = pchild match {
+                case f @ Filter(cond, base) =>
+                  val cid = base.output.find(_.name == "cluster_id").get
+                  f.copy(child = Filter(In(cid, probed.toIndexedSeq.map(Literal(_))), base))
+                case base =>
+                  Filter(In(cidOpt.get, probed.toIndexedSeq.map(Literal(_))), base)
+              }
+              sort.copy(child = p.copy(child = pruned))
+            }
       case _ => None
     }
 }

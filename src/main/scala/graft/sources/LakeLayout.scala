@@ -1,6 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Table-layout helpers for the lake (SURVEY §4 "co-located joins via
   * bucketing"): a table written `bucketBy(n, key)` + `sortBy(key)` is
@@ -25,5 +27,65 @@ object LakeLayout {
       .bucketBy(buckets, key)
       .sortBy(sorted.head, sorted.tail: _*)
       .saveAsTable(table)
+  }
+
+  case class CompactionStats(filesBefore: Long, filesAfter: Long, rows: Long)
+
+  /** Small-file compaction for streaming-appended parquet directories — the
+    * engine's analog of the reference loader's daily flush cron
+    * (`loader.js:388-398`): every micro-batch of [[graft.streaming
+    * .IngestPipeline]] appends a handful of row-group-sized files, and a
+    * year of 30 s triggers is a million tiny files whose open/footer cost
+    * dominates scans long before row data does.
+    *
+    * Rewrite: read → `repartition(ceil(bytes / targetFileBytes))` →
+    * write to `<path>.compact.tmp` (re-partitioned by `partitionCols` so
+    * pruning layout survives) → swap directories. The swap is
+    * rename-based: crash-safe against losing data (the original is removed
+    * only after the rewrite is fully committed) but NOT concurrent with a
+    * writer — run it like the reference runs its cron: from the single
+    * maintenance owner, between triggers.
+    */
+  def compactParquet(
+      spark: SparkSession,
+      path: String,
+      targetFileBytes: Long = 128L << 20,
+      partitionCols: Seq[String] = Nil): CompactionStats = {
+    val hpath = new HPath(path)
+    val fs = hpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = fs.listFiles(hpath, true)
+    var filesBefore = 0L
+    var bytes = 0L
+    while (before.hasNext) {
+      val f = before.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
+        filesBefore += 1; bytes += f.getLen
+      }
+    }
+    val df = spark.read.parquet(path)
+    val rows = df.count()
+    val nOut = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val tmp = new HPath(path + ".compact.tmp")
+    fs.delete(tmp, true)
+    val writer = (if (partitionCols.isEmpty) df.repartition(nOut)
+                  else df.repartition(nOut, partitionCols.map(col): _*))
+      .write.mode("overwrite")
+    (if (partitionCols.isEmpty) writer else writer.partitionBy(partitionCols: _*))
+      .parquet(tmp.toString)
+    val bak = new HPath(path + ".compact.bak")
+    fs.delete(bak, true)
+    if (!fs.rename(hpath, bak)) sys.error(s"compaction: cannot move $path aside")
+    if (!fs.rename(tmp, hpath)) {
+      fs.rename(bak, hpath) // restore — the original is still intact
+      sys.error(s"compaction: cannot promote $tmp")
+    }
+    fs.delete(bak, true)
+    val after = fs.listFiles(hpath, true)
+    var filesAfter = 0L
+    while (after.hasNext) {
+      val f = after.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet")) filesAfter += 1
+    }
+    CompactionStats(filesBefore, filesAfter, rows)
   }
 }

@@ -66,6 +66,14 @@ object IngestPipeline {
     }
   }
 
+  /** Runtime-selected A15 extractor: the real ffmpeg shell-out when the
+    * binary exists on this machine, the deterministic stub otherwise —
+    * pipelines work identically in both environments.
+    */
+  def defaultExtractor: FrameFeatureExtractor =
+    if (FfmpegFrameExtractor.available) FfmpegFrameExtractor
+    else StubFrameFeatureExtractor
+
   /** A1+B1+B2: recursive binary-file stream filtered to .mp4 with
     * (imdbId, fileName) projected from the path (`watcher.js:22-29`).
     */

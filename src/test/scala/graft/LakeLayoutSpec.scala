@@ -30,4 +30,21 @@ class LakeLayoutSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }
   }
+
+  test("compactParquet: many appended small files -> few files, identical rows (loader.js:388-398)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/frames"
+    // simulate 12 streaming micro-batch appends, partitioned like the frames table
+    (0 until 12).foreach { b =>
+      Seq((b, s"doc$b", if (b % 2 == 0) "cl" else "eh"))
+        .toDF("n", "name", "algo")
+        .write.mode("append").partitionBy("algo").parquet(dir)
+    }
+    val before = spark.read.parquet(dir).collect().map(_.toString).sorted
+    val stats = LakeLayout.compactParquet(spark, dir, partitionCols = Seq("algo"))
+    val after = spark.read.parquet(dir).collect().map(_.toString).sorted
+    assert(stats.rows == 12)
+    assert(stats.filesBefore >= 12, stats.toString)
+    assert(stats.filesAfter <= 2, stats.toString) // one per algo partition
+    assert(after.toSeq == before.toSeq)
+  }
 }

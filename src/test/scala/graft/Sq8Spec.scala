@@ -68,4 +68,54 @@ class Sq8Spec extends SparkSpec {
       indexed.unpersist()
     }
   }
+
+  test("IvfTopKRewrite: cosine, byte_dot and filtered shapes all prune (hardened matching)") {
+    val e = Tables.embeddings(spark, Sf0001)
+    val q = e.where($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val base = e.where($"vec_id" =!= 0)
+    val (assigned, model) = IvfIndex.build(base, "embedding", nlist = 8)
+    val sq8 = Sq8.fit(base, "embedding")
+    val indexed = Sq8.encode(assigned, "embedding", sq8)
+      .select($"vec_id", $"embedding", $"codes", $"cluster_id").cache()
+    indexed.count()
+    def planOf(df: org.apache.spark.sql.DataFrame) = df.queryExecution.optimizedPlan.toString
+    try {
+      IvfRegistry.register(model, nprobe = 2)
+
+      // cosine shape: fast_dot nested under a divide still matches
+      val cos = AnnSearch.exactTopKCosine(indexed, "embedding", "vec_id", q, 15)
+      assert(planOf(cos).contains("cluster_id"), s"cosine not pruned:\n${planOf(cos)}")
+      assert(cos.collect().length == 15)
+
+      // byte_dot shape: SQ8 scored scan matches via the scale-weighted query
+      val sq = Sq8.searchTopK(indexed, "codes", "vec_id", sq8, q, 15)
+      assert(planOf(sq).contains("cluster_id"), s"sq8 not pruned:\n${planOf(sq)}")
+      assert(sq.collect().length == 15)
+
+      // intervening Filter: user predicate stays, prune lands below it
+      val filtered = AnnSearch.exactTopK(
+        indexed.where($"vec_id" % 2 === 0), "embedding", "vec_id", q, 15)
+      val fp = planOf(filtered)
+      assert(fp.contains("cluster_id"), s"filtered shape not pruned:\n$fp")
+      val ids = filtered.collect().map(_.getLong(0)).toSeq
+      assert(ids.nonEmpty && ids.forall(_ % 2 == 0), "user filter must still apply")
+      // parity with the explicit IVF search over the same filtered base
+      val manual = IvfIndex.search(indexed.where($"vec_id" % 2 === 0), model,
+          "embedding", "vec_id", q, 15, nprobe = 2)
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids == manual)
+
+      // idempotency: explicit IVF search (already cluster-filtered) untouched
+      val explicitSearch = IvfIndex.search(indexed, model, "embedding", "vec_id", q, 15, 2)
+      val inCount = "cluster_id".r.findAllIn(planOf(explicitSearch)).size
+      assert(explicitSearch.collect().map(_.getLong(0)).toSeq ==
+        IvfIndex.search(indexed, model, "embedding", "vec_id", q, 15, 2)
+          .collect().map(_.getLong(0)).toSeq)
+      assert(inCount >= 1)
+    } finally {
+      IvfRegistry.clear()
+      indexed.unpersist()
+    }
+  }
 }
