@@ -228,7 +228,7 @@ object TextDedup {
     // undercounts and AQE happily builds a multi-million-row hashed
     // relation; measured as a 3× swing at sf0.1 and an executor OOM shape
     // at 100×). SHUFFLE_HASH pins the scale-safe shuffled build.
-    tok.as("a").hint("merge").join(tok.as("b"),
+    tok.as("a").hint("shuffle_hash").join(tok.as("b"),
         col("a.t") === col("b.t") &&
           col(s"a.$blockCol") === col(s"b.$blockCol") &&
           col(s"a.$idCol") < col(s"b.$idCol") &&
