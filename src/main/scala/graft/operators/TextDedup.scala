@@ -197,10 +197,80 @@ object TextDedup {
       .select(col(idCol), fp.cast("long").as("simhash"))
   }
 
+  /** Inverted-index candidate matcher shared by [[jaccardPairs]] and
+    * [[jaccardPairsPrefix]]: rows of (id, block, n, token) self-joined on
+    * (token, block) with the exact size-ratio prune and `d1 < d2`, with the
+    * token-frequency skew bounded — the postings-list analog of
+    * [[bucketPairs]]' mega-bucket control:
+    *
+    *  1. Document frequency per (token, block) comes from a `groupBy`
+    *     (map-side partial combine — a window count would buffer a
+    *     stop-word's entire postings list in ONE task, the exact straggler
+    *     being prevented) joined back onto the index.
+    *  2. Postings lists over `maxTokenDf` are dropped (an exact-recall
+    *     loss, recorded via `observe`: `max_token_df`, `dropped_postings`).
+    *     At web scale a token with df ≈ N/2 ("the") is pure noise — its
+    *     O(df²) candidates are the single-task explosion no size prune
+    *     saves, because the prune runs after the match.
+    *  3. Kept lists are salted into `ng = ⌈df / smallCap⌉` cells: the
+    *     build side keeps its own salt (≤ smallCap rows per cell build),
+    *     the probe side replicates to all `ng` cells. Pair (x, y) with
+    *     x < y matches exactly once — probe-x's replica in build-y's cell —
+    *     so the result is IDENTICAL to the unsalted join while the O(df²)
+    *     emission spreads over `ng` tasks, all codegen'd (unlike
+    *     [[bucketPairs]]' interpreted HOF emission, which is fine for LSH's
+    *     mostly-tiny buckets but not for an inverted index's volume).
+    *
+    * The join sides are the FULL exploded inverted index — never
+    * broadcastable (Spark's size estimate of the post-explode relation
+    * undercounts and AQE happily builds a multi-million-row hashed
+    * relation; measured as a 3× swing at sf0.1 and an executor OOM shape
+    * at 100×). SHUFFLE_HASH pins the scale-safe shuffled build, and with
+    * the salt in the join key no single build exceeds `smallCap` rows.
+    *
+    * Output: one (d1, d2, n1, n2) row per shared token of each qualifying
+    * pair (callers count or distinct as needed).
+    */
+  private def saltedIndexMatches(
+      tok: DataFrame, idCol: String, blockCol: String, tau: Double,
+      maxTokenDf: Long, smallCap: Int, metricName: String): DataFrame = {
+    require(smallCap >= 2, "smallCap must be >= 2")
+    val dfreq = tok.groupBy(col("t"), col(blockCol)).agg(count(lit(1)).as("__df"))
+    // Materialize the sized index ONCE: probe and build both derive from it,
+    // and without the checkpoint Catalyst recomputes the tokenize → dfreq →
+    // join subtree per side (the measured minhash self-join trap). The
+    // checkpointed set is the inverted index itself — O(corpus tokens),
+    // the same data the join shuffles anyway.
+    val sized = tok.join(dfreq, Seq("t", blockCol))
+      .observe(metricName,
+        max(col("__df")).as("max_token_df"),
+        sum(when(col("__df") > maxTokenDf, 1L).otherwise(0L)).as("dropped_postings"))
+      .where(col("__df") <= maxTokenDf)
+      .withColumn("__ng",
+        greatest(lit(1), ceil(col("__df") / lit(smallCap.toDouble))).cast("int"))
+      .localCheckpoint()
+    val probe = sized.select(col(idCol), col(blockCol), col("n"), col("t"),
+      explode(expr("sequence(0, __ng - 1)")).as("__s"))
+    val build = sized.select(col(idCol).as("__bid"), col(blockCol).as("__bb"),
+      col("n").as("__bn"), col("t").as("__bt"),
+      pmod(xxhash64(col(idCol)), col("__ng")).cast("int").as("__s"))
+    probe.as("a").join(build.as("b").hint("shuffle_hash"),
+        col("a.t") === col("b.__bt") &&
+          col(s"a.$blockCol") === col("b.__bb") &&
+          col("a.__s") === col("b.__s") &&
+          col(s"a.$idCol") < col("b.__bid") &&
+          col("a.n") >= col("b.__bn") * lit(tau) &&
+          col("b.__bn") >= col("a.n") * lit(tau))
+      .select(col(s"a.$idCol").as("d1"), col("b.__bid").as("d2"),
+        col("a.n").as("n1"), col("b.__bn").as("n2"))
+  }
+
   /** Exact token-set Jaccard similarity join above `tau`, blocked by
     * `blockCol` (cross-block near-dups are sacrificed for a bounded
     * candidate set — the standard trade at corpus scale). The join is an
-    * inverted-index equi-join on token, never a cartesian.
+    * inverted-index equi-join on token — never a cartesian — with
+    * token-frequency skew bounded by [[saltedIndexMatches]] (DF cap +
+    * salted cells; `maxTokenDf = ∞`-ish defaults keep the result exact).
     *
     * Two exact prunes ride in the join condition: the SIZE filter
     * (jaccard ≤ min(n1,n2)/max(n1,n2), so size-ratio < τ pairs can never
@@ -218,24 +288,15 @@ object TextDedup {
     */
   def jaccardPairs(
       df: DataFrame, textCol: String, idCol: String,
-      blockCol: String, tau: Double): DataFrame = {
+      blockCol: String, tau: Double,
+      maxTokenDf: Long = 1L << 16, smallCap: Int = 1024): DataFrame = {
     val tok = Spread.byCols(df, Seq(col(idCol)))
       .select(col(idCol), col(blockCol), array_distinct(tokens(col(textCol))).as("ts"))
       .select(col(idCol), col(blockCol), size(col("ts")).as("n"),
         explode(col("ts")).as("t"))
-    // The self-join sides are the FULL exploded inverted index — never
-    // broadcastable (Spark's size estimate of the post-explode relation
-    // undercounts and AQE happily builds a multi-million-row hashed
-    // relation; measured as a 3× swing at sf0.1 and an executor OOM shape
-    // at 100×). SHUFFLE_HASH pins the scale-safe shuffled build.
-    tok.as("a").hint("shuffle_hash").join(tok.as("b"),
-        col("a.t") === col("b.t") &&
-          col(s"a.$blockCol") === col(s"b.$blockCol") &&
-          col(s"a.$idCol") < col(s"b.$idCol") &&
-          col("a.n") >= col("b.n") * lit(tau) &&
-          col("b.n") >= col("a.n") * lit(tau))
-      .groupBy(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"),
-        col("a.n").as("n1"), col("b.n").as("n2"))
+    saltedIndexMatches(tok, idCol, blockCol, tau, maxTokenDf, smallCap,
+        "graft.jaccard.tokendf")
+      .groupBy(col("d1"), col("d2"), col("n1"), col("n2"))
       .agg(count(lit(1)).as("i"))
       .withColumn("jac", col("i") * lit(1.0) / (col("n1") + col("n2") - col("i")))
       .where(col("jac") >= tau)
@@ -256,7 +317,8 @@ object TextDedup {
     */
   def jaccardPairsPrefix(
       df: DataFrame, textCol: String, idCol: String,
-      blockCol: String, tau: Double): DataFrame = {
+      blockCol: String, tau: Double,
+      maxTokenDf: Long = 1L << 16, smallCap: Int = 1024): DataFrame = {
     val tok = Spread.byCols(df, Seq(col(idCol)))
       .select(col(idCol), col(blockCol), array_distinct(tokens(col(textCol))).as("ts"))
     val docTok = tok.select(col(idCol), explode(col("ts")).as("t"))
@@ -276,16 +338,11 @@ object TextDedup {
       .join(ordered, idCol)
       .select(col(idCol), col(blockCol), col("n"),
         explode(slice(col("toks"), lit(1), prefLen)).as("t"))
-    // same no-broadcast reasoning as [[jaccardPairs]]: prefix rows are an
-    // exploded inverted index, not a dimension table
-    val cand = pref.as("a").hint("shuffle_hash").join(pref.as("b"),
-        col("a.t") === col("b.t") &&
-          col(s"a.$blockCol") === col(s"b.$blockCol") &&
-          col(s"a.$idCol") < col(s"b.$idCol") &&
-          col("a.n") >= col("b.n") * lit(tau) &&
-          col("b.n") >= col("a.n") * lit(tau))
-      .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"),
-        col("a.n").as("n1"), col("b.n").as("n2"))
+    // Prefix tokens are rare BY CONSTRUCTION on a Zipfian corpus, but the
+    // same DF cap + salting guards the degenerate uniform-DF case where
+    // every prefix collapses onto the same few tokens.
+    val cand = saltedIndexMatches(pref, idCol, blockCol, tau, maxTokenDf,
+        smallCap, "graft.jaccard.prefix.tokendf")
       .distinct()
     val sets = tok.select(col(idCol), col("ts"))
     cand

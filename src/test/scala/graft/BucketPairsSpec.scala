@@ -85,6 +85,66 @@ class BucketPairsSpec extends SparkSpec {
     assert(salted == default)
   }
 
+  test("jaccardPairs: stop-word postings list — forced salting reproduces the default result") {
+    // every doc carries the stop word "the"; pairs of near-identical docs
+    // must survive salting unchanged, and the per-cell build stays bounded
+    val docs = (0 until 60).map { i =>
+      val text =
+        if (i < 40) "the quick brown fox jumps over the lazy dog again today"
+        else s"the document ${i} holds words w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f w${i}g w${i}h w${i}i"
+      (i.toLong, text, "en")
+    }.toDF("doc_id", "text", "lang")
+    val default = TextDedup.jaccardPairs(docs, "text", "doc_id", "lang", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val salted = TextDedup.jaccardPairs(docs, "text", "doc_id", "lang", 0.9,
+        maxTokenDf = 1L << 16, smallCap = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 40 identical docs → all C(40,2) pairs at jaccard 1.0
+    assert(default.size == 40 * 39 / 2)
+    assert(salted == default)
+    // prefix variant under the same forced salting
+    val prefixSalted = TextDedup.jaccardPairsPrefix(docs, "text", "doc_id", "lang", 0.9,
+        maxTokenDf = 1L << 16, smallCap = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(prefixSalted == default)
+  }
+
+  test("jaccardPairs: postings lists over maxTokenDf are dropped from the index") {
+    // docs share ONLY the stop word; with it capped out of the index there
+    // is no shared token left, so no candidate pair survives
+    val docs = (0 until 30).map { i =>
+      (i.toLong, s"the u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g u${i}h u${i}i", "en")
+    }.toDF("doc_id", "text", "lang")
+    val capped = TextDedup.jaccardPairs(docs, "text", "doc_id", "lang", 0.05,
+        maxTokenDf = 10, smallCap = 1024)
+    assert(capped.count() == 0)
+    // and without the cap the stop word DOES produce (low-jaccard) pairs
+    val uncapped = TextDedup.jaccardPairs(docs, "text", "doc_id", "lang", 0.05,
+        maxTokenDf = 1L << 16, smallCap = 1024)
+    assert(uncapped.count() == 30 * 29 / 2)
+  }
+
+  test("jaccardPairs salting bounds the per-cell build: no (token, cell) build exceeds smallCap") {
+    val smallCap = 8
+    val docs = (0 until 64).map { i =>
+      (i.toLong, s"the v${i}x v${i}y v${i}z", "en")
+    }.toDF("doc_id", "text", "lang")
+    // reproduce the build-side stage: per (token, block), members salted
+    // into ng = ceil(df / smallCap) groups — each group is one cell's build
+    val tok = docs
+      .select(col("doc_id"), col("lang"),
+        array_distinct(graft.functions.TextFunctions.tokens(col("text"))).as("ts"))
+      .select(col("doc_id"), col("lang"), explode(col("ts")).as("t"))
+    val dfreq = tok.groupBy(col("t"), col("lang")).agg(count(lit(1)).as("__df"))
+    val groups = tok.join(dfreq, Seq("t", "lang"))
+      .withColumn("__ng", greatest(lit(1), ceil(col("__df") / lit(smallCap.toDouble))).cast("int"))
+      .withColumn("__s", pmod(xxhash64(col("doc_id")), col("__ng")).cast("int"))
+      .groupBy(col("t"), col("lang"), col("__s")).count()
+    val worst = groups.agg(max(col("count"))).as[Long].head()
+    // hashing 64 members into 8 groups: expectation 8; 3× headroom
+    assert(worst <= 3L * smallCap, s"worst cell build holds $worst rows")
+  }
+
   test("simhashNearPairs: forced salting reproduces the default result") {
     val docs = (0 until 25).map { i =>
       val text =
