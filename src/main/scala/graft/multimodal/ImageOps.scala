@@ -162,6 +162,119 @@ object ImageOps {
       }
     } catch { case _: Exception => null }
 
+  /** MPEG-7 ColorLayout descriptor (CLD) — the reference's DEFAULT algo
+    * (`loader.js:20` TRACE_ALGO "cl"; ISO/IEC 15938-3 §6.5). Standard
+    * pipeline:
+    *
+    *  1. partition the image into an 8×8 grid and take each cell's average
+    *     color (the "representative color" stage, average being the
+    *     standard's recommended selector);
+    *  2. convert the 64 representative colors RGB → YCbCr;
+    *  3. apply an 8×8 2D DCT to each channel plane;
+    *  4. zigzag-scan each plane and keep the first `nY` luma and `nC` of
+    *     each chroma coefficient (6/3/3 default — the standard's default
+    *     configuration).
+    *
+    * Divergence from the standard, documented: coefficients stay FLOATS
+    * (scaled to roughly [0,1] by the DCT range) instead of the standard's
+    * 5/6-bit nonlinear quantization — the engine searches by inner product
+    * and quantization would only discard ranking information (same call as
+    * [[edgeHistogram]]'s float bins). Returns nY+2·nC floats, or null for
+    * undecodable input.
+    */
+  def colorLayout(bytes: Array[Byte], nY: Int = 6, nC: Int = 3): Array[Float] =
+    try {
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) null
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+        // stage 1: 8×8 representative colors (per-cell RGB means)
+        val sumR, sumG, sumB = new Array[Long](64)
+        val cnt = new Array[Long](64)
+        var p = 0
+        while (p < rgb.length) {
+          val x = p % w
+          val y = p / w
+          val cell = math.min(7, y * 8 / h) * 8 + math.min(7, x * 8 / w)
+          val v = rgb(p)
+          sumR(cell) += (v >> 16) & 0xff
+          sumG(cell) += (v >> 8) & 0xff
+          sumB(cell) += v & 0xff
+          cnt(cell) += 1
+          p += 1
+        }
+        // stage 2: RGB → YCbCr (BT.601 full-range, the standard's space)
+        val yP, cbP, crP = new Array[Double](64)
+        var c = 0
+        while (c < 64) {
+          val n = math.max(1L, cnt(c)).toDouble
+          val r = sumR(c) / n; val g = sumG(c) / n; val b = sumB(c) / n
+          yP(c) = 0.299 * r + 0.587 * g + 0.114 * b
+          cbP(c) = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+          crP(c) = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+          c += 1
+        }
+        // stage 3: 8×8 2D DCT-II per channel
+        def dct8x8(in: Array[Double]): Array[Double] = {
+          val out = new Array[Double](64)
+          var u = 0
+          while (u < 8) {
+            var v = 0
+            while (v < 8) {
+              var s = 0.0
+              var x = 0
+              while (x < 8) {
+                var y = 0
+                while (y < 8) {
+                  s += in(y * 8 + x) *
+                    math.cos((2 * x + 1) * u * math.Pi / 16) *
+                    math.cos((2 * y + 1) * v * math.Pi / 16)
+                  y += 1
+                }
+                x += 1
+              }
+              val cu = if (u == 0) math.sqrt(0.125) else 0.5
+              val cv = if (v == 0) math.sqrt(0.125) else 0.5
+              out(v * 8 + u) = cu * cv * s
+              v += 1
+            }
+            u += 1
+          }
+          out
+        }
+        // stage 4: the standard 8×8 zigzag scan order (indices v*8+u —
+        // horizontal frequency u varies fastest, as in JPEG/MPEG-7)
+        val zigzag = Array(
+          0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+          12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+          35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+          58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+        val dy = dct8x8(yP); val dcb = dct8x8(cbP); val dcr = dct8x8(crP)
+        // DC spans 8×255, AC roughly ±4×255 — scale into ~[0,1] floats
+        val out = new Array[Float](nY + 2 * nC)
+        var i = 0
+        while (i < nY) { out(i) = (dy(zigzag(i)) / 2040.0).toFloat; i += 1 }
+        var j = 0
+        while (j < nC) { out(nY + j) = (dcb(zigzag(j)) / 2040.0).toFloat; j += 1 }
+        j = 0
+        while (j < nC) { out(nY + nC + j) = (dcr(zigzag(j)) / 2040.0).toFloat; j += 1 }
+        out
+      }
+    } catch { case _: Exception => null }
+
+  /** Descriptor registry, keyed the way the reference keys everything on
+    * one `algo` end-to-end (`loader.js:20-21`, `searcher.js:204`): "cl"
+    * ColorLayout (the reference default), "eh" EdgeHistogram, "in" the
+    * intensity grid. Ingest ([[describeImagesWith]]) and serving
+    * ([[graft.serving.SearchService]]) both resolve through this map, so a
+    * table ingested under an algo is searched with the same descriptor.
+    */
+  val descriptors: Map[String, Array[Byte] => Array[Float]] = Map(
+    "in" -> (b => intensityDescriptor(b)),
+    "eh" -> (b => edgeHistogram(b)),
+    "cl" -> (b => colorLayout(b)))
+
   /** Distributed decode + describe over a (id, content) binary DataFrame:
     * the batch-shaped analog of a `mapInPandas` image stage. Output:
     * (id, width, height, ok, descriptor FLOAT[grid²]).
@@ -182,14 +295,22 @@ object ImageOps {
   /** [[describeImages]] with the MPEG-7 EHD descriptor (80 dims) instead of
     * the intensity grid.
     */
-  def describeImagesEhd(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+  def describeImagesEhd(df: DataFrame, idCol: String, bytesCol: String): DataFrame =
+    describeImagesWith(df, idCol, bytesCol, "eh")
+
+  /** [[describeImages]] resolved through the [[descriptors]] registry —
+    * one `algo` string selects the same descriptor at ingest and serving.
+    */
+  def describeImagesWith(df: DataFrame, idCol: String, bytesCol: String,
+                         algo: String): DataFrame = {
+    val fn = descriptors(algo)
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(bytesCol))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
         val m = decodeMeta(bytes)
-        (id, m.width, m.height, m.ok, Option(edgeHistogram(bytes)))
+        (id, m.width, m.height, m.ok, Option(fn(bytes)))
       })
       .toDF(idCol, "width", "height", "ok", "descriptor")
   }

@@ -37,10 +37,20 @@ class SearchService(
     topK: Int = 15, // searcher.js:103
     outputFields: Seq[String] = Nil,
     maxBodyBytes: Long = 10L << 20, // searcher.js:129 "10mb"
-    maxReqPerSec: Int = 100) { // searcher.js:125-127
+    maxReqPerSec: Int = 100, // searcher.js:125-127
+    algo: String = "in") { // loader.js:20-21: one algo keys ingest + search
 
   require(outputFields.forall(table.columns.contains),
     s"outputFields must exist in the table: ${outputFields.mkString(", ")}")
+  require(algo == "in" || ImageOps.descriptors.contains(algo),
+    s"unknown descriptor algo '$algo' (have: in, ${ImageOps.descriptors.keys.mkString(", ")})")
+
+  // Query-side descriptor — MUST match the one the table was ingested with
+  // (the reference keys both ends on TRACE_ALGO; a table of EHD vectors
+  // searched with an intensity query would silently return noise).
+  private val describe: Array[Byte] => Array[Float] =
+    if (algo == "in") ImageOps.intensityDescriptor(_, grid)
+    else ImageOps.descriptors(algo)
 
   private val cached = table.cache()
   cached.count() // materialize — the reference's loadCollectionSync (C9)
@@ -55,7 +65,7 @@ class SearchService(
     * images, searcher.js:232-236).
     */
   def search(imageBytes: Array[Byte]): Option[Seq[Row]] =
-    Option(ImageOps.intensityDescriptor(imageBytes, grid)).map { q =>
+    Option(describe(imageBytes)).map { q =>
       val outCols = (col(idCol) +: outputFields.map(col)) :+
         bestDot(col(vecCol), typedlit(q.map(_.toDouble).toIndexedSeq)).as("score")
       cached.select(outCols: _*)

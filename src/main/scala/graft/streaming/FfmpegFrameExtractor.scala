@@ -76,10 +76,15 @@ object FfmpegFrameExtractor extends FrameFeatureExtractor {
     }
   }
 
-  /** Frame JPEG → (exact-dedup key, hex hash codes): descriptor quantized
-    * to bytes; md5 of those bytes is `hi`, their hex codes are `ha`.
+  /** Frame JPEG → (exact-dedup key, hex hash codes): `hi` is the md5 of
+    * the quantized descriptor (exact-dedup key, like the reference's `_hi`
+    * feature string), `ha` is the [[graft.multimodal.BitSampling]] LSH
+    * output over the descriptor — 100 bundles × 12 bits, the reference's
+    * actual `_ha` vector semantics (BitSampling over a LIRE global
+    * descriptor, SURVEY §1.3 / `loader.js:99-105`) rather than the
+    * quantized descriptor itself.
     */
-  private def describe(frameBytes: Array[Byte]): (String, String) = {
+  private[graft] def describe(frameBytes: Array[Byte]): (String, String) = {
     val d = ImageOps.intensityDescriptor(frameBytes, 8)
     if (d == null) ("", "")
     else {
@@ -87,7 +92,7 @@ object FfmpegFrameExtractor extends FrameFeatureExtractor {
       val md = java.security.MessageDigest.getInstance("MD5")
       val hi = md.digest(q.map(_.toByte))
         .map("%02x".format(_)).mkString
-      (hi, q.map(_.toHexString).mkString(" "))
+      (hi, graft.multimodal.BitSampling.hexCodes(d))
     }
   }
 }

@@ -83,6 +83,47 @@ class ImageOpsSpec extends SparkSpec {
     assert(frames.nonEmpty)
     assert(frames.map(_.time) == frames.map(_.time).sorted)
     assert(frames.forall(_.hi.nonEmpty))
-    assert(frames.forall(f => f.ha.split(" ").length == 64))
+    // ha is now BitSampling LSH output: 100 bundle codes, each ≤ 3 hex digits
+    assert(frames.forall(f => f.ha.split(" ").length == graft.multimodal.BitSampling.Bundles))
+    assert(frames.forall(_.ha.split(" ").forall(c => Integer.parseInt(c, 16) <= 0xfff)))
+  }
+
+  test("colorLayout: 12 dims, flat image is DC-only, garbage is null (cl default algo)") {
+    val flat = ImageOps.colorLayout(png(64, 64)((_, _) => 128))
+    assert(flat.length == 12)
+    // flat gray 128: every channel plane is constant 128 → DC = 8·128,
+    // scaled /2040; all AC coefficients exactly 0
+    val dc = 8 * 128 / 2040.0
+    assert(math.abs(flat(0) - dc) < 1e-3, s"Y DC ${flat(0)}")
+    assert((1 until 6).forall(i => math.abs(flat(i)) < 1e-4), flat.toSeq.toString)
+    assert(math.abs(flat(6) - dc) < 1e-3, s"Cb DC ${flat(6)}")
+    assert((7 until 9).forall(i => math.abs(flat(i)) < 1e-4))
+    assert(math.abs(flat(9) - dc) < 1e-3, s"Cr DC ${flat(9)}")
+    assert((10 until 12).forall(i => math.abs(flat(i)) < 1e-4))
+    // deterministic
+    val a = ImageOps.colorLayout(png(64, 64)((x, y) => (x * 5 + y * 11) % 256))
+    val b = ImageOps.colorLayout(png(64, 64)((x, y) => (x * 5 + y * 11) % 256))
+    assert(a.toSeq == b.toSeq)
+    assert(ImageOps.colorLayout("not an image".getBytes) == null)
+  }
+
+  test("colorLayout: gradients excite the right zigzag AC coefficients") {
+    // horizontal luma gradient → first zigzag AC (u=1,v=0) strong, (0,1) zero
+    val hGrad = ImageOps.colorLayout(png(64, 64)((x, _) => x * 4))
+    assert(math.abs(hGrad(1)) > 0.02, s"AC(1,0)=${hGrad(1)}")
+    assert(math.abs(hGrad(2)) < 1e-4, s"AC(0,1)=${hGrad(2)}")
+    // vertical gradient → the opposite
+    val vGrad = ImageOps.colorLayout(png(64, 64)((_, y) => y * 4))
+    assert(math.abs(vGrad(2)) > 0.02, s"AC(0,1)=${vGrad(2)}")
+    assert(math.abs(vGrad(1)) < 1e-4, s"AC(1,0)=${vGrad(1)}")
+  }
+
+  test("descriptor registry: cl/eh/in resolve and describeImagesWith matches local fns") {
+    assert(ImageOps.descriptors.keySet == Set("in", "eh", "cl"))
+    val p = png(64, 64)((x, y) => (x * 3 + y * 7) % 256)
+    val out = ImageOps.describeImagesWith(Seq((1L, p)).toDF("id", "content"),
+        "id", "content", "cl").collect().head
+    assert(out.getBoolean(3))
+    assert(out.getSeq[Float](4).toArray.toSeq == ImageOps.colorLayout(p).toSeq)
   }
 }

@@ -118,6 +118,36 @@ class IngestSpec extends SparkSpec {
     assert(t(1).getAs[String]("hi") == "OTHERFEAT")
   }
 
+  test("streaming appends -> compaction: file count collapses, content identical (A8/A10)") {
+    import graft.sources.LakeLayout
+    val watch = tmpDir("cwatch")
+    val frames = tmpDir("cframes") + "/tbl"
+    val ckpt = tmpDir("cckpt")
+    Files.createDirectories(Paths.get(watch, "tt0000042"))
+    // micro-batch 1
+    Files.write(Paths.get(watch, "tt0000042", "a.mp4"), Array.fill[Byte](2048)(1))
+    IngestPipeline.start(spark, watch, frames, ckpt, "cl", availableNow = true)
+      .awaitTermination(120000)
+    // micro-batch 2: a new file arrives, same checkpoint → incremental append
+    Files.write(Paths.get(watch, "tt0000042", "b.mp4"), Array.fill[Byte](2048)(2))
+    IngestPipeline.start(spark, watch, frames, ckpt, "cl", availableNow = true)
+      .awaitTermination(120000)
+
+    val before = spark.read.parquet(frames).collect()
+      .map(_.toString).sorted.toSeq
+    assert(before.nonEmpty)
+    val stats = LakeLayout.compactParquet(spark, frames,
+      targetFileBytes = 128L << 20, partitionCols = Seq("algo"))
+    assert(stats.rows == before.size)
+    assert(stats.filesBefore >= 2, s"appends should leave ≥2 files, saw ${stats.filesBefore}")
+    assert(stats.filesAfter < stats.filesBefore,
+      s"compaction must shrink the file count: ${stats.filesBefore} -> ${stats.filesAfter}")
+    // row-identical content and surviving partition layout
+    val after = spark.read.parquet(frames).collect().map(_.toString).sorted.toSeq
+    assert(after == before)
+    assert(Files.exists(Paths.get(frames, "algo=cl")))
+  }
+
   test("StreamingTemporalDedup: kept-set parity with batch across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[TimedRow]

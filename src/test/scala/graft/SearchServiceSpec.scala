@@ -97,6 +97,51 @@ class SearchServiceSpec extends SparkSpec {
     } finally svc.stop()
   }
 
+  test("pluggable descriptor: EHD ingest + EHD query end-to-end, parity vs exactTopK (A13/A16)") {
+    import graft.operators.AnnSearch
+    // stripe textures that EHD separates (intensity means would not: all ~50% gray)
+    def stripes(w: Int, h: Int)(f: (Int, Int) => Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) {
+        val g = if (f(x, y)) 0 else 255
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", buf)
+      buf.toByteArray
+    }
+    val corpus = Seq(
+      (1L, stripes(64, 64)((x, _) => (x / 3) % 2 == 0)),  // vertical stripes
+      (2L, stripes(64, 64)((_, y) => (y / 3) % 2 == 0)),  // horizontal stripes
+      (3L, stripes(64, 64)((_, _) => false)))             // flat
+      .toDF("id", "content")
+    val indexed = ImageOps.describeImagesWith(corpus, "id", "content", "eh")
+      .where($"ok").select($"id", $"descriptor")
+
+    val svc = new SearchService(indexed, "descriptor", "id", topK = 2, algo = "eh")
+    val port = svc.start(0)
+    try {
+      // query: vertical stripes at a shifted phase → must hit image 1
+      val query = stripes(64, 64)((x, _) => ((x + 1) / 3) % 2 == 0)
+      val client = HttpClient.newHttpClient()
+      val resp = client.send(
+        HttpRequest.newBuilder(new URI(s"http://127.0.0.1:$port/search"))
+          .POST(HttpRequest.BodyPublishers.ofByteArray(query)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200)
+      val firstId = """"id":(\d+)""".r.findFirstMatchIn(resp.body()).get.group(1)
+      assert(firstId == "1", s"body: ${resp.body()}")
+      // parity: the service's ranking equals exactTopK over the same
+      // EHD query vector — one algo keys ingest AND search
+      val q = ImageOps.edgeHistogram(query).map(_.toDouble).toIndexedSeq
+      val exact = AnnSearch.exactTopK(indexed, "descriptor", "id", q, 2)
+        .collect().map(_.getLong(0)).toSeq
+      val served = svc.search(query).get.map(_.getLong(0)).toSeq
+      assert(served == exact, s"served=$served exact=$exact")
+    } finally svc.stop()
+  }
+
   test("protective surface: 10MB body cap -> 413, rate limit -> 429 (searcher.js:125-136)") {
     val corpus = Seq((1L, png(0, 255))).toDF("id", "content")
     val indexed = ImageOps.describeImages(corpus, "id", "content")
