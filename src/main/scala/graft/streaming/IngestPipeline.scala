@@ -30,13 +30,15 @@ object IngestPipeline {
   case class RawFrame(imdbId: String, fileName: String, time: Double,
                       hi: String, ha: String)
 
-  /** Frame+feature extraction boundary (SURVEY A15/A16). The real engine
-    * shells to ffmpeg (`-vf fps=12,scale=-2:180`, `hasher.js:87`) and calls
-    * LIRE `GlobalFeature.extract` + `BitSampling.generateHashes` in-JVM;
-    * neither ffmpeg nor the LIRE jar is present in this environment, so
-    * [[StubFrameFeatureExtractor]] fakes the decode deterministically while
-    * every Spark-side seam (schema, partitioning, task-parallel extraction)
-    * is real and tested.
+  /** Frame+feature extraction boundary (SURVEY A15/A16). The reference
+    * shells to ffmpeg (`-vf fps=12,scale=-2:180`, `hasher.js:87`) and runs
+    * LIRE global-feature extraction + BitSampling hashing in-JVM; here
+    * [[FfmpegFrameExtractor]] reproduces the ffmpeg stage for real (when
+    * the binary exists) with [[graft.multimodal.ImageOps]] descriptors +
+    * [[graft.multimodal.BitSampling]] LSH codes as the feature stage, and
+    * [[StubFrameFeatureExtractor]] fakes the decode deterministically in
+    * binary-less environments while every Spark-side seam (schema,
+    * partitioning, task-parallel extraction) stays real and tested.
     */
   trait FrameFeatureExtractor extends Serializable {
     def extract(imdbId: String, fileName: String, bytes: Array[Byte]): Iterator[RawFrame]
