@@ -158,14 +158,22 @@ object TextDedup {
       .withColumn("__g", pmod(xxhash64(col("__m")), col("__ng")).cast("int"))
       .select(col("__bk"), col("__m"), col("__g"), explode(expr(
         "transform(sequence(0, __ng - 1), x -> struct(least(x, __g) AS lo, greatest(x, __g) AS hi))")).as("__cell"))
+      // lo/hi must be TOP-LEVEL columns before the spread: a struct-valued
+      // partition key (__cell) does not satisfy the downstream groupBy's
+      // clustering on its fields, so Catalyst would insert a SECOND full
+      // shuffle of the member payloads right after the explicit one.
+      .select(col("__bk"), col("__m"), col("__g"),
+        col("__cell.lo").as("lo"), col("__cell.hi").as("hi"))
     // The cell re-shuffle must be EXPLICIT: hash-partitioning on __bk alone
     // already satisfies the (bk, lo, hi) clustering requirement, so Catalyst
     // would otherwise keep every cell of a bucket on the bucket's task —
     // bounding memory but not distributing the O(b²) emission (and AQE can
     // coalesce the small bucket shuffle to ONE task for the whole stage).
-    val spread = Spread.byCols(cells, Seq(col("__bk"), col("__cell")))
+    // Spreading on exactly (bk, lo, hi) makes this the ONLY shuffle: the
+    // groupBy's clustering requirement is satisfied by it.
+    val spread = Spread.byCols(cells, Seq(col("__bk"), col("lo"), col("hi")))
     spread
-      .groupBy(col("__bk"), col("__cell.lo").as("lo"), col("__cell.hi").as("hi"))
+      .groupBy(col("__bk"), col("lo"), col("hi"))
       .agg(sort_array(collect_list(struct(col("__m").as("m"), col("__g").as("g")))).as("xs"))
       .where(size(col("xs")) > 1)
       .select(explode(expr(
