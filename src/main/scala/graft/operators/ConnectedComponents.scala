@@ -22,8 +22,66 @@ import org.apache.spark.sql.functions._
   * Each round ends in `localCheckpoint` — without lineage truncation the
   * iterated plan nests one join deeper per round and analysis cost grows
   * superlinearly.
+  *
+  * Both algorithms finish ON THE DRIVER once the (measured) edge count is
+  * under `localThreshold`: the distributed rounds exist to SHRINK a graph
+  * that doesn't fit anywhere, and a round of distributed joins on a graph
+  * that fits in a few MB is pure scheduling overhead — measured 2–20 s PER
+  * ROUND on a 1.8k-edge graph at 32 threads, vs <1 ms of driver union-find.
+  * This mirrors GraphFrames' connected-components local-finish optimization.
+  * The bound is explicit and checked against counts the convergence tests
+  * already compute, so driver memory stays O(localThreshold) by
+  * construction; pass `localThreshold = 0` to force the fully distributed
+  * path (the specs do, to pin its correctness).
   */
 object ConnectedComponents {
+
+  /** ~1M edges ≈ tens of MB collected — far under driver headroom, far over
+    * any per-round shuffle's break-even point.
+    */
+  val DefaultLocalThreshold: Long = 1L << 20
+
+  private def lt(a: Any, b: Any): Boolean = ((a, b): @unchecked) match {
+    case (x: Long, y: Long)     => x < y
+    case (x: Int, y: Int)       => x < y
+    case (x: Short, y: Short)   => x < y
+    case (x: String, y: String) => x < y
+    case (x: Double, y: Double) => x < y
+    case _ => sys.error(s"unsupported id type for local CC finish: ${a.getClass}")
+  }
+
+  /** Union-find (min id as representative) over a collected edge list, then
+    * a broadcast map-back onto the distributed vertex set. Exact same
+    * (id, cluster) contract as the distributed rounds.
+    */
+  private def finishLocal(
+      vertices: DataFrame, idName: String, edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val spark = vertices.sparkSession
+    val rows = edges.collect()
+    val parent = new scala.collection.mutable.HashMap[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    rows.foreach { r =>
+      val (ra, rb) = (find(r.get(0)), find(r.get(1)))
+      if (ra != rb) { if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb }
+    }
+    val idType = edges.schema.fields.head.dataType
+    val mapping = rows.iterator.flatMap(r => Iterator(r.get(0), r.get(1)))
+      .toSet[Any].iterator.map(id => Row(id, find(id))).toSeq
+    val mdf = spark.createDataFrame(mapping.asJava,
+      StructType(Seq(StructField("id", idType), StructField("__root", idType))))
+    vertices.select(col(idName).as("id"))
+      .join(broadcast(mdf), Seq("id"), "left")
+      .select(col("id").as(idName), coalesce(col("__root"), col("id")).as("cluster"))
+  }
 
   /** @param vertices one column, every vertex id (pairs alone would drop
     *                 singleton documents from the output)
@@ -33,10 +91,15 @@ object ConnectedComponents {
   def minLabel(
       vertices: DataFrame,
       pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20,
+      localThreshold: Long = DefaultLocalThreshold): DataFrame = {
     val idName = vertices.columns.head
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    val raw = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .localCheckpoint()
+    // Label propagation never shrinks the edge set, so the local-finish
+    // decision is a one-shot check on the input size.
+    if (raw.count() <= localThreshold) return finishLocal(vertices, idName, raw)
+    val edges = raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
     var labels = vertices.select(col(idName).as("id"), col(idName).as("lbl"))
       .localCheckpoint()
@@ -78,7 +141,8 @@ object ConnectedComponents {
   def alternatingStar(
       vertices: DataFrame,
       pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 30): DataFrame = {
+      maxIter: Int = 30,
+      localThreshold: Long = DefaultLocalThreshold): DataFrame = {
     val idName = vertices.columns.head
     // Canonical edges point large → small (src > dst); self-loops dropped.
     def canon(e: DataFrame): DataFrame = e
@@ -113,18 +177,26 @@ object ConnectedComponents {
       canon(linked)
     }
 
+    val dbg = sys.env.contains("GRAFT_CC_DEBUG")
     var edges = canon(
       pairs.select(col(aCol).as("src"), col(bCol).as("dst"))).localCheckpoint()
     var sig = signature(edges)
     var done = edges.isEmpty
     var i = 0
     while (!done && i < maxIter) {
+      // Star rounds preserve connectivity while strictly shrinking toward a
+      // star per component, so the moment the surviving edge set is small
+      // enough, union-find on the driver finishes the job exactly.
+      if (sig._1 <= localThreshold) return finishLocal(vertices, idName, edges)
+      val t0 = System.nanoTime()
       val next = smallStar(largeStar(edges)).localCheckpoint()
       val nsig = signature(next)
       done = nsig == sig
       sig = nsig
       edges = next
       i += 1
+      if (dbg) System.err.println(
+        f"[cc] round $i edges=${nsig._1} ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     // Fixpoint is a star: every non-root points at its component min.
     vertices.select(col(idName).as("id"))
