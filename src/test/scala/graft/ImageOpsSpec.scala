@@ -118,8 +118,38 @@ class ImageOpsSpec extends SparkSpec {
     assert(math.abs(vGrad(1)) < 1e-4, s"AC(1,0)=${vGrad(1)}")
   }
 
-  test("descriptor registry: cl/eh/in resolve and describeImagesWith matches local fns") {
-    assert(ImageOps.descriptors.keySet == Set("in", "eh", "cl"))
+  /** Render a w×h PNG with a per-pixel packed-RGB function. */
+  private def pngRgb(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, f(x, y))
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    buf.toByteArray
+  }
+
+  test("scalableColor: 64 dims, mean coefficient, hue locality, garbage null (sc)") {
+    val red = ImageOps.scalableColor(pngRgb(64, 64)((_, _) => 0xff0000))
+    assert(red.length == 64)
+    // Haar mass conservation: coefficient 0 is the 256-bin histogram mean,
+    // and a normalized histogram always sums to 1
+    assert(math.abs(red(0) - 1f / 256) < 1e-5, s"mean coeff ${red(0)}")
+    // deterministic
+    val a = ImageOps.scalableColor(pngRgb(64, 64)((x, y) => (x * 31 + y * 67) * 97))
+    val b = ImageOps.scalableColor(pngRgb(64, 64)((x, y) => (x * 31 + y * 67) * 97))
+    assert(a.toSeq == b.toSeq)
+    // hue locality: near-red is closer to red than blue is
+    def d2(u: Array[Float], v: Array[Float]) =
+      u.zip(v).map { case (x, y) => (x - y) * (x - y) }.sum
+    val nearRed = ImageOps.scalableColor(pngRgb(64, 64)((_, _) => 0xff1505))
+    val blue = ImageOps.scalableColor(pngRgb(64, 64)((_, _) => 0x0000ff))
+    assert(d2(red, nearRed) < d2(red, blue),
+      s"near-red ${d2(red, nearRed)} vs blue ${d2(red, blue)}")
+    assert(ImageOps.scalableColor("not an image".getBytes) == null)
+  }
+
+  test("descriptor registry: cl/eh/sc/in resolve and describeImagesWith matches local fns") {
+    assert(ImageOps.descriptors.keySet == Set("in", "eh", "cl", "sc"))
     val p = png(64, 64)((x, y) => (x * 3 + y * 7) % 256)
     val out = ImageOps.describeImagesWith(Seq((1L, p)).toDF("id", "content"),
         "id", "content", "cl").collect().head
