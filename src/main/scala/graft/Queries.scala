@@ -544,6 +544,35 @@ object Queries {
     TextDedup.fingerprintMinK(Tables.documents(s, d), "text", "doc_id", 3, 4)
       .orderBy(col("doc_id"))
 
+  /** P1 corpus clean — the flagship training-data composition: language-ID
+    * (t1's heuristic) → quality gate (t2's score ≥ 0.5) → exact dedup (e1's
+    * min-id-per-text), one declarative plan. Catalyst fuses the langid +
+    * quality expressions into the scan projection and the dedup groupBy is
+    * the only shuffle; the filter runs BEFORE it, so at 100 TB the shuffle
+    * carries only the surviving (clean, English) slice.
+    */
+  val p1CorpusClean: Q = (s, d) => {
+    import s.implicits._
+    val toks = tokens($"text")
+    val sEn = countIn(toks, StopwordsEn).cast("long")
+    val sDe = countIn(toks, StopwordsDe).cast("long")
+    val sEs = countIn(toks, StopwordsEs).cast("long")
+    val sFr = countIn(toks, StopwordsFr).cast("long")
+    val pred = when(sEn >= sDe && sEn >= sEs && sEn >= sFr, "en")
+      .when(sDe >= sEs && sDe >= sFr, "de")
+      .when(sEs >= sFr, "es")
+      .otherwise("fr")
+    Tables.documents(s, d)
+      .select($"doc_id", $"text", pred.as("pred"),
+        round(qualityScore($"text"), 6).as("quality"))
+      .where($"pred" === "en" && $"quality" >= 0.5)
+      .groupBy($"text")
+      .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("dup_count"),
+        min($"quality").as("quality"))
+      .select($"doc_id", $"dup_count", $"quality")
+      .orderBy($"doc_id")
+  }
+
   // ------------------------------------------------------- oracle SQL texts
 
   val oracle: Map[String, String] = Map(
@@ -831,6 +860,30 @@ object Queries {
         |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
         |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred
         |FROM c ORDER BY doc_id""".stripMargin,
+    // t1's langid CASE + t2's quality formula + e1's dedup, composed
+    "p1_corpus_clean" ->
+      """WITH s AS (SELECT doc_id, text, string_split(text, ' ') AS w,
+        |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS np FROM documents),
+        |c AS (SELECT doc_id, text,
+        |  len(list_filter(w, t -> t IN ('the','a','of','and','to','in','is','it'))) AS s_en,
+        |  len(list_filter(w, t -> t IN ('der','die','das','und','ist','ein','zu','mit'))) AS s_de,
+        |  len(list_filter(w, t -> t IN ('el','la','de','y','es','un','en','que'))) AS s_es,
+        |  len(list_filter(w, t -> t IN ('le','la','de','et','est','un','en','que'))) AS s_fr,
+        |  CAST(len(w) AS BIGINT) AS n_tokens,
+        |  np::DOUBLE / greatest(length(text)::DOUBLE, 1.0) AS punct_ratio,
+        |  CAST(len(list_filter(w, t -> t IN ('the','a','of','and','to','in','is','it'))) AS BIGINT)::DOUBLE / greatest(len(w)::DOUBLE, 1.0) AS sw_ratio
+        |  FROM s),
+        |q AS (SELECT doc_id, text,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred,
+        |  round(((CASE WHEN n_tokens::DOUBLE >= 5 AND n_tokens::DOUBLE <= 2000 THEN 1.0 ELSE 0.0 END)
+        |    + (CASE WHEN punct_ratio <= 0.1 THEN 1.0 ELSE 0.0 END)
+        |    + least(sw_ratio * 5.0, 1.0)) / 3.0, 6) AS quality
+        |  FROM c)
+        |SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS dup_count, min(quality) AS quality
+        |FROM q WHERE pred = 'en' AND quality >= 0.5
+        |GROUP BY text ORDER BY doc_id""".stripMargin,
     "t2_quality" ->
       """WITH b AS (SELECT doc_id, text, string_split(text, ' ') AS w,
         |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS np FROM documents),
@@ -907,5 +960,6 @@ object Queries {
     "t2_quality" -> t2Quality,
     "t3_token_stats" -> t3TokenStats,
     "t4_fingerprint" -> t4Fingerprint,
+    "p1_corpus_clean" -> p1CorpusClean,
   )
 }
