@@ -325,10 +325,198 @@ object ImageOps {
       }
     } catch { case _: Exception => null }
 
+  /** Opponent-color histogram (LIRE code "oh"; van de Sande et al., TPAMI
+    * 2010 opponent space): per pixel
+    *
+    *   O1 = (R − G)/√2,  O2 = (R + G − 2B)/√6,  O3 = (R + G + B)/√3
+    *
+    * each quantized to 4 uniform bins over its full range → 64-bin
+    * normalized histogram. O3 is intensity, O1/O2 are the chromatic axes
+    * (shadow/shading-invariant up to offset). Returns 64 floats summing to
+    * 1, or null for undecodable input.
+    */
+  def opponentHistogram(bytes: Array[Byte]): Array[Float] =
+    try {
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) null
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+        val hist = new Array[Double](64)
+        val s2 = math.sqrt(2.0); val s6 = math.sqrt(6.0); val s3 = math.sqrt(3.0)
+        var p = 0
+        while (p < rgb.length) {
+          val v = rgb(p)
+          val r = (v >> 16) & 0xff; val g = (v >> 8) & 0xff; val b = v & 0xff
+          val o1 = (r - g) / s2                  // [-255/√2, 255/√2]
+          val o2 = (r + g - 2.0 * b) / s6        // [-510/√6, 510/√6]
+          val o3 = (r + g + b) / s3              // [0, 765/√3]
+          val b1 = math.min(3, ((o1 + 255.0 / s2) / (510.0 / s2 + 1e-9) * 4).toInt)
+          val b2 = math.min(3, ((o2 + 510.0 / s6) / (1020.0 / s6 + 1e-9) * 4).toInt)
+          val b3 = math.min(3, (o3 / (765.0 / s3 + 1e-9) * 4).toInt)
+          hist(b1 * 16 + b2 * 4 + b3) += 1.0
+          p += 1
+        }
+        val out = new Array[Float](64)
+        var i = 0
+        while (i < 64) { out(i) = (hist(i) / rgb.length).toFloat; i += 1 }
+        out
+      }
+    } catch { case _: Exception => null }
+
+  /** Auto color correlogram (LIRE code "ac"; Huang et al., CVPR'97): with
+    * colors quantized to 64 cells (4 per RGB channel), entry (c, d) is the
+    * probability that a neighbor at L∞ (chessboard) distance d of a pixel
+    * of color c also has color c — texture-aware color statistics that
+    * plain histograms miss. Distances {1, 3, 5, 7} (the paper's default
+    * set) → 256 floats, color-major. Images are downscaled so the longest
+    * side is ≤ `maxSide` first: the correlogram is a neighborhood STATISTIC,
+    * stable under scaling, and the scan is O(w·h·|D|·8). Returns null for
+    * undecodable input.
+    */
+  def autoColorCorrelogram(bytes: Array[Byte], maxSide: Int = 128): Array[Float] =
+    try {
+      val img0 = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img0 == null) null
+      else {
+        val scale = math.max(1.0, math.max(img0.getWidth, img0.getHeight) / maxSide.toDouble)
+        val (w, h) = (math.max(1, (img0.getWidth / scale).toInt),
+          math.max(1, (img0.getHeight / scale).toInt))
+        val img =
+          if (scale == 1.0) img0
+          else {
+            val s = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+            val g = s.createGraphics()
+            g.drawImage(img0, 0, 0, w, h, null)
+            g.dispose()
+            s
+          }
+        val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+        val q = new Array[Int](rgb.length)
+        var p = 0
+        while (p < rgb.length) {
+          val v = rgb(p)
+          q(p) = (((v >> 16) & 0xff) >> 6) * 16 + (((v >> 8) & 0xff) >> 6) * 4 + ((v & 0xff) >> 6)
+          p += 1
+        }
+        val dists = Array(1, 3, 5, 7)
+        // the 8 axis/diagonal neighbors at chessboard distance d — the
+        // paper's O(1)-per-distance sampling of the L∞ ring
+        val ox = Array(-1, 0, 1, -1, 1, -1, 0, 1)
+        val oy = Array(-1, -1, -1, 0, 0, 1, 1, 1)
+        val same = Array.ofDim[Long](64, dists.length)
+        val total = Array.ofDim[Long](64, dists.length)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val c = q(y * w + x)
+            var di = 0
+            while (di < dists.length) {
+              val d = dists(di)
+              var k = 0
+              while (k < 8) {
+                val nx = x + ox(k) * d
+                val ny = y + oy(k) * d
+                if (nx >= 0 && nx < w && ny >= 0 && ny < h) {
+                  total(c)(di) += 1
+                  if (q(ny * w + nx) == c) same(c)(di) += 1
+                }
+                k += 1
+              }
+              di += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        val out = new Array[Float](64 * dists.length)
+        var c = 0
+        while (c < 64) {
+          var di = 0
+          while (di < dists.length) {
+            out(c * dists.length + di) =
+              if (total(c)(di) == 0) 0f
+              else (same(c)(di).toDouble / total(c)(di)).toFloat
+            di += 1
+          }
+          c += 1
+        }
+        out
+      }
+    } catch { case _: Exception => null }
+
+  /** PHOG — pyramid histogram of oriented gradients (LIRE code "ph"; Bosch,
+    * Zisserman, Munoz, CIVR'07). Sobel gradients on the gray plane,
+    * magnitude-weighted votes into `nBins` unsigned orientation bins
+    * ([0, 180)), accumulated over a 3-level spatial pyramid — 1×1, 2×2,
+    * 4×4 cells → nBins·(1+4+16) dims (168 at the default 8 bins), finest
+    * level last, L1-normalized over the whole vector (Bosch §3.2). Returns
+    * null for undecodable input.
+    */
+  def phog(bytes: Array[Byte], nBins: Int = 8): Array[Float] =
+    try {
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) null
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+        val gray = new Array[Int](w * h)
+        var p = 0
+        while (p < rgb.length) {
+          val v = rgb(p)
+          gray(p) = (((v >> 16) & 0xff) * 299 + ((v >> 8) & 0xff) * 587 +
+            (v & 0xff) * 114) / 1000
+          p += 1
+        }
+        val dims = nBins * (1 + 4 + 16)
+        val acc = new Array[Double](dims)
+        var y = 1
+        while (y < h - 1) {
+          var x = 1
+          while (x < w - 1) {
+            def g(xx: Int, yy: Int) = gray(yy * w + xx)
+            val gx = (g(x + 1, y - 1) + 2 * g(x + 1, y) + g(x + 1, y + 1)) -
+              (g(x - 1, y - 1) + 2 * g(x - 1, y) + g(x - 1, y + 1))
+            val gy = (g(x - 1, y + 1) + 2 * g(x, y + 1) + g(x + 1, y + 1)) -
+              (g(x - 1, y - 1) + 2 * g(x, y - 1) + g(x + 1, y - 1))
+            val mag = math.sqrt(gx.toDouble * gx + gy.toDouble * gy)
+            if (mag > 0) {
+              // unsigned orientation in [0, 180)
+              val theta = {
+                val t = math.toDegrees(math.atan2(gy, gx))
+                val u = if (t < 0) t + 180.0 else t
+                if (u >= 180.0) u - 180.0 else u
+              }
+              val bin = math.min(nBins - 1, (theta / 180.0 * nBins).toInt)
+              // level 0: whole image; level 1: 2×2; level 2: 4×4
+              acc(bin) += mag
+              val c1 = math.min(1, y * 2 / h) * 2 + math.min(1, x * 2 / w)
+              acc(nBins * (1 + c1) + bin) += mag
+              val c2 = math.min(3, y * 4 / h) * 4 + math.min(3, x * 4 / w)
+              acc(nBins * (1 + 4 + c2) + bin) += mag
+            }
+            x += 1
+          }
+          y += 1
+        }
+        var s = 0.0
+        var i = 0
+        while (i < dims) { s += acc(i); i += 1 }
+        val out = new Array[Float](dims)
+        if (s > 0) {
+          i = 0
+          while (i < dims) { out(i) = (acc(i) / s).toFloat; i += 1 }
+        }
+        out
+      }
+    } catch { case _: Exception => null }
+
   /** Descriptor registry, keyed the way the reference keys everything on
     * one `algo` end-to-end (`loader.js:20-21`, `searcher.js:204`): "cl"
     * ColorLayout (the reference default), "eh" EdgeHistogram, "sc"
-    * ScalableColor, "in" the
+    * ScalableColor, "oh" OpponentHistogram, "ac" AutoColorCorrelogram,
+    * "ph" PHOG, "in" the
     * intensity grid. Ingest ([[describeImagesWith]]) and serving
     * ([[graft.serving.SearchService]]) both resolve through this map, so a
     * table ingested under an algo is searched with the same descriptor.
@@ -337,7 +525,10 @@ object ImageOps {
     "in" -> (b => intensityDescriptor(b)),
     "eh" -> (b => edgeHistogram(b)),
     "cl" -> (b => colorLayout(b)),
-    "sc" -> (b => scalableColor(b)))
+    "sc" -> (b => scalableColor(b)),
+    "oh" -> (b => opponentHistogram(b)),
+    "ac" -> (b => autoColorCorrelogram(b)),
+    "ph" -> (b => phog(b)))
 
   /** Distributed decode + describe over a (id, content) binary DataFrame:
     * the batch-shaped analog of a `mapInPandas` image stage. Output:

@@ -148,8 +148,57 @@ class ImageOpsSpec extends SparkSpec {
     assert(ImageOps.scalableColor("not an image".getBytes) == null)
   }
 
-  test("descriptor registry: cl/eh/sc/in resolve and describeImagesWith matches local fns") {
-    assert(ImageOps.descriptors.keySet == Set("in", "eh", "cl", "sc"))
+  test("opponentHistogram: 64 dims, unit mass, flat image single bin, hue separation (oh)") {
+    val gray = ImageOps.opponentHistogram(png(64, 64)((_, _) => 128))
+    assert(gray.length == 64)
+    assert(math.abs(gray.sum - 1f) < 1e-5)
+    assert(gray.count(_ > 0f) == 1, "flat image must land in exactly one opponent cell")
+    val red = ImageOps.opponentHistogram(pngRgb(64, 64)((_, _) => 0xff0000))
+    val blue = ImageOps.opponentHistogram(pngRgb(64, 64)((_, _) => 0x0000ff))
+    assert(red.indexWhere(_ > 0f) != blue.indexWhere(_ > 0f),
+      "red and blue must occupy different opponent cells")
+    val a = ImageOps.opponentHistogram(pngRgb(64, 64)((x, y) => (x * 31 + y * 67) * 97))
+    val b = ImageOps.opponentHistogram(pngRgb(64, 64)((x, y) => (x * 31 + y * 67) * 97))
+    assert(a.toSeq == b.toSeq)
+    assert(ImageOps.opponentHistogram("not an image".getBytes) == null)
+  }
+
+  test("autoColorCorrelogram: flat image autocorrelates at 1, checkerboard at ~0.5 (ac)") {
+    val flat = ImageOps.autoColorCorrelogram(pngRgb(64, 64)((_, _) => 0x808080))
+    assert(flat.length == 256)
+    // all pixels share one quantized color → same-color probability 1 at
+    // every distance for that color, 0 everywhere else
+    val c = (0x80 >> 6) * 16 + (0x80 >> 6) * 4 + (0x80 >> 6)
+    assert((0 until 4).forall(d => flat(c * 4 + d) == 1f), flat.toSeq.filter(_ > 0).toString)
+    assert(flat.sum == 4f)
+    // 1-px checkerboard: of the 8 chessboard-distance-1 neighbors, the 4
+    // diagonals share the color and the 4 axis neighbors don't → ~0.5
+    val check = ImageOps.autoColorCorrelogram(pngRgb(64, 64)((x, y) =>
+      if ((x + y) % 2 == 0) 0x000000 else 0xffffff))
+    val black = 0; val white = 3 * 16 + 3 * 4 + 3
+    assert(math.abs(check(black * 4) - 0.5f) < 0.05, s"black d=1 ${check(black * 4)}")
+    assert(math.abs(check(white * 4) - 0.5f) < 0.05, s"white d=1 ${check(white * 4)}")
+    assert(ImageOps.autoColorCorrelogram("not an image".getBytes) == null)
+  }
+
+  test("phog: 168 dims, flat image zero, stripe orientations hit the right bins (ph)") {
+    val flat = ImageOps.phog(png(64, 64)((_, _) => 128))
+    assert(flat.length == 8 * (1 + 4 + 16))
+    assert(flat.forall(_ == 0f), "flat image has no gradients")
+    // vertical stripes → horizontal gradient → orientation 0° → bin 0
+    val vert = ImageOps.phog(png(64, 64)((x, _) => if ((x / 3) % 2 == 0) 0 else 255))
+    assert(math.abs(vert.sum - 1f) < 1e-4, "PHOG is L1-normalized")
+    assert((0 until 8).forall(k => k == 0 || vert(0) >= vert(k)),
+      s"level-0 bins ${vert.take(8).toSeq}")
+    // horizontal stripes → vertical gradient → orientation 90° → bin 4
+    val horiz = ImageOps.phog(png(64, 64)((_, y) => if ((y / 3) % 2 == 0) 0 else 255))
+    assert((0 until 8).forall(k => k == 4 || horiz(4) >= horiz(k)),
+      s"level-0 bins ${horiz.take(8).toSeq}")
+    assert(ImageOps.phog("not an image".getBytes) == null)
+  }
+
+  test("descriptor registry: cl/eh/sc/oh/ac/ph/in resolve and describeImagesWith matches local fns") {
+    assert(ImageOps.descriptors.keySet == Set("in", "eh", "cl", "sc", "oh", "ac", "ph"))
     val p = png(64, 64)((x, y) => (x * 3 + y * 7) % 256)
     val out = ImageOps.describeImagesWith(Seq((1L, p)).toDF("id", "content"),
         "id", "content", "cl").collect().head
