@@ -142,6 +142,52 @@ class SearchServiceSpec extends SparkSpec {
     } finally svc.stop()
   }
 
+  test("every registry descriptor serves end-to-end: ingest algo = search algo, parity vs exactTopK") {
+    import graft.operators.AnnSearch
+    // fixtures differ in BOTH color and texture so every descriptor family
+    // (color: in/cl/sc/oh/ac — texture: eh/ph) separates them
+    def rgbImg(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, f(x, y))
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", buf)
+      buf.toByteArray
+    }
+    // stripe width 7: incommensurate with BOTH the intensity grid's 8-px
+    // cells and EHD's 2-px blocks, so neither descriptor aliases the
+    // texture away (width-3 stripes average to near-constant 8-px cells,
+    // leaving the flat image MORE query-aligned than the striped one)
+    val corpus = Seq(
+      (1L, rgbImg(64, 64)((x, _) => if ((x / 7) % 2 == 0) 0xcc0000 else 0x110000)),
+      (2L, rgbImg(64, 64)((_, y) => if ((y / 7) % 2 == 0) 0x0000cc else 0x000011)),
+      (3L, rgbImg(64, 64)((_, _) => 0x00a000)))
+      .toDF("id", "content")
+    // query: image 1's pattern at a shifted stripe phase
+    val query = rgbImg(64, 64)((x, _) => if (((x + 1) / 7) % 2 == 0) 0xcc0000 else 0x110000)
+    // L2-normalize like the real pipeline (B8/C11) so inner product ranks by
+    // angle, not magnitude (raw IP would favor whichever image is brightest)
+    import org.apache.spark.sql.functions.expr
+    def norm(q: IndexedSeq[Double]): IndexedSeq[Double] = {
+      val n = math.max(math.sqrt(q.map(x => x * x).sum), 1e-9)
+      q.map(_ / n)
+    }
+    ImageOps.descriptors.foreach { case (algo, fn) =>
+      val indexed = ImageOps.describeImagesWith(corpus, "id", "content", algo)
+        .where($"ok")
+        .select($"id", expr(
+          "transform(descriptor, x -> cast(x / greatest(sqrt(aggregate(descriptor, 0D, (a, v) -> a + double(v) * double(v))), 1e-9) AS FLOAT))")
+          .as("descriptor"))
+      val svc = new SearchService(indexed, "descriptor", "id", topK = 3, algo = algo)
+      val served = svc.search(query).get.map(_.getLong(0)).toSeq
+      val q = norm(fn(query).map(_.toDouble).toIndexedSeq)
+      val exact = AnnSearch.exactTopK(indexed, "descriptor", "id", q, 3)
+        .collect().map(_.getLong(0)).toSeq
+      assert(served == exact, s"algo=$algo served=$served exact=$exact")
+      assert(served.head == 1L, s"algo=$algo must rank the near-duplicate first: $served")
+    }
+  }
+
   test("protective surface: 10MB body cap -> 413, rate limit -> 429 (searcher.js:125-136)") {
     val corpus = Seq((1L, png(0, 255))).toDF("id", "content")
     val indexed = ImageOps.describeImages(corpus, "id", "content")
