@@ -512,11 +512,97 @@ object ImageOps {
       }
     } catch { case _: Exception => null }
 
+  /** Shared trilinear fuzzy-histogram accumulator: each pixel's 3-axis value
+    * contributes fractional mass to the 8 surrounding bin-center cells
+    * (triangular membership per axis, product-combined) — the standard
+    * fuzzy-histogram construction that removes hard quantization boundaries.
+    * `centers` per axis at (i + 0.5)/n of the axis range. 4³ = 64 bins,
+    * normalized to unit mass.
+    */
+  private def fuzzyHist3(
+      pixels: Array[Int], n: Int,
+      axes: Int => (Double, Double, Double), // pixel → (a1, a2, a3) in [0,1]
+      count: Int): Array[Float] = {
+    val hist = new Array[Double](n * n * n)
+    def spread(v: Double): (Int, Int, Double) = {
+      // position in center-space: centers at (i + 0.5)/n
+      val t = v * n - 0.5
+      val lo = math.floor(t).toInt
+      val frac = t - lo
+      (math.max(0, lo), math.min(n - 1, lo + 1), frac)
+    }
+    var p = 0
+    while (p < count) {
+      val (a1, a2, a3) = axes(p)
+      val (l1, u1, f1) = spread(a1)
+      val (l2, u2, f2) = spread(a2)
+      val (l3, u3, f3) = spread(a3)
+      var k = 0
+      while (k < 8) {
+        val b1 = if ((k & 4) == 0) l1 else u1
+        val b2 = if ((k & 2) == 0) l2 else u2
+        val b3 = if ((k & 1) == 0) l3 else u3
+        val w = (if ((k & 4) == 0) 1 - f1 else f1) *
+          (if ((k & 2) == 0) 1 - f2 else f2) *
+          (if ((k & 1) == 0) 1 - f3 else f3)
+        hist(b1 * n * n + b2 * n + b3) += w
+        k += 1
+      }
+      p += 1
+    }
+    val out = new Array[Float](n * n * n)
+    var i = 0
+    while (i < out.length) { out(i) = (hist(i) / count).toFloat; i += 1 }
+    out
+  }
+
+  /** Fuzzy color histogram (LIRE code "fc"): 64-bin RGB histogram with
+    * triangular fuzzy membership — every pixel splits its mass trilinearly
+    * across the 8 neighboring bin centers, so a 1-step color change moves
+    * the descriptor continuously instead of jumping quantization cliffs.
+    * Returns 64 floats summing to 1, or null for undecodable input.
+    */
+  def fuzzyColorHistogram(bytes: Array[Byte]): Array[Float] =
+    try {
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) null
+      else {
+        val rgb = img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
+        fuzzyHist3(rgb, 4, { p =>
+          val v = rgb(p)
+          (((v >> 16) & 0xff) / 255.0, ((v >> 8) & 0xff) / 255.0, (v & 0xff) / 255.0)
+        }, rgb.length)
+      }
+    } catch { case _: Exception => null }
+
+  /** Fuzzy opponent histogram (LIRE code "fo"): the same trilinear fuzzy
+    * construction over the [[opponentHistogram]] axes (O1/O2/O3 scaled to
+    * [0,1]) — chromatic fuzziness in the shadow-invariant space. Returns
+    * 64 floats summing to 1, or null for undecodable input.
+    */
+  def fuzzyOpponentHistogram(bytes: Array[Byte]): Array[Float] =
+    try {
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) null
+      else {
+        val rgb = img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
+        fuzzyHist3(rgb, 4, { p =>
+          val v = rgb(p)
+          val r = (v >> 16) & 0xff; val g = (v >> 8) & 0xff; val b = v & 0xff
+          // O axes scaled straight to [0,1] (the √-scalings cancel)
+          (((r - g) + 255.0) / 510.0,
+            ((r + g - 2.0 * b) + 510.0) / 1020.0,
+            (r + g + b) / 765.0)
+        }, rgb.length)
+      }
+    } catch { case _: Exception => null }
+
   /** Descriptor registry, keyed the way the reference keys everything on
     * one `algo` end-to-end (`loader.js:20-21`, `searcher.js:204`): "cl"
     * ColorLayout (the reference default), "eh" EdgeHistogram, "sc"
     * ScalableColor, "oh" OpponentHistogram, "ac" AutoColorCorrelogram,
-    * "ph" PHOG, "in" the
+    * "ph" PHOG, "fc" FuzzyColorHistogram, "fo" FuzzyOpponentHistogram,
+    * "in" the
     * intensity grid. Ingest ([[describeImagesWith]]) and serving
     * ([[graft.serving.SearchService]]) both resolve through this map, so a
     * table ingested under an algo is searched with the same descriptor.
@@ -528,7 +614,9 @@ object ImageOps {
     "sc" -> (b => scalableColor(b)),
     "oh" -> (b => opponentHistogram(b)),
     "ac" -> (b => autoColorCorrelogram(b)),
-    "ph" -> (b => phog(b)))
+    "ph" -> (b => phog(b)),
+    "fc" -> (b => fuzzyColorHistogram(b)),
+    "fo" -> (b => fuzzyOpponentHistogram(b)))
 
   /** Distributed decode + describe over a (id, content) binary DataFrame:
     * the batch-shaped analog of a `mapInPandas` image stage. Output:

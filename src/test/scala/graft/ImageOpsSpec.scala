@@ -197,8 +197,31 @@ class ImageOpsSpec extends SparkSpec {
     assert(ImageOps.phog("not an image".getBytes) == null)
   }
 
-  test("descriptor registry: cl/eh/sc/oh/ac/ph/in resolve and describeImagesWith matches local fns") {
-    assert(ImageOps.descriptors.keySet == Set("in", "eh", "cl", "sc", "oh", "ac", "ph"))
+  test("fuzzy histograms: unit mass, boundary smoothness, hue separation (fc/fo)") {
+    def d2(u: Array[Float], v: Array[Float]) =
+      u.zip(v).map { case (x, y) => (x - y) * (x - y) }.sum
+    for (fn <- Seq(ImageOps.fuzzyColorHistogram _, ImageOps.fuzzyOpponentHistogram _)) {
+      val red = fn(pngRgb(64, 64)((_, _) => 0xff0000))
+      assert(red.length == 64)
+      assert(math.abs(red.sum - 1f) < 1e-4)
+      // the point of fuzzy membership: crossing a crisp 4-bin boundary
+      // (gray 63 → 65) moves the descriptor a LITTLE, not a bin's worth
+      val below = fn(pngRgb(64, 64)((_, _) => 0x3f3f3f))
+      val above = fn(pngRgb(64, 64)((_, _) => 0x414141))
+      assert(d2(below, above) < 0.01, s"boundary jump ${d2(below, above)}")
+      val blue = fn(pngRgb(64, 64)((_, _) => 0x0000ff))
+      assert(d2(red, blue) > 0.1, "distinct hues must stay far apart")
+      assert(fn("not an image".getBytes) == null)
+    }
+    // determinism across calls
+    val a = ImageOps.fuzzyColorHistogram(pngRgb(32, 32)((x, y) => (x * 131 + y * 17) * 41))
+    val b = ImageOps.fuzzyColorHistogram(pngRgb(32, 32)((x, y) => (x * 131 + y * 17) * 41))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("descriptor registry: all codes resolve and describeImagesWith matches local fns") {
+    assert(ImageOps.descriptors.keySet ==
+      Set("in", "eh", "cl", "sc", "oh", "ac", "ph", "fc", "fo"))
     val p = png(64, 64)((x, y) => (x * 3 + y * 7) % 256)
     val out = ImageOps.describeImagesWith(Seq((1L, p)).toDF("id", "content"),
         "id", "content", "cl").collect().head
