@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection suite for the training-data pipeline (SURVEY
@@ -420,6 +420,56 @@ object TextDedup {
           (col("a.nn") * col("b.nn"))).as("c"))
       .where(col("c") > tau)
       .select(col("v1"), col("v2"), round(col("c"), 6).as("cos"))
+  }
+
+  /** Approximate embedding cosine near-dup pairs — the SCALE path for
+    * [[cosinePairs]] (whose block-local all-pairs join is O(n²) per block):
+    * signed-random-projection LSH (Charikar, STOC'02). Each vector gets
+    * `bands` signatures of `bits` hyperplane signs; two vectors with cosine
+    * angle θ agree on one bit with probability 1 − θ/π, so high-cosine
+    * pairs collide in ≥ 1 band w.h.p. Candidates flow through the same
+    * skew-capped, triangle-salted [[bucketPairs]] as the minhash/simhash
+    * paths and are verified with the EXACT cosine — output pairs are always
+    * true positives; only recall is probabilistic (tunable via
+    * bands × bits).
+    *
+    * Hyperplanes are seed-deterministic (Gaussian via `scala.util.Random`),
+    * shipped as literal arrays so the sign computation is a codegen'd
+    * `fast_dot` per (band, bit) — no UDF, no driver round-trip.
+    */
+  def cosinePairsLsh(
+      df: DataFrame, vecCol: String, idCol: String,
+      blockCol: String, tau: Double, dim: Int,
+      bands: Int = 8, bits: Int = 12, seed: Long = 42L,
+      smallCap: Int = 1024, maxBucket: Long = 1L << 16): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    def dotC(v: Column, plane: Array[Float]): Column =
+      if (df.sparkSession.catalog.functionExists("fast_dot"))
+        fastDot(v, typedLit(plane))
+      else dot(v, typedLit(plane))
+    val sigs = array((0 until bands).map { b =>
+      val sig = (0 until bits).map { i =>
+        val plane = Array.fill(dim)(rnd.nextGaussian().toFloat)
+        when(dotC(col(vecCol), plane) > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), sig.as("sig"))
+    }: _*)
+    val n = df.select(col(idCol), col(blockCol), col(vecCol),
+      l2Norm(col(vecCol)).as("nn"))
+    val buckets = n
+      .select(col(idCol), col(blockCol), col(vecCol), col("nn"),
+        explode(sigs).as("bs"))
+      .select(struct(col(blockCol), col("bs")).as("__bk"),
+        struct(col(idCol).as("id"), col(vecCol).as("v"), col("nn").as("nn")).as("__m"))
+    bucketPairs(buckets, smallCap, maxBucket, "graft.lsh.srp")
+      .select(col("p1.id").as("v1"), col("p2.id").as("v2"),
+        ((if (df.sparkSession.catalog.functionExists("fast_dot"))
+            fastDot(col("p1.v"), col("p2.v"))
+          else dot(col("p1.v"), col("p2.v"))) /
+          (col("p1.nn") * col("p2.nn"))).as("c"))
+      .where(col("c") > tau)
+      .select(col("v1"), col("v2"), round(col("c"), 6).as("cos"))
+      .distinct()
   }
 
   /** Min-k document fingerprint: the `kMin` smallest shingle hashes —

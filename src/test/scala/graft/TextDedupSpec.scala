@@ -73,6 +73,49 @@ class TextDedupSpec extends SparkSpec {
     assert(fp(1L) == fp(1L).sorted)
   }
 
+  test("cosinePairsLsh: exact-verified pairs only, full recall on near-dup clusters") {
+    val rnd = new scala.util.Random(3)
+    val dim = 16
+    def vec() = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, Array[Float], Int)]()
+    var id = 0L
+    // 20 clusters of 3 near-identical vectors (the near-dups) + 40 random
+    for (_ <- 0 until 20) {
+      val c = vec()
+      for (_ <- 0 until 3) {
+        rows += ((id, c.map(x => x + 0.01f * rnd.nextGaussian().toFloat), 0)); id += 1
+      }
+    }
+    for (_ <- 0 until 40) { rows += ((id, vec(), 0)); id += 1 }
+    val df = rows.toSeq.toDF("vec_id", "embedding", "label")
+    val exact = TextDedup.cosinePairs(df, "embedding", "vec_id", "label", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = TextDedup.cosinePairsLsh(df, "embedding", "vec_id", "label", 0.95, dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 55, s"fixture should yield ~60 cluster pairs, got ${exact.size}")
+    // every emitted pair passed the same exact-cosine verification
+    assert(approx.subsetOf(exact), (approx -- exact).toString)
+    // near-identical vectors (cos ≈ 0.9997) collide in ≥1 of 8 bands w.h.p.
+    assert(approx.size.toDouble / exact.size >= 0.9,
+      s"recall ${approx.size}/${exact.size}")
+  }
+
+  test("cosinePairsLsh: forced salting (tiny smallCap) reproduces the default result") {
+    val rnd = new scala.util.Random(11)
+    val dim = 8
+    val base = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val rows = (0L until 30L).map(i =>
+      (i, base.map(x => x + 0.005f * rnd.nextGaussian().toFloat), 0))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val dflt = TextDedup.cosinePairsLsh(df, "embedding", "vec_id", "label", 0.9, dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val salted = TextDedup.cosinePairsLsh(df, "embedding", "vec_id", "label", 0.9, dim,
+      smallCap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dflt == salted)
+    assert(dflt.size == 30 * 29 / 2, "one tight cluster: every pair emitted")
+  }
+
   test("cosinePairs finds identical vectors at cos 1.0 within block") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 2.0f), 0),
