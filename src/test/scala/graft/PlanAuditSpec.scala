@@ -1,0 +1,79 @@
+package graft
+
+/** Plan-shape regression tests: the scale claims SURVEY makes about these
+  * queries (filters pushed into the parquet scan, bounded shuffle counts,
+  * top-k as TakeOrderedAndProject, dimension-only broadcasts) are structural
+  * plan properties — assert them so a refactor can't silently trade one
+  * away. Asserted on the PLANNED query (sf0.001 inputs, nothing executed);
+  * counts are upper bounds so AQE/statistics changes don't flake them.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  // Count exchange NODES: formatted explain prints each once in the tree and
+  // once as a "(n) Exchange" detail section — count only the detail headers.
+  private def exchanges(p: String): Int =
+    "\\(\\d+\\) Exchange".r.findAllIn(p).length
+
+  test("b3: plain-column isin filter is pushed into the parquet scan") {
+    val p = plan("b3_whitelist")
+    assert(p.contains("PushedFilters:"), p.take(800))
+    assert(p.contains("In(event_type"), "the isin filter must reach the scan")
+  }
+
+  test("b1: scan reads only (doc_id, source); filter sits directly on the scan") {
+    // right(source,1) is a derived expression — not pushable — so the audit
+    // here is pruning (2 of documents' 5 columns) and no plan bloat between
+    // scan and filter.
+    val p = plan("b1_ext_filter")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("source") && !read.contains("text"),
+      s"column pruning lost: $read")
+    assert(p.contains("+- Filter (2)\n         +- Scan parquet"),
+      s"filter not directly above the scan:\n${p.take(600)}")
+  }
+
+  test("q1: pricing agg reads only the columns it needs") {
+    val p = plan("q1_pricing_agg")
+    // ReadSchema pruned to the aggregation inputs — not the full lineitem row
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_returnflag") && !read.contains("l_comment"),
+      s"column pruning lost: $read")
+  }
+
+  test("p1: corpus clean is one aggregation shuffle plus the final sort") {
+    val p = plan("p1_corpus_clean")
+    assert(exchanges(p) <= 2, s"expected <=2 exchanges:\n${p.take(1200)}")
+  }
+
+  test("e2_minhash_pairs: the audited 5-exchange shape holds") {
+    val p = plan("e2_minhash_pairs")
+    assert(exchanges(p) <= 5, s"expected <=5 exchanges, got ${exchanges(p)}")
+  }
+
+  test("c8_ann_exact: top-k plans as TakeOrderedAndProject, never a global sort") {
+    val p = plan("c8_ann_exact")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("j1: customer broadcasts, lineitem is the streamed shuffle-hash probe") {
+    val p = plan("j1_join_revenue")
+    assert(p.contains("BroadcastHashJoin"), "customer→orders must broadcast")
+    assert(p.contains("ShuffledHashJoin"), "fact join must be shuffled-hash")
+    // the fact table must never be a hashed build relation
+    val buildLines = p.linesIterator.filter(_.contains("BuildSide")).mkString("\n")
+    assert(!p.contains("BroadcastExchange") ||
+      !p.linesIterator.exists(l => l.contains("lineitem") && l.contains("Broadcast")),
+      s"lineitem on a broadcast side:\n$buildLines")
+  }
+
+  test("j4: band range join stays an equi-join (no nested-loop cartesian)") {
+    val p = plan("j4_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "range join must bucket into an equi-join")
+  }
+}
