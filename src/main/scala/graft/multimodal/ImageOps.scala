@@ -597,12 +597,322 @@ object ImageOps {
       }
     } catch { case _: Exception => null }
 
+  // ---- CEDD / FCTH / JCD (LIRE codes "ce", "jc") --------------------------
+
+  private def rampUp(v: Double, lo: Double, hi: Double): Double =
+    if (v <= lo) 0.0 else if (v >= hi) 1.0 else (v - lo) / (hi - lo)
+  private def rampDown(v: Double, lo: Double, hi: Double): Double =
+    1.0 - rampUp(v, lo, hi)
+
+  /** 24-bin fuzzy color unit shared by CEDD/FCTH/JCD (Chatzichristofis &
+    * Boutalis, ICVS'08 §3: a two-stage fuzzy-linking system over HSV).
+    * Bin layout: 0 black, 1 grey, 2 white, then per hue i ∈ {red, orange,
+    * yellow, green, cyan, blue, magenta}: 3+3i dark-hue, 3+3i+1 hue,
+    * 3+3i+2 light-hue. Memberships: triangular hue sets centered on the
+    * canonical hue angles with wrap-around, ramp memberships for the
+    * black/achromatic/tone splits, product-combined and L1-normalized.
+    * Divergence, documented: the paper's exact rule-table breakpoints are
+    * not reproduced — the ramp bounds here are chosen so saturated
+    * primaries, greys, black and white land in their nominal bins (the
+    * spec's analytic goldens); same honest-structure policy as
+    * [[colorLayout]]'s float coefficients.
+    */
+  private def fuzzyColor24(r: Int, g: Int, b: Int): Array[Double] = {
+    val out = new Array[Double](24)
+    val mx = math.max(r, math.max(g, b)) / 255.0
+    val mn = math.min(r, math.min(g, b)) / 255.0
+    val v = mx
+    val s = if (mx == 0) 0.0 else (mx - mn) / mx
+    val h = {
+      val d = mx - mn
+      val hh =
+        if (d == 0) 0.0
+        else if (mx == r / 255.0) 60.0 * (((g - b) / 255.0 / d) % 6.0)
+        else if (mx == g / 255.0) 60.0 * ((b - r) / 255.0 / d + 2.0)
+        else 60.0 * ((r - g) / 255.0 / d + 4.0)
+      if (hh < 0) hh + 360.0 else hh
+    }
+    val black = rampDown(v, 0.12, 0.35)
+    val chroma = rampUp(s, 0.08, 0.25)
+    val nonBlack = 1.0 - black
+    val lightV = rampUp(v, 0.60, 0.85)
+    out(0) = black
+    out(1) = nonBlack * (1.0 - chroma) * (1.0 - lightV) // grey
+    out(2) = nonBlack * (1.0 - chroma) * lightV // white
+    // hue triangles: centers at the canonical angles, feet on the neighbors
+    val centers = Array(0.0, 30.0, 60.0, 120.0, 180.0, 240.0, 300.0)
+    val chrom = nonBlack * chroma
+    if (chrom > 0) {
+      val dark = rampDown(v, 0.30, 0.60)
+      val lightFrac = rampDown(s, 0.35, 0.70) // low saturation → pastel
+      val light = (1.0 - dark) * lightFrac
+      val plain = (1.0 - dark) * (1.0 - lightFrac)
+      var i = 0
+      while (i < 7) {
+        val c = centers(i)
+        val prev = centers((i + 6) % 7)
+        val next = centers((i + 1) % 7)
+        // circular distance to this center and the span toward each foot
+        val d = { val x = math.abs(h - c); math.min(x, 360.0 - x) }
+        val spanPrev = { val x = math.abs(c - prev); math.min(x, 360.0 - x) }
+        val spanNext = { val x = math.abs(next - c); math.min(x, 360.0 - x) }
+        // which side of the center is h on (circularly)?
+        val fwd = (h - c + 360.0) % 360.0
+        val span = if (fwd <= 180.0) spanNext else spanPrev
+        val m = math.max(0.0, 1.0 - d / span)
+        if (m > 0) {
+          out(3 + 3 * i) += chrom * m * dark
+          out(3 + 3 * i + 1) += chrom * m * plain
+          out(3 + 3 * i + 2) += chrom * m * light
+        }
+        i += 1
+      }
+    }
+    val sum = out.sum
+    if (sum > 0) { var i = 0; while (i < 24) { out(i) /= sum; i += 1 } }
+    out
+  }
+
+  /** One shared block scan producing BOTH the CEDD (6×24) and FCTH (8×24)
+    * histograms — the two descriptors differ only in the texture unit, so
+    * the decode, block partition, quadrant means and fuzzy color unit are
+    * computed once.
+    *
+    * CEDD texture (paper §2, the MPEG-7-style pentagon): the five
+    * [[edgeHistogram]] filters over the block's 2×2 quadrant luminance
+    * means; max response < 14 → area 0 (non-edge), else every filter whose
+    * max-normalized response exceeds its threshold participates
+    * (non-directional 0.68, horizontal/vertical/diagonals 0.98 — the
+    * filter attaining the max always qualifies at 1.0). Areas: 0 non-edge,
+    * 1 non-directional, 2 horizontal, 3 vertical, 4 45°, 5 135°.
+    *
+    * FCTH texture (Chatzichristofis & Boutalis, WIAMIS'08): one-level Haar
+    * over the same quadrant means — HL (vertical detail), LH (horizontal),
+    * HH (diagonal) — each coefficient fuzzy-thresholded high/low (ramp on
+    * |coef|/255 over [0.02, 0.15]), product-combined into 8 energy areas
+    * indexed (hl<<2)|(lh<<1)|hh.
+    *
+    * Both histograms are texture-major (area*24 + colorBin), L1-normalized.
+    */
+  private def ceddFcthHistograms(bytes: Array[Byte]): (Array[Float], Array[Float]) = {
+    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+    if (img == null) return (null, null)
+    val (w, h) = (img.getWidth, img.getHeight)
+    val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+    val side = math.max(2, (math.sqrt(w.toDouble * h / 1600).toInt / 2) * 2)
+    val half = side / 2
+    val cedd = new Array[Double](144)
+    val fcth = new Array[Double](192)
+    var by = 0
+    while (by + side <= h) {
+      var bx = 0
+      while (bx + side <= w) {
+        // quadrant gray means + block RGB mean in one pass
+        var a0, a1, a2, a3 = 0L
+        var sr, sg, sb = 0L
+        var y = 0
+        while (y < side) {
+          val row = (by + y) * w
+          var x = 0
+          while (x < side) {
+            val v = rgb(row + bx + x)
+            val r = (v >> 16) & 0xff; val g = (v >> 8) & 0xff; val b = v & 0xff
+            sr += r; sg += g; sb += b
+            val gray = (r * 299 + g * 587 + b * 114) / 1000
+            val q = (if (y >= half) 2 else 0) + (if (x >= half) 1 else 0)
+            q match {
+              case 0 => a0 += gray; case 1 => a1 += gray
+              case 2 => a2 += gray; case _ => a3 += gray
+            }
+            x += 1
+          }
+          y += 1
+        }
+        val qn = (half * half).toDouble
+        val (m0, m1, m2, m3) = (a0 / qn, a1 / qn, a2 / qn, a3 / qn)
+        val n = (side * side).toDouble
+        val color = fuzzyColor24((sr / n).toInt, (sg / n).toInt, (sb / n).toInt)
+
+        // CEDD texture areas (possibly several) with equal participation
+        val resp = Array(
+          math.abs(2 * (m0 - m1 - m2 + m3)), // non-directional
+          math.abs(m0 + m1 - (m2 + m3)), // horizontal
+          math.abs(m0 + m2 - (m1 + m3)), // vertical
+          math.abs(math.sqrt(2.0) * (m0 - m3)), // 45°
+          math.abs(math.sqrt(2.0) * (m1 - m2))) // 135°
+        val mxResp = resp.max
+        val areas =
+          if (mxResp < 14.0) Array(0)
+          else {
+            val th = Array(0.68, 0.98, 0.98, 0.98, 0.98)
+            val b = Array.newBuilder[Int]
+            var k = 0
+            while (k < 5) { if (resp(k) / mxResp >= th(k)) b += (k + 1); k += 1 }
+            b.result()
+          }
+        val aw = 1.0 / areas.length
+        var ai = 0
+        while (ai < areas.length) {
+          val base = areas(ai) * 24
+          var c = 0
+          while (c < 24) { cedd(base + c) += aw * color(c); c += 1 }
+          ai += 1
+        }
+
+        // FCTH texture: fuzzy high/low per Haar band, 8 product-weighted areas
+        val hl = rampUp(math.abs(m0 + m2 - m1 - m3) / 255.0, 0.02, 0.15)
+        val lh = rampUp(math.abs(m0 + m1 - m2 - m3) / 255.0, 0.02, 0.15)
+        val hh = rampUp(math.abs(m0 - m1 - m2 + m3) / 255.0, 0.02, 0.15)
+        var area = 0
+        while (area < 8) {
+          val wgt = (if ((area & 4) != 0) hl else 1 - hl) *
+            (if ((area & 2) != 0) lh else 1 - lh) *
+            (if ((area & 1) != 0) hh else 1 - hh)
+          if (wgt > 0) {
+            val base = area * 24
+            var c = 0
+            while (c < 24) { fcth(base + c) += wgt * color(c); c += 1 }
+          }
+          area += 1
+        }
+        bx += side
+      }
+      by += side
+    }
+    def norm(a: Array[Double]): Array[Float] = {
+      val s = a.sum
+      val out = new Array[Float](a.length)
+      if (s > 0) { var i = 0; while (i < a.length) { out(i) = (a(i) / s).toFloat; i += 1 } }
+      out
+    }
+    (norm(cedd), norm(fcth))
+  }
+
+  /** CEDD — Color and Edge Directivity Descriptor (LIRE code "ce";
+    * Chatzichristofis & Boutalis, ICVS'08). 144 dims = 6 texture areas ×
+    * 24 fuzzy colors, texture-major, L1-normalized floats (not the paper's
+    * 3-bit quantization — same ranking-information policy as the other
+    * descriptors). Null for undecodable input.
+    */
+  def cedd(bytes: Array[Byte]): Array[Float] =
+    try ceddFcthHistograms(bytes)._1 catch { case _: Exception => null }
+
+  /** FCTH — Fuzzy Color and Texture Histogram (Chatzichristofis & Boutalis,
+    * WIAMIS'08): 192 dims = 8 Haar-energy texture areas × 24 fuzzy colors.
+    * Not a whitelist code itself; public building block for [[jcd]].
+    */
+  def fcth(bytes: Array[Byte]): Array[Float] =
+    try ceddFcthHistograms(bytes)._2 catch { case _: Exception => null }
+
+  /** JCD — Joint Composite Descriptor (LIRE code "jc"; Chatzichristofis,
+    * Boutalis & Lux 2009): CEDD and FCTH fused into 7 joint texture areas
+    * × 24 colors = 168 dims. Area mapping used here (documented
+    * reconstruction of the published fusion — CEDD's directional areas are
+    * kept, the two "smooth" areas are averaged, FCTH's multi-band energy
+    * areas collapse into one "textured" area):
+    * 0 = (CEDD non-edge + FCTH all-low)/2; 1..5 = CEDD non-directional /
+    * horizontal / vertical / 45° / 135°; 6 = Σ FCTH areas 1..7.
+    * Re-L1-normalized; null for undecodable input.
+    */
+  def jcd(bytes: Array[Byte]): Array[Float] =
+    try {
+      val (ce, fc) = ceddFcthHistograms(bytes)
+      if (ce == null) null
+      else {
+        val out = new Array[Float](168)
+        var c = 0
+        while (c < 24) {
+          out(c) = (ce(c) + fc(c)) / 2f
+          var t = 1
+          while (t < 6) { out(t * 24 + c) = ce(t * 24 + c); t += 1 }
+          var f = 1
+          while (f < 8) { out(6 * 24 + c) += fc(f * 24 + c); f += 1 }
+          c += 1
+        }
+        val s = out.sum
+        if (s > 0) { var i = 0; while (i < 168) { out(i) /= s; i += 1 } }
+        out
+      }
+    } catch { case _: Exception => null }
+
+  /** Joint histogram (LIRE code "jh"; Pass & Zabih, "Comparing images using
+    * joint histograms", Multimedia Systems 1999): a joint distribution over
+    * per-pixel features instead of color alone. Features here: 64-bin RGB
+    * color (2 bits/channel) × 9-level neighborhood rank (count of the 8
+    * neighbors strictly brighter in luminance than the pixel — Pass &
+    * Zabih's "rank" feature). 576 dims, (color*9 + rank), computed over
+    * interior pixels, L1-normalized. Null for undecodable input.
+    */
+  def jointHistogram(bytes: Array[Byte]): Array[Float] =
+    try {
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) null
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+        val gray = new Array[Int](w * h)
+        var p = 0
+        while (p < rgb.length) {
+          val v = rgb(p)
+          gray(p) = (((v >> 16) & 0xff) * 299 + ((v >> 8) & 0xff) * 587 +
+            (v & 0xff) * 114) / 1000
+          p += 1
+        }
+        val hist = new Array[Double](576)
+        var count = 0L
+        if (w >= 3 && h >= 3) {
+          var y = 1
+          while (y < h - 1) {
+            var x = 1
+            while (x < w - 1) {
+              val i = y * w + x
+              val g0 = gray(i)
+              var rank = 0
+              var dy = -1
+              while (dy <= 1) {
+                var dx = -1
+                while (dx <= 1) {
+                  if ((dx != 0 || dy != 0) && gray(i + dy * w + dx) > g0) rank += 1
+                  dx += 1
+                }
+                dy += 1
+              }
+              val v = rgb(i)
+              val colorBin = (((v >> 16) & 0xff) >> 6) * 16 +
+                ((((v >> 8) & 0xff) >> 6) * 4) + ((v & 0xff) >> 6)
+              hist(colorBin * 9 + rank) += 1
+              count += 1
+              x += 1
+            }
+            y += 1
+          }
+        } else {
+          // degenerate tiny image: rank 0 for every pixel
+          var i = 0
+          while (i < rgb.length) {
+            val v = rgb(i)
+            val colorBin = (((v >> 16) & 0xff) >> 6) * 16 +
+              ((((v >> 8) & 0xff) >> 6) * 4) + ((v & 0xff) >> 6)
+            hist(colorBin * 9) += 1
+            count += 1
+            i += 1
+          }
+        }
+        val out = new Array[Float](576)
+        if (count > 0) {
+          var i = 0
+          while (i < 576) { out(i) = (hist(i) / count).toFloat; i += 1 }
+        }
+        out
+      }
+    } catch { case _: Exception => null }
+
   /** Descriptor registry, keyed the way the reference keys everything on
     * one `algo` end-to-end (`loader.js:20-21`, `searcher.js:204`): "cl"
     * ColorLayout (the reference default), "eh" EdgeHistogram, "sc"
     * ScalableColor, "oh" OpponentHistogram, "ac" AutoColorCorrelogram,
     * "ph" PHOG, "fc" FuzzyColorHistogram, "fo" FuzzyOpponentHistogram,
-    * "in" the
+    * "ce" CEDD, "jc" JCD, "jh" JointHistogram, "in" the
     * intensity grid. Ingest ([[describeImagesWith]]) and serving
     * ([[graft.serving.SearchService]]) both resolve through this map, so a
     * table ingested under an algo is searched with the same descriptor.
@@ -616,7 +926,10 @@ object ImageOps {
     "ac" -> (b => autoColorCorrelogram(b)),
     "ph" -> (b => phog(b)),
     "fc" -> (b => fuzzyColorHistogram(b)),
-    "fo" -> (b => fuzzyOpponentHistogram(b)))
+    "fo" -> (b => fuzzyOpponentHistogram(b)),
+    "ce" -> (b => cedd(b)),
+    "jc" -> (b => jcd(b)),
+    "jh" -> (b => jointHistogram(b)))
 
   /** Distributed decode + describe over a (id, content) binary DataFrame:
     * the batch-shaped analog of a `mapInPandas` image stage. Output:

@@ -219,9 +219,88 @@ class ImageOpsSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("cedd: 144 dims, flat colors land in their nominal fuzzy bins (ce)") {
+    // color layout: 0 black, 1 grey, 2 white, 3+3i dark/plain/light per hue
+    // i ∈ {red, orange, yellow, green, cyan, blue, magenta}; flat images are
+    // texture area 0 (non-edge), whose bins are indices 0..23
+    val black = ImageOps.cedd(pngRgb(64, 64)((_, _) => 0x000000))
+    assert(black.length == 144)
+    assert(black(0) > 0.95f, s"black bin ${black(0)}")
+    val white = ImageOps.cedd(pngRgb(64, 64)((_, _) => 0xffffff))
+    assert(white(2) > 0.95f, s"white bin ${white(2)}")
+    val grey = ImageOps.cedd(pngRgb(64, 64)((_, _) => 0x808080))
+    assert(grey(1) > 0.95f, s"grey bin ${grey(1)}")
+    val red = ImageOps.cedd(pngRgb(64, 64)((_, _) => 0xff0000))
+    assert(red(4) > 0.95f, s"plain-red bin ${red(4)}")
+    val blue = ImageOps.cedd(pngRgb(64, 64)((_, _) => 0x0000ff))
+    assert(blue(3 + 3 * 5 + 1) > 0.95f, s"plain-blue bin ${blue(3 + 3 * 5 + 1)}")
+    // fuzzy hue boundary: a 15° hue sits between its two neighbors, not in one
+    val redOrange = ImageOps.cedd(pngRgb(64, 64)((_, _) => 0xff4000)) // h≈15°
+    assert(redOrange(4) > 0.2f && redOrange(7) > 0.2f,
+      s"15° hue must split red/orange: ${redOrange(4)} / ${redOrange(7)}")
+    assert(ImageOps.cedd("not an image".getBytes) == null)
+  }
+
+  test("cedd: stripe orientations fire the matching texture areas") {
+    def area(d: Array[Float], t: Int) = (0 until 24).map(c => d(t * 24 + c)).sum
+    val vert = ImageOps.cedd(pngRgb(128, 128)((x, _) =>
+      if ((x / 3) % 2 == 0) 0x000000 else 0xffffff))
+    assert(area(vert, 3) > area(vert, 2),
+      s"vertical stripes: v=${area(vert, 3)} h=${area(vert, 2)}")
+    val horiz = ImageOps.cedd(pngRgb(128, 128)((_, y) =>
+      if ((y / 3) % 2 == 0) 0x000000 else 0xffffff))
+    assert(area(horiz, 2) > area(horiz, 3),
+      s"horizontal stripes: h=${area(horiz, 2)} v=${area(horiz, 3)}")
+    // determinism
+    val a = ImageOps.cedd(pngRgb(64, 64)((x, y) => (x * 31 + y * 67) * 97))
+    val b = ImageOps.cedd(pngRgb(64, 64)((x, y) => (x * 31 + y * 67) * 97))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("fcth: 192 dims, flat image is all-low Haar energy, stripes are not") {
+    val flat = ImageOps.fcth(pngRgb(64, 64)((_, _) => 0xff0000))
+    assert(flat.length == 192)
+    assert(math.abs(flat.sum - 1f) < 1e-3)
+    assert((0 until 24).map(flat(_)).sum > 0.95f,
+      "flat image must sit in the all-low energy area")
+    val vert = ImageOps.fcth(pngRgb(128, 128)((x, _) =>
+      if ((x / 3) % 2 == 0) 0x000000 else 0xffffff))
+    assert((0 until 24).map(vert(_)).sum < 0.95f,
+      "stripe energy must leave the all-low area")
+    assert(ImageOps.fcth("not an image".getBytes) == null)
+  }
+
+  test("jcd: 168 dims, unit mass, flat green concentrates in joint area 0 (jc)") {
+    val flat = ImageOps.jcd(pngRgb(64, 64)((_, _) => 0x00ff00))
+    assert(flat.length == 168)
+    assert(math.abs(flat.sum - 1f) < 1e-3)
+    assert((0 until 24).map(flat(_)).sum > 0.95f,
+      "smooth image mass must land in the fused non-edge area")
+    // green = hue index 3 → plain bin 3+9+1 = 13 within the area
+    assert(flat.indexOf(flat.max) == 13, s"argmax ${flat.indexOf(flat.max)}")
+    assert(ImageOps.jcd("not an image".getBytes) == null)
+  }
+
+  test("jointHistogram: 576 dims, flat rank 0, checkerboard splits ranks 0/4 (jh)") {
+    val flat = ImageOps.jointHistogram(pngRgb(32, 32)((_, _) => 0xff0000))
+    assert(flat.length == 576)
+    // full red: color bin (255>>6)*16 = 48, every interior pixel rank 0
+    assert(flat(48 * 9) > 0.99f, s"flat mass ${flat(48 * 9)}")
+    // 1-px checkerboard: black pixels see 4 brighter axis neighbors (rank 4),
+    // white pixels see none (rank 0)
+    val board = ImageOps.jointHistogram(pngRgb(32, 32)((x, y) =>
+      if ((x + y) % 2 == 0) 0x000000 else 0xffffff))
+    val blackR4 = board(0 * 9 + 4)
+    val whiteR0 = board(63 * 9 + 0)
+    assert(math.abs(blackR4 - 0.5f) < 0.05, s"black rank-4 $blackR4")
+    assert(math.abs(whiteR0 - 0.5f) < 0.05, s"white rank-0 $whiteR0")
+    assert(math.abs(board.sum - 1f) < 1e-3)
+    assert(ImageOps.jointHistogram("not an image".getBytes) == null)
+  }
+
   test("descriptor registry: all codes resolve and describeImagesWith matches local fns") {
     assert(ImageOps.descriptors.keySet ==
-      Set("in", "eh", "cl", "sc", "oh", "ac", "ph", "fc", "fo"))
+      Set("in", "eh", "cl", "sc", "oh", "ac", "ph", "fc", "fo", "ce", "jc", "jh"))
     val p = png(64, 64)((x, y) => (x * 3 + y * 7) % 256)
     val out = ImageOps.describeImagesWith(Seq((1L, p)).toDF("id", "content"),
         "id", "content", "cl").collect().head
