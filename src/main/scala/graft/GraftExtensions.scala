@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ByteDot, DotProduct, TopKIds}
+import graft.functions.{ByteDot, ByteLutSum, DotProduct, TopKIds}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -22,6 +22,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ByteDot].getName, "byte_dot"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ByteDot(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("byte_lut_sum"),
+      new ExpressionInfo(classOf[ByteLutSum].getName, "byte_lut_sum"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ByteLutSum(children.head, children(1))))
     ext.injectFunction((
       new FunctionIdentifier("topk_ids"),
       new ExpressionInfo(classOf[TopKIds].getName, "topk_ids"),

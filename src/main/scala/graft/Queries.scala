@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{AnnSearch, AsOfJoin, ConnectedComponents, IvfIndex, RangeJoin, TemporalDedup, TextDedup}
+import graft.operators.{AnnSearch, AsOfJoin, ConnectedComponents, IvfIndex, Pq, RangeJoin, TemporalDedup, TextDedup}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -416,6 +416,26 @@ object Queries {
     val model = graft.operators.Sq8.fit(base, "embedding")
     val enc = graft.operators.Sq8.encode(base, "embedding", model)
     graft.operators.Sq8.searchTopK(enc, "codes", "vec_id", model, q, 15)
+      .select($"vec_id", round($"score", 6).as("score"))
+  }
+
+  /** C7''' PQ (product-quantized) ANN — the high-compression codec of
+    * Milvus's IVF_PQ family (Jégou TPAMI'11; the reference's index family
+    * at loader.js:332-334). m=8 byte codes per 64-dim vector (32×), ADC
+    * scoring through the codegen'd byte_lut_sum kernel. Approximate by
+    * construction → rows-only; ADC-exactness + recall asserted in PqSpec;
+    * measured recall dumped by Verify into recall.json. Codebook fit +
+    * encode come from [[Pq.fitEncodeCached]] — a periodic job, so the
+    * timed query is the ADC search.
+    */
+  val c7PqAnn: Q = (s, d) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val q = e.where($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val (enc, model) = Pq.fitEncodeCached(s, s"$d#pq",
+      e.where($"vec_id" =!= 0), "embedding", m = 8, ksub = 16)
+    Pq.searchTopK(enc, "pq_codes", "vec_id", model, q, 15)
       .select($"vec_id", round($"score", 6).as("score"))
   }
 
@@ -947,6 +967,7 @@ object Queries {
     "q2_rollup" -> q2Rollup,
     "c7_ivf_cluster" -> c7IvfCluster,
     "c7_sq8_ann" -> c7Sq8Ann,
+    "c7_pq_ann" -> c7PqAnn,
     "c8_ann_ivf" -> c8AnnIvf,
     "e2_minhash_sig" -> e2MinhashSig,
     "e2_minhash_pairs" -> e2MinhashPairs,

@@ -36,7 +36,7 @@ object Verify {
     try {
       val exact = Queries.c8AnnExact(spark, sfDir).select("vec_id")
         .collect().map(_.getAs[Number](0).longValue).toSet
-      val entries = Seq("c8_ann_ivf", "c7_sq8_ann").flatMap { name =>
+      val entries = Seq("c8_ann_ivf", "c7_sq8_ann", "c7_pq_ann").flatMap { name =>
         try {
           val ids = SparkEntry.queries(name)(spark, sfDir).select("vec_id")
             .collect().map(_.getAs[Number](0).longValue).toSet

@@ -1,0 +1,92 @@
+package graft
+
+import graft.operators.{AnnSearch, IvfIndex, Pq}
+import org.apache.spark.sql.functions._
+
+/** Product quantization: ADC scoring exactness (score ≡ IP with the decoded
+  * centroids, by construction), code shape, recall on clusterable data, and
+  * the IVF_PQ composition.
+  */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("PQ: ADC score equals the IP of the decoded reconstruction exactly") {
+    val e = Tables.embeddings(spark, Sf0001)
+    val q = e.where($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val base = e.where($"vec_id" =!= 0)
+
+    val model = Pq.fit(base, "embedding", m = 8, ksub = 16)
+    assert(model.dim == q.length && model.m == 8 && model.dsub == q.length / 8)
+    val enc = Pq.encode(base, "embedding", model)
+
+    val rows = enc.select($"vec_id", $"pq_codes",
+        Pq.score($"pq_codes", model, q).as("score"))
+      .limit(50).collect()
+    rows.foreach { r =>
+      val codes = r.getAs[Array[Byte]](1)
+      assert(codes.length == 8)
+      assert(codes.forall(c => (c & 0xff) < 16), "codes must stay below ksub")
+      val reconstructed = Pq.decode(model, codes)
+      val ip = reconstructed.zip(q).map { case (a, b) => a * b }.sum
+      assert(math.abs(r.getDouble(2) - ip) < 1e-9,
+        s"ADC must be exact on the reconstruction: ${r.getDouble(2)} vs $ip")
+    }
+  }
+
+  test("PQ: recall@15 vs exact top-k is well above random") {
+    val e = Tables.embeddings(spark, Sf0001)
+    val q = e.where($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val base = e.where($"vec_id" =!= 0)
+
+    val (enc, model) = Pq.fitEncodeCached(spark, "spec#pq", base, "embedding",
+      m = 8, ksub = 16)
+    val exact = AnnSearch.exactTopK(base, "embedding", "vec_id", q, 15)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Pq.searchTopK(enc, "pq_codes", "vec_id", model, q, 15)
+      .collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(approx).size / 15.0
+    info(f"PQ recall@15: $recall%.2f")
+    // near-random synthetic embeddings are PQ's hardest case; the floor for
+    // a random 15-of-N pick is 15/N ≈ 0.03 at sf0.001 — demand far above it
+    assert(recall >= 0.2, s"PQ recall $recall at chance level")
+  }
+
+  test("PQ: m must divide dim; ksub capped at one byte") {
+    val base = Tables.embeddings(spark, Sf0001).where($"vec_id" =!= 0)
+    intercept[IllegalArgumentException] {
+      Pq.fit(base, "embedding", m = 7, ksub = 8)
+    }
+    intercept[IllegalArgumentException] {
+      Pq.fit(base, "embedding", m = 8, ksub = 300)
+    }
+  }
+
+  test("IVF_PQ composition: pruned ADC search ranks like unpruned on probed set") {
+    val e = Tables.embeddings(spark, Sf0001)
+    val q = e.where($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val base = e.where($"vec_id" =!= 0)
+
+    val (assigned, ivf) = IvfIndex.build(base, "embedding", nlist = 8)
+    val pq = Pq.fit(base, "embedding", m = 8, ksub = 16)
+    val enc = Pq.encode(assigned, "embedding", pq).cache()
+    enc.count()
+
+    // prune to nprobe=3 clusters exactly as IvfIndex.search does
+    val probed = ivf.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.zip(q).map { case (a, b) => a * b }.sum) }
+      .sortBy(-_._2).take(3).map(_._1)
+    val pruned = enc.where($"cluster_id".isin(probed.toIndexedSeq: _*))
+
+    val prunedTop = Pq.searchTopK(pruned, "pq_codes", "vec_id", pq, q, 15)
+      .collect().map(_.getLong(0)).toSeq
+    // every pruned result must be the same as scoring the probed subset fully
+    val prunedIds = pruned.select($"vec_id").collect().map(_.getLong(0)).toSet
+    val subsetTop = Pq.searchTopK(enc, "pq_codes", "vec_id", pq, q, 1000)
+      .collect().map(_.getLong(0)).filter(prunedIds.contains).take(15).toSeq
+    assert(prunedTop == subsetTop, "IVF pruning must only restrict the candidate set")
+    enc.unpersist()
+  }
+}
