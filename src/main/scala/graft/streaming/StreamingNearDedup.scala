@@ -1,0 +1,122 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A document on the ingest stream. */
+case class StreamDoc(id: Long, text: String)
+
+/** A streamed near-dup candidate pair (d1 < d2) with the MinHash-estimated
+  * Jaccard similarity (fraction of agreeing signature rows).
+  */
+case class NearDupPair(d1: Long, d2: Long, simEst: Double)
+
+/** Streaming MinHash-LSH near-duplicate detection — the streaming analog of
+  * the batch e2 path ([[graft.operators.TextDedup.minhashBandPairs]]): drop
+  * or flag near-duplicate documents AS THEY ARRIVE, against the full
+  * history, without re-scanning the corpus.
+  *
+  * Shape: a stateless flatMap computes each document's k-row MinHash
+  * signature (bit-identical to the batch sketch — same md5→60-bit hashes,
+  * same Kirsch–Mitzenmacher families; spec-verified) and emits one row per
+  * LSH band; `flatMapGroupsWithState` keyed by (band, band-signature)
+  * bucket then emits each new arrival paired against the bucket's members.
+  *
+  * Scale/state contract (the streaming mirror of `bucketPairs`' caps):
+  * per-bucket state is capped at `maxPerBucket` members — arrivals into a
+  * full bucket are counted and dropped, exactly the boilerplate-mega-bucket
+  * policy of the batch path (at web scale a 10⁶-member bucket is
+  * boilerplate, and its O(b²) pairs are noise). Total state is
+  * O(buckets × maxPerBucket × k) longs with no watermark, matching
+  * dedup-against-all-history semantics; callers that only need windowed
+  * dedup should re-key the bucket with a coarse time bucket.
+  *
+  * A pair that collides in several bands is emitted once per band (the
+  * batch path's global `distinct()` has no streaming analog without a
+  * second stateful stage); downstream consumers dedup on (d1, d2).
+  */
+object StreamingNearDedup {
+
+  // Encoder-visible state types (codegen requires public constructors).
+  case class Member(id: Long, sig: Array[Long])
+  case class BucketState(members: List[Member], dropped: Long)
+
+  /** Plain-Scala mirror of the batch sketch
+    * ([[graft.operators.TextDedup.minhashWide]]): single-space tokens,
+    * `shingleK`-word shingles, one md5 per shingle split into
+    * (h1 = hex[0,15), h2 = hex[16,30)), m_j = min (h1 + j·h2) mod 2⁶⁰.
+    * Returns null when the document has no full shingle (the batch path
+    * drops those docs). Bit-parity is asserted in StreamingNearDedupSpec.
+    */
+  private[graft] def signature(text: String, k: Int, shingleK: Int): Array[Long] = {
+    val toks = text.split(" ", -1)
+    if (toks.length < shingleK) return null
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i + shingleK <= toks.length) {
+      val shingle = toks.slice(i, i + shingleK).mkString(" ")
+      val hex = md.digest(shingle.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      md.reset()
+      val h1 = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      val h2 = java.lang.Long.parseLong(hex.substring(16, 30), 16)
+      var j = 0
+      while (j < k) {
+        val hj = (h1 + h2 * j) & ((1L << 60) - 1)
+        if (hj < mins(j)) mins(j) = hj
+        j += 1
+      }
+      i += 1
+    }
+    mins
+  }
+
+  /** Candidate near-dup pairs over an unbounded document stream. Append
+    * mode; each output row pairs a new arrival with an earlier bucket
+    * member (d1 < d2 by id).
+    */
+  def candidatePairs(
+      docs: Dataset[StreamDoc],
+      k: Int, shingleK: Int, bands: Int,
+      maxPerBucket: Int = 1024): Dataset[NearDupPair] = {
+    require(k % bands == 0, "k must divide into bands")
+    val rowsPer = k / bands
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .flatMap { d =>
+        val sig = signature(d.text, k, shingleK)
+        if (sig == null) Iterator.empty
+        else (0 until bands).iterator.map { b =>
+          val bsig = sig.slice(b * rowsPer, (b + 1) * rowsPer).mkString(",")
+          (s"$b|$bsig", d.id, sig)
+        }
+      }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[BucketState, NearDupPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_, rows, state: GroupState[BucketState]) =>
+          var st = state.getOption.getOrElse(BucketState(Nil, 0L))
+          // micro-batch arrival order is non-deterministic within a batch;
+          // process id-ascending so cross-run output is stable
+          val out = rows.toSeq.sortBy(_._2).flatMap { case (_, id, sig) =>
+            if (st.members.exists(_.id == id)) Nil // replay of a known member
+            else if (st.members.size >= maxPerBucket) {
+              st = st.copy(dropped = st.dropped + 1)
+              Nil
+            } else {
+              val pairs = st.members.map { m =>
+                val agree = m.sig.zip(sig).count { case (a, b) => a == b }
+                val (lo, hi) = if (m.id < id) (m.id, id) else (id, m.id)
+                NearDupPair(lo, hi, agree.toDouble / k)
+              }
+              st = st.copy(members = Member(id, sig) :: st.members)
+              pairs
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import graft.operators.TextDedup
+import graft.streaming.{StreamDoc, StreamingNearDedup}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Streaming MinHash-LSH near-dup: signature bit-parity with the batch
+  * sketch, pair parity with the batch band-pairs path across micro-batch
+  * boundaries, and the bounded-bucket drop contract.
+  */
+class StreamingNearDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val K = 8
+  private val Shingle = 3
+  private val Bands = 4
+
+  test("streaming signature is bit-identical to the batch minhashWide sketch") {
+    val docs = Tables.documents(spark, Sf0001).limit(40)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val wide = TextDedup.minhashWide(
+        Tables.documents(spark, Sf0001).limit(40), "text", "doc_id", K, Shingle)
+      .collect().map(r => r.getLong(0) -> (1 to K).map(r.getLong(_)).toSeq).toMap
+    assert(wide.nonEmpty)
+    docs.foreach { case (id, text) =>
+      val sig = StreamingNearDedup.signature(text, K, Shingle)
+      wide.get(id) match {
+        case Some(expected) =>
+          assert(sig != null && sig.toSeq == expected, s"doc $id sketch mismatch")
+        case None => assert(sig == null, s"doc $id should have no signature")
+      }
+    }
+    // short doc: no full shingle → null, matching the batch drop
+    assert(StreamingNearDedup.signature("one two", K, Shingle) == null)
+  }
+
+  test("streamed candidate pairs across micro-batches equal the batch band pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, Sf0001).limit(120)
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => StreamDoc(id, t) }
+
+    val input = MemoryStream[StreamDoc]
+    val q = StreamingNearDedup.candidatePairs(input.toDS(), K, Shingle, Bands)
+      .writeStream.format("memory").queryName("snd").outputMode("append").start()
+    try {
+      val (first, rest) = docs.splitAt(50)
+      input.addData(first.toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(rest.toIndexedSeq)
+      q.processAllAvailable()
+
+      val streamed = spark.table("snd").select("d1", "d2")
+        .distinct().as[(Long, Long)].collect().toSet
+      val batch = TextDedup.minhashBandPairs(
+          Tables.documents(spark, Sf0001).limit(120), "text", "doc_id",
+          K, Shingle, Bands)
+        .as[(Long, Long)].collect().toSet
+      assert(streamed == batch,
+        s"streamed ${streamed.size} vs batch ${batch.size}; " +
+          s"missing=${(batch -- streamed).take(5)} extra=${(streamed -- batch).take(5)}")
+    } finally q.stop()
+  }
+
+  test("near-identical docs pair with high simEst; cross-batch pairs are found") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val input = MemoryStream[StreamDoc]
+    val q = StreamingNearDedup.candidatePairs(input.toDS(), K, Shingle, Bands)
+      .writeStream.format("memory").queryName("snd2").outputMode("append").start()
+    try {
+      input.addData(StreamDoc(1, base), StreamDoc(2, "completely different words entirely unrelated content here for sure"))
+      q.processAllAvailable()
+      // the duplicate arrives in a LATER micro-batch — must pair against history
+      input.addData(StreamDoc(3, base))
+      q.processAllAvailable()
+      val pairs = spark.table("snd2")
+        .select("d1", "d2", "simEst").as[(Long, Long, Double)].collect().toSet
+      assert(pairs.exists(p => p._1 == 1 && p._2 == 3 && p._3 == 1.0),
+        s"exact dup across batches must pair at simEst 1.0: $pairs")
+      assert(!pairs.exists(p => p._1 == 2 || p._2 == 2),
+        s"unrelated doc must not pair: $pairs")
+    } finally q.stop()
+  }
+
+  test("bucket cap: arrivals into a full bucket are dropped, not exploded") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val input = MemoryStream[StreamDoc]
+    val q = StreamingNearDedup
+      .candidatePairs(input.toDS(), K, Shingle, Bands, maxPerBucket = 2)
+      .writeStream.format("memory").queryName("snd3").outputMode("append").start()
+    try {
+      input.addData((1L to 10L).map(i => StreamDoc(i, base)): _*)
+      q.processAllAvailable()
+      val pairs = spark.table("snd3").select("d1", "d2")
+        .distinct().as[(Long, Long)].collect().toSet
+      // only the first 2 members per bucket survive → exactly pair (1,2),
+      // docs 3..10 dropped by the cap (not O(n²) emission)
+      assert(pairs == Set((1L, 2L)), s"capped bucket must stop pairing: $pairs")
+    } finally q.stop()
+  }
+}
