@@ -571,6 +571,42 @@ object Queries {
     * the only shuffle; the filter runs BEFORE it, so at 100 TB the shuffle
     * carries only the surviving (clean, English) slice.
     */
+  /** P2 — the full training-data corpus pipeline as ONE declarative plan:
+    * language-ID → quality gate → MinHash-LSH near-dup pairs → connected
+    * components → one representative (min doc_id) per near-dup cluster,
+    * with the cluster size it stands for. The scoring expressions fuse
+    * into the scan projection and the filter runs BEFORE the sketch, so at
+    * 100 TB the shingle/minhash stages — the pipeline's dominant cost —
+    * only ever see the surviving clean-English slice; dedup then rides the
+    * skew-safe band-pair machinery and the driver-finished CC. Exact
+    * dedup is subsumed: identical texts share a signature, bucket, and
+    * cluster. Hash-matched against a composed DuckDB oracle (p1's filter
+    * CTEs + e2's sketch + e8's recursive-CTE closure).
+    */
+  val p2CorpusDedup: Q = (s, d) => {
+    import s.implicits._
+    val toks = tokens($"text")
+    val sEn = countIn(toks, StopwordsEn).cast("long")
+    val sDe = countIn(toks, StopwordsDe).cast("long")
+    val sEs = countIn(toks, StopwordsEs).cast("long")
+    val sFr = countIn(toks, StopwordsFr).cast("long")
+    val pred = when(sEn >= sDe && sEn >= sEs && sEn >= sFr, "en")
+      .when(sDe >= sEs && sDe >= sFr, "de")
+      .when(sEs >= sFr, "es")
+      .otherwise("fr")
+    val clean = Tables.documents(s, d)
+      .select($"doc_id", $"text", pred.as("pred"),
+        round(qualityScore($"text"), 6).as("quality"))
+      .where($"pred" === "en" && $"quality" >= 0.5)
+      .select($"doc_id", $"text")
+    val pairs = TextDedup.minhashBandPairs(clean, "text", "doc_id", 8, 3, 4)
+    ConnectedComponents.minLabel(clean.select($"doc_id"), pairs, "d1", "d2")
+      .groupBy($"cluster")
+      .agg(count(lit(1)).as("cluster_size"))
+      .select($"cluster".as("doc_id"), $"cluster_size")
+      .orderBy($"doc_id")
+  }
+
   val p1CorpusClean: Q = (s, d) => {
     import s.implicits._
     val toks = tokens($"text")
@@ -904,6 +940,57 @@ object Queries {
         |SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS dup_count, min(quality) AS quality
         |FROM q WHERE pred = 'en' AND quality >= 0.5
         |GROUP BY text ORDER BY doc_id""".stripMargin,
+    // p1's langid+quality filter CTEs + e2's minhash sketch + e8's
+    // recursive-CTE transitive closure, composed: one representative
+    // (min doc_id) per near-dup cluster of the clean-English slice
+    "p2_corpus_dedup" ->
+      """WITH RECURSIVE s AS (SELECT doc_id, text, string_split(text, ' ') AS w,
+        |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS np FROM documents),
+        |c AS (SELECT doc_id, text,
+        |  len(list_filter(w, t -> t IN ('the','a','of','and','to','in','is','it'))) AS s_en,
+        |  len(list_filter(w, t -> t IN ('der','die','das','und','ist','ein','zu','mit'))) AS s_de,
+        |  len(list_filter(w, t -> t IN ('el','la','de','y','es','un','en','que'))) AS s_es,
+        |  len(list_filter(w, t -> t IN ('le','la','de','et','est','un','en','que'))) AS s_fr,
+        |  CAST(len(w) AS BIGINT) AS n_tokens,
+        |  np::DOUBLE / greatest(length(text)::DOUBLE, 1.0) AS punct_ratio,
+        |  CAST(len(list_filter(w, t -> t IN ('the','a','of','and','to','in','is','it'))) AS BIGINT)::DOUBLE / greatest(len(w)::DOUBLE, 1.0) AS sw_ratio
+        |  FROM s),
+        |q AS (SELECT doc_id, text,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred,
+        |  round(((CASE WHEN n_tokens::DOUBLE >= 5 AND n_tokens::DOUBLE <= 2000 THEN 1.0 ELSE 0.0 END)
+        |    + (CASE WHEN punct_ratio <= 0.1 THEN 1.0 ELSE 0.0 END)
+        |    + least(sw_ratio * 5.0, 1.0)) / 3.0, 6) AS quality
+        |  FROM c),
+        |clean AS (SELECT doc_id, text FROM q WHERE pred = 'en' AND quality >= 0.5),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM clean),
+        |sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM toks),
+        |hp AS (SELECT doc_id, ('0x' || substring(md5(s), 1, 15))::BIGINT AS h1,
+        |               ('0x' || substring(md5(s), 17, 14))::BIGINT AS h2 FROM sh),
+        |sig AS (SELECT doc_id, j, min((h1 + j * h2) & 1152921504606846975) AS minh
+        |  FROM hp CROSS JOIN generate_series(0, 7) g(j) GROUP BY doc_id, j),
+        |wide AS (SELECT doc_id,
+        |  max(CASE WHEN j=0 THEN minh END) AS m0, max(CASE WHEN j=1 THEN minh END) AS m1,
+        |  max(CASE WHEN j=2 THEN minh END) AS m2, max(CASE WHEN j=3 THEN minh END) AS m3,
+        |  max(CASE WHEN j=4 THEN minh END) AS m4, max(CASE WHEN j=5 THEN minh END) AS m5,
+        |  max(CASE WHEN j=6 THEN minh END) AS m6, max(CASE WHEN j=7 THEN minh END) AS m7
+        |  FROM sig GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, md5(CAST(m0 AS VARCHAR) || ',' || CAST(m1 AS VARCHAR)) AS bsig FROM wide
+        |  UNION ALL SELECT doc_id, 1, md5(CAST(m2 AS VARCHAR) || ',' || CAST(m3 AS VARCHAR)) FROM wide
+        |  UNION ALL SELECT doc_id, 2, md5(CAST(m4 AS VARCHAR) || ',' || CAST(m5 AS VARCHAR)) FROM wide
+        |  UNION ALL SELECT doc_id, 3, md5(CAST(m6 AS VARCHAR) || ',' || CAST(m7 AS VARCHAR)) FROM wide),
+        |pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+        |edges AS (SELECT d1 AS ea, d2 AS eb FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM clean
+        |  UNION
+        |  SELECT r.a, e.eb FROM reach r JOIN edges e ON r.b = e.ea),
+        |cl AS (SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a)
+        |SELECT CAST(cluster AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS cluster_size
+        |FROM cl GROUP BY cluster ORDER BY doc_id""".stripMargin,
     "t2_quality" ->
       """WITH b AS (SELECT doc_id, text, string_split(text, ' ') AS w,
         |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS np FROM documents),
@@ -982,5 +1069,6 @@ object Queries {
     "t3_token_stats" -> t3TokenStats,
     "t4_fingerprint" -> t4Fingerprint,
     "p1_corpus_clean" -> p1CorpusClean,
+    "p2_corpus_dedup" -> p2CorpusDedup,
   )
 }
