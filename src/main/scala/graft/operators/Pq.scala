@@ -58,6 +58,37 @@ object Pq {
     Model(codebooks)
   }
 
+  /** Nearest-codebook-entry codes for one vector — the kernel of
+    * [[encode]], also used driver-side by the ANN rewrite rule to rank IVF
+    * centroids in ADC space.
+    */
+  def encodeVec(model: Model, v: Array[Double]): Array[Byte] = {
+    require(v.length == model.dim, s"vec dim ${v.length} != model dim ${model.dim}")
+    val dsub = model.dsub
+    val out = new Array[Byte](model.m)
+    var j = 0
+    while (j < model.m) {
+      val book = model.codebooks(j)
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < book.length) {
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          val diff = v(j * dsub + i) - book(c)(i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(j) = best.toByte
+      j += 1
+    }
+    out
+  }
+
   /** Nearest-codebook-entry byte codes for `vec` under `model`. Same
     * trade as [[Sq8.encode]]: encode is an ingest-time batch op (typed
     * map over a broadcast codebook), not the query hot path.
@@ -65,32 +96,9 @@ object Pq {
   def encode(df: DataFrame, vecCol: String, model: Model,
              outCol: String = "pq_codes"): DataFrame = {
     val spark = df.sparkSession
-    val bBooks = spark.sparkContext.broadcast(model.codebooks)
-    val dsub = model.dsub
+    val bModel = spark.sparkContext.broadcast(model)
     val enc = udf { (v: Seq[Float]) =>
-      val books = bBooks.value
-      val out = new Array[Byte](books.length)
-      var j = 0
-      while (j < books.length) {
-        val book = books(j)
-        var best = 0
-        var bestD = Double.MaxValue
-        var c = 0
-        while (c < book.length) {
-          var d = 0.0
-          var i = 0
-          while (i < dsub) {
-            val diff = v(j * dsub + i) - book(c)(i)
-            d += diff * diff
-            i += 1
-          }
-          if (d < bestD) { bestD = d; best = c }
-          c += 1
-        }
-        out(j) = best.toByte
-        j += 1
-      }
-      out
+      encodeVec(bModel.value, v.toArray.map(_.toDouble))
     }
     df.withColumn(outCol, enc(col(vecCol)))
   }

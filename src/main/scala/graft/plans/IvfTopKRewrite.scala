@@ -1,7 +1,7 @@
 package graft.plans
 
-import graft.functions.{ByteDot, DotProduct}
-import graft.operators.IvfIndex
+import graft.functions.{ByteDot, ByteLutSum, DotProduct}
+import graft.operators.{IvfIndex, Pq}
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Descending, Expression, In, Literal, SortOrder}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -17,9 +17,15 @@ import org.apache.spark.sql.catalyst.util.ArrayData
   */
 object IvfRegistry {
   @volatile private var state: Option[(IvfIndex.Model, Int)] = None
+  @volatile private var pqState: Option[Pq.Model] = None
   def register(model: IvfIndex.Model, nprobe: Int): Unit = state = Some((model, nprobe))
-  def clear(): Unit = state = None
+  /** Also register the PQ codebooks so ADC-scored top-k (byte_lut_sum)
+    * queries can rank IVF centroids in the same quantized space.
+    */
+  def registerPq(model: Pq.Model): Unit = pqState = Some(model)
+  def clear(): Unit = { state = None; pqState = None }
   def current: Option[(IvfIndex.Model, Int)] = state
+  def currentPq: Option[Pq.Model] = pqState
 }
 
 /** The optimizer rule (SURVEY §7.3 "custom Catalyst, perf only"): matches
@@ -34,6 +40,10 @@ object IvfRegistry {
   *  - `byte_dot(codes, wLit) + bias`   (SQ8 — Sq8.searchTopK; w = scale·q,
   *    so centroid ranking in the scale-weighted space preserves the
   *    quantized score order),
+  *  - `byte_lut_sum(codes, lutLit)`    (PQ ADC — Pq.searchTopK; requires
+  *    `IvfRegistry.registerPq`: each IVF centroid is PQ-encoded and scored
+  *    through the query's LUT, ranking centroids in exactly the quantized
+  *    space the rows are scored in),
   *
   * and injects `Filter(cluster_id IN topNprobeClusters(q))` directly above
   * the base relation — below any pre-existing Filter, whose predicate is
@@ -57,10 +67,31 @@ case class IvfTopKRewrite() extends Rule[LogicalPlan] {
       }
   }
 
-  /** The literal query vector buried anywhere in the score expression. */
-  private def findQuery(e: Expression): Option[Array[Double]] = e.collectFirst {
-    case DotProduct(_, Literal(q: ArrayData, _)) => q.toDoubleArray()
-    case ByteDot(_, Literal(w: ArrayData, _))    => w.toDoubleArray()
+  /** A centroid-scoring function recovered from the literal query buried
+    * anywhere in the score expression — IP against the (possibly
+    * scale-weighted) query vector, or ADC through the PQ LUT.
+    */
+  private def findScorer(e: Expression): Option[Array[Double] => Double] = e.collectFirst {
+    case DotProduct(_, Literal(q: ArrayData, _)) => ipWith(q.toDoubleArray())
+    case ByteDot(_, Literal(w: ArrayData, _))    => ipWith(w.toDoubleArray())
+    case ByteLutSum(_, Literal(lut: ArrayData, _)) if IvfRegistry.currentPq.isDefined =>
+      val pq = IvfRegistry.currentPq.get
+      val flat = lut.toDoubleArray()
+      (c: Array[Double]) => {
+        val codes = Pq.encodeVec(pq, c)
+        var acc = 0.0
+        var j = 0
+        while (j < codes.length) { acc += flat(j * 256 + (codes(j) & 0xff)); j += 1 }
+        acc
+      }
+  }
+
+  private def ipWith(q: Array[Double])(c: Array[Double]): Double = {
+    val n = math.min(q.length, c.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += q(i) * c(i); i += 1 }
+    acc
   }
 
   private def rewriteSort(sort: Sort, model: IvfIndex.Model, nprobe: Int): Option[Sort] =
@@ -74,11 +105,17 @@ case class IvfTopKRewrite() extends Rule[LogicalPlan] {
         if (alreadyPruned || cidOpt.isEmpty) None
         else
           projList.collectFirst { case a: Alias if a.exprId == attr.exprId => a }
-            .flatMap(a => findQuery(a.child))
-            .map { query =>
-              val probed = model.centroids.zipWithIndex
-                .map { case (c, i) => (i, c.zip(query).map { case (x, y) => x * y }.sum) }
-                .sortBy(-_._2).take(nprobe).map(_._1)
+            .flatMap(a => findScorer(a.child))
+            .flatMap { scorer =>
+              // dim mismatch (e.g. a PQ model fit for another table) must
+              // leave the plan untouched, never break analysis
+              scala.util.Try {
+                model.centroids.zipWithIndex
+                  .map { case (c, i) => (i, scorer(c)) }
+                  .sortBy(-_._2).take(nprobe).map(_._1)
+              }.toOption
+            }
+            .map { probed =>
               // below any user Filter: prune reaches the scan first
               val pruned = pchild match {
                 case f @ Filter(cond, base) =>

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{AnnSearch, IvfIndex, Pq}
+import graft.plans.IvfRegistry
 import org.apache.spark.sql.functions._
 
 /** Product quantization: ADC scoring exactness (score ≡ IP with the decoded
@@ -88,5 +89,52 @@ class PqSpec extends SparkSpec {
       .collect().map(_.getLong(0)).filter(prunedIds.contains).take(15).toSeq
     assert(prunedTop == subsetTop, "IVF pruning must only restrict the candidate set")
     enc.unpersist()
+  }
+
+  test("IvfTopKRewrite: byte_lut_sum ADC shape prunes when the PQ model is registered") {
+    val e = Tables.embeddings(spark, Sf0001)
+    val q = e.where($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val base = e.where($"vec_id" =!= 0)
+    val (assigned, ivf) = IvfIndex.build(base, "embedding", nlist = 8)
+    val pq = Pq.fit(base, "embedding", m = 8, ksub = 16)
+    val indexed = Pq.encode(assigned, "embedding", pq)
+      .select($"vec_id", $"pq_codes", $"cluster_id").cache()
+    indexed.count()
+    def planOf(df: org.apache.spark.sql.DataFrame) = df.queryExecution.optimizedPlan.toString
+    val prunedRe = "cluster_id#\\d+ IN".r // attributes print with expr ids
+    try {
+      // unregistered: the ADC scan stays unpruned
+      val before = Pq.searchTopK(indexed, "pq_codes", "vec_id", pq, q, 15)
+      assert(prunedRe.findFirstIn(planOf(before)).isEmpty, planOf(before))
+
+      // IVF alone is NOT enough for the ADC shape — the LUT hides the query
+      IvfRegistry.register(ivf, nprobe = 2)
+      val ivfOnly = Pq.searchTopK(indexed, "pq_codes", "vec_id", pq, q, 15)
+      assert(prunedRe.findFirstIn(planOf(ivfOnly)).isEmpty,
+        "ADC shape must not rewrite without the PQ codebooks")
+
+      IvfRegistry.registerPq(pq)
+      val after = Pq.searchTopK(indexed, "pq_codes", "vec_id", pq, q, 15)
+      assert(planOf(after).contains("cluster_id"), s"not pruned:\n${planOf(after)}")
+      val rewritten = after.collect().map(_.getLong(0)).toSeq
+      // parity: manual prune in the same ADC space, then the same top-k
+      val probed = ivf.centroids.zipWithIndex.map { case (c, i) =>
+        val codes = Pq.encodeVec(pq, c)
+        val lutScore = codes.zipWithIndex.map { case (code, j) =>
+          pq.codebooks(j)(code & 0xff).zip(q.slice(j * pq.dsub, (j + 1) * pq.dsub))
+            .map { case (a, b) => a * b }.sum
+        }.sum
+        (i, lutScore)
+      }.sortBy(-_._2).take(2).map(_._1)
+      val manual = Pq.searchTopK(
+          indexed.where($"cluster_id".isin(probed.toIndexedSeq: _*)),
+          "pq_codes", "vec_id", pq, q, 15)
+        .collect().map(_.getLong(0)).toSeq
+      assert(rewritten == manual)
+    } finally {
+      IvfRegistry.clear()
+      indexed.unpersist()
+    }
   }
 }
