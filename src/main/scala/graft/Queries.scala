@@ -258,6 +258,23 @@ object Queries {
   }
 
   /** Tumbling-window time aggregation (streaming-shaped, batch checked). */
+  /** W2 session windows (30-min inactivity gap) via Spark's built-in
+    * `session_window` — the merge-on-overlap windowing family w1's
+    * tumbling windows don't cover, and the batch shape of the streaming
+    * sessionization the same expression gives under `readStream`.
+    * Boundary semantics: a Spark session window is [start, last+gap), so
+    * an event arriving EXACTLY gap after the previous opens a NEW session
+    * — the gaps-and-islands oracle flags new sessions with `>=`.
+    */
+  val w2SessionWindow: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"sw.start".as("session_start"), $"n_events")
+      .orderBy($"user_id", $"session_start")
+  }
+
   val w1TimeWindow: Q = (s, d) => {
     import s.implicits._
     Tables.events(s, d)
@@ -744,6 +761,17 @@ object Queries {
       """SELECT date_trunc('hour', ts) AS w, event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // gaps-and-islands sessionization; >= matches Spark's exclusive
+    // session end (an event exactly gap after the last opens a new one)
+    "w2_session_window" ->
+      """WITH x AS (SELECT user_id, ts,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events),
+        |y AS (SELECT user_id, ts,
+        |  CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s FROM x),
+        |z AS (SELECT user_id, ts,
+        |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM y)
+        |SELECT user_id, min(ts) AS session_start, CAST(count(*) AS BIGINT) AS n_events
+        |FROM z GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
     "e1_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS dup_count
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
@@ -1043,6 +1071,7 @@ object Queries {
     "j1_join_revenue" -> j1JoinRevenue,
     "j2_json_extract" -> j2JsonExtract,
     "w1_time_window" -> w1TimeWindow,
+    "w2_session_window" -> w2SessionWindow,
     "e1_exact_dedup" -> e1ExactDedup,
     "e6_topk_per_group" -> e6TopkPerGroup,
     "e6_topk_heap_agg" -> e6TopkHeapAgg,
