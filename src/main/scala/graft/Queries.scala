@@ -456,6 +456,21 @@ object Queries {
       .select($"vec_id", round($"score", 6).as("score"))
   }
 
+  /** E9 training-data decontamination: corpus docs sharing any 5-word
+    * shingle with a benchmark set ([[TextDedup.contamination]]) — the
+    * benchmark stand-in is every 10th document. Benchmark shingle hashes
+    * broadcast; the corpus scan never shuffles its shingles.
+    */
+  val e9Contamination: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    TextDedup.contamination(
+        docs.where($"doc_id" % 10 =!= 0), docs.where($"doc_id" % 10 === 0),
+        "text", "doc_id", shingleK = 5)
+      .select($"doc_id", $"n_shingles")
+      .orderBy($"doc_id")
+  }
+
   /** E2 MinHash signatures (k=8 families, 3-word shingles). */
   val e2MinhashSig: Q = (s, d) =>
     TextDedup.minhashSignatures(Tables.documents(s, d), "text", "doc_id", 8, 3)
@@ -761,6 +776,20 @@ object Queries {
       """SELECT date_trunc('hour', ts) AS w, event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // 5-gram contamination: corpus shingle hash60s joined against the
+    // distinct benchmark shingle hash60s (benchmark = every 10th doc)
+    "e9_contamination" ->
+      """WITH ct AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id % 10 <> 0),
+        |cs AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-4),
+        |  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS s FROM ct),
+        |ch AS (SELECT doc_id, ('0x' || substring(md5(s), 1, 15))::BIGINT AS h FROM cs),
+        |bt AS (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % 10 = 0),
+        |bs AS (SELECT unnest(list_transform(generate_series(1, len(w)-4),
+        |  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS s FROM bt),
+        |bh AS (SELECT DISTINCT ('0x' || substring(md5(s), 1, 15))::BIGINT AS h FROM bs)
+        |SELECT ch.doc_id, CAST(count(DISTINCT ch.h) AS BIGINT) AS n_shingles
+        |FROM ch JOIN bh ON ch.h = bh.h
+        |GROUP BY ch.doc_id ORDER BY doc_id""".stripMargin,
     // gaps-and-islands sessionization; >= matches Spark's exclusive
     // session end (an event exactly gap after the last opens a new one)
     "w2_session_window" ->
@@ -1072,6 +1101,7 @@ object Queries {
     "j2_json_extract" -> j2JsonExtract,
     "w1_time_window" -> w1TimeWindow,
     "w2_session_window" -> w2SessionWindow,
+    "e9_contamination" -> e9Contamination,
     "e1_exact_dedup" -> e1ExactDedup,
     "e6_topk_per_group" -> e6TopkPerGroup,
     "e6_topk_heap_agg" -> e6TopkHeapAgg,

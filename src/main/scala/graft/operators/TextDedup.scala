@@ -205,6 +205,31 @@ object TextDedup {
       .select(col(idCol), fp.cast("long").as("simhash"))
   }
 
+  /** Training-data decontamination (the GPT-3-style n-gram contamination
+    * check, Brown et al. 2020 appendix C): flag corpus documents sharing
+    * any `shingleK`-word shingle with a benchmark/eval set, with the count
+    * of distinct matched shingles as the contamination strength.
+    *
+    * Shape for 100 TB: the benchmark side is tiny by construction (eval
+    * sets are thousands of documents, the corpus is billions), so its
+    * distinct shingle hashes BROADCAST and the corpus-side scan never
+    * shuffles its shingles — one hash join + one per-doc aggregate.
+    * Shingles travel as [[TextFunctions.hash60]] (8 bytes instead of the
+    * string), the same cross-engine-stable hash the oracle reproduces.
+    */
+  def contamination(
+      corpus: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, shingleK: Int): DataFrame = {
+    val corpusShingles = shingleRows(corpus, textCol, idCol, shingleK)
+      .select(col(idCol), hash60(col("s")).as("h"))
+    val benchShingles = shingleRows(bench, textCol, idCol, shingleK)
+      .select(hash60(col("s")).as("h")).distinct()
+    corpusShingles
+      .join(broadcast(benchShingles), "h")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("h")).as("n_shingles"))
+  }
+
   /** Inverted-index candidate matcher shared by [[jaccardPairs]] and
     * [[jaccardPairsPrefix]]: rows of (id, block, n, token) self-joined on
     * (token, block) with the exact size-ratio prune and `d1 < d2`, with the
