@@ -22,6 +22,28 @@ class TextDedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 5L || p._1 == 5L))
   }
 
+  test("contamination: shared shingles counted, disjoint docs clean, bench broadcasts") {
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"), // shares shingles with bench
+      (11L, "totally disjoint vocabulary right here")) // clean
+      .toDF("doc_id", "text")
+    val bench = Seq((99L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val out = TextDedup.contamination(corpus, bench, "text", "doc_id", shingleK = 3)
+    val rows = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // bench has 3-shingles {alpha beta gamma, beta gamma delta}; doc 10
+    // contains both, doc 11 none
+    assert(rows == Map(10L -> 2L), rows.toString)
+    // the benchmark side must be the broadcast build
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      out.queryExecution.executedPlan.toString.take(800))
+    // a doc exactly equal to a bench doc matches all of its shingles
+    val self = TextDedup.contamination(
+        bench.select($"doc_id" + 1 as "doc_id", $"text"), bench,
+        "text", "doc_id", shingleK = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(self == Map(100L -> 2L), self.toString)
+  }
+
   test("jaccardPairsPrefix returns exactly the inverted-index result") {
     def norm(dfr: org.apache.spark.sql.DataFrame) =
       dfr.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
