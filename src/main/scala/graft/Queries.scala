@@ -275,6 +275,26 @@ object Queries {
       .orderBy($"user_id", $"session_start")
   }
 
+  /** Q3 data-profiling summary per event_type — the curation-side stats
+    * pass a pipeline runs before training: count, mean (through the same
+    * order-independent DECIMAL accumulation as every money sum), and
+    * EXACT interpolated p50/p95 (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`, both linear-interpolation-between-ranks). At 100 TB
+    * `approx_percentile` (t-digest) is the drop-in scale path with the
+    * same plan shape — the e7 exact/HLL twin pattern.
+    */
+  val q3Profile: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(dec($"value")).cast("double") / count(lit(1)), 6).as("mean_value"),
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95"))
+      .orderBy($"event_type")
+  }
+
   val w1TimeWindow: Q = (s, d) => {
     import s.implicits._
     Tables.events(s, d)
@@ -776,6 +796,12 @@ object Queries {
       """SELECT date_trunc('hour', ts) AS w, event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q3_profile" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS mean_value,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.95), 6) AS p95
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // 5-gram contamination: corpus shingle hash60s joined against the
     // distinct benchmark shingle hash60s (benchmark = every 10th doc)
     "e9_contamination" ->
@@ -1111,6 +1137,7 @@ object Queries {
     "j3_asof_join" -> j3AsofJoin,
     "j4_range_join" -> j4RangeJoin,
     "q2_rollup" -> q2Rollup,
+    "q3_profile" -> q3Profile,
     "c7_ivf_cluster" -> c7IvfCluster,
     "c7_sq8_ann" -> c7Sq8Ann,
     "c7_pq_ann" -> c7PqAnn,
