@@ -71,6 +71,14 @@ class PlanAuditSpec extends SparkSpec {
       s"lineitem on a broadcast side:\n$buildLines")
   }
 
+  test("q3: profiling stats are one aggregation shuffle, pruned to 2 columns") {
+    val p = plan("q3_profile")
+    assert(exchanges(p) <= 2, s"expected <=2 exchanges (agg + sort), got ${exchanges(p)}")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("event_type") && read.contains("value") && !read.contains("props"),
+      s"column pruning lost: $read")
+  }
+
   test("j4: band range join stays an equi-join (no nested-loop cartesian)") {
     val p = plan("j4_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
