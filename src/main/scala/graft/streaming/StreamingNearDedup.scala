@@ -6,6 +6,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** A document on the ingest stream. */
 case class StreamDoc(id: Long, text: String)
 
+/** A timestamped document for the windowed (bounded-state) variant. */
+case class TimedDoc(id: Long, ts: java.sql.Timestamp, text: String)
+
 /** A streamed near-dup candidate pair (d1 < d2) with the MinHash-estimated
   * Jaccard similarity (fraction of agreeing signature rows).
   */
@@ -28,8 +31,8 @@ case class NearDupPair(d1: Long, d2: Long, simEst: Double)
   * policy of the batch path (at web scale a 10⁶-member bucket is
   * boilerplate, and its O(b²) pairs are noise). Total state is
   * O(buckets × maxPerBucket × k) longs with no watermark, matching
-  * dedup-against-all-history semantics; callers that only need windowed
-  * dedup should re-key the bucket with a coarse time bucket.
+  * dedup-against-all-history semantics; [[candidatePairsWindowed]] is the
+  * watermark-evicted bounded-state variant for infinite streams.
   *
   * A pair that collides in several bands is emitted once per band (the
   * batch path's global `distinct()` has no streaming analog without a
@@ -40,6 +43,10 @@ object StreamingNearDedup {
   // Encoder-visible state types (codegen requires public constructors).
   case class Member(id: Long, sig: Array[Long])
   case class BucketState(members: List[Member], dropped: Long)
+  case class TimedMember(id: Long, sig: Array[Long], tsMs: Long)
+  case class TimedBucketState(members: List[TimedMember], dropped: Long)
+  case class TimedBucketRow(bucket: String, id: Long, sig: Array[Long],
+                            ts: java.sql.Timestamp)
 
   /** Plain-Scala mirror of the batch sketch
     * ([[graft.operators.TextDedup.minhashWide]]): single-space tokens,
@@ -70,6 +77,80 @@ object StreamingNearDedup {
       i += 1
     }
     mins
+  }
+
+  /** [[candidatePairs]] bounded to a trailing event-time window — the
+    * production shape for an infinite stream: a document only pairs
+    * against bucket members seen within `windowSec` of its own event
+    * time, and bucket state is EVICTED by the watermark
+    * (`EventTimeTimeout` fires once the watermark passes the bucket's
+    * last activity + window, removing the state entirely), so total
+    * state is O(active buckets × maxPerBucket) regardless of stream age.
+    * Requires the caller-supplied `watermarkDelay` (how late events may
+    * arrive); rows later than that are dropped by the watermark before
+    * they reach the state operator.
+    */
+  def candidatePairsWindowed(
+      docs: Dataset[TimedDoc],
+      windowSec: Long,
+      k: Int, shingleK: Int, bands: Int,
+      maxPerBucket: Int = 1024,
+      watermarkDelay: String = "0 seconds"): Dataset[NearDupPair] = {
+    require(k % bands == 0, "k must divide into bands")
+    val rowsPer = k / bands
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val windowMs = windowSec * 1000L
+    docs
+      .flatMap { d =>
+        val sig = signature(d.text, k, shingleK)
+        if (sig == null) Iterator.empty
+        else (0 until bands).iterator.map { b =>
+          val bsig = sig.slice(b * rowsPer, (b + 1) * rowsPer).mkString(",")
+          TimedBucketRow(s"$b|$bsig", d.id, sig, d.ts)
+        }
+      }
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[TimedBucketState, NearDupPair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_, rows, state: GroupState[TimedBucketState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last activity + window: no future row can
+            // pair with anything here — drop the whole bucket's state
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(TimedBucketState(Nil, 0L))
+            val out = rows.toSeq.sortBy(r => (r.ts.getTime, r.id)).flatMap { r =>
+              val tMs = r.ts.getTime
+              // members the window has passed can never pair again
+              st = st.copy(members = st.members.filter(m => tMs - m.tsMs <= windowMs))
+              if (st.members.exists(_.id == r.id)) Nil
+              else if (st.members.size >= maxPerBucket) {
+                st = st.copy(dropped = st.dropped + 1)
+                Nil
+              } else {
+                val pairs = st.members.map { m =>
+                  val agree = m.sig.zip(r.sig).count { case (a, b) => a == b }
+                  val (lo, hi) = if (m.id < r.id) (m.id, r.id) else (r.id, m.id)
+                  NearDupPair(lo, hi, agree.toDouble / k)
+                }
+                st = st.copy(members = TimedMember(r.id, r.sig, tMs) :: st.members)
+                pairs
+              }
+            }
+            if (st.members.nonEmpty) {
+              // evict once nothing in this bucket can pair anymore; must
+              // stay strictly above the current watermark
+              val lastActivity = st.members.map(_.tsMs).max
+              state.setTimeoutTimestamp(
+                math.max(lastActivity + windowMs, state.getCurrentWatermarkMs() + 1))
+              state.update(st)
+            } else state.remove()
+            out.iterator
+          }
+      }
   }
 
   /** Candidate near-dup pairs over an unbounded document stream. Append

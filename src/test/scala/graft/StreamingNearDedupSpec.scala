@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.TextDedup
-import graft.streaming.{StreamDoc, StreamingNearDedup}
+import graft.streaming.{StreamDoc, StreamingNearDedup, TimedDoc}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 /** Streaming MinHash-LSH near-dup: signature bit-parity with the batch
@@ -80,6 +80,35 @@ class StreamingNearDedupSpec extends SparkSpec {
         s"exact dup across batches must pair at simEst 1.0: $pairs")
       assert(!pairs.exists(p => p._1 == 2 || p._2 == 2),
         s"unrelated doc must not pair: $pairs")
+    } finally q.stop()
+  }
+
+  test("windowed variant: pairs inside the trailing window, never across it") {
+    implicit val sqlCtx = spark.sqlContext
+    // offset well above epoch: a row at exactly the INITIAL watermark (0)
+    // is filtered as late before the state operator ever sees it
+    def t(sec: Long) = new java.sql.Timestamp((1000000L + sec) * 1000L)
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val input = MemoryStream[TimedDoc]
+    val q = StreamingNearDedup
+      .candidatePairsWindowed(input.toDS(), windowSec = 60, K, Shingle, Bands)
+      .writeStream.format("memory").queryName("sndw").outputMode("append").start()
+    try {
+      input.addData(TimedDoc(1, t(0), base))
+      q.processAllAvailable()
+      // dup 30 s later, NEXT micro-batch: inside the window → pairs
+      input.addData(TimedDoc(2, t(30), base))
+      q.processAllAvailable()
+      // watermark jumps far ahead; bucket state becomes evictable
+      input.addData(TimedDoc(3, t(1000),
+        "completely different words entirely unrelated content here for sure"))
+      q.processAllAvailable()
+      // dup again at t=1010: docs 1/2 are > 60 s behind → must NOT pair
+      input.addData(TimedDoc(4, t(1010), base))
+      q.processAllAvailable()
+      val pairs = spark.table("sndw")
+        .select("d1", "d2").as[(Long, Long)].collect().toSet
+      assert(pairs == Set((1L, 2L)), s"only the in-window dup may pair: $pairs")
     } finally q.stop()
   }
 
