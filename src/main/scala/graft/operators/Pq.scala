@@ -127,7 +127,9 @@ object Pq {
     var j = 0
     while (j < model.m) {
       var c = 0
-      while (c < model.ksub) {
+      // per-subspace length: KMeans may converge to fewer than ksub
+      // centroids, and subspaces converge independently
+      while (c < model.codebooks(j).length) {
         val cent = model.codebooks(j)(c)
         var acc = 0.0
         var i = 0
@@ -158,9 +160,9 @@ object Pq {
 
   // Session-scoped registry: fitting m codebooks + encoding is the periodic
   // index build (same contract as IvfIndex.buildCached) — gate/bench time
-  // the ADC SEARCH, not the build.
-  private val registry =
-    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, Model)]()
+  // the ADC SEARCH, not the build. Lazy cells keep the m KMeans fits out of
+  // the ConcurrentHashMap bin lock (see [[SessionCache]]).
+  private val registry = new SessionCache[(DataFrame, Model)]
 
   /** [[fit]] + [[encode]] memoized per (session, key); the encoded table is
     * persisted and materialized (the C9 "load" analog).
@@ -168,10 +170,10 @@ object Pq {
   def fitEncodeCached(spark: SparkSession, key: String, df: => DataFrame,
                       vecCol: String, m: Int, ksub: Int,
                       seed: Long = 42L): (DataFrame, Model) =
-    registry.computeIfAbsent(s"${System.identityHashCode(spark)}#$key", { _ =>
+    registry.getOrBuild(s"${System.identityHashCode(spark)}#$key") {
       val model = fit(df, vecCol, m, ksub, seed)
       val encoded = encode(df, vecCol, model).persist()
       encoded.count()
       (encoded, model)
-    })
+    }
 }

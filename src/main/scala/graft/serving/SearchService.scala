@@ -5,7 +5,8 @@ import java.nio.charset.StandardCharsets
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import graft.multimodal.ImageOps
-import org.apache.spark.sql.{DataFrame, Row}
+import graft.operators.{IvfIndex, Pq, Sq8}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Serving layer (SURVEY §3.3, searcher.js): `POST /search` with raw image
@@ -23,8 +24,29 @@ import org.apache.spark.sql.functions._
   *    decoded in-process (ImageOps), the query vector never touches disk;
   *  - the collection "load" (C9, `loadCollectionSync`) is `df.cache()` on a
   *    long-lived SparkSession — executors keep the columnar data hot;
-  *  - search is the exact scored scan (TakeOrderedAndProject) — at cluster
-  *    scale swap in IvfIndex.search for the nprobe-pruned path.
+  *  - `mode` picks the serving plan; the reference serves EVERY query
+  *    through IVF_SQ8 nprobe=10 (`searcher.js:99-110`), which is mode
+  *    "ivf_sq8" here.
+  *
+  * Serving modes (the index build is the collection LOAD, paid once at
+  * construction — per-request work is only the probe):
+  *  - "exact":   the exact scored scan (TakeOrderedAndProject) — the
+  *               correctness anchor and the right plan for small tables;
+  *  - "ivf":     KMeans coarse quantization; per query, centroids rank on
+  *               the driver and only `nprobe`/`nlist` clusters are scanned
+  *               with exact float scores;
+  *  - "ivf_sq8": the reference's serving shape (Milvus IVF_SQ8,
+  *               loader.js:332-334) — IVF pruning + SQ8 byte codes scored
+  *               by the codegen'd `byte_dot` kernel, 1 B/dim at rest;
+  *  - "ivf_pq":  IVF pruning + PQ/ADC (m bytes/vector) through the
+  *               codegen'd `byte_lut_sum` kernel — the 100 TB codec.
+  *
+  * With `indexDir` set, the quantized modes lay the indexed table out as
+  * parquet `partitionBy(cluster_id)`, so a query's nprobe filter becomes
+  * real PARTITION PRUNING at the source (PartitionFilters in the scan —
+  * only nprobe/nlist of the files are ever read; the in-memory cache path
+  * gets the same effect from cached-batch filtering, but the parquet
+  * layout is what survives a 100 TB corpus that doesn't fit in RAM).
   *
   * JDK HttpServer keeps the dependency surface at zero; a production front
   * would sit behind any HTTP fabric and call [[search]] the same way.
@@ -38,12 +60,18 @@ class SearchService(
     outputFields: Seq[String] = Nil,
     maxBodyBytes: Long = 10L << 20, // searcher.js:129 "10mb"
     maxReqPerSec: Int = 100, // searcher.js:125-127
-    algo: String = "in") { // loader.js:20-21: one algo keys ingest + search
+    algo: String = "in", // loader.js:20-21: one algo keys ingest + search
+    mode: String = "exact",
+    nlist: Int = 128, // loader.js:332-334 IVF_SQ8 nlist
+    nprobe: Int = 10, // searcher.js:99-110
+    indexDir: Option[String] = None) {
 
   require(outputFields.forall(table.columns.contains),
     s"outputFields must exist in the table: ${outputFields.mkString(", ")}")
   require(algo == "in" || ImageOps.descriptors.contains(algo),
     s"unknown descriptor algo '$algo' (have: in, ${ImageOps.descriptors.keys.mkString(", ")})")
+  require(Seq("exact", "ivf", "ivf_sq8", "ivf_pq").contains(mode),
+    s"unknown search mode '$mode' (have: exact, ivf, ivf_sq8, ivf_pq)")
 
   // Query-side descriptor — MUST match the one the table was ingested with
   // (the reference keys both ends on TRACE_ALGO; a table of EHD vectors
@@ -52,27 +80,104 @@ class SearchService(
     if (algo == "in") ImageOps.intensityDescriptor(_, grid)
     else ImageOps.descriptors(algo)
 
-  private val cached = table.cache()
-  cached.count() // materialize — the reference's loadCollectionSync (C9)
+  // ---- collection load (C9). Exact mode caches the raw table; quantized
+  // modes build the IVF index (+ codec) here, once — the serving analog of
+  // the reference's out-of-band Milvus index build.
+  private val keepCols = (idCol +: outputFields).distinct
 
-  private def bestDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+  private val cached = table.cache()
+  private val nRows = cached.count() // materialize — loadCollectionSync (C9)
+
+  // Codec models live next to the IVF index; assigned during the load below
+  // (declared first — class fields initialize in order).
+  private var sq8Model: Option[Sq8.Model] = None
+  private var pqModel: Option[Pq.Model] = None
+
+  private val ivf: Option[(DataFrame, IvfIndex.Model)] =
+    if (mode == "exact") None
+    else {
+      // clamp to the table size so tiny collections still load (KMeans k
+      // must not exceed the point count)
+      val (assigned, model) =
+        IvfIndex.build(cached, vecCol, math.min(nlist.toLong, nRows).toInt)
+      val indexed = mode match {
+        case "ivf" =>
+          assigned.select((keepCols :+ vecCol).distinct.map(col) :+ col("cluster_id"): _*)
+        case "ivf_sq8" =>
+          val sq = Sq8.fit(cached, vecCol)
+          sq8Model = Some(sq)
+          Sq8.encode(assigned, vecCol, sq, "__codes")
+            .select(keepCols.map(col) ++ Seq(col("__codes"), col("cluster_id")): _*)
+        case "ivf_pq" =>
+          val pq = Pq.fit(cached, vecCol, m = pqM(cached),
+            ksub = math.min(256L, nRows).toInt)
+          pqModel = Some(pq)
+          Pq.encode(assigned, vecCol, pq, "__codes")
+            .select(keepCols.map(col) ++ Seq(col("__codes"), col("cluster_id")): _*)
+      }
+      val laidOut = indexDir match {
+        case Some(dir) =>
+          // persist partitioned by cluster so the nprobe filter prunes FILES
+          IvfIndex.write(indexed, dir)
+          cached.sparkSession.read.parquet(dir)
+        case None =>
+          val p = indexed.cache(); p.count(); p
+      }
+      Some((laidOut, model))
+    }
+
+  /** Largest m ≤ 16 dividing dim — PQ needs dim % m == 0. */
+  private def pqM(df: DataFrame): Int = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    (16 to 1 by -1).find(dim % _ == 0).get
+  }
+
+  private def bestDot(a: Column, b: Column) =
     if (table.sparkSession.catalog.functionExists("fast_dot"))
       graft.functions.VectorFunctions.fastDot(a, b)
     else graft.functions.VectorFunctions.dot(a, b)
+
+  /** The per-request serving plan for a query vector — public so plan-shape
+    * specs can `.explain` exactly what a request scans. Quantized modes rank
+    * the nlist centroids on the driver (tiny) and scan only the `nprobe`
+    * best clusters; with `indexDir` that filter is partition pruning at the
+    * parquet source.
+    */
+  def searchFrame(q: Array[Float]): DataFrame = {
+    val qd = q.map(_.toDouble).toIndexedSeq
+    val outCols = keepCols.map(col)
+    ivf match {
+      case None =>
+        cached.select(outCols :+
+          bestDot(col(vecCol), typedlit(qd)).as("score"): _*)
+          .orderBy(desc("score"), col(idCol))
+          .limit(topK)
+      case Some((indexed, model)) =>
+        val probed = model.centroids.zipWithIndex
+          .map { case (c, i) => (i, c.zip(qd).map { case (a, b) => a * b }.sum) }
+          .sortBy(-_._2).take(nprobe).map(_._1)
+        val pruned = indexed.where(col("cluster_id").isin(probed.toIndexedSeq: _*))
+        val score = mode match {
+          case "ivf"     => bestDot(col(vecCol), typedlit(qd))
+          case "ivf_sq8" => Sq8.score(col("__codes"), sq8Model.get, qd)
+          case "ivf_pq"  => Pq.score(col("__codes"), pqModel.get, qd)
+        }
+        pruned.select(outCols :+ score.as("score"): _*)
+          .orderBy(desc("score"), col(idCol))
+          .limit(topK)
+    }
+  }
+
+  /** Top-k rows of (idCol, outputFields…, score) for a raw query vector. */
+  def searchVector(q: Array[Float]): Seq[Row] =
+    searchFrame(q).collect().toIndexedSeq
 
   /** bytes → descriptor → top-k rows of (idCol, outputFields…, score).
     * Returns None for undecodable input (reference answers 500 on bad
     * images, searcher.js:232-236).
     */
   def search(imageBytes: Array[Byte]): Option[Seq[Row]] =
-    Option(describe(imageBytes)).map { q =>
-      val outCols = (col(idCol) +: outputFields.map(col)) :+
-        bestDot(col(vecCol), typedlit(q.map(_.toDouble).toIndexedSeq)).as("score")
-      cached.select(outCols: _*)
-        .orderBy(desc("score"), col(idCol))
-        .limit(topK)
-        .collect().toIndexedSeq
-    }
+    Option(describe(imageBytes)).map(searchVector)
 
   /** Solr-mimic envelope (searcher.js:223-231): docs carry id, the
     * configured output fields and the score.
@@ -140,6 +245,7 @@ class SearchService(
   def stop(): Unit = {
     if (server != null) server.stop(0)
     cached.unpersist()
+    if (indexDir.isEmpty) ivf.foreach(_._1.unpersist())
   }
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {

@@ -188,6 +188,107 @@ class SearchServiceSpec extends SparkSpec {
     }
   }
 
+  // ---- quantized serving (searcher.js:99-110: EVERY reference query runs
+  // IVF_SQ8 nprobe=10 top-15 — the serving path must be the pruned scan,
+  // not an exact full scan).
+
+  /** 4 well-separated clusters of dim-16 vectors, 60 members each. */
+  private def clusteredVectors(seed: Long = 7L): org.apache.spark.sql.DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val rows = for (c <- 0 until 4; i <- 0 until 60) yield {
+      val v = Array.tabulate(16) { d =>
+        (if (d / 4 == c) 10.0f else 0.0f) + (rnd.nextFloat() - 0.5f)
+      }
+      (c * 60L + i, v)
+    }
+    rows.toDF("id", "vec")
+  }
+
+  test("ivf_sq8 serving: per-request scan is partition-pruned to nprobe clusters; recall vs exact") {
+    val table = clusteredVectors()
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfsq8").toString
+    val exactSvc = new SearchService(table, "vec", "id", topK = 15)
+    val svc = new SearchService(table, "vec", "id", topK = 15,
+      mode = "ivf_sq8", nlist = 4, nprobe = 2, indexDir = Some(dir))
+    try {
+      // query: near cluster 2's center
+      val rnd = new scala.util.Random(99L)
+      val q = Array.tabulate(16)(d =>
+        (if (d / 4 == 2) 10.0f else 0.0f) + (rnd.nextFloat() - 0.5f))
+
+      // 1. the request plan prunes at the parquet source: the cluster_id
+      //    nprobe filter must be a PartitionFilter, not a post-scan Filter
+      val plan = svc.searchFrame(q).queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+      assert(pf.contains("cluster_id"), s"no partition pruning:\n${plan.take(1500)}")
+      // 2. the index layout is one directory per cluster; nprobe=2 of 4 read
+      val dirs = new java.io.File(dir).listFiles().count(_.getName.startsWith("cluster_id="))
+      assert(dirs == 4, s"expected 4 cluster partitions, got $dirs")
+
+      // 3. recall vs the exact service on the same ingested table
+      val exact = exactSvc.searchVector(q).map(_.getLong(0)).toSet
+      val served = svc.searchVector(q).map(_.getLong(0)).toSet
+      val recall = exact.intersect(served).size.toDouble / exact.size
+      assert(recall >= 0.8, s"recall@15 $recall (exact=$exact served=$served)")
+      // with well-separated clusters every exact hit lives in the probed
+      // cluster, so the byte-quantized path must find at least 12 of 15
+    } finally { svc.stop(); exactSvc.stop() }
+  }
+
+  test("ivf serving (float scores): exact result parity when top-k lives in probed clusters") {
+    val table = clusteredVectors()
+    val exactSvc = new SearchService(table, "vec", "id", topK = 15)
+    val svc = new SearchService(table, "vec", "id", topK = 15,
+      mode = "ivf", nlist = 4, nprobe = 2)
+    try {
+      val rnd = new scala.util.Random(5L)
+      val q = Array.tabulate(16)(d =>
+        (if (d / 4 == 1) 10.0f else 0.0f) + (rnd.nextFloat() - 0.5f))
+      // identical float arithmetic inside the probed clusters → identical list
+      val exact = exactSvc.searchVector(q).map(_.getLong(0)).toSeq
+      val served = svc.searchVector(q).map(_.getLong(0)).toSeq
+      assert(served == exact, s"served=$served exact=$exact")
+    } finally { svc.stop(); exactSvc.stop() }
+  }
+
+  test("ivf_pq serving: ADC top-k recall >= 0.8 vs exact on clustered data") {
+    val table = clusteredVectors()
+    val exactSvc = new SearchService(table, "vec", "id", topK = 15)
+    val svc = new SearchService(table, "vec", "id", topK = 15,
+      mode = "ivf_pq", nlist = 4, nprobe = 2)
+    try {
+      val rnd = new scala.util.Random(11L)
+      val q = Array.tabulate(16)(d =>
+        (if (d / 4 == 3) 10.0f else 0.0f) + (rnd.nextFloat() - 0.5f))
+      val exact = exactSvc.searchVector(q).map(_.getLong(0)).toSet
+      val served = svc.searchVector(q).map(_.getLong(0)).toSet
+      val recall = exact.intersect(served).size.toDouble / exact.size
+      assert(recall >= 0.8, s"recall@15 $recall (exact=$exact served=$served)")
+    } finally { svc.stop(); exactSvc.stop() }
+  }
+
+  test("ivf_sq8 serving end-to-end over HTTP: image ingest -> quantized probe -> envelope") {
+    val corpus = (1 to 24).map { i =>
+      val shade = (i % 3) * 100 + 20
+      (i.toLong, png(shade, 255 - shade))
+    }.toDF("id", "content")
+    val indexed = ImageOps.describeImages(corpus, "id", "content")
+      .where($"ok").select($"id", $"descriptor")
+    val svc = new SearchService(indexed, "descriptor", "id", grid = 8, topK = 3,
+      mode = "ivf_sq8", nlist = 3, nprobe = 2)
+    val port = svc.start(0)
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      val resp = client.send(
+        java.net.http.HttpRequest.newBuilder(new java.net.URI(s"http://127.0.0.1:$port/search"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray(png(22, 233))).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200)
+      assert(resp.body().contains(""""RawDocsCount":"3""""), resp.body())
+    } finally svc.stop()
+  }
+
   test("protective surface: 10MB body cap -> 413, rate limit -> 429 (searcher.js:125-136)") {
     val corpus = Seq((1L, png(0, 255))).toDF("id", "content")
     val indexed = ImageOps.describeImages(corpus, "id", "content")
