@@ -502,6 +502,44 @@ object Queries {
     TextDedup.minhashBandPairs(Tables.documents(s, d), "text", "doc_id", 8, 3, 4)
       .orderBy(col("d1"), col("d2"))
 
+  /** E2s — the STREAMING near-dedup path ([[graft.streaming.StreamingNearDedup]])
+    * run over the gate corpus as a bounded stream (availableNow trigger on a
+    * file source, memory sink), then deduped to the (d1, d2) candidate set.
+    * Same sketch, same bands, same oracle as [[e2MinhashPairs]]: the gate
+    * proves the stateful flatMapGroupsWithState pipeline — not just the
+    * batch plan — emits exactly the batch pair set. (The spec suite pins
+    * cross-micro-batch parity; this row makes it driver-visible.)
+    */
+  val e2sStreamPairs: Q = (s, d) => {
+    import s.implicits._
+    val schema = Tables.documents(s, d).schema
+    // The file-stream source wants a DIRECTORY (a bare file path fails
+    // basePath inference), and testdata tables are single files — stage the
+    // file into a per-SF temp dir once (a real deployment's ingest drop
+    // directory, A1/A6, is exactly this shape).
+    val stage = java.nio.file.Paths.get(
+      s"/tmp/graft_stream_docs_${Integer.toHexString(d.hashCode)}")
+    java.nio.file.Files.createDirectories(stage)
+    val src = java.nio.file.Paths.get(s"$d/documents.parquet")
+    val dst = stage.resolve("documents.parquet")
+    if (!java.nio.file.Files.exists(dst) ||
+        java.nio.file.Files.size(dst) != java.nio.file.Files.size(src))
+      java.nio.file.Files.copy(src, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val stream = s.readStream.schema(schema).parquet(stage.toString)
+      .select($"doc_id".as("id"), $"text")
+      .as[graft.streaming.StreamDoc]
+    val pairs = graft.streaming.StreamingNearDedup
+      .candidatePairs(stream, k = 8, shingleK = 3, bands = 4)
+    val name = "e2s_stream_pairs_sink"
+    val q = pairs.writeStream
+      .format("memory").queryName(name).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).select($"d1", $"d2").distinct().orderBy($"d1", $"d2")
+  }
+
   /** E3 SimHash 60-bit fingerprints. */
   val e3Simhash: Q = (s, d) =>
     TextDedup.simhash(Tables.documents(s, d), "text", "doc_id")
@@ -898,6 +936,29 @@ object Queries {
         |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
         |FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
         |ORDER BY d1, d2""".stripMargin,
+    // The streaming path computes the SAME sketch/banding as e2 — one
+    // oracle text, two execution models (batch plan vs stateful stream).
+    "e2s_stream_pairs" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM toks),
+        |hp AS (SELECT doc_id, ('0x' || substring(md5(s), 1, 15))::BIGINT AS h1,
+        |               ('0x' || substring(md5(s), 17, 14))::BIGINT AS h2 FROM sh),
+        |sig AS (SELECT doc_id, j, min((h1 + j * h2) & 1152921504606846975) AS minh
+        |  FROM hp CROSS JOIN generate_series(0, 7) g(j) GROUP BY doc_id, j),
+        |wide AS (SELECT doc_id,
+        |  max(CASE WHEN j=0 THEN minh END) AS m0, max(CASE WHEN j=1 THEN minh END) AS m1,
+        |  max(CASE WHEN j=2 THEN minh END) AS m2, max(CASE WHEN j=3 THEN minh END) AS m3,
+        |  max(CASE WHEN j=4 THEN minh END) AS m4, max(CASE WHEN j=5 THEN minh END) AS m5,
+        |  max(CASE WHEN j=6 THEN minh END) AS m6, max(CASE WHEN j=7 THEN minh END) AS m7
+        |  FROM sig GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, md5(CAST(m0 AS VARCHAR) || ',' || CAST(m1 AS VARCHAR)) AS bsig FROM wide
+        |  UNION ALL SELECT doc_id, 1, md5(CAST(m2 AS VARCHAR) || ',' || CAST(m3 AS VARCHAR)) FROM wide
+        |  UNION ALL SELECT doc_id, 2, md5(CAST(m4 AS VARCHAR) || ',' || CAST(m5 AS VARCHAR)) FROM wide
+        |  UNION ALL SELECT doc_id, 3, md5(CAST(m6 AS VARCHAR) || ',' || CAST(m7 AS VARCHAR)) FROM wide)
+        |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+        |ORDER BY d1, d2""".stripMargin,
     "e8_dedup_cluster" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM toks),
@@ -1145,6 +1206,7 @@ object Queries {
     "c8_ann_ivf" -> c8AnnIvf,
     "e2_minhash_sig" -> e2MinhashSig,
     "e2_minhash_pairs" -> e2MinhashPairs,
+    "e2s_stream_pairs" -> e2sStreamPairs,
     "e3_simhash" -> e3Simhash,
     "e3_simhash_near" -> e3SimhashNear,
     "e8_dedup_cluster" -> e8DedupCluster,

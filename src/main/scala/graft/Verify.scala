@@ -43,7 +43,18 @@ object Verify {
           Some(name -> ids.intersect(exact).size.toDouble / math.max(1, exact.size))
         } catch { case _: Throwable => None }
       }
-      val rj = entries.map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ",", "}")
+      // The gate embeddings are near-random, so the raw-recall entries above
+      // only prove the code path runs; the clustered_* entries (planted
+      // cluster structure, Tables.clusteredEmbeddings) are the QUALITY
+      // signal — RecallSpec asserts each ≥ 0.8 and the values land here so
+      // the driver can track them round-over-round.
+      val clustered = try AnnRecall.clusteredRecall(spark, sfDir)
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] clustered recall failed: ${e.getMessage}")
+          Map.empty[String, Double]
+        }
+      val rj = (entries ++ clustered.toSeq.sortBy(_._1))
+        .map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ",", "}")
       Files.writeString(Paths.get(s"$outDir/recall.json"), rj)
     } catch { case e: Throwable =>
       System.err.println(s"[verify] recall sidecar failed: ${e.getMessage}")

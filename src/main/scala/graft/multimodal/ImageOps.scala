@@ -954,11 +954,26 @@ object ImageOps {
   def describeImagesEhd(df: DataFrame, idCol: String, bytesCol: String): DataFrame =
     describeImagesWith(df, idCol, bytesCol, "eh")
 
+  /** Contract note (SURVEY §7.4 delta): the reference's whitelist
+    * additionally accepts `ad` = ACCID (`hasher.js:28-49`). ACCID's
+    * publication is not reproducible from public sources, so this engine
+    * EXPLICITLY rejects it rather than shipping a descriptor that silently
+    * disagrees with every other ACCID index; the rejection message names
+    * the delta. Pinned by ImageOpsSpec's registry-contract test.
+    */
+  def requireAlgo(algo: String): Unit =
+    require(descriptors.contains(algo),
+      s"unsupported descriptor algo '$algo' (have: ${descriptors.keys.toSeq.sorted.mkString(", ")})" +
+        (if (algo == "ad")
+           "; the reference accepts ad=ACCID, excluded here — not reproducible from public sources (SURVEY §7.4)"
+         else ""))
+
   /** [[describeImages]] resolved through the [[descriptors]] registry —
     * one `algo` string selects the same descriptor at ingest and serving.
     */
   def describeImagesWith(df: DataFrame, idCol: String, bytesCol: String,
                          algo: String): DataFrame = {
+    requireAlgo(algo)
     val fn = descriptors(algo)
     val spark = df.sparkSession
     import spark.implicits._

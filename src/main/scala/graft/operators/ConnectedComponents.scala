@@ -53,8 +53,57 @@ object ConnectedComponents {
   /** Union-find (min id as representative) over a collected edge list, then
     * a broadcast map-back onto the distributed vertex set. Exact same
     * (id, cluster) contract as the distributed rounds.
+    *
+    * Integral ids (the common case — doc ids) collect as primitive Long
+    * pairs through a typed Dataset and run union-find over a LongMap, so a
+    * threshold-sized collect is ~16 B/edge of tuples plus open-addressed
+    * primitive-key maps — not generic Rows plus a boxed Any→Any map (which
+    * at the 1M-edge default threshold is hundreds of MB, ADVICE r5). Other
+    * id types (strings) keep the generic Row path.
     */
   private def finishLocal(
+      vertices: DataFrame, idName: String, edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idType = edges.schema.fields.head.dataType
+    idType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        finishLocalLong(vertices, idName, edges)
+      case _ => finishLocalGeneric(vertices, idName, edges)
+    }
+  }
+
+  private def finishLocalLong(
+      vertices: DataFrame, idName: String, edges: DataFrame): DataFrame = {
+    val spark = vertices.sparkSession
+    import spark.implicits._
+    val idType = edges.schema.fields.head.dataType
+    val cols = edges.columns
+    val pairs = edges
+      .select(col(cols(0)).cast("long"), col(cols(1)).cast("long"))
+      .as[(Long, Long)].collect()
+    val parent = new scala.collection.mutable.LongMap[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val ids = new scala.collection.mutable.LongMap[Unit]
+    pairs.foreach { case (a, b) => ids.update(a, ()); ids.update(b, ()) }
+    val mapping = ids.keysIterator.map(id => (id, find(id))).toSeq
+    val mdf = mapping.toDF("id", "__root")
+      .select(col("id").cast(idType).as("id"), col("__root").cast(idType).as("__root"))
+    vertices.select(col(idName).as("id"))
+      .join(broadcast(mdf), Seq("id"), "left")
+      .select(col("id").as(idName), coalesce(col("__root"), col("id")).as("cluster"))
+  }
+
+  private def finishLocalGeneric(
       vertices: DataFrame, idName: String, edges: DataFrame): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{StructField, StructType}

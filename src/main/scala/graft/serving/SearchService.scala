@@ -68,8 +68,7 @@ class SearchService(
 
   require(outputFields.forall(table.columns.contains),
     s"outputFields must exist in the table: ${outputFields.mkString(", ")}")
-  require(algo == "in" || ImageOps.descriptors.contains(algo),
-    s"unknown descriptor algo '$algo' (have: in, ${ImageOps.descriptors.keys.mkString(", ")})")
+  ImageOps.requireAlgo(algo) // ad=ACCID gets the explicit documented rejection
   require(Seq("exact", "ivf", "ivf_sq8", "ivf_pq").contains(mode),
     s"unknown search mode '$mode' (have: exact, ivf, ivf_sq8, ivf_pq)")
 

@@ -1,9 +1,10 @@
 package graft.sources
 
-import java.io.{BufferedInputStream, ByteArrayInputStream}
+import java.io.{BufferedInputStream, BufferedOutputStream, ByteArrayInputStream, FileOutputStream}
 
-import org.apache.commons.compress.compressors.xz.XZCompressorInputStream
+import org.apache.commons.compress.compressors.xz.{XZCompressorInputStream, XZCompressorOutputStream}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Compatibility reader for the reference's hash-artifact interchange format
@@ -40,6 +41,54 @@ object HashXmlSource {
     }
     spark.createDataFrame(rows, schema)
   }
+
+  /** SINK direction (A8): write engine frames back out as reference-shaped
+    * artifacts — `<add>` wrapping one single-line `<doc>` per frame with
+    * `id` (timecode seconds) and `${algo}_hi`/`${algo}_ha` fields, docs
+    * sorted ascending by timecode, the whole document xz-compressed
+    * (`hasher.js:139-176`) — so an engine-produced corpus is ingestible by
+    * the reference's loader, and [[read]] ∘ [[write]] is the identity
+    * (IngestSpec roundtrip).
+    *
+    * Distributed shape: one artifact per `src`, assembled task-side from a
+    * per-src `sort_array(collect_list(...))` — a single video's frames
+    * (the reference's unit of interchange, ≤ a few thousand rows), never
+    * a whole-corpus collect. `outDir` would be a shared filesystem on a
+    * cluster.
+    *
+    * @return (src, path, frames) — one row per artifact written
+    */
+  def write(frames: DataFrame, outDir: String, algo: String): DataFrame = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    new java.io.File(outDir).mkdirs()
+    frames
+      .select(col("src"),
+        struct(col("time"), col("hi"), col("ha")).as("f"))
+      .groupBy(col("src"))
+      .agg(sort_array(collect_list(col("f"))).as("fs"))
+      .as[(String, Seq[(Double, String, String)])]
+      .map { case (src, fs) =>
+        val name = src.replaceAll("[^A-Za-z0-9._-]", "_") + ".xml.xz"
+        val path = s"$outDir/$name"
+        val sb = new StringBuilder("<add>\n")
+        fs.foreach { case (t, hi, ha) =>
+          sb.append("<doc>").append(s"""<field name="id">$t</field>""")
+          if (hi != null) sb.append(s"""<field name="${algo}_hi">${escXml(hi)}</field>""")
+          if (ha != null) sb.append(s"""<field name="${algo}_ha">${escXml(ha)}</field>""")
+          sb.append("</doc>\n")
+        }
+        sb.append("</add>\n")
+        val out = new XZCompressorOutputStream(
+          new BufferedOutputStream(new FileOutputStream(path)), 6)
+        try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
+        (src, path, fs.size)
+      }
+      .toDF("src", "path", "frames")
+  }
+
+  private def escXml(s: String): String = s
+    .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
   /** Decompress (if .xz) and parse one artifact into frame rows. */
   def parseArtifact(path: String, bytes: Array[Byte], algo: String): Seq[Row] = {

@@ -79,16 +79,22 @@ object StreamingNearDedup {
     mins
   }
 
-  /** [[candidatePairs]] bounded to a trailing event-time window — the
-    * production shape for an infinite stream: a document only pairs
-    * against bucket members seen within `windowSec` of its own event
-    * time, and bucket state is EVICTED by the watermark
-    * (`EventTimeTimeout` fires once the watermark passes the bucket's
-    * last activity + window, removing the state entirely), so total
-    * state is O(active buckets × maxPerBucket) regardless of stream age.
-    * Requires the caller-supplied `watermarkDelay` (how late events may
-    * arrive); rows later than that are dropped by the watermark before
-    * they reach the state operator.
+  /** [[candidatePairs]] bounded to an event-time window — the production
+    * shape for an infinite stream: a document only pairs against bucket
+    * members whose event time is within `windowSec` of its OWN event time
+    * (symmetric: `|t − t_member| ≤ windowSec`, so an out-of-order arrival
+    * admitted by a non-zero `watermarkDelay` pairs neither with members too
+    * far ahead of it nor too far behind). Members are pruned against the
+    * WATERMARK, not the current row's time: a member is dropped only once
+    * `member.ts + windowSec < watermark`, i.e. once no admissible future
+    * row could still pair with it — a late row's older neighbors are kept
+    * exactly as long as the configured lateness bound requires. Bucket
+    * state is EVICTED by the watermark (`EventTimeTimeout` fires once the
+    * watermark passes the bucket's last activity + window, removing the
+    * state entirely), so total state is O(active buckets × maxPerBucket)
+    * regardless of stream age. Requires the caller-supplied
+    * `watermarkDelay` (how late events may arrive); rows later than that
+    * are dropped by the watermark before they reach the state operator.
     */
   def candidatePairsWindowed(
       docs: Dataset[TimedDoc],
@@ -122,20 +128,30 @@ object StreamingNearDedup {
             Iterator.empty
           } else {
             var st = state.getOption.getOrElse(TimedBucketState(Nil, 0L))
+            // Prune against the WATERMARK: any future row the watermark
+            // still admits has ts >= wm, so a member with
+            // ts + window < wm can never pair again. Pruning on the
+            // current row's time instead would evict members a late
+            // (but admissible) row was still entitled to pair with.
+            val wm = state.getCurrentWatermarkMs()
+            st = st.copy(members = st.members.filter(_.tsMs + windowMs >= wm))
             val out = rows.toSeq.sortBy(r => (r.ts.getTime, r.id)).flatMap { r =>
               val tMs = r.ts.getTime
-              // members the window has passed can never pair again
-              st = st.copy(members = st.members.filter(m => tMs - m.tsMs <= windowMs))
               if (st.members.exists(_.id == r.id)) Nil
               else if (st.members.size >= maxPerBucket) {
                 st = st.copy(dropped = st.dropped + 1)
                 Nil
               } else {
-                val pairs = st.members.map { m =>
-                  val agree = m.sig.zip(r.sig).count { case (a, b) => a == b }
-                  val (lo, hi) = if (m.id < r.id) (m.id, r.id) else (r.id, m.id)
-                  NearDupPair(lo, hi, agree.toDouble / k)
-                }
+                // symmetric window: |t - t_member| <= windowMs — a late row
+                // must not pair with members more than windowMs AHEAD of
+                // its own event time either
+                val pairs = st.members
+                  .filter(m => math.abs(tMs - m.tsMs) <= windowMs)
+                  .map { m =>
+                    val agree = m.sig.zip(r.sig).count { case (a, b) => a == b }
+                    val (lo, hi) = if (m.id < r.id) (m.id, r.id) else (r.id, m.id)
+                    NearDupPair(lo, hi, agree.toDouble / k)
+                  }
                 st = st.copy(members = TimedMember(r.id, r.sig, tMs) :: st.members)
                 pairs
               }

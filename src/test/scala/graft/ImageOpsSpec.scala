@@ -307,4 +307,26 @@ class ImageOpsSpec extends SparkSpec {
     assert(out.getBoolean(3))
     assert(out.getSeq[Float](4).toArray.toSeq == ImageOps.colorLayout(p).toSeq)
   }
+
+  test("ad=ACCID contract: explicit documented rejection at ingest and serving (SURVEY §7.4 delta)") {
+    // The reference whitelist accepts ad (hasher.js:28-49); this engine
+    // excludes it — ACCID is not reproducible from public sources. The
+    // exclusion is a CONTRACT: a loud, documented rejection, never a
+    // silent fallback to some other descriptor.
+    assert(!ImageOps.descriptors.contains("ad"))
+    val df = Seq((1L, Array[Byte](1, 2, 3))).toDF("id", "content")
+    val ingest = intercept[IllegalArgumentException] {
+      ImageOps.describeImagesWith(df, "id", "content", "ad")
+    }
+    assert(ingest.getMessage.contains("ad=ACCID"), ingest.getMessage)
+    assert(ingest.getMessage.contains("not reproducible"), ingest.getMessage)
+    val serve = intercept[IllegalArgumentException] {
+      new graft.serving.SearchService(
+        Seq((1L, Array(1.0f))).toDF("id", "vec"), "vec", "id", algo = "ad")
+    }
+    assert(serve.getMessage.contains("ad=ACCID"), serve.getMessage)
+    // every OTHER reference whitelist code resolves
+    Seq("cl", "eh", "sc", "oh", "ac", "ph", "fc", "fo", "ce", "jc", "jh", "in")
+      .foreach(a => ImageOps.requireAlgo(a))
+  }
 }

@@ -199,4 +199,41 @@ class IngestSpec extends SparkSpec {
     assert(d(0) < 0.2f && d(7) > 0.8f)
     assert(desc(2L).get(4) == null)
   }
+
+  test("A8/A9 wire-format roundtrip: engine frames -> xz XML artifact -> re-ingest, frame-for-frame") {
+    import graft.sources.HashXmlSource
+    import org.apache.spark.sql.functions.col
+    val outDir = java.nio.file.Files.createTempDirectory("graft-xmlsink").toString
+    // two videos' frames, deliberately out of time order (the sink must
+    // sort ascending by timecode, hasher.js:156-159), one null-ha frame
+    val frames = Seq(
+      ("vidA.mp4", 2.5, "0a1b2c", "3 7 12"),
+      ("vidA.mp4", 0.5, "ffee00", "1 2 3"),
+      ("vidA.mp4", 1.25, "c0ffee", null),
+      ("vidB.mp4", 0.75, "abcdef", "9 9 9"))
+      .toDF("src", "time", "hi", "ha")
+    val written = HashXmlSource.write(frames, outDir, "cl").collect()
+    assert(written.length == 2, written.mkString(", "))
+    assert(written.forall(_.getString(1).endsWith(".xml.xz")))
+    // the artifact body is the reference's wire shape: <add> + one-line docs
+    val raw = {
+      val in = new org.apache.commons.compress.compressors.xz.XZCompressorInputStream(
+        new java.io.FileInputStream(written.find(_.getString(0) == "vidA.mp4").get.getString(1)))
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    assert(raw.startsWith("<add>\n<doc>"), raw.take(80))
+    assert(raw.contains("""<field name="cl_hi">"""), raw.take(200))
+    // ascending timecodes inside the artifact
+    val ids = """<field name="id">([^<]+)</field>""".r
+      .findAllMatchIn(raw).map(_.group(1).toDouble).toSeq
+    assert(ids == ids.sorted && ids == Seq(0.5, 1.25, 2.5), ids.toString)
+
+    // re-ingest through the A9 reader: frame-for-frame identity
+    val back = HashXmlSource.read(spark, s"$outDir/*.xml.xz", "cl")
+      .select(col("time"), col("hi"), col("ha"))
+      .collect().map(r => (r.getDouble(0), r.getString(1), r.getString(2))).toSet
+    val orig = frames.select(col("time"), col("hi"), col("ha"))
+      .collect().map(r => (r.getDouble(0), r.getString(1), r.getString(2))).toSet
+    assert(back == orig, s"roundtrip mismatch: back=$back orig=$orig")
+  }
 }

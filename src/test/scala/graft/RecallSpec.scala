@@ -1,0 +1,34 @@
+package graft
+
+/** ANN quality gate on the CLUSTERED embedding fixture (VERDICT r5 #3): the
+  * raw synthetic embeddings are near-random, so recall against them cannot
+  * distinguish a good index from a broken one. The clustered fixture plants
+  * recoverable structure; a correct IVF/SQ8/PQ index must hit recall@15 ≥
+  * 0.8 there. Runs at the gate SF (0.01) — the same data and the same code
+  * path ([[AnnRecall]]) whose numbers Verify dumps into recall.json.
+  */
+class RecallSpec extends SparkSpec {
+  private val Sf001 = "/root/testdata/sf0.01"
+
+  test("clustered fixture: ivf/sq8/pq recall@15 >= 0.8 at gate SF") {
+    val r = AnnRecall.clusteredRecall(spark, Sf001)
+    assert(r.keySet == Set("clustered_ivf", "clustered_sq8", "clustered_pq"))
+    r.foreach { case (k, v) =>
+      assert(v >= 0.8, f"$k recall@15 = $v%.2f, want >= 0.8")
+    }
+  }
+
+  test("clustered fixture really is clustered: exact top-15 shares the query's cluster") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val ce = Tables.clusteredEmbeddings(spark, Sf001)
+    val q = ce.where(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).map(_.toDouble)
+    val exact = graft.operators.AnnSearch
+      .exactTopK(ce.where(col("vec_id") =!= 0), "embedding", "vec_id", q, 15)
+      .select("vec_id").as[Long].collect()
+    // query is vec_id 0 → cluster 0; every exact neighbor must be cluster 0
+    assert(exact.length == 15)
+    assert(exact.forall(_ % 8 == 0), s"non-cluster-0 members in top-15: ${exact.toSeq}")
+  }
+}

@@ -112,6 +112,36 @@ class StreamingNearDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed variant, out-of-order arrivals: window is symmetric and members survive for late rows") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(sec: Long) = new java.sql.Timestamp((1000000L + sec) * 1000L)
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val input = MemoryStream[TimedDoc]
+    // watermarkDelay 120 s admits rows up to 2 min late; window is 60 s
+    val q = StreamingNearDedup
+      .candidatePairsWindowed(input.toDS(), windowSec = 60, K, Shingle, Bands,
+        watermarkDelay = "120 seconds")
+      .writeStream.format("memory").queryName("sndo").outputMode("append").start()
+    try {
+      input.addData(TimedDoc(1, t(0), base)); q.processAllAvailable()
+      input.addData(TimedDoc(2, t(100), base)); q.processAllAvailable() // 100s after 1: no pair
+      // LATE row at t=50: within 60 s of BOTH 1 and 2 — must pair with both
+      // (doc 1 must not have been pruned by doc 2's arrival)
+      input.addData(TimedDoc(3, t(50), base)); q.processAllAvailable()
+      input.addData(TimedDoc(4, t(250), base)); q.processAllAvailable() // >60s from all: none
+      // late row at t=240: only doc 4 is within its window
+      input.addData(TimedDoc(5, t(240), base)); q.processAllAvailable()
+      input.addData(TimedDoc(6, t(330), base)); q.processAllAvailable() // >60s from all: none
+      // LATE row at t=260: doc 6 sits 70 s AHEAD — the symmetric window
+      // must refuse that pair; docs 4 (10 s) and 5 (20 s) qualify
+      input.addData(TimedDoc(7, t(260), base)); q.processAllAvailable()
+      val pairs = spark.table("sndo")
+        .select("d1", "d2").as[(Long, Long)].collect().toSet
+      assert(pairs == Set((1L, 3L), (2L, 3L), (4L, 5L), (4L, 7L), (5L, 7L)),
+        s"symmetric-window pair set mismatch: $pairs")
+    } finally q.stop()
+  }
+
   test("bucket cap: arrivals into a full bucket are dropped, not exploded") {
     implicit val sqlCtx = spark.sqlContext
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
