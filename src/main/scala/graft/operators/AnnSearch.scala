@@ -111,6 +111,33 @@ object IvfIndex {
       (persisted, model)
     }
 
+  /** Nearest-centroid assignment as a pure codegen'd expression — the
+    * STREAMING-INSERT analog of the KMeans transform used at build time
+    * (an MLlib transform can't run inside a Structured Streaming plan, and
+    * re-fitting per micro-batch would be wrong anyway: Milvus assigns new
+    * vectors into the lists of the index it already built). Assigns
+    * `argmin_i ‖v − c_i‖²`; since ‖v‖² is constant per row, the scored
+    * term is `‖c_i‖² − 2·(v·c_i)`. First-min tie-break matches
+    * `KMeansModel.transform` (IvfSpec pins the parity). Cost is
+    * O(nlist·dim) per row — the same arithmetic any IVF insert pays.
+    */
+  def assign(
+      df: DataFrame,
+      vecCol: String,
+      model: Model,
+      outCol: String = "cluster_id"): DataFrame = {
+    val dotFn: (Column, Column) => Column =
+      if (df.sparkSession.catalog.functionExists("fast_dot"))
+        graft.functions.VectorFunctions.fastDot
+      else graft.functions.VectorFunctions.dot
+    val dists = model.centroids.map { c =>
+      lit(c.map(x => x * x).sum) -
+        lit(2.0) * dotFn(col(vecCol), typedlit(c.toIndexedSeq))
+    }
+    val arr = array(dists.toIndexedSeq: _*)
+    df.withColumn(outCol, (array_position(arr, array_min(arr)) - 1).cast("int"))
+  }
+
   /** Rank centroids by IP with the query (driver-side, nlist is tiny),
     * prune to `nprobe` clusters, exact top-k within the probed subset.
     */

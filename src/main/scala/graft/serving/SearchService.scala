@@ -48,6 +48,17 @@ import org.apache.spark.sql.functions._
   * gets the same effect from cached-batch filtering, but the parquet
   * layout is what survives a 100 TB corpus that doesn't fit in RAM).
   *
+  * Freshness (`deltaDir`): the reference's loader inserts continuously and
+  * the searcher sees new vectors without a rebuild (Milvus growing
+  * segments). The analog here: [[indexStream]] maps a STREAM of new rows
+  * into this service's exact serving layout (expression-based
+  * nearest-centroid assignment + the same codec models the load fitted),
+  * the caller writes it with a streaming parquet sink into `deltaDir`
+  * partitioned the same way, and [[refresh]] re-snapshots base ∪ delta —
+  * each request still prunes both scans to the nprobe clusters. The
+  * periodic out-of-band index REBUILD (a new service load) absorbs the
+  * delta, exactly like Milvus sealing growing segments.
+  *
   * JDK HttpServer keeps the dependency surface at zero; a production front
   * would sit behind any HTTP fabric and call [[search]] the same way.
   */
@@ -64,7 +75,8 @@ class SearchService(
     mode: String = "exact",
     nlist: Int = 128, // loader.js:332-334 IVF_SQ8 nlist
     nprobe: Int = 10, // searcher.js:99-110
-    indexDir: Option[String] = None) {
+    indexDir: Option[String] = None,
+    deltaDir: Option[String] = None) {
 
   require(outputFields.forall(table.columns.contains),
     s"outputFields must exist in the table: ${outputFields.mkString(", ")}")
@@ -99,21 +111,10 @@ class SearchService(
       // must not exceed the point count)
       val (assigned, model) =
         IvfIndex.build(cached, vecCol, math.min(nlist.toLong, nRows).toInt)
-      val indexed = mode match {
-        case "ivf" =>
-          assigned.select((keepCols :+ vecCol).distinct.map(col) :+ col("cluster_id"): _*)
-        case "ivf_sq8" =>
-          val sq = Sq8.fit(cached, vecCol)
-          sq8Model = Some(sq)
-          Sq8.encode(assigned, vecCol, sq, "__codes")
-            .select(keepCols.map(col) ++ Seq(col("__codes"), col("cluster_id")): _*)
-        case "ivf_pq" =>
-          val pq = Pq.fit(cached, vecCol, m = pqM(cached),
-            ksub = math.min(256L, nRows).toInt)
-          pqModel = Some(pq)
-          Pq.encode(assigned, vecCol, pq, "__codes")
-            .select(keepCols.map(col) ++ Seq(col("__codes"), col("cluster_id")): _*)
-      }
+      if (mode == "ivf_sq8") sq8Model = Some(Sq8.fit(cached, vecCol))
+      if (mode == "ivf_pq") pqModel = Some(Pq.fit(cached, vecCol,
+        m = pqM(cached), ksub = math.min(256L, nRows).toInt))
+      val indexed = layout(assigned)
       val laidOut = indexDir match {
         case Some(dir) =>
           // persist partitioned by cluster so the nprobe filter prunes FILES
@@ -124,6 +125,58 @@ class SearchService(
       }
       Some((laidOut, model))
     }
+
+  /** The serving projection for an assigned frame — ONE definition shared
+    * by the load and [[indexStream]], so the growing segment is
+    * column-for-column the layout the per-request scan expects.
+    */
+  private def layout(assigned: DataFrame): DataFrame = mode match {
+    case "ivf" =>
+      assigned.select((keepCols :+ vecCol).distinct.map(col) :+ col("cluster_id"): _*)
+    case "ivf_sq8" =>
+      Sq8.encode(assigned, vecCol, sq8Model.get, "__codes")
+        .select(keepCols.map(col) ++ Seq(col("__codes"), col("cluster_id")): _*)
+    case "ivf_pq" =>
+      Pq.encode(assigned, vecCol, pqModel.get, "__codes")
+        .select(keepCols.map(col) ++ Seq(col("__codes"), col("cluster_id")): _*)
+  }
+
+  // The index snapshot requests scan; refresh() swaps in a fresh base ∪
+  // delta listing. @volatile: refresh runs on a maintenance thread while
+  // HTTP handler threads read it.
+  @volatile private var served: Option[(DataFrame, IvfIndex.Model)] = ivf
+
+  /** Map new rows — batch or STREAMING — into this service's serving
+    * layout: expression-based nearest-centroid assignment into the loaded
+    * IVF lists ([[IvfIndex.assign]]; an MLlib transform can't run in a
+    * streaming plan) + the SAME codec models the load fitted. Write the
+    * result with a streaming parquet sink into `deltaDir`, partitioned by
+    * `cluster_id` like the base, then [[refresh]] to serve it.
+    */
+  def indexStream(rows: DataFrame): DataFrame = {
+    val model = ivf.getOrElse(throw new IllegalStateException(
+      "indexStream needs a quantized mode (ivf, ivf_sq8, ivf_pq)"))._2
+    layout(IvfIndex.assign(rows, vecCol, model))
+  }
+
+  /** Re-snapshot the served index from `indexDir` (∪ `deltaDir` once the
+    * streaming sink has committed a batch there) — the growing-segment
+    * visibility point. Cheap: a file re-listing, no index rebuild; the
+    * per-request nprobe filter partition-prunes base and delta scans alike.
+    */
+  def refresh(): Unit = for ((_, model) <- ivf) {
+    val dir = indexDir.getOrElse(throw new IllegalStateException(
+      "refresh() needs indexDir (the in-memory load is immutable)"))
+    val spark = cached.sparkSession
+    val base = spark.read.parquet(dir)
+    val full = deltaDir match {
+      // the sink's metadata log appears with the first committed batch
+      case Some(dd) if new java.io.File(dd, "_spark_metadata").exists() =>
+        base.unionByName(spark.read.parquet(dd))
+      case _ => base
+    }
+    served = Some((full, model))
+  }
 
   /** Largest m ≤ 16 dividing dim — PQ needs dim % m == 0. */
   private def pqM(df: DataFrame): Int = {
@@ -145,7 +198,7 @@ class SearchService(
   def searchFrame(q: Array[Float]): DataFrame = {
     val qd = q.map(_.toDouble).toIndexedSeq
     val outCols = keepCols.map(col)
-    ivf match {
+    served match {
       case None =>
         cached.select(outCols :+
           bestDot(col(vecCol), typedlit(qd)).as("score"): _*)

@@ -27,6 +27,17 @@ class IvfSpec extends SparkSpec {
     assert(recall >= 0.2, "pruned search should retain some of the true top-k")
   }
 
+  test("assign: expression nearest-centroid matches the KMeans build assignment") {
+    val e = Tables.embeddings(spark, Sf0001)
+    val (assigned, model) = IvfIndex.build(e, "embedding", nlist = 8)
+    val fromBuild = assigned.select($"vec_id", $"cluster_id".as("built"))
+    val fromExpr = IvfIndex.assign(e, "embedding", model)
+      .select($"vec_id", $"cluster_id".as("assigned"))
+    val mismatches = fromBuild.join(fromExpr, "vec_id")
+      .where($"built" =!= $"assigned").count()
+    assert(mismatches == 0, s"$mismatches vectors assigned differently")
+  }
+
   test("exactTopK is the sorted prefix of the full scored scan") {
     val e = Tables.embeddings(spark, Sf0001)
     val q = e.where($"vec_id" === 0).select($"embedding")

@@ -268,6 +268,54 @@ class SearchServiceSpec extends SparkSpec {
     } finally { svc.stop(); exactSvc.stop() }
   }
 
+  test("growing segment: streamed inserts become searchable after refresh; both scans stay pruned") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val table = clusteredVectors()
+    val base = java.nio.file.Files.createTempDirectory("graft-seg-base").toString
+    val delta = java.nio.file.Files.createTempDirectory("graft-seg-delta").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft-seg-cp").toString
+    val svc = new SearchService(table, "vec", "id", topK = 15,
+      mode = "ivf_sq8", nlist = 4, nprobe = 2,
+      indexDir = Some(base), deltaDir = Some(delta))
+    try {
+      val rnd = new scala.util.Random(99L)
+      val q = Array.tabulate(16)(d =>
+        (if (d / 4 == 2) 10.0f else 0.0f) + (rnd.nextFloat() - 0.5f))
+      val before = svc.searchVector(q).map(_.getLong(0)).toSet
+      assert(before.forall(_ < 1000L))
+
+      // stream 5 new cluster-2 members, stronger than anything in the base
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, Array[Float])]
+      input.addData((0 until 5).map(i =>
+        (1000L + i, Array.tabulate(16)(d => if (d / 4 == 2) 12.0f else 0.0f))): _*)
+      val sink = svc.indexStream(input.toDF().toDF("id", "vec"))
+        .writeStream.format("parquet")
+        .option("path", delta).option("checkpointLocation", cp)
+        .partitionBy("cluster_id")
+        .trigger(Trigger.AvailableNow()).start()
+      sink.awaitTermination()
+
+      // snapshot isolation: nothing changes until refresh
+      assert(svc.searchVector(q).map(_.getLong(0)).toSet == before)
+      svc.refresh()
+      val after = svc.searchVector(q).map(_.getLong(0)).toSet
+      assert((1000L until 1005L).toSet.subsetOf(after), s"after=$after")
+
+      // the expression assignment routed the inserts into cluster dirs, and
+      // the per-request plan partition-prunes base AND delta scans
+      val plan = svc.searchFrame(q).queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val pfs = plan.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+      assert(pfs.size == 2 && pfs.forall(_.contains("cluster_id")),
+        s"expected two pruned scans:\n${pfs.mkString("\n")}")
+      val deltaParts = new java.io.File(delta).listFiles()
+        .count(_.getName.startsWith("cluster_id="))
+      assert(deltaParts == 1, s"5 identical inserts must land in ONE cluster dir, got $deltaParts")
+    } finally svc.stop()
+  }
+
   test("ivf_sq8 serving end-to-end over HTTP: image ingest -> quantized probe -> envelope") {
     val corpus = (1 to 24).map { i =>
       val shade = (i % 3) * 100 + 20
