@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{AnnSearch, AsOfJoin, ConnectedComponents, IvfIndex, Pq, RangeJoin, TemporalDedup, TextDedup}
+import graft.operators.{AnnSearch, AsOfJoin, ConnectedComponents, IvfIndex, Pq, RangeJoin, Sampling, TemporalDedup, TextDedup}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -710,6 +710,38 @@ object Queries {
     TextDedup.fingerprintMinK(Tables.documents(s, d), "text", "doc_id", 3, 4)
       .orderBy(col("doc_id"))
 
+  /** T5 repetition signals — the standard Gopher pre-training repetition
+    * filters (Rae et al. 2021, Table A1): duplicate-token fraction and the
+    * share of all 2-/3-gram occurrences held by the most frequent gram.
+    * ROW-LOCAL higher-order-function arithmetic: no explode, no shuffle —
+    * at 100 TB this is one pruned-projection scan pass, unlike the naive
+    * explode-groupBy formulation whose shuffle carries every n-gram.
+    */
+  val t5Repetition: Q = (s, d) => {
+    import s.implicits._
+    val toks = tokens($"text")
+    Tables.documents(s, d)
+      .select($"doc_id",
+        round(dupTokenFrac(toks), 6).as("dup_token_frac"),
+        round(topNgramFrac(toks, 2), 6).as("top2gram_frac"),
+        round(topNgramFrac(toks, 3), 6).as("top3gram_frac"))
+      .orderBy($"doc_id")
+  }
+
+  /** S1 deterministic stratified sample — training-data mixing weights per
+    * language (en .5, zh .3, rest .1) decided by a pure function of the
+    * row id ([[Sampling.stratified]]: first 8 hex chars of md5(doc_id) vs
+    * a per-stratum threshold). The SAME rows fall out of any engine given
+    * the recipe — the oracle proves it by re-running the draw in DuckDB —
+    * and the plan is a scan-local filter: no RNG, no shuffle, no
+    * partitioning dependence.
+    */
+  val s1StratifiedSample: Q = (s, d) =>
+    Sampling.stratified(Tables.documents(s, d), "doc_id", "lang",
+        Map("en" -> 0.5, "zh" -> 0.3), defaultRate = 0.1)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
   /** P1 corpus clean — the flagship training-data composition: language-ID
     * (t1's heuristic) → quality gate (t2's score ≥ 0.5) → exact dedup (e1's
     * min-id-per-text), one declarative plan. Catalyst fuses the langid +
@@ -1243,6 +1275,24 @@ object Queries {
         |SELECT doc_id, max(CASE WHEN rn=1 THEN hv END) AS f1, max(CASE WHEN rn=2 THEN hv END) AS f2,
         |  max(CASE WHEN rn=3 THEN hv END) AS f3, max(CASE WHEN rn=4 THEN hv END) AS f4
         |FROM r WHERE rn <= 4 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t5_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, toks,
+        |  CASE WHEN len(toks) >= 2 THEN list_transform(list_zip(toks[1:len(toks)-1], toks[2:]), s -> s[1] || ' ' || s[2]) ELSE [] END AS g2,
+        |  CASE WHEN len(toks) >= 3 THEN list_transform(list_zip(toks[1:len(toks)-2], toks[2:len(toks)-1], toks[3:]), s -> s[1] || ' ' || s[2] || ' ' || s[3]) ELSE [] END AS g3
+        |  FROM t)
+        |SELECT doc_id,
+        |  round(CASE WHEN len(toks) = 0 THEN 0 ELSE 1.0 - len(list_distinct(toks))::DOUBLE / len(toks) END, 6) AS dup_token_frac,
+        |  round(CASE WHEN len(g2) = 0 THEN 0 ELSE list_max(list_transform(list_distinct(g2), x -> len(list_filter(g2, y -> y = x))))::DOUBLE / len(g2) END, 6) AS top2gram_frac,
+        |  round(CASE WHEN len(g3) = 0 THEN 0 ELSE list_max(list_transform(list_distinct(g3), x -> len(list_filter(g3, y -> y = x))))::DOUBLE / len(g3) END, 6) AS top3gram_frac
+        |FROM g ORDER BY doc_id""".stripMargin,
+    // the oracle re-runs the engine's deterministic draw from scratch:
+    // md5's hex form is engine-independent, so the SAME rows must fall out
+    "s1_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+        |  CASE lang WHEN 'en' THEN '80000000' WHEN 'zh' THEN '4ccccccd' ELSE '1999999a' END
+        |ORDER BY doc_id""".stripMargin,
   )
 
   /** name → query function; keys must match [[oracle]] keys (where present). */
@@ -1299,6 +1349,8 @@ object Queries {
     "t2_quality" -> t2Quality,
     "t3_token_stats" -> t3TokenStats,
     "t4_fingerprint" -> t4Fingerprint,
+    "t5_repetition" -> t5Repetition,
+    "s1_stratified_sample" -> s1StratifiedSample,
     "p1_corpus_clean" -> p1CorpusClean,
     "p2_corpus_dedup" -> p2CorpusDedup,
   )

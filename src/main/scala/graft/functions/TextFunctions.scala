@@ -92,4 +92,31 @@ object TextFunctions {
     val swRatio = countIn(toks, StopwordsEn).cast("double") / greatest(nTok, lit(1.0))
     (lenOk + punctOk + least(swRatio * 5.0, lit(1.0))) / 3.0
   }
+
+  // ---- repetition signals (Rae et al. 2021 "Scaling Language Models:
+  // Gopher", Table A1 — the standard pre-training repetition filters).
+  // All ROW-LOCAL array arithmetic: no explode, no shuffle — at 100 TB a
+  // repetition scan is a single pruned-projection pass.
+
+  /** Fraction of tokens that repeat an earlier token: 1 − distinct/total.
+    * 0 for the empty document.
+    */
+  def dupTokenFrac(toks: Column): Column =
+    when(size(toks) === 0, 0.0).otherwise(
+      lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
+
+  /** Fraction of all n-gram occurrences taken by the MOST FREQUENT n-gram
+    * (Gopher's "fraction of characters in most common n-gram", token
+    * flavour). Computed with nested higher-order functions — O(d·g) per
+    * row (d = distinct grams) but fully codegen'd and shuffle-free, the
+    * right trade for a per-document scan at scale. 0 when the document is
+    * shorter than n.
+    */
+  def topNgramFrac(toks: Column, n: Int): Column = {
+    val grams = shingles(toks, n)
+    when(size(grams) === 0, 0.0).otherwise(
+      array_max(transform(array_distinct(grams),
+          g => size(filter(grams, x => x === g))))
+        .cast("double") / size(grams).cast("double"))
+  }
 }

@@ -1,0 +1,50 @@
+package graft
+
+import graft.functions.TextFunctions._
+import graft.operators.Sampling
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stratified: deterministic, rate-faithful, and a scan-local filter") {
+    val df = (0L until 10000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "stratum")
+    val rates = Map("en" -> 0.5, "de" -> 0.1)
+    val once = Sampling.stratified(df, "id", "stratum", rates).collect().map(_.getLong(0)).toSet
+    val twice = Sampling.stratified(df, "id", "stratum", rates).collect().map(_.getLong(0)).toSet
+    assert(once == twice, "the sample must be a pure function of the ids")
+
+    val byStratum = Sampling.stratified(df, "id", "stratum", rates)
+      .groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 5000 candidates per stratum; md5 uniformity keeps the draw within a
+    // loose band of the target rate
+    assert(math.abs(byStratum("en") - 2500L) < 300, byStratum.toString)
+    assert(math.abs(byStratum("de") - 500L) < 150, byStratum.toString)
+
+    // edge rates: 1.0 keeps everything, unlisted strata use defaultRate 0
+    assert(Sampling.stratified(df, "id", "stratum", Map("en" -> 1.0)).count() == 5000)
+    val plan = Sampling.stratified(df, "id", "stratum", rates)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
+  }
+
+  test("repetition signals: hand-computed goldens (Gopher Table A1 semantics)") {
+    val df = Seq(
+      (1L, "a a b"),       // dup 1/3; 2-grams [a a, a b] → top 1/2
+      (2L, "a a a"),       // dup 2/3; 2-grams [a a, a a] → top 2/2
+      (3L, "x y z w"),     // no repetition
+      (4L, "q"))           // shorter than any n-gram
+      .toDF("id", "text")
+    val rows = df.select($"id",
+        round(dupTokenFrac(tokens($"text")), 6),
+        round(topNgramFrac(tokens($"text"), 2), 6),
+        round(topNgramFrac(tokens($"text"), 3), 6))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(rows(1L) == ((0.333333, 0.5, 1.0)), rows(1L).toString)
+    assert(rows(2L) == ((0.666667, 1.0, 1.0)), rows(2L).toString)
+    assert(rows(3L) == ((0.0, 0.333333, 0.5)), rows(3L).toString)
+    assert(rows(4L) == ((0.0, 0.0, 0.0)), rows(4L).toString)
+  }
+}
