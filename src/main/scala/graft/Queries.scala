@@ -742,6 +742,22 @@ object Queries {
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy(col("doc_id"))
 
+  /** S2 exact token-budget mix — the data-mixing step after sampling: per
+    * language, admit documents in deterministic md5-draw order while the
+    * running whitespace-token total stays within the language's budget
+    * ([[Sampling.tokenBudget]]; greedy prefix, reproducible anywhere). One
+    * per-stratum window sort; [[Sampling.tokenBudgetByRate]] is the
+    * scan-local in-expectation twin for when strata are 100 TB-huge.
+    */
+  val s2TokenBudget: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", $"lang", size(tokens($"text")).cast("long").as("n_tok"))
+    Sampling.tokenBudget(docs, "doc_id", "lang", "n_tok",
+        Map("en" -> 3000L, "zh" -> 1000L), defaultBudget = 500L)
+      .orderBy($"doc_id")
+  }
+
   /** P1 corpus clean — the flagship training-data composition: language-ID
     * (t1's heuristic) → quality gate (t2's score ≥ 0.5) → exact dedup (e1's
     * min-id-per-text), one declarative plan. Catalyst fuses the langid +
@@ -1293,6 +1309,16 @@ object Queries {
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
         |  CASE lang WHEN 'en' THEN '80000000' WHEN 'zh' THEN '4ccccccd' ELSE '1999999a' END
         |ORDER BY doc_id""".stripMargin,
+    "s2_token_budget" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS draw
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY lang ORDER BY draw, doc_id) AS cum FROM d)
+        |SELECT doc_id, lang, n_tok FROM c
+        |WHERE cum <= CASE lang WHEN 'en' THEN 3000 WHEN 'zh' THEN 1000 ELSE 500 END
+        |ORDER BY doc_id""".stripMargin,
   )
 
   /** name → query function; keys must match [[oracle]] keys (where present). */
@@ -1351,6 +1377,7 @@ object Queries {
     "t4_fingerprint" -> t4Fingerprint,
     "t5_repetition" -> t5Repetition,
     "s1_stratified_sample" -> s1StratifiedSample,
+    "s2_token_budget" -> s2TokenBudget,
     "p1_corpus_clean" -> p1CorpusClean,
     "p2_corpus_dedup" -> p2CorpusDedup,
   )

@@ -52,4 +52,57 @@ object Sampling {
     }
     df.where(drawHex(col(idCol)) < thr)
   }
+
+  /** EXACT token-budget mix: per stratum, admit documents in draw order
+    * (the md5 draw again, so the admitted set is reproducible anywhere)
+    * while the running token total stays ≤ the stratum's budget. Tokens
+    * are positive, so the cumulative sum is monotone and the admitted set
+    * is a PREFIX of the draw order — greedy, not knapsack: the document
+    * that would cross the budget (and everything after it) is dropped.
+    *
+    * Scale shape: one shuffle — a per-stratum window sort by draw. Strata
+    * are few and huge at 100 TB, so the sort dominates; when hitting the
+    * budget only in expectation is acceptable, [[tokenBudgetByRate]] is
+    * the scan-local twin.
+    */
+  def tokenBudget(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      tokenCol: String,
+      budgets: Map[String, Long],
+      defaultBudget: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(stratumCol).orderBy(drawHex(col(idCol)), col(idCol))
+    val budget = budgets.toSeq.sortBy(_._1).foldLeft(lit(defaultBudget)) {
+      case (acc, (k, b)) => when(col(stratumCol) === k, lit(b)).otherwise(acc)
+    }
+    df.withColumn("__cum_tok", sum(col(tokenCol)).over(w))
+      .where(col("__cum_tok") <= budget)
+      .drop("__cum_tok")
+  }
+
+  /** Token-budget mix IN EXPECTATION: one tiny per-stratum aggregate
+    * (#strata rows to the driver) turns each budget into a keep-rate
+    * `min(1, budget / stratum_total)`, then the [[stratified]] scan-local
+    * filter does the rest — no window, no per-stratum sort, the 100 TB
+    * path. The admitted token mass concentrates around the budget
+    * (documents are exchangeable under the md5 draw).
+    */
+  def tokenBudgetByRate(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      tokenCol: String,
+      budgets: Map[String, Long],
+      defaultBudget: Long = 0L): DataFrame = {
+    val totals = df.groupBy(col(stratumCol))
+      .agg(sum(col(tokenCol)).cast("long").as("__tot"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = totals.map { case (k, tot) =>
+      k -> math.min(1.0, budgets.getOrElse(k, defaultBudget).toDouble / math.max(tot, 1L))
+    }
+    stratified(df, idCol, stratumCol, rates)
+  }
 }

@@ -30,6 +30,47 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
   }
 
+  test("tokenBudget: greedy draw-order prefix per stratum, budget respected exactly") {
+    val df = (0L until 400L).map(i => (i, if (i % 2 == 0) "en" else "de", 10L + i % 7))
+      .toDF("id", "stratum", "n_tok")
+    val picked = Sampling.tokenBudget(df, "id", "stratum", "n_tok",
+      Map("en" -> 300L, "de" -> 120L))
+    val byStratum = picked.groupBy("stratum")
+      .agg(sum("n_tok").as("tok"), count("*").as("n")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byStratum("en")._1 <= 300L && byStratum("en")._1 > 300L - 17L, byStratum.toString)
+    assert(byStratum("de")._1 <= 120L && byStratum("de")._1 > 120L - 17L, byStratum.toString)
+
+    // prefix property: the admitted set is closed under "earlier in draw
+    // order" — no admitted row draws later than a rejected row of the
+    // same stratum
+    val admitted = picked.select("id").collect().map(_.getLong(0)).toSet
+    val draws = df.select(col("id"), col("stratum"),
+        Sampling.drawHex(col("id")).as("draw")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    for (st <- Seq("en", "de")) {
+      val inStratum = draws.filter(_._2 == st).sortBy(d => (d._3, d._1))
+      val flags = inStratum.map(d => admitted.contains(d._1))
+      assert(!flags.dropWhile(identity).contains(true),
+        s"$st: admitted set is not a draw-order prefix")
+    }
+
+    // unlisted stratum with defaultBudget 0 admits nothing
+    val other = (0L until 10L).map(i => (i, "fr", 5L)).toDF("id", "stratum", "n_tok")
+    assert(Sampling.tokenBudget(other, "id", "stratum", "n_tok", Map("en" -> 10L)).count() == 0)
+  }
+
+  test("tokenBudgetByRate: scan-local twin lands near the budget in expectation") {
+    val df = (0L until 4000L).map(i => (i, "en", 10L)).toDF("id", "stratum", "n_tok")
+    // total 40000 tokens, budget 10000 -> rate 0.25
+    val picked = Sampling.tokenBudgetByRate(df, "id", "stratum", "n_tok", Map("en" -> 10000L))
+    val tok = picked.agg(sum("n_tok")).head().getLong(0)
+    assert(math.abs(tok - 10000L) < 1500L, s"admitted $tok tokens for a 10000 budget")
+    // over-budget stratum keeps everything
+    val all = Sampling.tokenBudgetByRate(df, "id", "stratum", "n_tok", Map("en" -> 100000L))
+    assert(all.count() == 4000L)
+  }
+
   test("repetition signals: hand-computed goldens (Gopher Table A1 semantics)") {
     val df = Seq(
       (1L, "a a b"),       // dup 1/3; 2-grams [a a, a b] → top 1/2
