@@ -758,6 +758,42 @@ object Queries {
       .orderBy($"doc_id")
   }
 
+  /** P3 — the END-TO-END pre-training data recipe as ONE declarative plan:
+    * language-ID → quality gate → Gopher repetition gates (t5's signals)
+    * → exact dedup → deterministic token-budget selection. Every scalar
+    * gate (langid scores, quality, dup/top-2-gram fractions, token count)
+    * fuses into the scan projection and the combined filter runs BEFORE
+    * the first shuffle, so at 100 TB the dedup groupBy carries only the
+    * multiply-gated survivor slice; the budget window then sorts only the
+    * deduped survivors. Two shuffles total for a five-stage recipe.
+    */
+  val p3CorpusRecipe: Q = (s, d) => {
+    import s.implicits._
+    val toks = tokens($"text")
+    val sEn = countIn(toks, StopwordsEn).cast("long")
+    val sDe = countIn(toks, StopwordsDe).cast("long")
+    val sEs = countIn(toks, StopwordsEs).cast("long")
+    val sFr = countIn(toks, StopwordsFr).cast("long")
+    val pred = when(sEn >= sDe && sEn >= sEs && sEn >= sFr, "en")
+      .when(sDe >= sEs && sDe >= sFr, "de")
+      .when(sEs >= sFr, "es")
+      .otherwise("fr")
+    val gated = Tables.documents(s, d)
+      .select($"doc_id", $"text", pred.as("pred"),
+        round(qualityScore($"text"), 6).as("quality"),
+        round(dupTokenFrac(toks), 6).as("dup_frac"),
+        round(topNgramFrac(toks, 2), 6).as("top2"),
+        size(toks).cast("long").as("n_tok"))
+      .where($"pred" === "en" && $"quality" >= 0.5 &&
+        $"dup_frac" <= 0.6 && $"top2" <= 0.1)
+    val deduped = gated.groupBy($"text")
+      .agg(min($"doc_id").as("doc_id"), min($"n_tok").as("n_tok"))
+      .select($"doc_id", $"n_tok", lit("all").as("blk"))
+    Sampling.tokenBudget(deduped, "doc_id", "blk", "n_tok", Map("all" -> 2000L))
+      .select($"doc_id", $"n_tok")
+      .orderBy($"doc_id")
+  }
+
   /** P1 corpus clean — the flagship training-data composition: language-ID
     * (t1's heuristic) → quality gate (t2's score ≥ 0.5) → exact dedup (e1's
     * min-id-per-text), one declarative plan. Catalyst fuses the langid +
@@ -1319,6 +1355,39 @@ object Queries {
         |SELECT doc_id, lang, n_tok FROM c
         |WHERE cum <= CASE lang WHEN 'en' THEN 3000 WHEN 'zh' THEN 1000 ELSE 500 END
         |ORDER BY doc_id""".stripMargin,
+    // p1's langid+quality CTEs + t5's repetition CTEs + exact dedup + s2's
+    // budget window, composed into the full recipe
+    "p3_corpus_recipe" ->
+      """WITH s AS (SELECT doc_id, text, string_split(text, ' ') AS w,
+        |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS np FROM documents),
+        |c AS (SELECT doc_id, text, w,
+        |  len(list_filter(w, t -> t IN ('the','a','of','and','to','in','is','it'))) AS s_en,
+        |  len(list_filter(w, t -> t IN ('der','die','das','und','ist','ein','zu','mit'))) AS s_de,
+        |  len(list_filter(w, t -> t IN ('el','la','de','y','es','un','en','que'))) AS s_es,
+        |  len(list_filter(w, t -> t IN ('le','la','de','et','est','un','en','que'))) AS s_fr,
+        |  CAST(len(w) AS BIGINT) AS n_tokens,
+        |  np::DOUBLE / greatest(length(text)::DOUBLE, 1.0) AS punct_ratio,
+        |  CAST(len(list_filter(w, t -> t IN ('the','a','of','and','to','in','is','it'))) AS BIGINT)::DOUBLE / greatest(len(w)::DOUBLE, 1.0) AS sw_ratio
+        |  FROM s),
+        |g AS (SELECT doc_id, text, w, n_tokens,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred,
+        |  round(((CASE WHEN n_tokens::DOUBLE >= 5 AND n_tokens::DOUBLE <= 2000 THEN 1.0 ELSE 0.0 END)
+        |    + (CASE WHEN punct_ratio <= 0.1 THEN 1.0 ELSE 0.0 END)
+        |    + least(sw_ratio * 5.0, 1.0)) / 3.0, 6) AS quality,
+        |  CASE WHEN len(w) >= 2 THEN list_transform(list_zip(w[1:len(w)-1], w[2:]), z -> z[1] || ' ' || z[2]) ELSE [] END AS g2
+        |  FROM c),
+        |rep AS (SELECT doc_id, text, n_tokens, pred, quality,
+        |  round(CASE WHEN len(w) = 0 THEN 0 ELSE 1.0 - len(list_distinct(w))::DOUBLE / len(w) END, 6) AS dup_frac,
+        |  round(CASE WHEN len(g2) = 0 THEN 0 ELSE list_max(list_transform(list_distinct(g2), x -> len(list_filter(g2, y -> y = x))))::DOUBLE / len(g2) END, 6) AS top2
+        |  FROM g),
+        |clean AS (SELECT doc_id, text, n_tokens FROM rep
+        |  WHERE pred = 'en' AND quality >= 0.5 AND dup_frac <= 0.6 AND top2 <= 0.1),
+        |ded AS (SELECT min(doc_id) AS doc_id, min(n_tokens) AS n_tok FROM clean GROUP BY text),
+        |cum AS (SELECT doc_id, n_tok,
+        |  sum(n_tok) OVER (ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS cum FROM ded)
+        |SELECT doc_id, n_tok FROM cum WHERE cum <= 2000 ORDER BY doc_id""".stripMargin,
   )
 
   /** name → query function; keys must match [[oracle]] keys (where present). */
@@ -1378,6 +1447,7 @@ object Queries {
     "t5_repetition" -> t5Repetition,
     "s1_stratified_sample" -> s1StratifiedSample,
     "s2_token_budget" -> s2TokenBudget,
+    "p3_corpus_recipe" -> p3CorpusRecipe,
     "p1_corpus_clean" -> p1CorpusClean,
     "p2_corpus_dedup" -> p2CorpusDedup,
   )
