@@ -758,6 +758,30 @@ object Queries {
       .orderBy($"doc_id")
   }
 
+  /** T6 PII scrubbing — C4-style cleaning with typed redaction tags.
+    * Synthetic PII (emails, dotted-quad IPs, phone numbers) is derived
+    * deterministically from doc_id so the scrub provably FIRES; the oracle
+    * rebuilds the same corpus and runs the IDENTICAL regex text in RE2 —
+    * the patterns are deliberately engine-portable (no lookarounds). Output
+    * compares the full scrubbed text via md5 plus the redaction count.
+    */
+  val t6PiiScrub: Q = (s, d) => {
+    import s.implicits._
+    val withPii = Tables.documents(s, d).select($"doc_id",
+      concat($"text",
+        when($"doc_id" % 3 === 0,
+          concat(lit(" contact user"), $"doc_id", lit("@example.com"))).otherwise(lit("")),
+        when($"doc_id" % 5 === 0,
+          concat(lit(" from 10.0."), ($"doc_id" % 256).cast("string"), lit(".7"))).otherwise(lit("")),
+        when($"doc_id" % 7 === 0,
+          concat(lit(" call +1-555-01"), lpad(($"doc_id" % 100).cast("string"), 2, "0"))).otherwise(lit(""))
+      ).as("text"))
+    withPii.select($"doc_id",
+        md5(scrubPii($"text")).as("scrubbed_md5"),
+        piiCount($"text").as("n_pii"))
+      .orderBy($"doc_id")
+  }
+
   /** P3 — the END-TO-END pre-training data recipe as ONE declarative plan:
     * language-ID → quality gate → Gopher repetition gates (t5's signals)
     * → exact dedup → deterministic token-budget selection. Every scalar
@@ -1355,6 +1379,24 @@ object Queries {
         |SELECT doc_id, lang, n_tok FROM c
         |WHERE cum <= CASE lang WHEN 'en' THEN 3000 WHEN 'zh' THEN 1000 ELSE 500 END
         |ORDER BY doc_id""".stripMargin,
+    // the IDENTICAL regex texts run under RE2 — patterns are written to the
+    // common Java/RE2 subset, and DuckDB's regexp_replace needs the 'g' flag
+    // to match Spark's replace-all default
+    "t6_pii_scrub" ->
+      """WITH p AS (SELECT doc_id, text ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' || (doc_id % 256) || '.7' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 7 = 0 THEN ' call +1-555-01' || lpad((doc_id % 100)::VARCHAR, 2, '0') ELSE '' END)
+        |  AS text FROM documents)
+        |SELECT doc_id,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+\d[\d-]{7,}\d', '<PHONE>', 'g')) AS scrubbed_md5,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+        |    + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+        |    + len(regexp_extract_all(text, '\+\d[\d-]{7,}\d')) AS BIGINT) AS n_pii
+        |FROM p ORDER BY doc_id""".stripMargin,
     // p1's langid+quality CTEs + t5's repetition CTEs + exact dedup + s2's
     // budget window, composed into the full recipe
     "p3_corpus_recipe" ->
@@ -1445,6 +1487,7 @@ object Queries {
     "t3_token_stats" -> t3TokenStats,
     "t4_fingerprint" -> t4Fingerprint,
     "t5_repetition" -> t5Repetition,
+    "t6_pii_scrub" -> t6PiiScrub,
     "s1_stratified_sample" -> s1StratifiedSample,
     "s2_token_budget" -> s2TokenBudget,
     "p3_corpus_recipe" -> p3CorpusRecipe,

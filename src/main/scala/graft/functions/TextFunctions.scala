@@ -119,4 +119,30 @@ object TextFunctions {
           g => size(filter(grams, x => x === g))))
         .cast("double") / size(grams).cast("double"))
   }
+
+  // ---- PII scrubbing (C4-style cleaning). Patterns are deliberately
+  // RE2-compatible (no lookarounds, ASCII classes only) so the SAME regex
+  // text runs in Java (Spark) and RE2 (DuckDB/Trino) engines — the t6
+  // oracle relies on that; the redaction is reproducible anywhere.
+
+  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePattern = "\\+\\d[\\d-]{7,}\\d"
+
+  /** Replace emails, dotted-quad IPs and +international phone shapes with
+    * typed redaction tags. Pure codegen'd regexp chain — a scrub pass over
+    * 100 TB is a scan-local projection.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
+
+  /** How many PII spans [[scrubPii]] would redact. */
+  def piiCount(text: Column): Column =
+    (size(regexp_extract_all(text, lit(EmailPattern), lit(0))) +
+      size(regexp_extract_all(text, lit(Ipv4Pattern), lit(0))) +
+      size(regexp_extract_all(text, lit(PhonePattern), lit(0)))).cast("long")
 }
