@@ -931,6 +931,49 @@ object ImageOps {
     "jc" -> (b => jcd(b)),
     "jh" -> (b => jointHistogram(b)))
 
+  /** Distributed resize: decode → aspect-preserving downscale to fit
+    * within `maxDim` → re-encode PNG. The image analog of the reference's
+    * `scale=-2:180` ffmpeg stage (hasher.js:77) as a batch column op —
+    * binary in, binary out, so thumbnail generation composes with any
+    * downstream decode/describe/store stage. Undecodable rows survive as
+    * null bytes with ok=false; images already within bounds pass through
+    * re-encoded (deterministic output for a given input).
+    */
+  def thumbnails(df: DataFrame, idCol: String, bytesCol: String,
+                 maxDim: Int = 180): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val out = try {
+          val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+          if (img == null) None
+          else {
+            val scale = math.min(1.0,
+              maxDim.toDouble / math.max(img.getWidth, img.getHeight))
+            val (w, h) = (math.max((img.getWidth * scale).round.toInt, 1),
+              math.max((img.getHeight * scale).round.toInt, 1))
+            val dst = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = dst.createGraphics()
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+            g.dispose()
+            val buf = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(dst, "png", buf)
+            Some((buf.toByteArray, w, h))
+          }
+        } catch { case _: Exception => None }
+        out match {
+          case Some((b, w, h)) => (id, Option(b), w, h, true)
+          case None            => (id, Option.empty[Array[Byte]], 0, 0, false)
+        }
+      })
+      .toDF(idCol, "thumb", "width", "height", "ok")
+  }
+
   /** Distributed decode + describe over a (id, content) binary DataFrame:
     * the batch-shaped analog of a `mapInPandas` image stage. Output:
     * (id, width, height, ok, descriptor FLOAT[grid²]).

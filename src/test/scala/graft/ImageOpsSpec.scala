@@ -329,4 +329,27 @@ class ImageOpsSpec extends SparkSpec {
     Seq("cl", "eh", "sc", "oh", "ac", "ph", "fc", "fo", "ce", "jc", "jh", "in")
       .foreach(a => ImageOps.requireAlgo(a))
   }
+
+  test("thumbnails: aspect-preserving downscale to maxDim, pass-through for small, junk survives") {
+    val rows = Seq(
+      (1L, png(400, 200)((x, _) => (x * 255 / 400) << 16)), // landscape 2:1
+      (2L, png(60, 90)((_, y) => (y * 255 / 90) << 8)),     // already within bounds
+      (3L, "not an image".getBytes))
+      .toDF("id", "content")
+    val out = ImageOps.thumbnails(rows, "id", "content", maxDim = 100)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // landscape scales to 100x50, aspect kept
+    assert(out(1L).getInt(2) == 100 && out(1L).getInt(3) == 50, out(1L).toString)
+    // small image passes through at original size
+    assert(out(2L).getInt(2) == 60 && out(2L).getInt(3) == 90)
+    assert(!out(3L).getBoolean(4) && out(3L).isNullAt(1))
+    // the thumbnail bytes are a decodable image of the claimed size
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(1L).getAs[Array[Byte]](1)))
+    assert(img.getWidth == 100 && img.getHeight == 50)
+    // deterministic: same input, same bytes
+    val again = ImageOps.thumbnails(rows, "id", "content", maxDim = 100)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(java.util.Arrays.equals(out(1L).getAs[Array[Byte]](1), again(1L).getAs[Array[Byte]](1)))
+  }
 }
