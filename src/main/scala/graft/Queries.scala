@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{AnnSearch, AsOfJoin, ConnectedComponents, IvfIndex, Pq, RangeJoin, Sampling, TemporalDedup, TextDedup}
+import graft.operators.{AnnSearch, AsOfJoin, ConnectedComponents, IvfIndex, LineDedup, LmScore, Pq, RangeJoin, Sampling, TemporalDedup, TextDedup}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -782,6 +782,44 @@ object Queries {
       .orderBy($"doc_id")
   }
 
+  /** L1 line-level boilerplate dedup — the C4/RefinedWeb cleaning step
+    * document dedup cannot express. Deterministic boilerplate lines (footer
+    * chrome derived from doc_id residues, same construction discipline as
+    * t6's synthetic PII) are attached so the filter provably FIRES: lines in
+    * ≥ 10 distinct documents are dropped corpus-wide, unique header/body
+    * lines survive, order preserved. The cleaning pass is row-local against
+    * the broadcast boilerplate set ([[LineDedup.removeBoilerplate]]) — the
+    * corpus text itself never shuffles.
+    */
+  val l1LineDedup: Q = (s, d) => {
+    import s.implicits._
+    val src = Tables.documents(s, d).select($"doc_id",
+      concat_ws("\n",
+        concat(lit("h "), $"doc_id"),
+        $"text",
+        when($"doc_id" % 2 === 0, "subscribe to our newsletter today"),
+        when($"doc_id" % 3 === 0, "all rights reserved by the site"),
+        when($"doc_id" % 5 === 0, "click here to read more")).as("text"))
+    LineDedup.removeBoilerplate(src, "doc_id", "text", minDocs = 10)
+      .select($"doc_id", md5($"clean_text").as("clean_md5"), $"n_kept", $"n_removed")
+      .orderBy($"doc_id")
+  }
+
+  /** T7 corpus-trained LM quality scoring — the CCNet signal (Wenzek et al.
+    * 2019) with a deterministic, engine-portable core: an add-one bigram
+    * model fit on the corpus scores each document by average negative
+    * log-likelihood per bigram ([[LmScore]]). Fit is two count
+    * aggregations; scoring is two model joins + a position-ordered fold, so
+    * the double sum is partitioning-independent and the oracle reproduces
+    * it exactly.
+    */
+  val t7LmScore: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val model = LmScore.fit(docs, "text")
+    LmScore.score(docs, "doc_id", "text", model).orderBy($"doc_id")
+  }
+
   /** P3 — the END-TO-END pre-training data recipe as ONE declarative plan:
     * language-ID → quality gate → Gopher repetition gates (t5's signals)
     * → exact dedup → deterministic token-budget selection. Every scalar
@@ -1397,6 +1435,42 @@ object Queries {
         |    + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
         |    + len(regexp_extract_all(text, '\+\d[\d-]{7,}\d')) AS BIGINT) AS n_pii
         |FROM p ORDER BY doc_id""".stripMargin,
+    // the oracle re-derives the boilerplate set from the same corpus and
+    // cleans in list form — no explode, order preserved by construction
+    "l1_line_dedup" ->
+      """WITH src AS (SELECT doc_id, concat_ws(chr(10),
+        |    'h ' || doc_id, text,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'subscribe to our newsletter today' END,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'all rights reserved by the site' END,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'click here to read more' END) AS text
+        |  FROM documents),
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM src),
+        |ex AS (SELECT DISTINCT doc_id, unnest(lines) AS line FROM ls),
+        |freq AS (SELECT line FROM ex GROUP BY line HAVING count(*) >= 10),
+        |fl AS (SELECT coalesce(list(line), []) AS bad FROM freq),
+        |clean AS (SELECT doc_id, list_filter(lines, x -> NOT list_contains(bad, x)) AS keptl,
+        |          len(lines) AS n_tot FROM ls, fl)
+        |SELECT doc_id, md5(array_to_string(keptl, chr(10))) AS clean_md5,
+        |  CAST(len(keptl) AS BIGINT) AS n_kept, CAST(n_tot - len(keptl) AS BIGINT) AS n_removed
+        |FROM clean ORDER BY doc_id""".stripMargin,
+    // the oracle refits the same add-one bigram model and folds logp in the
+    // same position order (list ORDER BY pos, sequential list_sum)
+    "t7_lm_score" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |uni AS (SELECT unnest(w) AS t FROM toks),
+        |uc AS (SELECT t AS w1, CAST(count(*) AS BIGINT) AS c1 FROM uni GROUP BY t),
+        |v AS (SELECT count(DISTINCT t) AS vocab FROM uni),
+        |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-1),
+        |         i -> {'pos': i, 'w1': w[i], 'w2': w[i+1]}), recursive := true) FROM toks),
+        |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2),
+        |j AS (SELECT b.doc_id, b.pos,
+        |        ln((coalesce(bc.c12, 0) + 1.0) / (uc.c1 + v.vocab)) AS logp
+        |      FROM bg b LEFT JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+        |      JOIN uc ON b.w1 = uc.w1 CROSS JOIN v),
+        |agg AS (SELECT doc_id, list(logp ORDER BY pos) AS lp FROM j GROUP BY doc_id)
+        |SELECT doc_id, CAST(len(lp) AS BIGINT) AS n_bigrams,
+        |  round(-list_sum(lp) / len(lp), 6) AS nll
+        |FROM agg ORDER BY doc_id""".stripMargin,
     // p1's langid+quality CTEs + t5's repetition CTEs + exact dedup + s2's
     // budget window, composed into the full recipe
     "p3_corpus_recipe" ->
@@ -1488,6 +1562,8 @@ object Queries {
     "t4_fingerprint" -> t4Fingerprint,
     "t5_repetition" -> t5Repetition,
     "t6_pii_scrub" -> t6PiiScrub,
+    "l1_line_dedup" -> l1LineDedup,
+    "t7_lm_score" -> t7LmScore,
     "s1_stratified_sample" -> s1StratifiedSample,
     "s2_token_budget" -> s2TokenBudget,
     "p3_corpus_recipe" -> p3CorpusRecipe,

@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.functions.TextFunctions.tokens
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-trained n-gram language-model quality scoring — the CCNet signal
+  * (Wenzek et al. 2019: score each document by LM perplexity, keep the
+  * low-perplexity head). CCNet uses a KenLM 5-gram; this is the
+  * deterministic, engine-portable core of that idea: an add-one-smoothed
+  * BIGRAM model fit on the corpus itself, scoring each document by average
+  * negative log-likelihood per bigram (nats/bigram — `exp` of it is
+  * perplexity). Every number is exact integer counts + one `ln` per
+  * position, so any engine reproduces it bit-for-bit; no external model
+  * artifact, no tokenizer dependency beyond whitespace.
+  *
+  * Scale shape (100 TB): FIT is two map-side-combinable count aggregations
+  * (bigrams, unigrams) + one distinct-count — model size is O(observed
+  * vocabulary²) worst case but Zipf-bounded in practice, and it lives as
+  * DataFrames, never on the driver. SCORE is two equi-joins against the
+  * model (AQE broadcasts them when the model is small; shuffle-hash
+  * otherwise — both sides key-partitioned, no skew: bigram keys are the
+  * model's own distribution) and a per-document sequential fold in original
+  * position order, so the sum is deterministic regardless of partitioning.
+  */
+object LmScore {
+
+  /** Fitted model: bigram counts (w1, w2, c12), unigram counts (w1, c1),
+    * and the observed vocabulary size (the add-one denominator).
+    */
+  case class Model(bigrams: DataFrame, unigrams: DataFrame, vocab: Long)
+
+  private def bigramStructs(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => struct(i.as("pos"),
+          element_at(toks, i + 1).as("w1"),
+          element_at(toks, i + 2).as("w2"))))
+      .otherwise(array().cast("array<struct<pos:int,w1:string,w2:string>>"))
+
+  /** Count bigrams/unigrams over the corpus. The three jobs share one
+    * tokenized scan lineage; counts are exact (map-side combined).
+    */
+  def fit(docs: DataFrame, textCol: String): Model = {
+    val toks = docs.select(tokens(col(textCol)).as("w"))
+    val uni = toks.select(explode(col("w")).as("w1"))
+    val unigrams = uni.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val bigrams = toks
+      .select(explode(bigramStructs(col("w"))).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val vocab = unigrams.count()
+    Model(bigrams, unigrams, vocab)
+  }
+
+  /** Score each document: average negative log-likelihood per bigram under
+    * the add-one model, `-mean(ln((c12+1)/(c1+V)))`. Documents with fewer
+    * than two tokens have no bigrams and drop out (CCNet discards them
+    * too — there is nothing to score). Output: (idCol, n_bigrams, nll).
+    *
+    * The per-document sum folds in position order over a sorted array —
+    * double addition is not associative, and a partitioning-dependent sum
+    * would make the same corpus score differently on different clusters.
+    */
+  def score(docs: DataFrame, idCol: String, textCol: String, model: Model): DataFrame = {
+    val bg = docs
+      .select(col(idCol), explode(bigramStructs(tokens(col(textCol)))).as("b"))
+      .select(col(idCol), col("b.pos").as("pos"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val logp = log(
+      (coalesce(col("c12"), lit(0L)) + lit(1.0)) /
+        (coalesce(col("c1"), lit(0L)) + lit(model.vocab.toDouble)))
+    bg.join(model.bigrams, Seq("w1", "w2"), "left")
+      .join(model.unigrams, Seq("w1"), "left")
+      .select(col(idCol), col("pos"), logp.as("logp"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), col("logp")))),
+            x => x.getField("logp")),
+          lit(0.0), (acc, x) => acc + x).as("__sum"))
+      .select(col(idCol), col("n_bigrams"),
+        round(-col("__sum") / col("n_bigrams"), 6).as("nll"))
+  }
+}
