@@ -1,6 +1,16 @@
 package graft
 object Bench {
 
+  /** Materialize EVERY column of the result through the noop sink.
+    * `df.count()` lets Catalyst column-prune the projections — a
+    * scan+project query (t1-t6, b-series) would time only its row count,
+    * not its computed columns, silently flattering the bench vs the DuckDB
+    * comparator (which materializes full results). The noop write executes
+    * the complete plan and discards rows at zero sink cost.
+    */
+  private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   /** Cumulative host steal ticks (col 8 of /proc/stat cpu line) — this box
     * is a shared-host VM whose vCPUs are intermittently starved (observed
     * 15–40× wall inflation with idle executors and inflated thread-CPU
@@ -22,7 +32,7 @@ object Bench {
     // Warmup at the smallest SF: pays JIT + codegen + classloading once so
     // the timed pass measures the engine, not JVM startup.
     qs.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => }
+      try materialize(fn(spark, warmDir)) catch { case _: Throwable => }
     }
     val steal0 = stealTicks()
     // Two timed passes, keep the per-query MIN: a single pass is hostage to
@@ -30,7 +40,7 @@ object Bench {
     // what the engine actually costs.
     def pass(): Seq[(String, Double)] = qs.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val p1 = pass().toMap
@@ -43,7 +53,7 @@ object Bench {
       if (System.nanoTime() - t0 > budgetNs) name -> p1(name)
       else {
         val s = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => }
         name -> (System.nanoTime() - s) / 1e9
       }
     }.toMap

@@ -517,15 +517,21 @@ object Queries {
     // basePath inference), and testdata tables are single files — stage the
     // file into a per-SF temp dir once (a real deployment's ingest drop
     // directory, A1/A6, is exactly this shape).
+    // Keyed by the FULL (sanitized) data-dir path — a hashCode key can alias
+    // two dirs; freshness by (size, mtime) so a regenerated same-size
+    // fixture still re-stages.
     val stage = java.nio.file.Paths.get(
-      s"/tmp/graft_stream_docs_${Integer.toHexString(d.hashCode)}")
+      "/tmp/graft_stream_docs_" + d.replaceAll("[^A-Za-z0-9._-]", "_"))
     java.nio.file.Files.createDirectories(stage)
     val src = java.nio.file.Paths.get(s"$d/documents.parquet")
     val dst = stage.resolve("documents.parquet")
     if (!java.nio.file.Files.exists(dst) ||
-        java.nio.file.Files.size(dst) != java.nio.file.Files.size(src))
+        java.nio.file.Files.size(dst) != java.nio.file.Files.size(src) ||
+        java.nio.file.Files.getLastModifiedTime(dst).toMillis <
+          java.nio.file.Files.getLastModifiedTime(src).toMillis)
       java.nio.file.Files.copy(src, dst,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
     val stream = s.readStream.schema(schema).parquet(stage.toString)
       .select($"doc_id".as("id"), $"text")
       .as[graft.streaming.StreamDoc]
@@ -659,6 +665,98 @@ object Queries {
     TextDedup.cosinePairs(Tables.embeddings(s, d), "embedding", "vec_id", "label", 0.3)
       .orderBy(col("v1"), col("v2"))
 
+  /** SD1 — SemDeDup (Abbas et al. 2023): semantic dedup over embeddings —
+    * cluster coarsely, compute pairwise cosine only WITHIN clusters, mark
+    * everything above τ as a semantic duplicate and keep one representative
+    * (min id) per duplicate group. The gate variant swaps k-means for
+    * DETERMINISTIC equal-norm axis-block centroids (centroid c scores a
+    * vector by the sum of its 8-dim block c, so argmax(dot) = argmax(block
+    * sum)) — the clustering is a pure function of the row, which is what
+    * makes the row oracle-checkable end-to-end; the production path is the
+    * same plan with [[IvfIndex]] k-means assignments. 100 TB shape:
+    * clustering is a scan-local projection; the O(n²) cosine stage is
+    * confined to cluster blocks (the SemDeDup point); the duplicate-group
+    * closure rides the driver-finished CC.
+    */
+  val sd1SemanticDedup: Q = (s, d) => {
+    import s.implicits._
+    val blockSum = (c: Int) =>
+      aggregate(slice($"embedding", lit(c * 8 + 1), lit(8)), lit(0.0),
+        (acc, x) => acc + x.cast("double"))
+    // argmax with first-max tie-break (strict > keeps the earlier block)
+    val best = (1 until 8).foldLeft(struct(blockSum(0).as("s"), lit(0).as("c"))) {
+      (acc, c) =>
+        when(blockSum(c) > acc.getField("s"),
+          struct(blockSum(c).as("s"), lit(c).as("c"))).otherwise(acc)
+    }
+    val clustered = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding", best.getField("c").as("cluster"))
+    val pairs = TextDedup.cosinePairs(clustered, "embedding", "vec_id", "cluster", 0.3)
+    val reps = ConnectedComponents
+      .minLabel(clustered.select($"vec_id"), pairs.select($"v1", $"v2"), "v1", "v2")
+      .select($"vec_id", $"cluster".as("rep"))
+    clustered.select($"vec_id", $"cluster").join(reps, "vec_id")
+      .select($"vec_id", $"cluster", $"rep", ($"rep" === $"vec_id").as("kept"))
+      .orderBy($"vec_id")
+  }
+
+  /** U1 — RefinedWeb-style URL curation: host extraction → www-strip →
+    * registered-domain projection → per-domain document cap (the "no more
+    * than k docs per domain" mixing rule). URLs are synthesized
+    * deterministically from doc_id (same discipline as t6's PII: the gate
+    * must prove the extraction+cap FIRES). Every stage before the cap is a
+    * scan-local regexp projection; the cap is one per-domain window ranked
+    * by the md5 draw (deterministic on any engine/cluster) — at 100 TB the
+    * only shuffle carries (doc_id, domain, draw), never the text.
+    */
+  val u1DomainCap: Q = (s, d) => {
+    import s.implicits._
+    val url = concat(lit("https://"),
+      when($"doc_id" % 4 === 0, "www.").otherwise(""),
+      lit("u"), $"doc_id" % 7, lit("."),
+      lit("site"), $"doc_id" % 23, lit("."),
+      when($"doc_id" % 3 === 0, "com").when($"doc_id" % 3 === 1, "org").otherwise("net"),
+      lit("/page/"), $"doc_id", lit("?ref="), $"source")
+    val host = regexp_extract($"url", "^[a-z]+://([^/?]+)", 1)
+    val domain = regexp_extract(regexp_replace(host, "^www\\.", ""), "([^.]+\\.[^.]+)$", 1)
+    val ranked = Tables.documents(s, d)
+      .select($"doc_id", url.as("url"))
+      .select($"doc_id", $"url", domain.as("domain"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"domain")
+          .orderBy(Sampling.drawHex($"doc_id"), $"doc_id")))
+    ranked.where($"rk" <= 5)
+      .select($"doc_id", $"domain", $"rk".cast("long").as("rk"))
+      .orderBy($"doc_id")
+  }
+
+  /** E10 — cross-document passage overlap (the signal behind exact
+    * substring dedup, Lee et al. 2021 "Deduplicating Training Data Makes
+    * Language Models Better"): for each document, how many of its distinct
+    * 8-token passages also appear in at least one OTHER document. Engine
+    * shape: shingle → 60-bit hash → distinct (doc, hash) → per-hash
+    * document frequency (map-side combined groupBy) → join back → per-doc
+    * count. At 100 TB the DF table is the only corpus-wide state and it
+    * carries (hash, count) only; the same maxTokenDf-style cap as the
+    * Jaccard index applies if a pathological passage (boilerplate) blows
+    * up — here DF is counted, never expanded into pairs, so there is no
+    * O(df²) stage at all.
+    */
+  val e10PassageOverlap: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val sh = operators.Spread.byCols(docs, Seq($"doc_id"))
+      .select($"doc_id", explode(shingles(tokens($"text"), 8)).as("sg"))
+      .select($"doc_id", hash60($"sg").as("h"))
+      .distinct()
+    val dfreq = sh.groupBy($"h").agg(count(lit(1)).as("df"))
+    val shared = sh.join(dfreq.where($"df" >= 2), "h")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+    docs.select($"doc_id").join(shared, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"n_shared", lit(0L)).as("n_shared"))
+      .orderBy($"doc_id")
+  }
+
   /** T1 language-ID heuristic: stopword-density votes per language. */
   val t1Langid: Q = (s, d) => {
     import s.implicits._
@@ -713,14 +811,19 @@ object Queries {
   /** T5 repetition signals — the standard Gopher pre-training repetition
     * filters (Rae et al. 2021, Table A1): duplicate-token fraction and the
     * share of all 2-/3-gram occurrences held by the most frequent gram.
-    * ROW-LOCAL higher-order-function arithmetic: no explode, no shuffle —
-    * at 100 TB this is one pruned-projection scan pass, unlike the naive
-    * explode-groupBy formulation whose shuffle carries every n-gram.
+    * ROW-LOCAL higher-order-function arithmetic: no explode, no shuffle
+    * required by the signals themselves — unlike the naive explode-groupBy
+    * formulation whose shuffle carries every n-gram. The explicit spread
+    * before the compute is the repo's pinned-parallelism rule: interpreted
+    * HOF arithmetic is compute-amplifying (~1 ms/doc), so its parallelism
+    * must not be hostage to the scan's split count (the local fixture is
+    * one row group; at 100 TB the spread cost is noise against the
+    * compute it balances).
     */
   val t5Repetition: Q = (s, d) => {
     import s.implicits._
     val toks = tokens($"text")
-    Tables.documents(s, d)
+    operators.Spread.byCols(Tables.documents(s, d), Seq($"doc_id"))
       .select($"doc_id",
         round(dupTokenFrac(toks), 6).as("dup_token_frac"),
         round(topNgramFrac(toks, 2), 6).as("top2gram_frac"),
@@ -770,7 +873,7 @@ object Queries {
     val withPii = Tables.documents(s, d).select($"doc_id",
       concat($"text",
         when($"doc_id" % 3 === 0,
-          concat(lit(" contact user"), $"doc_id", lit("@example.com"))).otherwise(lit("")),
+          concat(lit(" contact User"), $"doc_id", lit("@Example.COM"))).otherwise(lit("")),
         when($"doc_id" % 5 === 0,
           concat(lit(" from 10.0."), ($"doc_id" % 256).cast("string"), lit(".7"))).otherwise(lit("")),
         when($"doc_id" % 7 === 0,
@@ -840,7 +943,10 @@ object Queries {
       .when(sDe >= sEs && sDe >= sFr, "de")
       .when(sEs >= sFr, "es")
       .otherwise("fr")
-    val gated = Tables.documents(s, d)
+    // Spread before the gates: the repetition signals are interpreted-HOF
+    // compute (~1 ms/doc) — parallelism pinned, not left to the scan's
+    // split count (same rule as t5).
+    val gated = operators.Spread.byCols(Tables.documents(s, d), Seq($"doc_id"))
       .select($"doc_id", $"text", pred.as("pred"),
         round(qualityScore($"text"), 6).as("quality"),
         round(dupTokenFrac(toks), 6).as("dup_frac"),
@@ -1274,6 +1380,57 @@ object Queries {
         |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE))::DOUBLE / (a.nn * b.nn) > 0.3
         |ORDER BY v1, v2""".stripMargin,
+    // the oracle recomputes the deterministic block-sum clustering, the
+    // within-cluster cosine pairs, and the duplicate-group closure
+    "sd1_semantic_dedup" ->
+      """WITH RECURSIVE bs AS (SELECT vec_id, embedding,
+        |  [list_sum(list_transform(embedding[1:8], x -> x::DOUBLE)),
+        |   list_sum(list_transform(embedding[9:16], x -> x::DOUBLE)),
+        |   list_sum(list_transform(embedding[17:24], x -> x::DOUBLE)),
+        |   list_sum(list_transform(embedding[25:32], x -> x::DOUBLE)),
+        |   list_sum(list_transform(embedding[33:40], x -> x::DOUBLE)),
+        |   list_sum(list_transform(embedding[41:48], x -> x::DOUBLE)),
+        |   list_sum(list_transform(embedding[49:56], x -> x::DOUBLE)),
+        |   list_sum(list_transform(embedding[57:64], x -> x::DOUBLE))] AS s
+        |  FROM embeddings),
+        |cl AS (SELECT vec_id, embedding, CAST(list_indexof(s, list_max(s)) - 1 AS INT) AS cluster FROM bs),
+        |n AS (SELECT vec_id, cluster, embedding,
+        |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))::DOUBLE) AS nn FROM cl),
+        |p AS (SELECT a.vec_id AS v1, b.vec_id AS v2 FROM n a JOIN n b
+        |  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> x[1]::DOUBLE * x[2]::DOUBLE))::DOUBLE / (a.nn * b.nn) > 0.3),
+        |edges AS (SELECT v1 AS ea, v2 AS eb FROM p UNION ALL SELECT v2, v1 FROM p),
+        |reach(a, b) AS (SELECT vec_id, vec_id FROM embeddings UNION
+        |  SELECT r.a, e.eb FROM reach r JOIN edges e ON r.b = e.ea),
+        |rp AS (SELECT a AS vec_id, CAST(min(b) AS BIGINT) AS rep FROM reach GROUP BY a)
+        |SELECT c.vec_id, c.cluster, rp.rep, (rp.rep = c.vec_id) AS kept
+        |FROM cl c JOIN rp ON c.vec_id = rp.vec_id ORDER BY c.vec_id""".stripMargin,
+    // the oracle re-synthesizes the same URLs and re-runs the identical
+    // RE2-subset regexes + md5-draw-ranked window
+    "u1_domain_cap" ->
+      """WITH u AS (SELECT doc_id,
+        |  'https://' || (CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END) ||
+        |  'u' || CAST(doc_id % 7 AS VARCHAR) || '.site' || CAST(doc_id % 23 AS VARCHAR) || '.' ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN 'com' WHEN doc_id % 3 = 1 THEN 'org' ELSE 'net' END) ||
+        |  '/page/' || CAST(doc_id AS VARCHAR) || '?ref=' || source AS url FROM documents),
+        |h AS (SELECT doc_id,
+        |  regexp_extract(regexp_replace(regexp_extract(url, '^[a-z]+://([^/?]+)', 1), '^www\.', ''), '([^.]+\.[^.]+)$', 1) AS domain FROM u),
+        |r AS (SELECT doc_id, domain, row_number() OVER (PARTITION BY domain
+        |  ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rk FROM h)
+        |SELECT doc_id, domain, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5 ORDER BY doc_id""".stripMargin,
+    // the oracle rebuilds the same distinct (doc, 8-token-passage-hash60)
+    // set and counts passages whose document frequency is >= 2
+    "e10_passage_overlap" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, ('0x' || substring(md5(s), 1, 15))::BIGINT AS h FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-7),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS s
+        |  FROM toks WHERE len(w) >= 8)),
+        |dfq AS (SELECT h, count(*) AS df FROM sh GROUP BY h),
+        |sj AS (SELECT sh.doc_id, count(*) AS n_shared FROM sh JOIN dfq ON sh.h = dfq.h
+        |       WHERE dfq.df >= 2 GROUP BY sh.doc_id)
+        |SELECT d.doc_id, CAST(coalesce(sj.n_shared, 0) AS BIGINT) AS n_shared
+        |FROM documents d LEFT JOIN sj ON d.doc_id = sj.doc_id ORDER BY d.doc_id""".stripMargin,
     "t1_langid" ->
       """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |c AS (SELECT doc_id,
@@ -1422,16 +1579,16 @@ object Queries {
     // to match Spark's replace-all default
     "t6_pii_scrub" ->
       """WITH p AS (SELECT doc_id, text ||
-        |  (CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN ' contact User' || doc_id || '@Example.COM' ELSE '' END) ||
         |  (CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' || (doc_id % 256) || '.7' ELSE '' END) ||
         |  (CASE WHEN doc_id % 7 = 0 THEN ' call +1-555-01' || lpad((doc_id % 100)::VARCHAR, 2, '0') ELSE '' END)
         |  AS text FROM documents)
         |SELECT doc_id,
         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
-        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |    '\+\d[\d-]{7,}\d', '<PHONE>', 'g')) AS scrubbed_md5,
-        |  CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+        |  CAST(len(regexp_extract_all(text, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
         |    + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
         |    + len(regexp_extract_all(text, '\+\d[\d-]{7,}\d')) AS BIGINT) AS n_pii
         |FROM p ORDER BY doc_id""".stripMargin,
@@ -1556,6 +1713,9 @@ object Queries {
     "e4c_jaccard_zipf" -> e4cJaccardZipf,
     "e4d_jaccard_zipf_exact" -> e4dJaccardZipfExact,
     "e5_cosine_pairs" -> e5CosinePairs,
+    "sd1_semantic_dedup" -> sd1SemanticDedup,
+    "u1_domain_cap" -> u1DomainCap,
+    "e10_passage_overlap" -> e10PassageOverlap,
     "t1_langid" -> t1Langid,
     "t2_quality" -> t2Quality,
     "t3_token_stats" -> t3TokenStats,

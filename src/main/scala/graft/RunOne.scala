@@ -18,12 +18,16 @@ object RunOne {
       spark.stop()
       return
     }
-    fn(spark, warmDir).count()
+    // noop write matches Bench: the full plan executes (count() would
+    // column-prune projection-only queries down to a row count)
+    def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    materialize(fn(spark, warmDir))
     val times = (1 to reps).map { _ =>
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
+      materialize(fn(spark, sfDir))
       val dt = (System.nanoTime() - t0) / 1e9
-      println(f"[runone] $name rows=$n $dt%.3f s")
+      println(f"[runone] $name $dt%.3f s")
       dt
     }
     println(f"[runone] $name min=${times.min}%.3f s")

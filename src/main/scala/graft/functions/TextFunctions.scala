@@ -54,14 +54,22 @@ object TextFunctions {
     (h1 + h2 * lit(j.toLong)).bitwiseAND(lit((1L << 60) - 1))
 
   /** k-word shingles as space-joined strings; empty array when the document
-    * has fewer than k tokens.
+    * has fewer than k tokens. Built from `zip_with` over k shifted slices:
+    * HOF lambdas are interpreted and re-evaluate every non-lambda subtree
+    * per element, so the obvious `transform(sequence, i -> element_at(toks,
+    * i+j))` form re-splits the text 2·g times per row — the slice/zip form
+    * evaluates `toks` k times total and the lambdas touch only their own
+    * element variables.
     */
-  def shingles(toks: Column, k: Int): Column =
-    when(size(toks) >= k,
-      transform(
-        sequence(lit(0), size(toks) - k),
-        i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
-      .otherwise(array())
+  def shingles(toks: Column, k: Int): Column = {
+    val n = size(toks)
+    val len = n - (k - 1)
+    val joined = (1 until k).foldLeft(slice(toks, lit(1), len)) {
+      case (acc, j) =>
+        zip_with(acc, slice(toks, lit(j + 1), len), (a, b) => concat(a, lit(" "), b))
+    }
+    when(n >= k, joined).otherwise(array())
+  }
 
   /** Count of tokens contained in `words` (NOT deduplicated — a frequency
     * count, matching stopword-density semantics).
@@ -107,17 +115,28 @@ object TextFunctions {
 
   /** Fraction of all n-gram occurrences taken by the MOST FREQUENT n-gram
     * (Gopher's "fraction of characters in most common n-gram", token
-    * flavour). Computed with nested higher-order functions — O(d·g) per
-    * row (d = distinct grams) but fully codegen'd and shuffle-free, the
-    * right trade for a per-document scan at scale. 0 when the document is
-    * shorter than n.
+    * flavour). Sort the grams, then one `aggregate` pass tracks the longest
+    * equal-adjacent run — O(g log g) per row and shuffle-free. The naive
+    * nested-HOF form (`transform(distinct, g -> count(filter(grams, =g)))`)
+    * is O(d·g) with the grams array REBUILT inside the inner interpreted
+    * lambda per distinct gram — measured 100× slower on the gate corpus
+    * when the expression lands in a Filter, where column pruning can't
+    * save it. 0 when the document is shorter than n.
     */
   def topNgramFrac(toks: Column, n: Int): Column = {
     val grams = shingles(toks, n)
+    // "" can never equal a k≥1 gram produced from split() tokens here, and
+    // even a pathological ""-gram first element just starts its run at 1.
+    val zero = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"))
+    val best = aggregate(
+      array_sort(grams), zero,
+      (acc, x) => {
+        val run = when(acc.getField("prev") === x, acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"), greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
     when(size(grams) === 0, 0.0).otherwise(
-      array_max(transform(array_distinct(grams),
-          g => size(filter(grams, x => x === g))))
-        .cast("double") / size(grams).cast("double"))
+      best.cast("double") / size(grams).cast("double"))
   }
 
   // ---- PII scrubbing (C4-style cleaning). Patterns are deliberately
@@ -125,7 +144,9 @@ object TextFunctions {
   // text runs in Java (Spark) and RE2 (DuckDB/Trino) engines — the t6
   // oracle relies on that; the redaction is reproducible anywhere.
 
-  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  // (?i) is in the common Java/RE2 subset, so mixed-case PII ("John@Example.COM")
+  // redacts identically in Spark and the RE2-based oracle engines.
+  val EmailPattern = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   val PhonePattern = "\\+\\d[\\d-]{7,}\\d"
 

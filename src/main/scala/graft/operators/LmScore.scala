@@ -30,13 +30,18 @@ object LmScore {
     */
   case class Model(bigrams: DataFrame, unigrams: DataFrame, vocab: Long)
 
-  private def bigramStructs(toks: Column): Column =
+  // zip_with over two shifted slices: HOF lambdas are interpreted and
+  // re-evaluate non-lambda subtrees per element, so an element_at(toks, i)
+  // form re-splits the text g times per row; here `toks` evaluates twice
+  // total and the lambda touches only its element variables. Position comes
+  // from posexplode at the call site.
+  private def bigramPairs(toks: Column): Column = {
+    val len = size(toks) - 1
     when(size(toks) >= 2,
-      transform(sequence(lit(0), size(toks) - 2),
-        i => struct(i.as("pos"),
-          element_at(toks, i + 1).as("w1"),
-          element_at(toks, i + 2).as("w2"))))
-      .otherwise(array().cast("array<struct<pos:int,w1:string,w2:string>>"))
+      zip_with(slice(toks, lit(1), len), slice(toks, lit(2), len),
+        (a, b) => struct(a.as("w1"), b.as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+  }
 
   /** Count bigrams/unigrams over the corpus. The three jobs share one
     * tokenized scan lineage; counts are exact (map-side combined).
@@ -46,7 +51,7 @@ object LmScore {
     val uni = toks.select(explode(col("w")).as("w1"))
     val unigrams = uni.groupBy("w1").agg(count(lit(1)).as("c1"))
     val bigrams = toks
-      .select(explode(bigramStructs(col("w"))).as("b"))
+      .select(explode(bigramPairs(col("w"))).as("b"))
       .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .agg(count(lit(1)).as("c12"))
     val vocab = unigrams.count()
@@ -64,8 +69,8 @@ object LmScore {
     */
   def score(docs: DataFrame, idCol: String, textCol: String, model: Model): DataFrame = {
     val bg = docs
-      .select(col(idCol), explode(bigramStructs(tokens(col(textCol)))).as("b"))
-      .select(col(idCol), col("b.pos").as("pos"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .select(col(idCol), posexplode(bigramPairs(tokens(col(textCol)))))
+      .select(col(idCol), col("pos"), col("col.w1").as("w1"), col("col.w2").as("w2"))
     val logp = log(
       (coalesce(col("c12"), lit(0L)) + lit(1.0)) /
         (coalesce(col("c1"), lit(0L)) + lit(model.vocab.toDouble)))

@@ -27,7 +27,11 @@ object Sampling {
     */
   private def thresholdHex(rate: Double): String = {
     require(rate >= 0.0 && rate <= 1.0, s"rate $rate outside [0,1]")
-    f"${math.min((rate * 4294967296.0).round, 0xffffffffL)}%08x"
+    // rate 1.0 must keep EVERY row, including the ~2^-32 draws equal to
+    // 'ffffffff' — "g" sorts above any 8-hex-digit draw, so `draw < "g"`
+    // is a keep-all, mirroring keep()'s rate>=1.0 short-circuit.
+    if (rate >= 1.0) "g"
+    else f"${math.min((rate * 4294967296.0).round, 0xffffffffL)}%08x"
   }
 
   /** The uniform draw for a row id: first 8 hex chars of md5(string(id)). */

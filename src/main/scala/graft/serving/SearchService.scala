@@ -169,9 +169,15 @@ class SearchService(
       "refresh() needs indexDir (the in-memory load is immutable)"))
     val spark = cached.sparkSession
     val base = spark.read.parquet(dir)
+    // The sink's metadata log appears with the first committed batch.
+    // Probe through Hadoop's FileSystem so the check works wherever the
+    // delta actually lives (HDFS/S3/local), not only on the local disk.
+    def deltaCommitted(dd: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(dd, "_spark_metadata")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
     val full = deltaDir match {
-      // the sink's metadata log appears with the first committed batch
-      case Some(dd) if new java.io.File(dd, "_spark_metadata").exists() =>
+      case Some(dd) if deltaCommitted(dd) =>
         base.unionByName(spark.read.parquet(dd))
       case _ => base
     }

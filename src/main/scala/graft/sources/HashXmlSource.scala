@@ -56,13 +56,20 @@ object HashXmlSource {
     * a whole-corpus collect. `outDir` would be a shared filesystem on a
     * cluster.
     *
+    * Write discipline: EAGER (the artifacts exist when this returns — the
+    * distributed write runs once, inside this call, and the returned frame
+    * is a local relation a caller can re-scan without re-triggering file
+    * I/O), and ATOMIC per artifact (each file is written to a task-unique
+    * temp name and renamed into place, so a failed or speculatively
+    * retried task can never leave a truncated .xz visible).
+    *
     * @return (src, path, frames) — one row per artifact written
     */
   def write(frames: DataFrame, outDir: String, algo: String): DataFrame = {
     val spark = frames.sparkSession
     import spark.implicits._
     new java.io.File(outDir).mkdirs()
-    frames
+    val written = frames
       .select(col("src"),
         struct(col("time"), col("hi"), col("ha")).as("f"))
       .groupBy(col("src"))
@@ -79,12 +86,23 @@ object HashXmlSource {
           sb.append("</doc>\n")
         }
         sb.append("</add>\n")
+        val tmp = java.nio.file.Files.createTempFile(
+          java.nio.file.Paths.get(outDir), s".$name.", ".tmp")
         val out = new XZCompressorOutputStream(
-          new BufferedOutputStream(new FileOutputStream(path)), 6)
+          new BufferedOutputStream(new FileOutputStream(tmp.toFile)), 6)
         try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
+        try
+          java.nio.file.Files.move(tmp, java.nio.file.Paths.get(path),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+          java.nio.file.Files.move(tmp, java.nio.file.Paths.get(path),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
         (src, path, fs.size)
       }
-      .toDF("src", "path", "frames")
+      .collect()
+    spark.createDataset(written.toSeq).toDF("src", "path", "frames")
   }
 
   private def escXml(s: String): String = s

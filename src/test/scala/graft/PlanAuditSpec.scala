@@ -52,22 +52,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges(p) <= 2, s"expected <=2 exchanges:\n${p.take(1200)}")
   }
 
-  test("p3: five-stage recipe plans as dedup shuffle + budget window + final sort") {
+  test("p3: five-stage recipe plans as spread + dedup shuffle + budget window + final sort") {
     // langid + quality + repetition gates and the token count all fuse into
-    // the scan-side projection; the combined filter runs before the dedup
-    // groupBy (shuffle 1); the budget window sorts only deduped survivors
-    // (shuffle 2); the gate orderBy is the last exchange.
+    // one projection over the pinned-parallelism spread (shuffle 1 — a
+    // doc_id repartition carrying only the raw scan, before any compute);
+    // the combined filter runs before the dedup groupBy (shuffle 2); the
+    // budget window sorts only deduped survivors (shuffle 3); the gate
+    // orderBy is the last exchange.
     val p = plan("p3_corpus_recipe")
-    assert(exchanges(p) <= 3, s"expected <=3 exchanges:\n${p.take(1500)}")
-    // the multiply-gated filter must sit on the scan side of the first
-    // shuffle: formatted-explain detail sections are numbered leaf-first,
-    // so the Filter's node id must be smaller than every Exchange's
-    val nodeId = (pat: String) => s"\\((\\d+)\\) $pat".r
+    assert(exchanges(p) <= 4, s"expected <=4 exchanges:\n${p.take(1500)}")
+    // the multiply-gated filter must sit below the DEDUP shuffle (the
+    // hashpartitioning(text…) exchange): formatted-explain detail sections
+    // are numbered leaf-first, so compare node ids
+    val filterId = "\\((\\d+)\\) Filter".r.findFirstMatchIn(p).map(_.group(1).toInt)
+    val dedupId = "\\((\\d+)\\) Exchange\\nInput[^\\n]*\\nArguments: hashpartitioning\\(text".r
       .findFirstMatchIn(p).map(_.group(1).toInt)
-    val filterId = nodeId("Filter")
-    val exchangeId = nodeId("Exchange")
-    assert(filterId.nonEmpty && exchangeId.nonEmpty && filterId.get < exchangeId.get,
-      s"filter (node ${filterId}) must be below the first exchange (node ${exchangeId})")
+    assert(filterId.nonEmpty && dedupId.nonEmpty && filterId.get < dedupId.get,
+      s"filter (node $filterId) must be below the dedup exchange (node $dedupId):\n${p.take(1500)}")
   }
 
   test("e2_minhash_pairs: the audited 5-exchange shape holds") {
