@@ -717,11 +717,9 @@ object Queries {
       lit("site"), $"doc_id" % 23, lit("."),
       when($"doc_id" % 3 === 0, "com").when($"doc_id" % 3 === 1, "org").otherwise("net"),
       lit("/page/"), $"doc_id", lit("?ref="), $"source")
-    val host = regexp_extract($"url", "^[a-z]+://([^/?]+)", 1)
-    val domain = regexp_extract(regexp_replace(host, "^www\\.", ""), "([^.]+\\.[^.]+)$", 1)
     val ranked = Tables.documents(s, d)
       .select($"doc_id", url.as("url"))
-      .select($"doc_id", $"url", domain.as("domain"))
+      .select($"doc_id", $"url", registeredDomain($"url").as("domain"))
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy($"domain")
           .orderBy(Sampling.drawHex($"doc_id"), $"doc_id")))
@@ -742,20 +740,9 @@ object Queries {
     * up — here DF is counted, never expanded into pairs, so there is no
     * O(df²) stage at all.
     */
-  val e10PassageOverlap: Q = (s, d) => {
-    import s.implicits._
-    val docs = Tables.documents(s, d)
-    val sh = operators.Spread.byCols(docs, Seq($"doc_id"))
-      .select($"doc_id", explode(shingles(tokens($"text"), 8)).as("sg"))
-      .select($"doc_id", hash60($"sg").as("h"))
-      .distinct()
-    val dfreq = sh.groupBy($"h").agg(count(lit(1)).as("df"))
-    val shared = sh.join(dfreq.where($"df" >= 2), "h")
-      .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
-    docs.select($"doc_id").join(shared, Seq("doc_id"), "left")
-      .select($"doc_id", coalesce($"n_shared", lit(0L)).as("n_shared"))
-      .orderBy($"doc_id")
-  }
+  val e10PassageOverlap: Q = (s, d) =>
+    TextDedup.passageOverlap(Tables.documents(s, d), "text", "doc_id", 8)
+      .orderBy(col("doc_id"))
 
   /** T1 language-ID heuristic: stopword-density votes per language. */
   val t1Langid: Q = (s, d) => {

@@ -150,6 +150,22 @@ object TextFunctions {
   val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   val PhonePattern = "\\+\\d[\\d-]{7,}\\d"
 
+  // ---- URL curation (RefinedWeb-style per-domain mixing rules). Regexes
+  // stay in the common Java/RE2 subset like the PII patterns.
+
+  /** Hostname of a scheme-prefixed URL; empty string when the shape doesn't
+    * match (no scheme).
+    */
+  def urlHost(url: Column): Column = regexp_extract(url, "^[a-z]+://([^/?]+)", 1)
+
+  /** Registered-domain approximation: the host minus a leading `www.`,
+    * reduced to its last two labels (`a.b.site7.com` → `site7.com`). A full
+    * public-suffix-list lookup is a broadcast-join refinement on the same
+    * column shape.
+    */
+  def registeredDomain(url: Column): Column =
+    regexp_extract(regexp_replace(urlHost(url), "^www\\.", ""), "([^.]+\\.[^.]+)$", 1)
+
   /** Replace emails, dotted-quad IPs and +international phone shapes with
     * typed redaction tags. Pure codegen'd regexp chain — a scrub pass over
     * 100 TB is a scan-local projection.

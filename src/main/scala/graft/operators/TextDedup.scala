@@ -230,6 +230,29 @@ object TextDedup {
       .agg(countDistinct(col("h")).as("n_shingles"))
   }
 
+  /** Cross-document passage overlap — the per-document signal behind exact
+    * substring dedup (Lee et al. 2021): how many of a document's distinct
+    * k-token passages appear in at least one OTHER document. Documents
+    * with no passages (shorter than k tokens) report 0.
+    *
+    * Scale shape: distinct (id, hash60) → per-hash document frequency (a
+    * map-side-combined groupBy carrying only (hash, count)) → join back →
+    * per-doc count. DF is counted, never expanded into pairs, so there is
+    * no O(df²) stage; a boilerplate mega-passage costs one counter.
+    */
+  def passageOverlap(
+      df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    val sh = Spread.byCols(df, Seq(col(idCol)))
+      .select(col(idCol), explode(shingles(tokens(col(textCol)), k)).as("sg"))
+      .select(col(idCol), hash60(col("sg")).as("h"))
+      .distinct()
+    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val shared = sh.join(dfreq.where(col("df") >= 2), "h")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
+    df.select(col(idCol)).join(shared, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+  }
+
   /** Inverted-index candidate matcher shared by [[jaccardPairs]] and
     * [[jaccardPairsPrefix]]: rows of (id, block, n, token) self-joined on
     * (token, block) with the exact size-ratio prune and `d1 < d2`, with the
