@@ -910,6 +910,34 @@ object Queries {
     LmScore.score(docs, "doc_id", "text", model).orderBy($"doc_id")
   }
 
+  /** T8 — CCNet perplexity bucketing (Wenzek et al. 2019): split the corpus
+    * into equal head/middle/tail terciles by LM score (t7's nll), the
+    * standard quality-tier assignment before mixing. `ntile` semantics
+    * (first buckets one larger on remainder) computed WITHOUT Spark's
+    * empty-partition `Window.orderBy` (which moves the corpus to one task):
+    * [[GlobalRank]] assigns the global rank with a fully parallel two-pass
+    * range partition, and the tercile is closed-form arithmetic on the
+    * rank — bucket boundaries identical to the oracle's `ntile(3)`.
+    */
+  val t8PplBuckets: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val model = LmScore.fit(docs, "text")
+    // localCheckpoint: the count below and the rank's two passes reuse the
+    // scored result instead of re-running the model joins
+    val scored = LmScore.score(docs, "doc_id", "text", model).localCheckpoint()
+    val n = scored.count()
+    val base = n / 3
+    val rem = n % 3
+    val cut = rem * (base + 1)
+    val ranked = operators.GlobalRank
+      .withGlobalIndex(scored, Seq($"nll", $"doc_id"), "__r")
+    val bucket = when($"__r" < cut, expr(s"CAST(__r DIV ${base + 1} AS INT) + 1"))
+      .otherwise(expr(s"CAST((__r - $cut) DIV ${math.max(base, 1)} AS INT) + ${rem.toInt} + 1"))
+    ranked.select($"doc_id", $"n_bigrams", $"nll", bucket.as("bucket"))
+      .orderBy($"doc_id")
+  }
+
   /** P3 — the END-TO-END pre-training data recipe as ONE declarative plan:
     * language-ID → quality gate → Gopher repetition gates (t5's signals)
     * → exact dedup → deterministic token-budget selection. Every scalar
@@ -1615,6 +1643,25 @@ object Queries {
         |SELECT doc_id, CAST(len(lp) AS BIGINT) AS n_bigrams,
         |  round(-list_sum(lp) / len(lp), 6) AS nll
         |FROM agg ORDER BY doc_id""".stripMargin,
+    // t7's model CTEs + the standard SQL ntile over (nll, doc_id)
+    "t8_ppl_buckets" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |uni AS (SELECT unnest(w) AS t FROM toks),
+        |uc AS (SELECT t AS w1, CAST(count(*) AS BIGINT) AS c1 FROM uni GROUP BY t),
+        |v AS (SELECT count(DISTINCT t) AS vocab FROM uni),
+        |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-1),
+        |         i -> {'pos': i, 'w1': w[i], 'w2': w[i+1]}), recursive := true) FROM toks),
+        |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2),
+        |j AS (SELECT b.doc_id, b.pos,
+        |        ln((coalesce(bc.c12, 0) + 1.0) / (uc.c1 + v.vocab)) AS logp
+        |      FROM bg b LEFT JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+        |      JOIN uc ON b.w1 = uc.w1 CROSS JOIN v),
+        |agg AS (SELECT doc_id, list(logp ORDER BY pos) AS lp FROM j GROUP BY doc_id),
+        |sc AS (SELECT doc_id, CAST(len(lp) AS BIGINT) AS n_bigrams,
+        |  round(-list_sum(lp) / len(lp), 6) AS nll FROM agg)
+        |SELECT doc_id, n_bigrams, nll,
+        |  CAST(ntile(3) OVER (ORDER BY nll, doc_id) AS INT) AS bucket
+        |FROM sc ORDER BY doc_id""".stripMargin,
     // p1's langid+quality CTEs + t5's repetition CTEs + exact dedup + s2's
     // budget window, composed into the full recipe
     "p3_corpus_recipe" ->
@@ -1711,6 +1758,7 @@ object Queries {
     "t6_pii_scrub" -> t6PiiScrub,
     "l1_line_dedup" -> l1LineDedup,
     "t7_lm_score" -> t7LmScore,
+    "t8_ppl_buckets" -> t8PplBuckets,
     "s1_stratified_sample" -> s1StratifiedSample,
     "s2_token_budget" -> s2TokenBudget,
     "p3_corpus_recipe" -> p3CorpusRecipe,

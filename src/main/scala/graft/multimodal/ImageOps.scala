@@ -978,6 +978,65 @@ object ImageOps {
     * the batch-shaped analog of a `mapInPandas` image stage. Output:
     * (id, width, height, ok, descriptor FLOAT[grid²]).
     */
+  /** Perceptual difference hash (dHash, 8×8 → 64 bits; Krawetz 2013, the
+    * standard public perceptual-dedup fingerprint): downscale to 9×8
+    * grayscale with bilinear filtering, emit one bit per horizontally
+    * adjacent pixel pair — set iff the left pixel is brighter. Stable
+    * under resize / re-encode / small edits, so hamming distance over
+    * these 64 bits is an image NEAR-DUP metric that rides the exact same
+    * Manku block machinery as text simhash
+    * ([[graft.operators.TextDedup.hammingNearPairs]] with bits=64).
+    * None for undecodable bytes.
+    */
+  def dHash(bytes: Array[Byte]): Option[Long] =
+    try {
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val dst = new java.awt.image.BufferedImage(9, 8,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, 9, 8, null)
+        g.dispose()
+        def lum(rgb: Int): Double = {
+          val r = (rgb >> 16) & 0xff; val gg = (rgb >> 8) & 0xff; val b = rgb & 0xff
+          0.299 * r + 0.587 * gg + 0.114 * b // ITU-R BT.601, as in the CLD path
+        }
+        var h = 0L
+        var bit = 0
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (lum(dst.getRGB(x, y)) > lum(dst.getRGB(x + 1, y))) h |= 1L << bit
+            bit += 1
+            x += 1
+          }
+          y += 1
+        }
+        Some(h)
+      }
+    } catch { case _: Exception => None }
+
+  /** Distributed dHash over a binary column → (id, dhash, ok); corrupt
+    * rows survive as ok=false (same contract as [[thumbnails]]).
+    */
+  def dHashes(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        dHash(bytes) match {
+          case Some(h) => (id, h, true)
+          case None    => (id, 0L, false)
+        }
+      })
+      .toDF(idCol, "dhash", "ok")
+  }
+
   def describeImages(df: DataFrame, idCol: String, bytesCol: String,
                      grid: Int = 8): DataFrame = {
     val spark = df.sparkSession

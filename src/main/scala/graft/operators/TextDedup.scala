@@ -424,25 +424,45 @@ object TextDedup {
   def simhashNearPairs(
       df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3,
-      smallCap: Int = 1024, maxBucket: Long = 1L << 16): DataFrame = {
+      smallCap: Int = 1024, maxBucket: Long = 1L << 16): DataFrame =
+    hammingNearPairs(simhash(df, textCol, idCol), "simhash", idCol,
+      bits = 60, maxHamming = maxHamming,
+      smallCap = smallCap, maxBucket = maxBucket,
+      metricsPrefix = "graft.lsh.simhash")
+
+  /** Hamming near-pairs over PRECOMPUTED long fingerprints (simhash,
+    * perceptual image dHash, any ≤64-bit sketch): all (d1, d2) whose
+    * fingerprints differ in at most `maxHamming` of the low `bits` bits.
+    * Same Manku block-pigeonhole shape as [[simhashNearPairs]]; the last
+    * block absorbs the remainder when `bits` does not divide evenly, so
+    * the blocks always PARTITION the fingerprint (the pigeonhole needs
+    * full coverage). Unsigned shifts — a 64-bit fingerprint may be
+    * negative as a long.
+    */
+  def hammingNearPairs(
+      fp: DataFrame, fpCol: String, idCol: String,
+      bits: Int, maxHamming: Int = 3,
+      smallCap: Int = 1024, maxBucket: Long = 1L << 16,
+      metricsPrefix: String = "graft.lsh.hamming"): DataFrame = {
     val blocks = maxHamming + 1
-    val bits = 60
-    val width = bits / blocks // 15-bit blocks for the default k=3
-    val fp = simhash(df, textCol, idCol)
+    val width = bits / blocks // 15-bit blocks for the default 60/k=3
+    require(width > 0, s"maxHamming $maxHamming too large for $bits bits")
     val blockStructs = array((0 until blocks).map { b =>
+      val w = if (b == blocks - 1) bits - b * width else width
+      val mask = if (w >= 64) -1L else (1L << w) - 1
       struct(lit(b).as("b"),
-        shiftright(col("simhash"), b * width)
-          .bitwiseAND(lit((1L << width) - 1)).as("bv"))
+        shiftrightunsigned(col(fpCol), b * width)
+          .bitwiseAND(lit(mask)).as("bv"))
     }: _*)
     // Same shape as [[minhashBandPairs]]: shuffle into (block, value)
     // buckets, pairs emitted bucket-locally (a self-join would recompute
-    // the 60-aggregate simhash subtree twice — the measured minhash trap),
-    // with the same triangle-salting/cap skew control.
+    // the fingerprint subtree twice — the measured minhash trap), with
+    // the same triangle-salting/cap skew control.
     val buckets = fp
-      .select(col(idCol), col("simhash"), explode(blockStructs).as("bk"))
+      .select(col(idCol), col(fpCol), explode(blockStructs).as("bk"))
       .select(col("bk").as("__bk"),
-        struct(col(idCol).as("id"), col("simhash").as("sh")).as("__m"))
-    bucketPairs(buckets, smallCap, maxBucket, "graft.lsh.simhash")
+        struct(col(idCol).as("id"), col(fpCol).as("sh")).as("__m"))
+    bucketPairs(buckets, smallCap, maxBucket, metricsPrefix)
       .select(col("p1.id").as("d1"), col("p2.id").as("d2"),
         bit_count(col("p1.sh").bitwiseXOR(col("p2.sh"))).as("ham"))
       .where(col("ham") <= maxHamming)

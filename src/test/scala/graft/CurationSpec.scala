@@ -62,6 +62,62 @@ class CurationSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("hammingNearPairs: generic 64-bit path equals brute force, incl. negative longs") {
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(40)(rnd.nextLong()) // negative longs exercised
+    // plant near-dups: flip ≤3 bits of some fingerprints
+    val fps = base.zipWithIndex.flatMap { case (f, i) =>
+      val mut = f ^ (1L << (i % 64)) ^ (if (i % 3 == 0) 1L << ((i * 7) % 64) else 0L)
+      Seq((i.toLong * 2, f), (i.toLong * 2 + 1, mut))
+    }
+    val df = fps.toSeq.toDF("id", "fp")
+    val got = graft.operators.TextDedup
+      .hammingNearPairs(df, "fp", "id", bits = 64, maxHamming = 3)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for {
+      i <- fps.indices; j <- (i + 1) until fps.length
+      if java.lang.Long.bitCount(fps(i)._2 ^ fps(j)._2) <= 3
+    } yield {
+      val (a, b) = (fps(i)._1, fps(j)._1)
+      (math.min(a, b), math.max(a, b))
+    }).toSet
+    assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
+    assert(expected.nonEmpty, "fixture must produce near pairs")
+  }
+
+  test("image near-dup dedup: dHash + hammingNearPairs pairs re-encoded/resized copies only") {
+    def png(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) {
+        val g = f(x, y) & 0xff
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", buf)
+      buf.toByteArray
+    }
+    import graft.multimodal.ImageOps
+    val grad = png(64, 48)((x, y) => x * 3 + y)       // smooth gradient
+    val gradBig = png(128, 96)((x, y) => (x * 3) / 2 + y / 2) // same scene, resized
+    val checker = png(64, 48)((x, y) => if (((x / 8) + (y / 8)) % 2 == 0) 230 else 20)
+    val junk = Array[Byte](1, 2, 3)
+    val df = Seq((1L, grad), (2L, gradBig), (3L, checker), (4L, junk))
+      .toDF("img_id", "bytes")
+    val hashes = ImageOps.dHashes(df, "img_id", "bytes")
+    val ok = hashes.collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(ok == Map(1L -> true, 2L -> true, 3L -> true, 4L -> false), ok.toString)
+    val pairs = graft.operators.TextDedup
+      .hammingNearPairs(hashes.where($"ok"), "dhash", "img_id",
+        bits = 64, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)),
+      s"resized copy must pair with the original and nothing else: $pairs")
+    // determinism of the fingerprint itself
+    val again = ImageOps.dHash(grad)
+    assert(again == ImageOps.dHash(grad) && again.isDefined)
+  }
+
   test("sd1_semantic_dedup: matches a driver-side brute-force recomputation") {
     // Recompute the whole row in plain Scala with the SAME fold orders the
     // engine uses (sequential left-to-right double accumulation), then
