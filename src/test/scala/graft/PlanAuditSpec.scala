@@ -71,6 +71,20 @@ class PlanAuditSpec extends SparkSpec {
       s"filter (node $filterId) must be below the dedup exchange (node $dedupId):\n${p.take(1500)}")
   }
 
+  test("u1: domain cap is one window shuffle + final sort; text never scanned") {
+    val p = plan("u1_domain_cap")
+    assert(exchanges(p) <= 2, s"expected <=2 exchanges:\n${p.take(1200)}")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("source") && !read.contains("text"),
+      s"u1 must not scan the document text: $read")
+  }
+
+  test("e10: passage overlap never plans a cartesian or pair-expanding join") {
+    val p = plan("e10_passage_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"passage overlap must stay equi-join shaped:\n${p.take(1200)}")
+  }
+
   test("e2_minhash_pairs: the audited 5-exchange shape holds") {
     val p = plan("e2_minhash_pairs")
     assert(exchanges(p) <= 5, s"expected <=5 exchanges, got ${exchanges(p)}")
