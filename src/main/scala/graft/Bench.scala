@@ -8,7 +8,7 @@ object Bench {
     * comparator (which materializes full results). The noop write executes
     * the complete plan and discards rows at zero sink cost.
     */
-  private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+  private[graft] def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
   /** Cumulative host steal ticks (col 8 of /proc/stat cpu line) — this box

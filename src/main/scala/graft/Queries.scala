@@ -517,18 +517,23 @@ object Queries {
     // basePath inference), and testdata tables are single files — stage the
     // file into a per-SF temp dir once (a real deployment's ingest drop
     // directory, A1/A6, is exactly this shape).
-    // Keyed by the FULL (sanitized) data-dir path — a hashCode key can alias
-    // two dirs; freshness by (size, mtime) so a regenerated same-size
-    // fixture still re-stages.
+    // Keyed by the sanitized path PLUS an md5 of the exact path (the
+    // sanitization alone is lossy — '/a/b' and '/a_b' collide); staged
+    // copy reused only on EXACT (size, mtime) match with the source
+    // (COPY_ATTRIBUTES preserves mtime), so any regenerated fixture —
+    // newer, older, or same-size — re-stages.
+    val pathTag = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     val stage = java.nio.file.Paths.get(
-      "/tmp/graft_stream_docs_" + d.replaceAll("[^A-Za-z0-9._-]", "_"))
+      "/tmp/graft_stream_docs_" + d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + pathTag)
     java.nio.file.Files.createDirectories(stage)
     val src = java.nio.file.Paths.get(s"$d/documents.parquet")
     val dst = stage.resolve("documents.parquet")
-    if (!java.nio.file.Files.exists(dst) ||
-        java.nio.file.Files.size(dst) != java.nio.file.Files.size(src) ||
-        java.nio.file.Files.getLastModifiedTime(dst).toMillis <
-          java.nio.file.Files.getLastModifiedTime(src).toMillis)
+    val fresh = java.nio.file.Files.exists(dst) &&
+      java.nio.file.Files.size(dst) == java.nio.file.Files.size(src) &&
+      java.nio.file.Files.getLastModifiedTime(dst) ==
+        java.nio.file.Files.getLastModifiedTime(src)
+    if (!fresh)
       java.nio.file.Files.copy(src, dst,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
@@ -680,17 +685,20 @@ object Queries {
     */
   val sd1SemanticDedup: Q = (s, d) => {
     import s.implicits._
-    val blockSum = (c: Int) =>
+    // Block sums built ONCE as an array column, argmax via
+    // array_position(array_max) — first-max tie-break, and the interpreted
+    // aggregate HOFs evaluate once per row. (A foldLeft-of-when argmax
+    // duplicates the accumulator per level — ~2^7 copies of blockSum(0) in
+    // the final tree, each re-evaluated interpreted: the exact
+    // re-evaluation disease this round fixed in the n-gram signals.)
+    val blockSums = array((0 until 8).map { c =>
       aggregate(slice($"embedding", lit(c * 8 + 1), lit(8)), lit(0.0),
         (acc, x) => acc + x.cast("double"))
-    // argmax with first-max tie-break (strict > keeps the earlier block)
-    val best = (1 until 8).foldLeft(struct(blockSum(0).as("s"), lit(0).as("c"))) {
-      (acc, c) =>
-        when(blockSum(c) > acc.getField("s"),
-          struct(blockSum(c).as("s"), lit(c).as("c"))).otherwise(acc)
-    }
+    }: _*)
     val clustered = Tables.embeddings(s, d)
-      .select($"vec_id", $"embedding", best.getField("c").as("cluster"))
+      .select($"vec_id", $"embedding", blockSums.as("__s"))
+      .select($"vec_id", $"embedding",
+        (array_position($"__s", array_max($"__s")) - 1).cast("int").as("cluster"))
     val pairs = TextDedup.cosinePairs(clustered, "embedding", "vec_id", "cluster", 0.3)
     val reps = ConnectedComponents
       .minLabel(clustered.select($"vec_id"), pairs.select($"v1", $"v2"), "v1", "v2")

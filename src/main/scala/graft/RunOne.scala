@@ -18,10 +18,10 @@ object RunOne {
       spark.stop()
       return
     }
-    // noop write matches Bench: the full plan executes (count() would
-    // column-prune projection-only queries down to a row count)
+    // Bench.materialize (noop sink): the full plan executes — count()
+    // would column-prune projection-only queries down to a row count
     def materialize(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
+      Bench.materialize(df)
     materialize(fn(spark, warmDir))
     val times = (1 to reps).map { _ =>
       val t0 = System.nanoTime()

@@ -991,32 +991,47 @@ object ImageOps {
   def dHash(bytes: Array[Byte]): Option[Long] =
     try {
       val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
-      if (img == null) None
+      if (img == null || img.getWidth == 0 || img.getHeight == 0) None
       else {
-        val dst = new java.awt.image.BufferedImage(9, 8,
-          java.awt.image.BufferedImage.TYPE_INT_RGB)
-        val g = dst.createGraphics()
-        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-        g.drawImage(img, 0, 0, 9, 8, null)
-        g.dispose()
-        def lum(rgb: Int): Double = {
-          val r = (rgb >> 16) & 0xff; val gg = (rgb >> 8) & 0xff; val b = rgb & 0xff
-          0.299 * r + 0.587 * gg + 0.114 * b // ITU-R BT.601, as in the CLD path
-        }
-        var h = 0L
-        var bit = 0
+        // Exact AREA-AVERAGE luminance over the 9×8 grid: every source
+        // pixel contributes to exactly one cell, so the grid is stable
+        // under resize — a 3000px original and its 400px re-upload average
+        // the same content. (One-step Graphics2D bilinear samples only a
+        // 2×2 neighborhood per target pixel; on large sources it aliases
+        // and the gradient bits diverge far past any hamming budget.)
+        val w = img.getWidth
+        val h = img.getHeight
+        val sums = Array.ofDim[Double](8, 9)
+        val counts = Array.ofDim[Long](8, 9)
         var y = 0
-        while (y < 8) {
+        while (y < h) {
+          val cy = math.min(y * 8L / h, 7L).toInt
           var x = 0
-          while (x < 8) {
-            if (lum(dst.getRGB(x, y)) > lum(dst.getRGB(x + 1, y))) h |= 1L << bit
-            bit += 1
+          while (x < w) {
+            val cx = math.min(x * 9L / w, 8L).toInt
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff; val gg = (rgb >> 8) & 0xff; val b = rgb & 0xff
+            sums(cy)(cx) += 0.299 * r + 0.587 * gg + 0.114 * b // ITU-R BT.601
+            counts(cy)(cx) += 1
             x += 1
           }
           y += 1
         }
-        Some(h)
+        def cell(cy: Int, cx: Int): Double =
+          if (counts(cy)(cx) == 0) 0.0 else sums(cy)(cx) / counts(cy)(cx)
+        var out = 0L
+        var bit = 0
+        var cy = 0
+        while (cy < 8) {
+          var cx = 0
+          while (cx < 8) {
+            if (cell(cy, cx) > cell(cy, cx + 1)) out |= 1L << bit
+            bit += 1
+            cx += 1
+          }
+          cy += 1
+        }
+        Some(out)
       }
     } catch { case _: Exception => None }
 

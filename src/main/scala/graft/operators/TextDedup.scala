@@ -242,9 +242,11 @@ object TextDedup {
     */
   def passageOverlap(
       df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
-    val sh = Spread.byCols(df, Seq(col(idCol)))
-      .select(col(idCol), explode(shingles(tokens(col(textCol)), k)).as("sg"))
-      .select(col(idCol), hash60(col("sg")).as("h"))
+    // shingleRows is THE shingle producer (same codegen'd path the
+    // minhash/jaccard/contamination ops use) — one implementation to keep
+    // value-identical with the oracles
+    val sh = shingleRows(df, textCol, idCol, k)
+      .select(col(idCol), hash60(col("s")).as("h"))
       .distinct()
     val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val shared = sh.join(dfreq.where(col("df") >= 2), "h")

@@ -88,16 +88,22 @@ object HashXmlSource {
         sb.append("</add>\n")
         val tmp = java.nio.file.Files.createTempFile(
           java.nio.file.Paths.get(outDir), s".$name.", ".tmp")
-        val out = new XZCompressorOutputStream(
-          new BufferedOutputStream(new FileOutputStream(tmp.toFile)), 6)
-        try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
-        try
-          java.nio.file.Files.move(tmp, java.nio.file.Paths.get(path),
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
-          java.nio.file.Files.move(tmp, java.nio.file.Paths.get(path),
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        try {
+          val out = new XZCompressorOutputStream(
+            new BufferedOutputStream(new FileOutputStream(tmp.toFile)), 6)
+          try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
+          try
+            java.nio.file.Files.move(tmp, java.nio.file.Paths.get(path),
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+            java.nio.file.Files.move(tmp, java.nio.file.Paths.get(path),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+        } catch { case e: Throwable =>
+          // no orphaned temp on a failed task — the retry gets a clean dir
+          java.nio.file.Files.deleteIfExists(tmp)
+          throw e
         }
         (src, path, fs.size)
       }

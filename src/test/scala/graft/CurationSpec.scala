@@ -116,6 +116,21 @@ class CurationSpec extends SparkSpec {
     // determinism of the fingerprint itself
     val again = ImageOps.dHash(grad)
     assert(again == ImageOps.dHash(grad) && again.isDefined)
+    // area-average stability on LARGE sources: a 1200x900 original and its
+    // 300x225 re-render must stay within the hamming budget (one-step
+    // bilinear scaling aliases here — the area-average grid must not)
+    // smooth gradient + one brightness DROP at xs=150 (content-shaped, no
+    // mod-256 wrap — a wrapping sawtooth makes the gradient signs
+    // legitimately chance-level at cell granularity)
+    def scene(s: Int)(x: Int, y: Int): Int = {
+      val (xs, ys) = (x / s, y / s)
+      math.min(40 + xs / 2 + ys / 3 - (if (xs > 150) 40 else 0), 255)
+    }
+    val big = png(1200, 900)(scene(4))
+    val small = png(300, 225)(scene(1))
+    val (hb, hs) = (ImageOps.dHash(big).get, ImageOps.dHash(small).get)
+    val dist = java.lang.Long.bitCount(hb ^ hs)
+    assert(dist <= 6, s"large-vs-small re-render drifted $dist bits")
   }
 
   test("sd1_semantic_dedup: matches a driver-side brute-force recomputation") {
