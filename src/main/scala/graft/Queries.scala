@@ -713,9 +713,13 @@ object Queries {
     * than k docs per domain" mixing rule). URLs are synthesized
     * deterministically from doc_id (same discipline as t6's PII: the gate
     * must prove the extraction+cap FIRES). Every stage before the cap is a
-    * scan-local regexp projection; the cap is one per-domain window ranked
-    * by the md5 draw (deterministic on any engine/cluster) — at 100 TB the
-    * only shuffle carries (doc_id, domain, draw), never the text.
+    * scan-local regexp projection; the cap itself is the bounded-heap
+    * top-k aggregate ([[graft.functions.TopKIds]], ranked by the md5 draw
+    * ascending via a negated score) — NOT a `row_number` window, whose
+    * per-domain sort is exactly the skew trap a mega-domain (one host with
+    * 10⁹ documents) springs at 100 TB. The heap ships ≤ k ids per domain
+    * per map task through the one aggregation shuffle; nothing ever sorts
+    * a whole domain.
     */
   val u1DomainCap: Q = (s, d) => {
     import s.implicits._
@@ -725,14 +729,16 @@ object Queries {
       lit("site"), $"doc_id" % 23, lit("."),
       when($"doc_id" % 3 === 0, "com").when($"doc_id" % 3 === 1, "org").otherwise("net"),
       lit("/page/"), $"doc_id", lit("?ref="), $"source")
-    val ranked = Tables.documents(s, d)
+    Tables.documents(s, d)
       .select($"doc_id", url.as("url"))
-      .select($"doc_id", $"url", registeredDomain($"url").as("domain"))
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy($"domain")
-          .orderBy(Sampling.drawHex($"doc_id"), $"doc_id")))
-    ranked.where($"rk" <= 5)
-      .select($"doc_id", $"domain", $"rk".cast("long").as("rk"))
+      .select($"doc_id", registeredDomain($"url").as("domain"),
+        // numeric draw; negated so topk_ids' (score DESC, id ASC) order is
+        // (draw ASC, doc_id ASC) — the exact row_number order the oracle runs
+        (-conv(Sampling.drawHex($"doc_id"), 16, 10).cast("double")).as("__nd"))
+      .groupBy($"domain")
+      .agg(expr("topk_ids(__nd, doc_id, 5)").as("ids"))
+      .select($"domain", posexplode($"ids").as(Seq("pos", "doc_id")))
+      .select($"doc_id", $"domain", ($"pos" + 1).cast("long").as("rk"))
       .orderBy($"doc_id")
   }
 
