@@ -133,6 +133,41 @@ class CurationSpec extends SparkSpec {
     assert(dist <= 6, s"large-vs-small re-render drifted $dist bits")
   }
 
+  test("SemDedup: k-means production path merges planted near-identical vectors only") {
+    val rnd = new scala.util.Random(11)
+    // 3 well-separated centers; 10 points each; every third point gets a
+    // near-identical twin (tiny perturbation -> cosine ~ 1)
+    val centers = Seq(
+      Array.tabulate(16)(i => if (i < 5) 10f else 0f),
+      Array.tabulate(16)(i => if (i >= 5 && i < 10) 10f else 0f),
+      Array.tabulate(16)(i => if (i >= 10) 10f else 0f))
+    val base = for {
+      c <- centers.indices; p <- 0 until 10
+    } yield {
+      // noise wide enough that DISTINCT same-cluster points sit well below
+      // tau (cos ~ 0.99), while twins (delta 0.001) stay ~ 1 - 1e-9
+      val v = centers(c).map(x => x + rnd.nextFloat() * 2f)
+      ((c * 10 + p).toLong, v)
+    }
+    val twins = base.filter(_._1 % 3 == 0)
+      .map { case (id, v) => (1000L + id, v.map(_ + 0.001f)) }
+    val df = (base ++ twins).map { case (id, v) => (id, v.toSeq) }
+      .toDF("vid", "vec")
+      .select($"vid", $"vec".cast("array<float>").as("vec"))
+    val res = graft.operators.SemDedup(df, "vec", "vid", nlist = 3, tau = 0.9999)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+    val byId = res.map(r => r._1 -> r).toMap
+    // every twin merges with its base (rep = min id = base id), bases keep
+    twins.foreach { case (tid, _) =>
+      assert(byId(tid)._2 == tid - 1000L && !byId(tid)._3, byId(tid).toString)
+      assert(byId(tid - 1000L)._3, "the base of a twin pair must be kept")
+    }
+    // non-twinned points survive as their own representatives
+    base.filter(_._1 % 3 != 0).foreach { case (id, _) =>
+      assert(byId(id)._2 == id && byId(id)._3, byId(id).toString)
+    }
+  }
+
   test("sd1_semantic_dedup: matches a driver-side brute-force recomputation") {
     // Recompute the whole row in plain Scala with the SAME fold orders the
     // engine uses (sequential left-to-right double accumulation), then
