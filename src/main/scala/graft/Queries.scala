@@ -543,11 +543,20 @@ object Queries {
     val pairs = graft.streaming.StreamingNearDedup
       .candidatePairs(stream, k = 8, shingleK = 3, bands = 4)
     val name = "e2s_stream_pairs_sink"
-    val q = pairs.writeStream
-      .format("memory").queryName(name).outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // Stateful-operator parallelism: each micro-batch commits one state
+    // store per shuffle partition, a FIXED cost regardless of data volume.
+    // The gate stream is one small file — 8 stores, not the session's 32
+    // (a real deployment sizes this to sustained stream volume; it is
+    // pinned into the checkpoint at first start either way).
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = pairs.writeStream
+        .format("memory").queryName(name).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     s.table(name).select($"d1", $"d2").distinct().orderBy($"d1", $"d2")
   }
 
