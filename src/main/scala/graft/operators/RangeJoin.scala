@@ -43,4 +43,43 @@ object RangeJoin {
           extraCond)
       .drop("__b")
   }
+
+  /** Point-in-interval join: all (point, interval) pairs with
+    * `start ≤ t < end` (half-open, the SQL-standard event-in-validity
+    * shape) — the asymmetric sibling of [[within]], again WITHOUT the
+    * broadcast-nested-loop plan a raw non-equi join gets.
+    *
+    * Here the INTERVAL side explodes into every width-`width` bucket it
+    * overlaps (⌈len/width⌉ + 1 rows) while the point keeps its single home
+    * bucket, so the join is an equi-join on the bucket id + the exact
+    * containment filter. Each qualifying pair appears exactly once (the
+    * point has one bucket; the interval lists it once). Choose `width`
+    * near the typical interval length: the explode factor is
+    * len/width + 1, and a mega-interval's cost is linear and observable,
+    * never a cross product.
+    *
+    * @param pointTime  NON-NEGATIVE long column (epoch micros/seconds)
+    * @param startCol / endCol same unit; empty intervals (end ≤ start)
+    *                  match nothing and are dropped before the explode
+    */
+  def pointInInterval(
+      points: DataFrame, pointTime: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      width: Long,
+      extraCond: Column = lit(true)): DataFrame = {
+    require(width > 0, "width must be positive")
+    val p = points.withColumn("__b", expr(s"$pointTime div $width"))
+    // end is EXCLUSIVE: the last bucket that can hold a matching point is
+    // (end - 1) div width; sequence() would count backwards on an empty
+    // interval, so those are filtered out first
+    val iv = intervals
+      .where(col(endCol) > col(startCol))
+      .withColumn("__b",
+        explode(sequence(expr(s"$startCol div $width"), expr(s"($endCol - 1) div $width"))))
+    p.join(iv,
+        p("__b") === iv("__b") &&
+          col(pointTime) >= col(startCol) && col(pointTime) < col(endCol) &&
+          extraCond)
+      .drop("__b")
+  }
 }
