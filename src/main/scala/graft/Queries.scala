@@ -303,6 +303,23 @@ object Queries {
       .orderBy($"w", $"event_type")
   }
 
+  /** W3 — SLIDING (hopping) windows, the third window shape next to w1's
+    * tumbling and w2's session windows: 30-minute windows every 10
+    * minutes, so each event lands in 3 overlapping windows. Spark's
+    * `window(ts, len, hop)` explodes the assignment scan-side — the
+    * shuffle then carries (window, type) groups exactly like a tumbling
+    * agg, ×(len/hop); the oracle reproduces the epoch-aligned hop
+    * arithmetic with a generate_series.
+    */
+  val w3SlidingWindow: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy(window($"ts", "30 minutes", "10 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start".as("window_start"), $"event_type", $"n")
+      .orderBy($"window_start", $"event_type")
+  }
+
   /** As-of join (nearest prior event): for each click, the most recent
     * error event of the same user at-or-before it. Union+window form —
     * one shuffle, no range-join blowup ([[AsOfJoin]]).
@@ -1201,6 +1218,16 @@ object Queries {
       """SELECT date_trunc('hour', ts) AS w, event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the oracle re-derives the epoch-aligned hop indexes: an event at tus
+    // is in hop k iff k·hop > tus − len and k·hop ≤ tus
+    "w3_sliding_window" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS tus FROM events),
+        |h AS (SELECT event_type, unnest(generate_series(
+        |        (tus - 1800000000) // 600000000 + 1,
+        |        tus // 600000000)) AS k FROM e)
+        |SELECT make_timestamp(k * 600000000) AS window_start, event_type,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM h GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     "q3_profile" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS mean_value,
@@ -1773,6 +1800,7 @@ object Queries {
     "j2_json_extract" -> j2JsonExtract,
     "w1_time_window" -> w1TimeWindow,
     "w2_session_window" -> w2SessionWindow,
+    "w3_sliding_window" -> w3SlidingWindow,
     "e9_contamination" -> e9Contamination,
     "e1_exact_dedup" -> e1ExactDedup,
     "e6_topk_per_group" -> e6TopkPerGroup,
