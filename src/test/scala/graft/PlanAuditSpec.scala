@@ -119,4 +119,10 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "range join must bucket into an equi-join")
   }
+
+  test("j5: interval join stays an equi-join (no nested-loop cartesian)") {
+    val p = plan("j5_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "interval join must bucket into an equi-join")
+  }
 }
