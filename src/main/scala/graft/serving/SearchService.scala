@@ -76,7 +76,14 @@ class SearchService(
     nlist: Int = 128, // loader.js:332-334 IVF_SQ8 nlist
     nprobe: Int = 10, // searcher.js:99-110
     indexDir: Option[String] = None,
-    deltaDir: Option[String] = None) {
+    deltaDir: Option[String] = None,
+    // Quantized-mode refinement (Milvus's "refine"/re-rank knob): take the
+    // top `rerank` candidates by quantized score, then re-score EXACTLY
+    // against the base table's float vectors (an id-pushed point lookup of
+    // ≤ rerank rows, never a second scan) and return the exact top-k.
+    // Recovers the recall a lossy codec gives up for its 4-32×
+    // compression; 0 = off.
+    rerank: Int = 0) {
 
   require(outputFields.forall(table.columns.contains),
     s"outputFields must exist in the table: ${outputFields.mkString(", ")}")
@@ -220,9 +227,21 @@ class SearchService(
           case "ivf_sq8" => Sq8.score(col("__codes"), sq8Model.get, qd)
           case "ivf_pq"  => Pq.score(col("__codes"), pqModel.get, qd)
         }
-        pruned.select(outCols :+ score.as("score"): _*)
-          .orderBy(desc("score"), col(idCol))
-          .limit(topK)
+        val coarse = pruned.select(outCols :+ score.as("score"): _*)
+        if (rerank > topK && mode != "ivf") {
+          // phase 1: quantized top-`rerank` ids (tiny collect — the serving
+          // layer collects its final top-k anyway); phase 2: exact re-score
+          // of just those rows from the base table (float vectors), id
+          // filter pushed to the cached scan
+          val ids = coarse.select(col(idCol))
+            .orderBy(desc("score"), col(idCol)).limit(rerank)
+            .collect().map(_.get(0)).toIndexedSeq
+          cached.where(col(idCol).isin(ids: _*))
+            .select(outCols :+ bestDot(col(vecCol), typedlit(qd)).as("score"): _*)
+            .orderBy(desc("score"), col(idCol))
+            .limit(topK)
+        } else
+          coarse.orderBy(desc("score"), col(idCol)).limit(topK)
     }
   }
 

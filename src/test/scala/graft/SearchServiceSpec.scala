@@ -268,6 +268,24 @@ class SearchServiceSpec extends SparkSpec {
     } finally { svc.stop(); exactSvc.stop() }
   }
 
+  test("ivf_pq + rerank: exact re-score returns the exact service's list verbatim") {
+    val table = clusteredVectors()
+    val exactSvc = new SearchService(table, "vec", "id", topK = 15)
+    val svc = new SearchService(table, "vec", "id", topK = 15,
+      mode = "ivf_pq", nlist = 4, nprobe = 2, rerank = 60)
+    try {
+      val rnd = new scala.util.Random(11L)
+      val q = Array.tabulate(16)(d =>
+        (if (d / 4 == 3) 10.0f else 0.0f) + (rnd.nextFloat() - 0.5f))
+      // rerank=60 covers the probed clusters' candidates, so the refined
+      // list must be IDENTICAL (ids, order, scores) to the exact scan —
+      // the codec's loss is fully recovered
+      val exact = exactSvc.searchVector(q).map(r => (r.getLong(0), r.getDouble(1)))
+      val served = svc.searchVector(q).map(r => (r.getLong(0), r.getDouble(1)))
+      assert(served == exact, s"rerank must recover the exact list:\n$served\n$exact")
+    } finally { svc.stop(); exactSvc.stop() }
+  }
+
   test("growing segment: streamed inserts become searchable after refresh; both scans stay pruned") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
