@@ -805,6 +805,17 @@ object Queries {
     TextDedup.passageOverlap(Tables.documents(s, d), "text", "doc_id", 8)
       .orderBy(col("doc_id"))
 
+  /** E11 — exact substring SCRUB ([[TextDedup.passageScrub]]): e10 detects
+    * shared passages, this row REMOVES them (Lee et al. 2021's transform)
+    * and hash-checks the rebuilt text itself, not just counts.
+    */
+  val e11PassageScrub: Q = (s, d) => {
+    import s.implicits._
+    TextDedup.passageScrub(Tables.documents(s, d), "text", "doc_id", 8)
+      .select($"doc_id", md5($"clean_text").as("clean_md5"), $"n_kept", $"n_removed")
+      .orderBy($"doc_id")
+  }
+
   /** T1 language-ID heuristic: stopword-density votes per language. */
   val t1Langid: Q = (s, d) => {
     import s.implicits._
@@ -1686,6 +1697,26 @@ object Queries {
         |    + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
         |    + len(regexp_extract_all(text, '\+\d[\d-]{7,}\d')) AS BIGINT) AS n_pii
         |FROM p ORDER BY doc_id""".stripMargin,
+    // the oracle recomputes positions, the cross-doc passage-hash set,
+    // covered token indexes, and the reassembled text
+    "e11_passage_scrub" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS t, generate_subscripts(w, 1) - 1 AS pos FROM toks),
+        |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-7),
+        |         i -> {'pos': i-1, 's': w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]}),
+        |         recursive := true) FROM toks WHERE len(w) >= 8),
+        |sh AS (SELECT doc_id, pos, ('0x' || substring(md5(s), 1, 15))::BIGINT AS h FROM bg),
+        |dfq AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd FROM sh GROUP BY h) WHERE nd >= 2),
+        |cov AS (SELECT DISTINCT sh.doc_id, unnest(generate_series(sh.pos, sh.pos + 7)) AS cpos
+        |        FROM sh JOIN dfq USING (h)),
+        |kept AS (SELECT t.doc_id, t.pos, t.t FROM tok t LEFT JOIN cov
+        |         ON t.doc_id = cov.doc_id AND t.pos = cov.cpos WHERE cov.doc_id IS NULL),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |        array_to_string(list(t ORDER BY pos), ' ') AS ct FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, md5(coalesce(a.ct, '')) AS clean_md5,
+        |  coalesce(a.n_kept, 0) AS n_kept,
+        |  CAST(len(string_split(d.text, ' ')) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
     // the oracle re-derives the boilerplate set from the same corpus and
     // cleans in list form — no explode, order preserved by construction
     "l1_line_dedup" ->
@@ -1831,6 +1862,7 @@ object Queries {
     "sd1_semantic_dedup" -> sd1SemanticDedup,
     "u1_domain_cap" -> u1DomainCap,
     "e10_passage_overlap" -> e10PassageOverlap,
+    "e11_passage_scrub" -> e11PassageScrub,
     "t1_langid" -> t1Langid,
     "t2_quality" -> t2Quality,
     "t3_token_stats" -> t3TokenStats,

@@ -255,6 +255,56 @@ object TextDedup {
       .select(col(idCol), coalesce(col("n_shared"), lit(0L)).as("n_shared"))
   }
 
+  /** Exact substring SCRUB (Lee et al. 2021's removal semantics, the
+    * transform behind [[passageOverlap]]'s signal): delete every token
+    * covered by a k-token passage that also appears in ANOTHER document,
+    * and reassemble the text from the surviving tokens in order. Returns
+    * (idCol, clean_text, n_kept, n_removed).
+    *
+    * Scale shape: positions ride the same posexplode+lead shingle pass
+    * the other sketches use; the per-hash document-frequency table
+    * carries (hash, distinct-doc count) only; coverage is a per-doc
+    * explode of the matched positions (≤ k rows per shared passage) and
+    * one anti-join — nothing is ever quadratic in the corpus or in a
+    * passage's popularity.
+    */
+  def passageScrub(
+      df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Spread.byCols(df, Seq(col(idCol)))
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "t")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val leads = (0 until k).map {
+      case 0 => col("t")
+      case i => lead(col("t"), i).over(w)
+    }
+    val sh = tok
+      .select(col(idCol), col("pos"), concat_ws(" ", leads: _*).as("s"),
+        leads.last.isNotNull.as("__full"))
+      .where(col("__full"))
+      .select(col(idCol), col("pos"), hash60(col("s")).as("h"))
+    val crossDoc = sh.groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .where(col("nd") >= 2)
+      .select(col("h"))
+    val covered = sh.join(crossDoc, "h")
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + (k - 1))).as("cpos"))
+      .distinct()
+    val kept = tok.join(covered,
+        tok(idCol) === covered(idCol) && tok("pos") === covered("cpos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("t")))),
+            x => x.getField("t"))).as("clean_text"))
+    df.select(col(idCol), size(tokens(col(textCol))).cast("long").as("__n_tot"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__n_tot") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Inverted-index candidate matcher shared by [[jaccardPairs]] and
     * [[jaccardPairsPrefix]]: rows of (id, block, n, token) self-joined on
     * (token, block) with the exact size-ratio prune and `d1 < d2`, with the

@@ -28,6 +28,34 @@ class CurationSpec extends SparkSpec {
     assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 0L, 4L -> 3L, 5L -> 0L), got.toString)
   }
 
+  test("passageScrub: shared passages removed from BOTH docs, rest untouched, order kept") {
+    // d1/d2 share their first 8 tokens; d1's tail survives, d2's tail
+    // survives; d3 disjoint (untouched); d4 shorter than 8 (untouched);
+    // an in-doc repeat that is NOT cross-doc must survive (cross-doc only)
+    val t1 = "a b c d e f g h tail1 tailX"
+    val t2 = "a b c d e f g h tail2"
+    val t3 = "p q r s t u v w x y"
+    val t4 = "too short"
+    val df = Seq((1L, t1), (2L, t2), (3L, t3), (4L, t4)).toDF("doc_id", "text")
+    val got = TextDedup.passageScrub(df, "text", "doc_id", 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("tail1 tailX", 2L, 8L)), got(1L).toString)
+    assert(got(2L) == (("tail2", 1L, 8L)), got(2L).toString)
+    assert(got(3L) == ((t3, 10L, 0L)), got(3L).toString)
+    assert(got(4L) == ((t4, 2L, 0L)), got(4L).toString)
+  }
+
+  test("passageScrub: overlapping shared passages merge their covered spans") {
+    // d1 and d2 share a 9-token run -> two overlapping 8-grams; covered
+    // positions must union (9 tokens removed, not 16)
+    val run = "w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    val df = Seq((1L, s"$run endA"), (2L, s"pre $run")).toDF("doc_id", "text")
+    val got = TextDedup.passageScrub(df, "text", "doc_id", 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("endA", 1L, 9L)), got(1L).toString)
+    assert(got(2L) == (("pre", 1L, 9L)), got(2L).toString)
+  }
+
   test("passageOverlap: DF is counted, never pair-expanded (no self-join of postings)") {
     // 100 copies of the same text: a pair expansion would be 4950 rows per
     // passage; the DF-count shape keeps one counter per hash. Assert the
