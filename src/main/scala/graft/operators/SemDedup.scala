@@ -28,8 +28,12 @@ object SemDedup {
 
   def apply(
       df: DataFrame, vecCol: String, idCol: String,
-      nlist: Int, tau: Double): DataFrame =
-    fromAssigned(IvfIndex.build(df, vecCol, nlist)._1, vecCol, idCol, tau)
+      nlist: Int, tau: Double): DataFrame = {
+    // clamp like SearchService's load: KMeans k must not exceed the point
+    // count, or a tiny collection crashes the fit
+    val k = math.min(nlist.toLong, df.count()).toInt
+    fromAssigned(IvfIndex.build(df, vecCol, k)._1, vecCol, idCol, tau)
+  }
 
   /** Same, over rows that already carry a `cluster_id` assignment (reuse a
     * served IVF index's layout instead of fitting k-means again).

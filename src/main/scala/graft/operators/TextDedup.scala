@@ -28,24 +28,35 @@ object TextDedup {
     *     pre-aligns the downstream per-doc groupBy/window so they reuse the
     *     hash partitioning instead of shuffling again.
     */
-  private def shingleRows(
-      df: DataFrame, textCol: String, idCol: String, shingleK: Int): DataFrame = {
+  /** One (id, pos, t) row per token, parallelism pinned. */
+  private def tokenRows(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    Spread.byCols(df, Seq(col(idCol)))
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "t")))
+
+  /** Shingle assembly over [[tokenRows]] output: posexplode + lead() keeps
+    * it fully codegen'd (HOF lambdas would run interpreted); window is
+    * per-doc, aligned with the repartition so no extra shuffle. Returns
+    * (id, pos, s) — THE single shingle producer every sketch shares.
+    */
+  private def shingleRowsPos(
+      tok: DataFrame, idCol: String, shingleK: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // posexplode + lead() keeps shingle assembly fully codegen'd (HOF
-    // lambdas would run interpreted); window is per-doc, aligned with the
-    // repartition so no extra shuffle.
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val leads = (0 until shingleK).map {
       case 0 => col("t")
       case i => lead(col("t"), i).over(w)
     }
-    Spread.byCols(df, Seq(col(idCol)))
-      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "t")))
-      .select(col(idCol), concat_ws(" ", leads: _*).as("s"),
+    tok
+      .select(col(idCol), col("pos"), concat_ws(" ", leads: _*).as("s"),
         leads.last.isNotNull.as("__full"))
       .where(col("__full"))
-      .select(col(idCol), col("s"))
+      .select(col(idCol), col("pos"), col("s"))
   }
+
+  private def shingleRows(
+      df: DataFrame, textCol: String, idCol: String, shingleK: Int): DataFrame =
+    shingleRowsPos(tokenRows(df, textCol, idCol), idCol, shingleK)
+      .select(col(idCol), col("s"))
 
   /** MinHash signatures: k independent hash families over `shingleK`-word
     * shingles, one (doc, j, minh) row per family. Single shuffle
@@ -270,19 +281,14 @@ object TextDedup {
     */
   def passageScrub(
       df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val tok = Spread.byCols(df, Seq(col(idCol)))
-      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "t")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val leads = (0 until k).map {
-      case 0 => col("t")
-      case i => lead(col("t"), i).over(w)
-    }
-    val sh = tok
-      .select(col(idCol), col("pos"), concat_ws(" ", leads: _*).as("s"),
-        leads.last.isNotNull.as("__full"))
-      .where(col("__full"))
+    // tok feeds the shingle pass AND the kept anti-join; sh feeds the DF
+    // count AND the coverage join — localCheckpoint each shared subtree
+    // once, or Catalyst re-runs the tokenize/explode/window pipeline per
+    // branch (the measured recompute trap saltedIndexMatches documents)
+    val tok = tokenRows(df, textCol, idCol).localCheckpoint()
+    val sh = shingleRowsPos(tok, idCol, k)
       .select(col(idCol), col("pos"), hash60(col("s")).as("h"))
+      .localCheckpoint()
     val crossDoc = sh.groupBy(col("h"))
       .agg(countDistinct(col(idCol)).as("nd"))
       .where(col("nd") >= 2)

@@ -90,6 +90,9 @@ class SearchService(
   ImageOps.requireAlgo(algo) // ad=ACCID gets the explicit documented rejection
   require(Seq("exact", "ivf", "ivf_sq8", "ivf_pq").contains(mode),
     s"unknown search mode '$mode' (have: exact, ivf, ivf_sq8, ivf_pq)")
+  require(rerank == 0 || (rerank > topK && Seq("ivf_sq8", "ivf_pq").contains(mode)),
+    s"rerank=$rerank: must be 0 (off) or > topK=$topK with a lossy-codec mode " +
+      "(ivf_sq8/ivf_pq; exact and ivf already serve exact scores)")
 
   // Query-side descriptor — MUST match the one the table was ingested with
   // (the reference keys both ends on TRACE_ALGO; a table of EHD vectors
@@ -140,12 +143,19 @@ class SearchService(
   private def layout(assigned: DataFrame): DataFrame = mode match {
     case "ivf" =>
       assigned.select((keepCols :+ vecCol).distinct.map(col) :+ col("cluster_id"): _*)
+    // with rerank on, the float vector rides in the index layout too, so
+    // phase 2 can re-score ANY served row — including streamed delta rows
+    // the constructor-time base table does not contain
     case "ivf_sq8" =>
       Sq8.encode(assigned, vecCol, sq8Model.get, "__codes")
-        .select(keepCols.map(col) ++ Seq(col("__codes"), col("cluster_id")): _*)
+        .select(keepCols.map(col) ++
+          (if (rerank > 0) Seq(col(vecCol)) else Nil) ++
+          Seq(col("__codes"), col("cluster_id")): _*)
     case "ivf_pq" =>
       Pq.encode(assigned, vecCol, pqModel.get, "__codes")
-        .select(keepCols.map(col) ++ Seq(col("__codes"), col("cluster_id")): _*)
+        .select(keepCols.map(col) ++
+          (if (rerank > 0) Seq(col(vecCol)) else Nil) ++
+          Seq(col("__codes"), col("cluster_id")): _*)
   }
 
   // The index snapshot requests scan; refresh() swaps in a fresh base ∪
@@ -228,15 +238,16 @@ class SearchService(
           case "ivf_pq"  => Pq.score(col("__codes"), pqModel.get, qd)
         }
         val coarse = pruned.select(outCols :+ score.as("score"): _*)
-        if (rerank > topK && mode != "ivf") {
+        if (rerank > 0) {
           // phase 1: quantized top-`rerank` ids (tiny collect — the serving
           // layer collects its final top-k anyway); phase 2: exact re-score
-          // of just those rows from the base table (float vectors), id
-          // filter pushed to the cached scan
+          // of just those rows from the SERVED index (its layout carries the
+          // float vectors when rerank is on, so streamed delta rows
+          // re-score too), id filter pushed into the pruned scan
           val ids = coarse.select(col(idCol))
             .orderBy(desc("score"), col(idCol)).limit(rerank)
             .collect().map(_.get(0)).toIndexedSeq
-          cached.where(col(idCol).isin(ids: _*))
+          pruned.where(col(idCol).isin(ids: _*))
             .select(outCols :+ bestDot(col(vecCol), typedlit(qd)).as("score"): _*)
             .orderBy(desc("score"), col(idCol))
             .limit(topK)
