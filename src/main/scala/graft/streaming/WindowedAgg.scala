@@ -23,4 +23,18 @@ object WindowedAgg {
       .groupBy(window(col(tsCol), windowDur), col(keyCol))
       .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_v"))
       .select(col("window.start").as("w_start"), col(keyCol), col("n"), col("sum_v"))
+
+  /** SLIDING (hopping) variant — w3's batch shape under a stream: each row
+    * lands in len/hop overlapping windows; state per (window, key) is
+    * still bounded and watermark-finalized exactly like [[tumbling]] (a
+    * window closes when the watermark passes its END, hop merely means
+    * several windows are open per event).
+    */
+  def sliding(
+      df: DataFrame, tsCol: String, keyCol: String, valueCol: String,
+      delay: String, windowDur: String, hop: String): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), windowDur, hop), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_v"))
+      .select(col("window.start").as("w_start"), col(keyCol), col("n"), col("sum_v"))
 }

@@ -58,4 +58,27 @@ class AsOfJoinSpec extends SparkSpec {
         s"late row leaked into finalized window: ${w0.toSeq}")
     } finally q.stop()
   }
+
+  test("WindowedAgg.sliding: each event lands in len/hop windows, watermark finalizes") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(min: Int, sec: Int = 0) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:$sec%02d")
+    val input = MemoryStream[StreamEvent]
+    // 2-minute windows every 1 minute: an event is in exactly 2 windows
+    val agg = WindowedAgg.sliding(input.toDF(), "ts", "k", "v",
+      delay = "2 minutes", windowDur = "2 minutes", hop = "1 minute")
+    val q = agg.writeStream.format("memory").queryName("win_slide_out")
+      .outputMode("append").start()
+    try {
+      input.addData(StreamEvent(t(1, 30), "a", 4.0))
+      q.processAllAvailable()
+      input.addData(StreamEvent(t(30), "a", 0.0)) // push watermark far past
+      q.processAllAvailable()
+      val rows = spark.table("win_slide_out")
+        .collect().map(r => (r.getTimestamp(0), r.getLong(2), r.getDouble(3)))
+        .filter(_._1.before(t(10)))
+      // event at 10:01:30 → windows starting 10:00 and 10:01, each (n=1, sum=4)
+      assert(rows.map(_._1).toSet == Set(t(0), t(1)), rows.toSeq.toString)
+      assert(rows.forall(r => r._2 == 1L && r._3 == 4.0), rows.toSeq.toString)
+    } finally q.stop()
+  }
 }
