@@ -334,6 +334,45 @@ class SearchServiceSpec extends SparkSpec {
     } finally svc.stop()
   }
 
+  test("rerank + growing segment: streamed delta rows re-score exactly, never dropped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val table = clusteredVectors()
+    val base = java.nio.file.Files.createTempDirectory("graft-rr-base").toString
+    val delta = java.nio.file.Files.createTempDirectory("graft-rr-delta").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft-rr-cp").toString
+    val svc = new SearchService(table, "vec", "id", topK = 15,
+      mode = "ivf_pq", nlist = 4, nprobe = 2, rerank = 60,
+      indexDir = Some(base), deltaDir = Some(delta))
+    try {
+      val rnd = new scala.util.Random(99L)
+      val q = Array.tabulate(16)(d =>
+        (if (d / 4 == 2) 10.0f else 0.0f) + (rnd.nextFloat() - 0.5f))
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, Array[Float])]
+      val fresh = (0 until 5).map(i =>
+        (1000L + i, Array.tabulate(16)(d => if (d / 4 == 2) 12.0f else 0.0f)))
+      input.addData(fresh: _*)
+      val sink = svc.indexStream(input.toDF().toDF("id", "vec"))
+        .writeStream.format("parquet")
+        .option("path", delta).option("checkpointLocation", cp)
+        .partitionBy("cluster_id")
+        .trigger(Trigger.AvailableNow()).start()
+      sink.awaitTermination()
+      svc.refresh()
+      val served = svc.searchVector(q).map(r => (r.getLong(0), r.getDouble(1)))
+      // the 5 streamed vectors dominate cluster 2 — the re-ranked top-k
+      // must contain them with their EXACT float scores (phase 2 re-scored
+      // them from the served layout's float column, not the base table)
+      val exactScore = fresh.head._2.zip(q).map { case (a, b) => a.toDouble * b }.sum
+      val servedFresh = served.filter(_._1 >= 1000L)
+      assert(servedFresh.map(_._1).toSet == (1000L until 1005L).toSet,
+        s"delta rows missing from re-ranked top-k: $served")
+      assert(servedFresh.forall(s => math.abs(s._2 - exactScore) < 1e-9),
+        s"delta rows must carry exact re-scored values: $servedFresh vs $exactScore")
+    } finally svc.stop()
+  }
+
   test("ivf_sq8 serving end-to-end over HTTP: image ingest -> quantized probe -> envelope") {
     val corpus = (1 to 24).map { i =>
       val shade = (i % 3) * 100 + 20
