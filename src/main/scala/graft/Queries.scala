@@ -982,6 +982,26 @@ object Queries {
     LmScore.score(docs, "doc_id", "text", model).orderBy($"doc_id")
   }
 
+  /** Q4 — corpus mixture report: per (lang, source) document and token
+    * counts plus each cell's share of the corpus token mass — the
+    * measurement step that feeds the s1/s2 mixing-rate decisions. One
+    * map-side-combined aggregation (the scan projects only lang, source
+    * and the token count) + a broadcast of the single-row total; at
+    * 100 TB this is the cheapest full-corpus pass there is.
+    */
+  val q4MixtureReport: Q = (s, d) => {
+    import s.implicits._
+    val cells = Tables.documents(s, d)
+      .select($"lang", $"source", size(tokens($"text")).cast("long").as("n_tok"))
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+    val total = cells.agg(sum($"n_tokens").as("__tot"))
+    cells.crossJoin(broadcast(total))
+      .select($"lang", $"source", $"n_docs", $"n_tokens",
+        round($"n_tokens" / $"__tot", 6).as("token_share"))
+      .orderBy($"lang", $"source")
+  }
+
   /** T8 — CCNet perplexity bucketing (Wenzek et al. 2019): split the corpus
     * into equal head/middle/tail terciles by LM score (t7's nll), the
     * standard quality-tier assignment before mixing. `ntile` semantics
@@ -1753,6 +1773,14 @@ object Queries {
         |SELECT doc_id, CAST(len(lp) AS BIGINT) AS n_bigrams,
         |  round(-list_sum(lp) / len(lp), 6) AS nll
         |FROM agg ORDER BY doc_id""".stripMargin,
+    "q4_mixture_report" ->
+      """WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang, source),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM c)
+        |SELECT lang, source, n_docs, n_tokens,
+        |  round(n_tokens::DOUBLE / t.tot, 6) AS token_share
+        |FROM c, t ORDER BY lang, source""".stripMargin,
     // t7's model CTEs + the standard SQL ntile over (nll, doc_id)
     "t8_ppl_buckets" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -1872,6 +1900,7 @@ object Queries {
     "l1_line_dedup" -> l1LineDedup,
     "t7_lm_score" -> t7LmScore,
     "t8_ppl_buckets" -> t8PplBuckets,
+    "q4_mixture_report" -> q4MixtureReport,
     "s1_stratified_sample" -> s1StratifiedSample,
     "s2_token_budget" -> s2TokenBudget,
     "p3_corpus_recipe" -> p3CorpusRecipe,
