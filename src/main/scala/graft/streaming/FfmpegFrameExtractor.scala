@@ -24,6 +24,53 @@ import graft.streaming.IngestPipeline.{FrameFeatureExtractor, RawFrame}
   * `if (FfmpegFrameExtractor.available) FfmpegFrameExtractor else
   * StubFrameFeatureExtractor` and work in both environments.
   */
+/** Fully in-JVM A15 path for MJPEG-AVI media ([[graft.multimodal.AviMjpeg]]):
+  * every `movi` chunk is a complete JPEG, so the container walk + the
+  * in-process ImageIO decode replace the ffmpeg shell-out entirely — the
+  * one frame-extraction path THIS environment can execute end-to-end.
+  * Timing comes from the container's `avih` header; sources faster than
+  * the reference's 12 fps are resampled to the same 12 fps grid the
+  * ffmpeg `fps=12` filter produces (nearest source frame per output
+  * tick), slower sources keep their native timestamps.
+  */
+object AviFrameExtractor extends FrameFeatureExtractor {
+  val Fps = 12 // hasher.js:87
+
+  def extract(imdbId: String, fileName: String, bytes: Array[Byte]): Iterator[RawFrame] =
+    graft.multimodal.AviMjpeg.parse(bytes) match {
+      case None => Iterator.empty
+      case Some(v) =>
+        val native = 1e6 / v.microSecPerFrame
+        val picks: Seq[(Double, Int)] =
+          if (native <= Fps) v.frames.indices.map(i => (v.timeOf(i), i))
+          else {
+            val dur = v.timeOf(v.frames.length - 1)
+            val n = math.floor(dur * Fps).toInt + 1
+            (0 until n).map { k =>
+              val t = k.toDouble / Fps
+              (t, math.min(v.frames.length - 1, math.round(t * native).toInt))
+            }
+          }
+        picks.iterator.map { case (t, i) =>
+          val (hi, ha) = FfmpegFrameExtractor.describe(v.frames(i))
+          RawFrame(imdbId, fileName, math.rint(t * 1e4) / 1e4, hi, ha) // toFixed(4), hasher.js:97
+        }
+    }
+}
+
+/** Per-file router: MJPEG-AVI decodes in-JVM, anything else goes through
+  * ffmpeg when the binary exists, else the deterministic stub — so one
+  * pipeline serves every environment and container.
+  */
+object AutoFrameExtractor extends FrameFeatureExtractor {
+  def extract(imdbId: String, fileName: String, bytes: Array[Byte]): Iterator[RawFrame] =
+    if (graft.multimodal.AviMjpeg.sniff(bytes))
+      AviFrameExtractor.extract(imdbId, fileName, bytes)
+    else if (FfmpegFrameExtractor.available)
+      FfmpegFrameExtractor.extract(imdbId, fileName, bytes)
+    else IngestPipeline.StubFrameFeatureExtractor.extract(imdbId, fileName, bytes)
+}
+
 object FfmpegFrameExtractor extends FrameFeatureExtractor {
 
   val Fps = 12 // hasher.js:87

@@ -68,13 +68,12 @@ object IngestPipeline {
     }
   }
 
-  /** Runtime-selected A15 extractor: the real ffmpeg shell-out when the
-    * binary exists on this machine, the deterministic stub otherwise —
-    * pipelines work identically in both environments.
+  /** Runtime-selected A15 extractor: MJPEG-AVI always decodes fully
+    * in-JVM ([[AviFrameExtractor]]), other containers go through the real
+    * ffmpeg shell-out when the binary exists, and the deterministic stub
+    * otherwise — pipelines work identically in every environment.
     */
-  def defaultExtractor: FrameFeatureExtractor =
-    if (FfmpegFrameExtractor.available) FfmpegFrameExtractor
-    else StubFrameFeatureExtractor
+  def defaultExtractor: FrameFeatureExtractor = AutoFrameExtractor
 
   /** A1+B1+B2: recursive binary-file stream filtered to .mp4 with
     * (imdbId, fileName) projected from the path (`watcher.js:22-29`).
