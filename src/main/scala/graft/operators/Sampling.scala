@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling for training-data mixing: every engine (and any
@@ -64,10 +64,23 @@ object Sampling {
     * is a PREFIX of the draw order — greedy, not knapsack: the document
     * that would cross the budget (and everything after it) is dropped.
     *
-    * Scale shape: one shuffle — a per-stratum window sort by draw. Strata
-    * are few and huge at 100 TB, so the sort dominates; when hitting the
-    * budget only in expectation is acceptable, [[tokenBudgetByRate]] is
-    * the scan-local twin.
+    * Scale shape: a DISTRIBUTED two-pass prefix sum (the [[GlobalRank]]
+    * zipWithIndex pattern, extended from counting to summing). The naive
+    * `sum().over(Window.partitionBy(stratum).orderBy(draw))` form is the
+    * 100 TB trap twice over: strata are few and huge, so each window
+    * partition is one task's worth of the corpus — and a CONSTANT stratum
+    * column constant-folds out of the partition spec entirely, silently
+    * moving ALL rows to a single partition (Spark's own WindowExec
+    * warning). Here instead: range-partition by (stratum, draw, id) — a
+    * total order, so partition i holds keys strictly below partition i+1
+    * and every stratum spreads across many partitions because the md5
+    * draw is uniform — sort within partitions, take per-(partition,
+    * stratum) token subtotals in one cheap pass (#partitions × #strata
+    * rows to the driver, both bounded), broadcast the prefix offsets, and
+    * filter with a running per-stratum sum in the second pass. The second
+    * job reuses the first's shuffle files (same lineage → skipped
+    * stages). No single-partition stage for ANY stratum shape, including
+    * the single-stratum whole-corpus budget.
     */
   def tokenBudget(
       df: DataFrame,
@@ -76,14 +89,63 @@ object Sampling {
       tokenCol: String,
       budgets: Map[String, Long],
       defaultBudget: Long = 0L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(stratumCol).orderBy(drawHex(col(idCol)), col(idCol))
-    val budget = budgets.toSeq.sortBy(_._1).foldLeft(lit(defaultBudget)) {
-      case (acc, (k, b)) => when(col(stratumCol) === k, lit(b)).otherwise(acc)
+    val spark = df.sparkSession
+    val drawName = "__tb_draw"
+    val n = scala.util.Try(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    val sorted = df
+      .withColumn(drawName, drawHex(col(idCol)))
+      .repartitionByRange(n, col(stratumCol), col(drawName), col(idCol))
+      .sortWithinPartitions(col(stratumCol), col(drawName), col(idCol))
+    val schema = sorted.schema
+    val si = schema.fieldIndex(stratumCol)
+    val ti = schema.fieldIndex(tokenCol)
+    val rdd = sorted.rdd // ONE conversion — both jobs share the shuffle
+    // function VALUES (not local defs): they close over only (si, ti) and
+    // serialize standalone, instead of pulling the enclosing module into
+    // the task closure
+    val tokOf: Row => Long = r => r.get(ti) match {
+      case null      => 0L
+      case x: Number => x.longValue()
+      case other     => other.toString.toLong
     }
-    df.withColumn("__cum_tok", sum(col(tokenCol)).over(w))
-      .where(col("__cum_tok") <= budget)
-      .drop("__cum_tok")
+    val keyOf: Row => String = r => Option(r.get(si)).map(_.toString).orNull
+    // pass 1: per-(partition, stratum) token subtotals — tiny by construction
+    val subtotals: Array[(Int, Array[(String, Long)])] =
+      rdd.mapPartitionsWithIndex { (pid, it) =>
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach(r => if (keyOf(r) != null) {
+          val k = keyOf(r); m.update(k, m.getOrElse(k, 0L) + tokOf(r))
+        })
+        Iterator.single((pid, m.toArray))
+      }.collect()
+    // per-stratum prefix offsets: tokens in strictly earlier partitions
+    val offsets: Map[(Int, String), Long] = {
+      val acc = scala.collection.mutable.HashMap.empty[String, Long]
+      val out = Map.newBuilder[(Int, String), Long]
+      subtotals.sortBy(_._1).foreach { case (pid, sums) =>
+        sums.foreach { case (k, s) =>
+          out += ((pid, k) -> acc.getOrElse(k, 0L))
+          acc.update(k, acc.getOrElse(k, 0L) + s)
+        }
+      }
+      out.result()
+    }
+    val bOff = spark.sparkContext.broadcast(offsets)
+    // pass 2: running per-stratum cumulative sum, seeded from the offsets
+    val kept = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val running = scala.collection.mutable.HashMap.empty[String, Long]
+      it.filter { r =>
+        val k = keyOf(r)
+        if (k == null) false
+        else {
+          val cum = running.getOrElse(k, bOff.value.getOrElse((pid, k), 0L)) + tokOf(r)
+          running.update(k, cum)
+          cum <= budgets.getOrElse(k, defaultBudget)
+        }
+      }
+    }
+    spark.createDataFrame(kept, schema).drop(drawName)
   }
 
   /** Token-budget mix IN EXPECTATION: one tiny per-stratum aggregate
