@@ -59,10 +59,24 @@ object Bench {
     }.toMap
     val results = qs.map { case (name, _) => name -> math.min(p1(name), p2(name)) }
     val stealD = stealTicks() - steal0
-    val qj = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qj,"sf":"$sfDir","steal_ticks":$stealD}""")
+    def line(prec: Int): String = {
+      val fmt = "%." + prec + "f"
+      val qj = results.map { case (k, v) =>
+        "\"" + k + "\":" + fmt.formatLocal(java.util.Locale.ROOT, v)
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt.formatLocal(java.util.Locale.ROOT, total)},"unit":"sec","queries":$qj,"sf":"$sfDir","steal_ticks":$stealD}"""
+    }
+    // Full precision to a file (the driver's stdout capture keeps only the
+    // LAST ~2000 chars; rounds 7 and 8 lost the JSON line to that buffer).
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
+      line(6).getBytes("UTF-8"))
+    catch { case _: Throwable => }
+    // The LAST printed line is the one the driver parses from its tail
+    // buffer — emit it at the highest precision that leaves headroom for
+    // the trailing sbt status line inside the 2000-char window.
+    val out = Seq(3, 2, 1).map(line).find(_.length <= 1800).getOrElse(line(1))
+    println(out)
     spark.stop()
   }
 }

@@ -907,9 +907,11 @@ object Queries {
   /** S2 exact token-budget mix — the data-mixing step after sampling: per
     * language, admit documents in deterministic md5-draw order while the
     * running whitespace-token total stays within the language's budget
-    * ([[Sampling.tokenBudget]]; greedy prefix, reproducible anywhere). One
-    * per-stratum window sort; [[Sampling.tokenBudgetByRate]] is the
-    * scan-local in-expectation twin for when strata are 100 TB-huge.
+    * ([[Sampling.tokenBudget]]; greedy prefix, reproducible anywhere). The
+    * budget is a distributed two-pass prefix sum over a (stratum, draw, id)
+    * range partitioning — no per-stratum window sort, no single-partition
+    * stage for any stratum shape; [[Sampling.tokenBudgetByRate]] is the
+    * scan-local in-expectation twin when even the two passes are too much.
     */
   val s2TokenBudget: Q = (s, d) => {
     import s.implicits._
@@ -1030,16 +1032,13 @@ object Queries {
       .orderBy($"doc_id")
   }
 
-  /** P3 — the END-TO-END pre-training data recipe as ONE declarative plan:
-    * language-ID → quality gate → Gopher repetition gates (t5's signals)
-    * → exact dedup → deterministic token-budget selection. Every scalar
-    * gate (langid scores, quality, dup/top-2-gram fractions, token count)
-    * fuses into the scan projection and the combined filter runs BEFORE
-    * the first shuffle, so at 100 TB the dedup groupBy carries only the
-    * multiply-gated survivor slice; the budget window then sorts only the
-    * deduped survivors. Two shuffles total for a five-stage recipe.
+  /** P3's pre-budget stages (gates → exact dedup), exposed so PlanAuditSpec
+    * can audit the filter-below-dedup-shuffle shape directly: the final
+    * recipe runs these through [[Sampling.tokenBudget]], whose two-pass
+    * prefix sum is an analysis barrier (`createDataFrame`) that hides this
+    * subtree from the returned frame's plan.
     */
-  val p3CorpusRecipe: Q = (s, d) => {
+  private[graft] val p3Deduped: Q = (s, d) => {
     import s.implicits._
     val toks = tokens($"text")
     val sEn = countIn(toks, StopwordsEn).cast("long")
@@ -1061,21 +1060,29 @@ object Queries {
         size(toks).cast("long").as("n_tok"))
       .where($"pred" === "en" && $"quality" >= 0.5 &&
         $"dup_frac" <= 0.6 && $"top2" <= 0.1)
-    val deduped = gated.groupBy($"text")
+    gated.groupBy($"text")
       .agg(min($"doc_id").as("doc_id"), min($"n_tok").as("n_tok"))
       .select($"doc_id", $"n_tok", lit("all").as("blk"))
-    Sampling.tokenBudget(deduped, "doc_id", "blk", "n_tok", Map("all" -> 2000L))
+  }
+
+  /** P3 — the END-TO-END pre-training data recipe as ONE declarative plan:
+    * language-ID → quality gate → Gopher repetition gates (t5's signals)
+    * → exact dedup → deterministic token-budget selection. Every scalar
+    * gate (langid scores, quality, dup/top-2-gram fractions, token count)
+    * fuses into the scan projection and the combined filter runs BEFORE
+    * the first shuffle, so at 100 TB the dedup groupBy carries only the
+    * multiply-gated survivor slice; the budget stage is
+    * [[Sampling.tokenBudget]]'s distributed two-pass prefix sum over the
+    * deduped survivors — no single-partition stage even though the recipe
+    * budgets ONE stratum (the constant-stratum window trap this replaced).
+    */
+  val p3CorpusRecipe: Q = (s, d) => {
+    import s.implicits._
+    Sampling.tokenBudget(p3Deduped(s, d), "doc_id", "blk", "n_tok", Map("all" -> 2000L))
       .select($"doc_id", $"n_tok")
       .orderBy($"doc_id")
   }
 
-  /** P1 corpus clean — the flagship training-data composition: language-ID
-    * (t1's heuristic) → quality gate (t2's score ≥ 0.5) → exact dedup (e1's
-    * min-id-per-text), one declarative plan. Catalyst fuses the langid +
-    * quality expressions into the scan projection and the dedup groupBy is
-    * the only shuffle; the filter runs BEFORE it, so at 100 TB the shuffle
-    * carries only the surviving (clean, English) slice.
-    */
   /** P2 — the full training-data corpus pipeline as ONE declarative plan:
     * language-ID → quality gate → MinHash-LSH near-dup pairs → connected
     * components → one representative (min doc_id) per near-dup cluster,
@@ -1112,6 +1119,13 @@ object Queries {
       .orderBy($"doc_id")
   }
 
+  /** P1 corpus clean — the flagship training-data composition: language-ID
+    * (t1's heuristic) → quality gate (t2's score ≥ 0.5) → exact dedup (e1's
+    * min-id-per-text), one declarative plan. Catalyst fuses the langid +
+    * quality expressions into the scan projection and the dedup groupBy is
+    * the only shuffle; the filter runs BEFORE it, so at 100 TB the shuffle
+    * carries only the surviving (clean, English) slice.
+    */
   val p1CorpusClean: Q = (s, d) => {
     import s.implicits._
     val toks = tokens($"text")

@@ -81,6 +81,20 @@ object Sampling {
     * job reuses the first's shuffle files (same lineage → skipped
     * stages). No single-partition stage for ANY stratum shape, including
     * the single-stratum whole-corpus budget.
+    *
+    * EAGERNESS AND LINEAGE: pass 1 runs a real job (scan + range shuffle +
+    * a #partitions×#strata-row collect) at CALL time, not lazily at the
+    * first downstream action, and the returned frame is rebuilt with
+    * `createDataFrame` over the pass-2 RDD — an analysis barrier: Catalyst
+    * cannot push filters or prune columns through it into the source.
+    * Filter and project to the admitted schema BEFORE calling.
+    *
+    * NULL SEMANTICS (matches the SQL window form this replaced): a null
+    * stratum is its own stratum budgeted at `defaultBudget` (the same
+    * otherwise-branch [[stratified]] gives null strata); `tokenCol` is
+    * cast to long in the plan, so string/decimal token columns coerce with
+    * SQL semantics, and a null (or uncastable) token counts 0 toward the
+    * budget — the row is admitted if the running sum is still within it.
     */
   def tokenBudget(
       df: DataFrame,
@@ -90,39 +104,45 @@ object Sampling {
       budgets: Map[String, Long],
       defaultBudget: Long = 0L): DataFrame = {
     val spark = df.sparkSession
-    val drawName = "__tb_draw"
+    // collision-free temp names: never silently overwrite a user column
+    def temp(base: String): String =
+      Iterator.iterate(base)(_ + "_").dropWhile(df.columns.contains).next()
+    val drawName = temp("__tb_draw")
+    val tokName = temp("__tb_tok")
     val n = scala.util.Try(spark.conf.get("spark.sql.shuffle.partitions").toInt)
       .getOrElse(spark.sparkContext.defaultParallelism)
     val sorted = df
       .withColumn(drawName, drawHex(col(idCol)))
+      .withColumn(tokName, col(tokenCol).cast("long"))
       .repartitionByRange(n, col(stratumCol), col(drawName), col(idCol))
       .sortWithinPartitions(col(stratumCol), col(drawName), col(idCol))
     val schema = sorted.schema
     val si = schema.fieldIndex(stratumCol)
-    val ti = schema.fieldIndex(tokenCol)
+    val ti = schema.fieldIndex(tokName)
     val rdd = sorted.rdd // ONE conversion — both jobs share the shuffle
     // function VALUES (not local defs): they close over only (si, ti) and
     // serialize standalone, instead of pulling the enclosing module into
     // the task closure
-    val tokOf: Row => Long = r => r.get(ti) match {
-      case null      => 0L
-      case x: Number => x.longValue()
-      case other     => other.toString.toLong
+    val tokOf: Row => Long = r => if (r.isNullAt(ti)) 0L else r.getLong(ti)
+    // null strata key as None — a real stratum, not a dropped row
+    val keyOf: Row => Option[String] = r => Option(r.get(si)).map(_.toString)
+    val budgetOf: Option[String] => Long = {
+      case Some(k) => budgets.getOrElse(k, defaultBudget)
+      case None    => defaultBudget
     }
-    val keyOf: Row => String = r => Option(r.get(si)).map(_.toString).orNull
     // pass 1: per-(partition, stratum) token subtotals — tiny by construction
-    val subtotals: Array[(Int, Array[(String, Long)])] =
+    val subtotals: Array[(Int, Array[(Option[String], Long)])] =
       rdd.mapPartitionsWithIndex { (pid, it) =>
-        val m = scala.collection.mutable.HashMap.empty[String, Long]
-        it.foreach(r => if (keyOf(r) != null) {
+        val m = scala.collection.mutable.HashMap.empty[Option[String], Long]
+        it.foreach { r =>
           val k = keyOf(r); m.update(k, m.getOrElse(k, 0L) + tokOf(r))
-        })
+        }
         Iterator.single((pid, m.toArray))
       }.collect()
     // per-stratum prefix offsets: tokens in strictly earlier partitions
-    val offsets: Map[(Int, String), Long] = {
-      val acc = scala.collection.mutable.HashMap.empty[String, Long]
-      val out = Map.newBuilder[(Int, String), Long]
+    val offsets: Map[(Int, Option[String]), Long] = {
+      val acc = scala.collection.mutable.HashMap.empty[Option[String], Long]
+      val out = Map.newBuilder[(Int, Option[String]), Long]
       subtotals.sortBy(_._1).foreach { case (pid, sums) =>
         sums.foreach { case (k, s) =>
           out += ((pid, k) -> acc.getOrElse(k, 0L))
@@ -134,18 +154,15 @@ object Sampling {
     val bOff = spark.sparkContext.broadcast(offsets)
     // pass 2: running per-stratum cumulative sum, seeded from the offsets
     val kept = rdd.mapPartitionsWithIndex { (pid, it) =>
-      val running = scala.collection.mutable.HashMap.empty[String, Long]
+      val running = scala.collection.mutable.HashMap.empty[Option[String], Long]
       it.filter { r =>
         val k = keyOf(r)
-        if (k == null) false
-        else {
-          val cum = running.getOrElse(k, bOff.value.getOrElse((pid, k), 0L)) + tokOf(r)
-          running.update(k, cum)
-          cum <= budgets.getOrElse(k, defaultBudget)
-        }
+        val cum = running.getOrElse(k, bOff.value.getOrElse((pid, k), 0L)) + tokOf(r)
+        running.update(k, cum)
+        cum <= budgetOf(k)
       }
     }
-    spark.createDataFrame(kept, schema).drop(drawName)
+    spark.createDataFrame(kept, schema).drop(drawName, tokName)
   }
 
   /** Token-budget mix IN EXPECTATION: one tiny per-stratum aggregate
@@ -154,6 +171,10 @@ object Sampling {
     * filter does the rest — no window, no per-stratum sort, the 100 TB
     * path. The admitted token mass concentrates around the budget
     * (documents are exchangeable under the md5 draw).
+    *
+    * Null strata follow [[tokenBudget]]'s semantics: budgeted at
+    * `defaultBudget`, admitted at the resulting rate (they reach
+    * [[stratified]]'s otherwise-branch, so their rate rides defaultRate).
     */
   def tokenBudgetByRate(
       df: DataFrame,
@@ -162,13 +183,20 @@ object Sampling {
       tokenCol: String,
       budgets: Map[String, Long],
       defaultBudget: Long = 0L): DataFrame = {
-    val totals = df.groupBy(col(stratumCol))
-      .agg(sum(col(tokenCol)).cast("long").as("__tot"))
+    val totals: Map[Option[String], Long] = df.groupBy(col(stratumCol))
+      .agg(sum(col(tokenCol).cast("long")).as("__tot"))
       .collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val rates = totals.map { case (k, tot) =>
-      k -> math.min(1.0, budgets.getOrElse(k, defaultBudget).toDouble / math.max(tot, 1L))
+      .map(r => Option(r.getString(0)) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .toMap
+    def rateFor(k: Option[String], tot: Long): Double = {
+      val budget = k.map(budgets.getOrElse(_, defaultBudget)).getOrElse(defaultBudget)
+      math.min(1.0, budget.toDouble / math.max(tot, 1L))
     }
-    stratified(df, idCol, stratumCol, rates)
+    val rates = totals.collect { case (Some(k), tot) => k -> rateFor(Some(k), tot) }
+    // null-stratum rows fall through stratified()'s when-chain to the
+    // default — set it to the null stratum's own budgeted rate (0.0 when
+    // there are no null rows, vacuously)
+    val nullRate = totals.get(None).map(rateFor(None, _)).getOrElse(0.0)
+    stratified(df, idCol, stratumCol, rates, defaultRate = nullRate)
   }
 }

@@ -30,8 +30,10 @@ object SemDedup {
       df: DataFrame, vecCol: String, idCol: String,
       nlist: Int, tau: Double): DataFrame = {
     // clamp like SearchService's load: KMeans k must not exceed the point
-    // count, or a tiny collection crashes the fit
-    val k = math.min(nlist.toLong, df.count()).toInt
+    // count, or a tiny collection crashes the fit. limit(nlist).count()
+    // IS min(nlist, total) and stops scanning after nlist rows — no
+    // full-table count action ahead of every production run
+    val k = df.select(col(idCol)).limit(nlist).count().toInt
     fromAssigned(IvfIndex.build(df, vecCol, k)._1, vecCol, idCol, tau)
   }
 

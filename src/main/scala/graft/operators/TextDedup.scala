@@ -296,8 +296,13 @@ object TextDedup {
     val covered = sh.join(crossDoc, "h")
       .select(col(idCol), explode(sequence(col("pos"), col("pos") + (k - 1))).as("cpos"))
       .distinct()
-    val kept = tok.join(covered,
-        tok(idCol) === covered(idCol) && tok("pos") === covered("cpos"), "left_anti")
+    // explicit aliases: covered shares tok's lineage, so tok(idCol) ===
+    // covered(idCol) names the SAME attribute and Spark logs a "trivially
+    // true equals predicate" warning while disambiguating — resolve by
+    // alias so the join condition names distinct sides outright
+    val kept = tok.as("__ps_t").join(covered.as("__ps_c"),
+        col(s"__ps_t.$idCol") === col(s"__ps_c.$idCol") &&
+          col("__ps_t.pos") === col("__ps_c.cpos"), "left_anti")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_kept"),
         concat_ws(" ",

@@ -52,15 +52,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges(p) <= 2, s"expected <=2 exchanges:\n${p.take(1200)}")
   }
 
-  test("p3: five-stage recipe plans as spread + dedup shuffle + budget window + final sort") {
-    // langid + quality + repetition gates and the token count all fuse into
-    // one projection over the pinned-parallelism spread (shuffle 1 — a
-    // doc_id repartition carrying only the raw scan, before any compute);
-    // the combined filter runs before the dedup groupBy (shuffle 2); the
-    // budget window sorts only deduped survivors (shuffle 3); the gate
-    // orderBy is the last exchange.
-    val p = plan("p3_corpus_recipe")
-    assert(exchanges(p) <= 4, s"expected <=4 exchanges:\n${p.take(1500)}")
+  test("p3: gates fuse below the dedup shuffle; budget stage adds no window") {
+    // The recipe's upstream (gates → exact dedup) is audited on
+    // Queries.p3Deduped because Sampling.tokenBudget's two-pass prefix sum
+    // rebuilds the frame via createDataFrame — an analysis barrier that
+    // hides the subtree from p3_corpus_recipe's own plan.
+    val p = Queries.p3Deduped(spark, "/root/testdata/sf0.001")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // spread repartition + dedup groupBy — two exchanges for the upstream
+    assert(exchanges(p) <= 2, s"expected <=2 exchanges:\n${p.take(1500)}")
     // the multiply-gated filter must sit below the DEDUP shuffle (the
     // hashpartitioning(text…) exchange): formatted-explain detail sections
     // are numbered leaf-first, so compare node ids
@@ -69,6 +70,30 @@ class PlanAuditSpec extends SparkSpec {
       .findFirstMatchIn(p).map(_.group(1).toInt)
     assert(filterId.nonEmpty && dedupId.nonEmpty && filterId.get < dedupId.get,
       s"filter (node $filterId) must be below the dedup exchange (node $dedupId):\n${p.take(1500)}")
+    // the full recipe's own plan: the post-budget projection + gate sort
+    // only — and in particular NO window (the constant-stratum
+    // Window.partitionBy trap would show up right here)
+    val full = plan("p3_corpus_recipe")
+    assert(exchanges(full) <= 1, s"expected <=1 exchange after the barrier:\n${full.take(1200)}")
+    assert(!full.contains("Window"), s"budget stage must not plan a window:\n${full.take(1200)}")
+  }
+
+  test("no query plans a window over an empty partition spec (the single-partition trap)") {
+    // Spark warns "No Partition Defined for Window operation! Moving all
+    // data to a single partition" and then does exactly that — every row
+    // through ONE task. A constant partition key constant-folds to the
+    // same plan silently (the round-6/7 p3 regression). Walk every planned
+    // query and refuse the shape outright.
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        fn(spark, "/root/testdata/sf0.001").queryExecution.sparkPlan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => s"$name: WindowExec"
+          case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => s"$name: WindowGroupLimitExec"
+        }
+      } catch { case e: Throwable => Seq(s"$name: planning failed: ${e.getMessage}") }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
   test("u1: domain cap is one window shuffle + final sort; text never scanned") {

@@ -60,6 +60,37 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.tokenBudget(other, "id", "stratum", "n_tok", Map("en" -> 10L)).count() == 0)
   }
 
+  test("tokenBudget: null strata ride defaultBudget; string tokens coerce; temp names don't clobber") {
+    // null stratum is its own stratum budgeted at defaultBudget — the old
+    // window form admitted them (null === k falls to otherwise); the
+    // two-pass form must too
+    val withNull = Seq((1L, "en", 10L), (2L, null, 10L), (3L, null, 10L), (4L, null, 10L))
+      .toDF("id", "stratum", "n_tok")
+    val kept = Sampling.tokenBudget(withNull, "id", "stratum", "n_tok",
+        Map("en" -> 100L), defaultBudget = 20L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(1L), "en row within budget must stay")
+    assert((kept - 1L).size == 2, s"exactly 2 of 3 null-stratum rows fit the 20-token default budget: $kept")
+    // defaultBudget 0 (the default) excludes null strata entirely
+    assert(Sampling.tokenBudget(withNull, "id", "stratum", "n_tok",
+      Map("en" -> 100L)).select("id").collect().map(_.getLong(0)).toSet == Set(1L))
+
+    // string-typed token column coerces with SQL cast semantics; a null
+    // token counts 0 and the row is admitted
+    val strTok = Seq((1L, "en", "10"), (2L, "en", null), (3L, "en", "15"))
+      .toDF("id", "stratum", "n_tok")
+    val keptStr = Sampling.tokenBudget(strTok, "id", "stratum", "n_tok", Map("en" -> 25L))
+      .select("id").collect().map(_.getLong(0)).toSet
+    // draw order decides which rows fill the 25 budget; the null-token row
+    // is free so it always survives if reached before the budget closes
+    assert(keptStr.contains(2L), s"null-token row must not be dropped: $keptStr")
+
+    // a user column literally named __tb_draw survives untouched
+    val clash = Seq((1L, "en", 10L, "mine")).toDF("id", "stratum", "n_tok", "__tb_draw")
+    val out = Sampling.tokenBudget(clash, "id", "stratum", "n_tok", Map("en" -> 100L))
+    assert(out.columns.contains("__tb_draw") && out.head().getString(3) == "mine")
+  }
+
   test("tokenBudgetByRate: scan-local twin lands near the budget in expectation") {
     val df = (0L until 4000L).map(i => (i, "en", 10L)).toDF("id", "stratum", "n_tok")
     // total 40000 tokens, budget 10000 -> rate 0.25
