@@ -457,6 +457,54 @@ object Queries {
       .select($"vec_id", round($"score", 6).as("score"))
   }
 
+  /** C8'' the OPTIMIZER-path ANN: the SAME top-15 as [[c8AnnIvf]], but the
+    * user writes only the declarative exact query — `ORDER BY
+    * fast_dot(embedding, q) DESC LIMIT 15` over the indexed table — and
+    * [[graft.plans.IvfTopKRewrite]] injects the nprobe cluster prune at
+    * optimization time ([[graft.plans.IvfRegistry]] opt-in). The gate
+    * EXECUTES the query while registered, then `require`s the injected
+    * `cluster_id IN` filter in the optimized plan: if the rewrite ever
+    * stops firing, this row errors instead of silently serving the exact
+    * scan. Result equality with the explicit [[IvfIndex.search]] path is
+    * pinned in Sq8Spec; approximate by construction → rows-only check,
+    * like c8_ann_ivf. The 15-row collect is the serving envelope size
+    * (SearchService does the same); registration is cleared before
+    * returning so no other query's plan is ever touched.
+    */
+  val c8AnnRewrite: Q = (s, d) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val q = e.where($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val (assigned, model) = IvfIndex.buildCached(s, s"$d#q0",
+      e.where($"vec_id" =!= 0), "embedding", 16)
+    graft.plans.IvfRegistry.register(model, nprobe = 4)
+    try {
+      val df = assigned
+        .select($"vec_id",
+          graft.functions.VectorFunctions.fastDot($"embedding", typedlit(q)).as("score"))
+        .orderBy(desc("score"), $"vec_id")
+        .limit(15)
+      val fired = df.queryExecution.optimizedPlan.exists {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.exists {
+            case org.apache.spark.sql.catalyst.expressions.In(a, _) =>
+              a.references.exists(_.name == "cluster_id")
+            case org.apache.spark.sql.catalyst.expressions.InSet(a, _) =>
+              a.references.exists(_.name == "cluster_id")
+            case _ => false
+          }
+        case _ => false
+      }
+      require(fired, "IvfTopKRewrite did not inject the nprobe cluster prune " +
+        s"into:\n${df.queryExecution.optimizedPlan}")
+      val rows = df.collect() // 15 rows — the serving envelope
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+        .select($"vec_id", round($"score", 6).as("score"))
+        .orderBy(desc("score"), $"vec_id")
+    } finally graft.plans.IvfRegistry.clear()
+  }
+
   /** C7'' SQ8 scalar-quantized ANN (loader.js:332-334 IVF_SQ8's SQ8 half)
     * — approximate by construction → rows-only; error bound + recall
     * asserted in Sq8Spec. Fit + encode come from [[Sq8.fitEncodeCached]] —
@@ -1890,6 +1938,7 @@ object Queries {
     "c7_sq8_ann" -> c7Sq8Ann,
     "c7_pq_ann" -> c7PqAnn,
     "c8_ann_ivf" -> c8AnnIvf,
+    "c8_ann_rewrite" -> c8AnnRewrite,
     "e2_minhash_sig" -> e2MinhashSig,
     "e2_minhash_pairs" -> e2MinhashPairs,
     "e2s_stream_pairs" -> e2sStreamPairs,

@@ -118,4 +118,16 @@ class Sq8Spec extends SparkSpec {
       indexed.unpersist()
     }
   }
+
+  test("c8_ann_rewrite gate row: equals the explicit IVF path; registry left clean") {
+    val sf = Sf0001
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf)
+      .orderBy(desc("score"), col("vec_id")).collect().map(_.toSeq).toSeq
+    val rewritten = rows("c8_ann_rewrite")
+    val explicitPath = rows("c8_ann_ivf")
+    assert(rewritten == explicitPath,
+      s"optimizer path diverged from IvfIndex.search:\n$rewritten\n$explicitPath")
+    // the gate must not leak its registration into later queries
+    assert(IvfRegistry.current.isEmpty, "gate row left the IVF registry registered")
+  }
 }
