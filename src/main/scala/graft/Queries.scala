@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{AnnSearch, AsOfJoin, ConnectedComponents, IvfIndex, LineDedup, LmScore, Pq, RangeJoin, Sampling, TemporalDedup, TextDedup}
+import graft.operators.{AnnSearch, AsOfJoin, ConnectedComponents, IncrementalDedup, IvfIndex, LineDedup, LmScore, Pq, RangeJoin, Sampling, TemporalDedup, TextDedup}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -623,6 +623,28 @@ object Queries {
       q.awaitTermination()
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     s.table(name).select($"d1", $"d2").distinct().orderBy($"d1", $"d2")
+  }
+
+  /** E2i incremental near-dedup — the daily-delta path: the corpus's LSH
+    * band signatures are a persisted lake ([[IncrementalDedup
+    * .bandSignatures]], 3 small columns per doc); a new batch sketches
+    * only itself and probes the lake with one equi-join
+    * ([[IncrementalDedup.deltaPairs]]). Gate split: doc_id % 10 == 0 is
+    * the "new batch", the rest is the standing corpus. The oracle is the
+    * FULL batch recompute (e2's sketch SQL) restricted to pairs touching
+    * the delta — hash-equality proves incremental processing loses
+    * nothing vs the batch gold standard, while only ever sketching 10% of
+    * the documents and never shuffling corpus text.
+    */
+  val e2iIncrementalPairs: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val corpusSigs = IncrementalDedup.bandSignatures(
+      docs.where($"doc_id" % 10 =!= 0), "text", "doc_id", 8, 3, 4)
+    val deltaSigs = IncrementalDedup.bandSignatures(
+      docs.where($"doc_id" % 10 === 0), "text", "doc_id", 8, 3, 4)
+    IncrementalDedup.deltaPairs(corpusSigs, deltaSigs, "doc_id")
+      .orderBy($"d1", $"d2")
   }
 
   /** E3 SimHash 60-bit fingerprints. */
@@ -1453,6 +1475,30 @@ object Queries {
         |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
         |FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
         |ORDER BY d1, d2""".stripMargin,
+    // The incremental path's contract: the FULL batch recompute (e2's
+    // sketch text verbatim) restricted to pairs touching the delta slice.
+    "e2i_incremental_pairs" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM toks),
+        |hp AS (SELECT doc_id, ('0x' || substring(md5(s), 1, 15))::BIGINT AS h1,
+        |               ('0x' || substring(md5(s), 17, 14))::BIGINT AS h2 FROM sh),
+        |sig AS (SELECT doc_id, j, min((h1 + j * h2) & 1152921504606846975) AS minh
+        |  FROM hp CROSS JOIN generate_series(0, 7) g(j) GROUP BY doc_id, j),
+        |wide AS (SELECT doc_id,
+        |  max(CASE WHEN j=0 THEN minh END) AS m0, max(CASE WHEN j=1 THEN minh END) AS m1,
+        |  max(CASE WHEN j=2 THEN minh END) AS m2, max(CASE WHEN j=3 THEN minh END) AS m3,
+        |  max(CASE WHEN j=4 THEN minh END) AS m4, max(CASE WHEN j=5 THEN minh END) AS m5,
+        |  max(CASE WHEN j=6 THEN minh END) AS m6, max(CASE WHEN j=7 THEN minh END) AS m7
+        |  FROM sig GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, md5(CAST(m0 AS VARCHAR) || ',' || CAST(m1 AS VARCHAR)) AS bsig FROM wide
+        |  UNION ALL SELECT doc_id, 1, md5(CAST(m2 AS VARCHAR) || ',' || CAST(m3 AS VARCHAR)) FROM wide
+        |  UNION ALL SELECT doc_id, 2, md5(CAST(m4 AS VARCHAR) || ',' || CAST(m5 AS VARCHAR)) FROM wide
+        |  UNION ALL SELECT doc_id, 3, md5(CAST(m6 AS VARCHAR) || ',' || CAST(m7 AS VARCHAR)) FROM wide)
+        |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+        |WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0
+        |ORDER BY d1, d2""".stripMargin,
     "e8_dedup_cluster" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM toks),
@@ -1942,6 +1988,7 @@ object Queries {
     "e2_minhash_sig" -> e2MinhashSig,
     "e2_minhash_pairs" -> e2MinhashPairs,
     "e2s_stream_pairs" -> e2sStreamPairs,
+    "e2i_incremental_pairs" -> e2iIncrementalPairs,
     "e3_simhash" -> e3Simhash,
     "e3_simhash_near" -> e3SimhashNear,
     "e8_dedup_cluster" -> e8DedupCluster,

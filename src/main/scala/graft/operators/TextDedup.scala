@@ -109,15 +109,11 @@ object TextDedup {
       k: Int, shingleK: Int, bands: Int,
       smallCap: Int = 1024, maxBucket: Long = 1L << 16): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
-    val rowsPer = k / bands
-    val wide = minhashWide(df, textCol, idCol, k, shingleK)
-    val bandStructs = array((0 until bands).map { b =>
-      val cols = (b * rowsPer until (b + 1) * rowsPer).map(j => col(s"m$j"))
-      struct(lit(b).as("band"), md5(concat_ws(",", cols: _*)).as("bsig"))
-    }: _*)
-    val buckets = wide
-      .select(col(idCol), explode(bandStructs).as("bs"))
-      .select(col("bs").as("__bk"), struct(col(idCol).as("id")).as("__m"))
+    // band signatures shared with the incremental path: a signature lake
+    // written by IncrementalDedup.bandSignatures buckets identically
+    val buckets = IncrementalDedup.bandSignatures(df, textCol, idCol, k, shingleK, bands)
+      .select(struct(col("band"), col("bsig")).as("__bk"),
+        struct(col(idCol).as("id")).as("__m"))
     bucketPairs(buckets, smallCap, maxBucket, "graft.lsh.minhash")
       .select(col("p1.id").as("d1"), col("p2.id").as("d2"))
       .distinct()
