@@ -24,6 +24,10 @@ object GraftSession {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // managed-table home for bucketed lake tables (LakeLayout
+      // .writeBucketed → saveAsTable); explicit so the engine never
+      // depends on (or litters) the launch cwd
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.ui.enabled", "false")

@@ -363,6 +363,34 @@ object Queries {
       .orderBy($"doc_id")
   }
 
+  /** E12 cross-source priority dedup (the RefinedWeb/provenance-preference
+    * rule): when the same text arrives from several sources, keep the copy
+    * from the most trusted source — priority = the source's numeric rank,
+    * ties broken by doc_id. The corpus provably CONTAINS cross-source
+    * duplicates: a deterministic mirror of every doc_id % 3 == 0 document
+    * re-enters under a different id and source (the t6 synthetic-PII
+    * pattern — the oracle rebuilds the identical corpus).
+    *
+    * Scale shape: ONE map-side-combined groupBy on text; the keeper is
+    * `min(struct(priority, doc_id, source))` — an O(1) partial aggregate,
+    * not a per-group ranking window sort. No text column in the output,
+    * and the dup groups never materialize as rows.
+    */
+  val e12PriorityDedup: Q = (s, d) => {
+    import s.implicits._
+    val base = Tables.documents(s, d).select($"doc_id", $"text", $"source")
+    val mirror = base.where($"doc_id" % 3 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text",
+        concat(lit("src"), ($"doc_id" % 7).cast("string")).as("source"))
+    val pr = substring($"source", 4, 10).cast("int")
+    base.unionByName(mirror)
+      .groupBy($"text")
+      .agg(min(struct(pr.as("p"), $"doc_id", $"source")).as("w"),
+        count(lit(1)).as("n_dups"))
+      .select($"w.doc_id".as("doc_id"), $"w.source".as("source"), $"n_dups")
+      .orderBy($"doc_id")
+  }
+
   /** Top-k per group via ranking window (§2.E). */
   val e6TopkPerGroup: Q = (s, d) => {
     import s.implicits._
@@ -676,6 +704,52 @@ object Queries {
     RangeJoin.pointInInterval(pts, "pt", ivs, "s_us", "e_us", 1800000000L)
       .select($"pe", $"ie", ($"pt" - $"s_us").as("off_us"))
       .orderBy($"pe", $"ie")
+  }
+
+  // Bucketed lake tables, written once per (session, sf) — table layout is
+  // a periodic job like the IVF index build, so the gate times the JOIN the
+  // layout pays for, not the one-time write.
+  private val bucketedTables = new operators.SessionCache[(String, String)]
+  private def ensureBucketed(s: SparkSession, d: String): (String, String) =
+    bucketedTables.getOrBuild(s"${System.identityHashCode(s)}#$d") {
+      val key = d.replaceAll("[^A-Za-z0-9]", "_")
+      val (ot, ct) = (s"orders_bkt_$key", s"customer_bkt_$key")
+      Seq(ot, ct).foreach { t =>
+        // a fresh JVM's in-memory catalog doesn't know tables whose files
+        // a PREVIOUS run left in the warehouse — clear both catalog entry
+        // and location or saveAsTable refuses (LOCATION_ALREADY_EXISTS)
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir") + "/" + t)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+      }
+      graft.sources.LakeLayout.writeBucketed(Tables.orders(s, d), ot, 8, "o_custkey")
+      graft.sources.LakeLayout.writeBucketed(Tables.customer(s, d), ct, 8, "c_custkey")
+      (ot, ct)
+    }
+
+  /** J6 co-located bucketed join — SURVEY §4's "co-locate joins via
+    * bucketing" made executable: orders and customer are written
+    * `bucketBy(8, custkey)` + `sortBy` ([[graft.sources.LakeLayout
+    * .writeBucketed]]), hash-partitioned AT REST, so the equi-join on the
+    * bucket key plans with ZERO exchanges under the join — at 100 TB the
+    * difference between a join that moves nothing and one that shuffles
+    * both sides every query. PlanAuditSpec pins the exchange-free shape;
+    * the oracle pins that layout changed nothing about the answer.
+    */
+  val j6BucketedJoin: Q = (s, d) => {
+    import s.implicits._
+    val (ot, ct) = ensureBucketed(s, d)
+    // merge hint: at gate SF the dimension fits a broadcast and Catalyst
+    // rightly prefers it — the hint pins the plan the layout exists FOR
+    // (both sides 100 TB-huge, no broadcast possible), which is what the
+    // audit must hold exchange-free
+    s.table(ot).hint("merge").join(s.table(ct), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(sum(dec($"o_totalprice")).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"c_mktsegment")
   }
 
   /** Zipf-skewed corpus, derived deterministically from `documents.doc_id`
@@ -1377,6 +1451,20 @@ object Queries {
     "e1_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS dup_count
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "e12_priority_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, 'src' || CAST(doc_id % 7 AS VARCHAR)
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |ranked AS (
+        |  SELECT doc_id, source, text,
+        |    row_number() OVER (PARTITION BY text
+        |      ORDER BY CAST(substring(source, 4) AS INT), doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY text) AS nd
+        |  FROM corpus)
+        |SELECT doc_id, source, CAST(nd AS BIGINT) AS n_dups
+        |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "e6_topk_per_group" ->
       """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
@@ -1413,6 +1501,14 @@ object Queries {
         | AND epoch_us(p.ts) >= epoch_us(a.ts)
         | AND epoch_us(p.ts) < epoch_us(a.ts) + 1800000000
         |ORDER BY pe, ie""".stripMargin,
+    // Layout must not change answers: the bucketed tables' join reads the
+    // same rows the flat parquet join would.
+    "j6_bucketed_join" ->
+      """SELECT c_mktsegment,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q2_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -1970,6 +2066,7 @@ object Queries {
     "w3_sliding_window" -> w3SlidingWindow,
     "e9_contamination" -> e9Contamination,
     "e1_exact_dedup" -> e1ExactDedup,
+    "e12_priority_dedup" -> e12PriorityDedup,
     "e6_topk_per_group" -> e6TopkPerGroup,
     "e6_topk_heap_agg" -> e6TopkHeapAgg,
     "e7_exact_distinct" -> e7ExactDistinct,
@@ -1978,6 +2075,7 @@ object Queries {
     "j3_asof_join" -> j3AsofJoin,
     "j4_range_join" -> j4RangeJoin,
     "j5_interval_join" -> j5IntervalJoin,
+    "j6_bucketed_join" -> j6BucketedJoin,
     "q2_rollup" -> q2Rollup,
     "q3_profile" -> q3Profile,
     "c7_ivf_cluster" -> c7IvfCluster,

@@ -9,7 +9,7 @@ package graft.operators
   * stall unrelated keys hashing to the same bin. Concurrent callers of the
   * SAME key still block until the single build finishes (the memo contract).
   */
-private[operators] final class SessionCache[V] {
+private[graft] final class SessionCache[V] {
   private val cells =
     new java.util.concurrent.ConcurrentHashMap[String, () => V]()
 

@@ -145,6 +145,15 @@ class PlanAuditSpec extends SparkSpec {
       "range join must bucket into an equi-join")
   }
 
+  test("j6: bucketed tables join with no exchange below the join") {
+    val p = plan("j6_bucketed_join")
+    assert(p.contains("SortMergeJoin"), s"bucketed join must sort-merge in place:\n${p.take(1200)}")
+    // the only exchanges are the post-join aggregation + final sort; a
+    // non-bucketed layout would add one per join side
+    assert(exchanges(p) <= 2, s"expected <=2 exchanges (agg + sort), got ${exchanges(p)}:\n${p.take(1500)}")
+    assert(p.contains("Bucketed: true"), "scan must recognize the bucketed layout")
+  }
+
   test("j5: interval join stays an equi-join (no nested-loop cartesian)") {
     val p = plan("j5_interval_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
