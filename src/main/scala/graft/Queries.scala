@@ -320,6 +320,48 @@ object Queries {
       .orderBy($"window_start", $"event_type")
   }
 
+  /** W1s — w1's tumbling-window aggregation EXECUTED AS A STREAM: the
+    * events file replayed through a file-stream source, watermarked 10
+    * minutes, `window($"ts", "1 hour")` aggregation in APPEND mode (each
+    * window row emitted exactly once, when the watermark passes its end —
+    * the at-scale contract: state for a window is dropped the moment it
+    * finalizes, so state size is bounded by windows-in-flight, not stream
+    * length). The oracle is w1's batch SQL restricted to windows the
+    * final watermark (max ts − 10 min) closed — hash-equality proves the
+    * stream's incremental state machine computes the batch answer.
+    */
+  val w1sStreamWindow: Q = (s, d) => {
+    import s.implicits._
+    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+    val stage = stageForStream(d, "events.parquet")
+    val raw = s.readStream.schema(rawSchema).parquet(stage)
+    // the same nanos→micros truncation Tables.events applies, but kept as
+    // plain TIMESTAMP: withWatermark rejects TIMESTAMP_NTZ; the UTC
+    // session makes the instant and the naive wall-clock coincide, and the
+    // output window start is cast back to NTZ for the oracle compare
+    val ev =
+      if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw.withColumn("ts", $"ts".cast("timestamp"))
+    val agg = ev.withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour").as("win"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum(dec($"value")).cast("double").as("sum_value"))
+      .select($"win.start".cast("timestamp_ntz").as("w"), $"event_type", $"n", $"sum_value")
+    val name = "w1s_stream_window_sink"
+    // same stateful-parallelism pinning rationale as e2s: one state store
+    // per shuffle partition per micro-batch, sized to the gate stream
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = agg.writeStream
+        .format("memory").queryName(name).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.table(name).orderBy($"w", $"event_type")
+  }
+
   /** As-of join (nearest prior event): for each click, the most recent
     * error event of the same user at-or-before it. Union+window form —
     * one shuffle, no range-join blowup ([[AsOfJoin]]).
@@ -603,25 +645,24 @@ object Queries {
     * batch plan — emits exactly the batch pair set. (The spec suite pins
     * cross-micro-batch parity; this row makes it driver-visible.)
     */
-  val e2sStreamPairs: Q = (s, d) => {
-    import s.implicits._
-    val schema = Tables.documents(s, d).schema
-    // The file-stream source wants a DIRECTORY (a bare file path fails
-    // basePath inference), and testdata tables are single files — stage the
-    // file into a per-SF temp dir once (a real deployment's ingest drop
-    // directory, A1/A6, is exactly this shape).
-    // Keyed by the sanitized path PLUS an md5 of the exact path (the
-    // sanitization alone is lossy — '/a/b' and '/a_b' collide); staged
-    // copy reused only on EXACT (size, mtime) match with the source
-    // (COPY_ATTRIBUTES preserves mtime), so any regenerated fixture —
-    // newer, older, or same-size — re-stages.
+  /** Stage a single-file testdata table as a stream-source DIRECTORY (a
+    * bare file path fails basePath inference) — a real deployment's ingest
+    * drop directory (A1/A6) is exactly this shape. Keyed by the sanitized
+    * path PLUS an md5 of the exact path (the sanitization alone is lossy —
+    * '/a/b' and '/a_b' collide); staged copy reused only on EXACT
+    * (size, mtime) match with the source (COPY_ATTRIBUTES preserves
+    * mtime), so any regenerated fixture — newer, older, or same-size —
+    * re-stages. Returns the stage directory path.
+    */
+  private def stageForStream(d: String, tableFile: String): String = {
     val pathTag = java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     val stage = java.nio.file.Paths.get(
-      "/tmp/graft_stream_docs_" + d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + pathTag)
+      s"/tmp/graft_stream_${tableFile.stripSuffix(".parquet")}_" +
+        d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + pathTag)
     java.nio.file.Files.createDirectories(stage)
-    val src = java.nio.file.Paths.get(s"$d/documents.parquet")
-    val dst = stage.resolve("documents.parquet")
+    val src = java.nio.file.Paths.get(s"$d/$tableFile")
+    val dst = stage.resolve(tableFile)
     val fresh = java.nio.file.Files.exists(dst) &&
       java.nio.file.Files.size(dst) == java.nio.file.Files.size(src) &&
       java.nio.file.Files.getLastModifiedTime(dst) ==
@@ -630,7 +671,14 @@ object Queries {
       java.nio.file.Files.copy(src, dst,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
-    val stream = s.readStream.schema(schema).parquet(stage.toString)
+    stage.toString
+  }
+
+  val e2sStreamPairs: Q = (s, d) => {
+    import s.implicits._
+    val schema = Tables.documents(s, d).schema
+    val stage = stageForStream(d, "documents.parquet")
+    val stream = s.readStream.schema(schema).parquet(stage)
       .select($"doc_id".as("id"), $"text")
       .as[graft.streaming.StreamDoc]
     val pairs = graft.streaming.StreamingNearDedup
@@ -1407,6 +1455,15 @@ object Queries {
       """SELECT date_trunc('hour', ts) AS w, event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // w1's batch answer restricted to the windows the stream's final
+    // watermark (max ts − 10 min) closed — append mode emits exactly those.
+    "w1s_stream_window" ->
+      """SELECT date_trunc('hour', ts) AS w, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |HAVING date_trunc('hour', min(ts)) + INTERVAL 1 HOUR <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+        |ORDER BY 1, 2""".stripMargin,
     // the oracle re-derives the epoch-aligned hop indexes: an event at tus
     // is in hop k iff k·hop > tus − len and k·hop ≤ tus
     "w3_sliding_window" ->
@@ -2062,6 +2119,7 @@ object Queries {
     "j1_join_revenue" -> j1JoinRevenue,
     "j2_json_extract" -> j2JsonExtract,
     "w1_time_window" -> w1TimeWindow,
+    "w1s_stream_window" -> w1sStreamWindow,
     "w2_session_window" -> w2SessionWindow,
     "w3_sliding_window" -> w3SlidingWindow,
     "e9_contamination" -> e9Contamination,
