@@ -133,6 +133,55 @@ object Queries {
       .orderBy($"doc_id")
   }
 
+  // JSONL/CSV mirrors of the documents table, written once per
+  // (session, sf) — like the bucketed tables, a layout job outside the
+  // timed read path.
+  private val textFormatStage = new operators.SessionCache[String]
+  private def ensureTextFormat(s: SparkSession, d: String, fmt: String): String =
+    textFormatStage.getOrBuild(s"${System.identityHashCode(s)}#$d#$fmt") {
+      val pathTag = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val out = s"/tmp/graft_${fmt}_docs_" +
+        d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + pathTag
+      val w = Tables.documents(s, d).write.mode("overwrite")
+      fmt match {
+        case "json" => w.json(out)
+        // escape=quote (RFC 4180 doubling) + header; multiLine on the read
+        // side handles embedded newlines in text
+        case "csv" => w.option("header", "true").option("escape", "\"").csv(out)
+      }
+      out
+    }
+
+  /** B15 JSONL ingest roundtrip — the lake's interchange format beside
+    * parquet and the reference's xz-XML: documents written as JSON lines,
+    * read back through the schema'd json source, hash-identical to the
+    * parquet original (JSON escaping is lossless). The write is a
+    * session-cached layout job; the timed query is the schema'd read a
+    * 100 TB JSONL drop directory would pay.
+    */
+  val b15JsonlRoundtrip: Q = (s, d) => {
+    import s.implicits._
+    val dir = ensureTextFormat(s, d, "json")
+    s.read.schema(Tables.documents(s, d).schema).json(dir)
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  /** B16 CSV ingest roundtrip — same contract for the CSV source, with
+    * the quoting corner cases live: RFC 4180 escape-by-doubling and
+    * multiLine for embedded newlines in the text column.
+    */
+  val b16CsvRoundtrip: Q = (s, d) => {
+    import s.implicits._
+    val dir = ensureTextFormat(s, d, "csv")
+    s.read.schema(Tables.documents(s, d).schema)
+      .option("header", "true").option("escape", "\"").option("multiLine", "true")
+      .csv(dir)
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
   // ---------------------------------------------------------------- §2.C ops
 
   /** C1 sort by timecode (hasher.js:154-159). */
@@ -1380,6 +1429,12 @@ object Queries {
       """SELECT doc_id, CASE WHEN substring(md5(text),1,1) IN ('0','1','2','3') THEN 'png'
         |WHEN substring(md5(text),1,1) IN ('4','5','6','7') THEN 'jpg' ELSE 'other' END AS kind
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Roundtrip identity: the format conversion must lose nothing — the
+    // oracle reads the ORIGINAL parquet rows.
+    "b15_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+    "b16_csv_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
     "c1_sort_limit" ->
       "SELECT event_id, ts FROM events ORDER BY ts, event_id LIMIT 100",
     // Exact kept-set semantics (loader.js:202-212) as a recursive CTE: each
@@ -2109,6 +2164,8 @@ object Queries {
     "b11_duration_window" -> b11DurationWindow,
     "b12_md5" -> b12Md5,
     "b13_magic_sniff" -> b13MagicSniff,
+    "b15_jsonl_roundtrip" -> b15JsonlRoundtrip,
+    "b16_csv_roundtrip" -> b16CsvRoundtrip,
     "c1_sort_limit" -> c1SortLimit,
     "c3_temporal_dedup" -> c3TemporalDedup,
     "c3_window_dedup" -> c3WindowDedup,
