@@ -440,6 +440,20 @@ object Queries {
       .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
   }
 
+  /** Q5 CUBE — the full grouping-sets lattice beside q2's rollup: all four
+    * (returnflag × linestatus) grouping combinations in one pass (Spark
+    * expands grouping sets map-side; one shuffle carries every lattice
+    * cell's partial aggregates).
+    */
+  val q5Cube: Q = (s, d) => {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(sum(dec($"l_quantity")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
   // ------------------------------------------------------------- §2.E ops
 
   /** Exact dedup: canonical row per distinct text (dropDuplicates made
@@ -770,6 +784,30 @@ object Queries {
       docs.where($"doc_id" % 10 === 0), "text", "doc_id", 8, 3, 4)
     IncrementalDedup.deltaPairs(corpusSigs, deltaSigs, "doc_id")
       .orderBy($"d1", $"d2")
+  }
+
+  /** T9 document → training chunks: fixed-length token windows with
+    * overlap (length 50, stride 40 — each chunk shares 10 tokens with its
+    * predecessor), the standard context-window packing step between
+    * cleaning and tokenization. Scan-local: `sequence` generates the
+    * stride starts, `posexplode` emits one row per chunk, `slice` cuts
+    * the token window — no shuffle except the gate's orderBy; at 100 TB
+    * this composes with partition pruning untouched and parallelism is
+    * the scan's split count.
+    */
+  val t9DocChunks: Q = (s, d) => {
+    import s.implicits._
+    val L = 50
+    val S = 40
+    val toks = tokens($"text")
+    val starts = when(size(toks) > 0,
+      sequence(lit(0), size(toks) - 1, lit(S))).otherwise(array())
+    Tables.documents(s, d)
+      .select($"doc_id", toks.as("w"), explode(starts).as("st"))
+      .select($"doc_id", ($"st" / S).cast("long").as("chunk_id"),
+        concat_ws(" ", slice($"w", $"st" + 1, lit(L))).as("chunk_text"),
+        least(lit(L), size($"w") - $"st").cast("long").as("n_tok"))
+      .orderBy($"doc_id", $"chunk_id")
   }
 
   /** E3 SimHash 60-bit fingerprints. */
@@ -1627,6 +1665,21 @@ object Queries {
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q5_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    // chunking: windows of 50 tokens every 40 — w[s+1 : s+50] in DuckDB's
+    // inclusive-slice notation equals Spark's slice(w, s+1, 50)
+    "t9_doc_chunks" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |st AS (SELECT doc_id, w, unnest(generate_series(0, len(w) - 1, 40)) AS s FROM toks WHERE len(w) > 0)
+        |SELECT doc_id, CAST(s / 40 AS BIGINT) AS chunk_id,
+        |  array_to_string(w[s + 1 : least(s + 50, len(w))], ' ') AS chunk_text,
+        |  CAST(least(50, len(w) - s) AS BIGINT) AS n_tok
+        |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
     "b5_positional_zip" ->
       """WITH o AS (SELECT * FROM (SELECT o_orderkey, CAST(row_number() OVER (ORDER BY o_orderkey) AS INT) AS pos FROM orders) t WHERE pos <= 20),
         |p AS (SELECT * FROM (SELECT p_partkey, CAST(row_number() OVER (ORDER BY p_partkey) AS INT) AS pos FROM part) t WHERE pos <= 20)
@@ -2192,6 +2245,8 @@ object Queries {
     "j5_interval_join" -> j5IntervalJoin,
     "j6_bucketed_join" -> j6BucketedJoin,
     "q2_rollup" -> q2Rollup,
+    "q5_cube" -> q5Cube,
+    "t9_doc_chunks" -> t9DocChunks,
     "q3_profile" -> q3Profile,
     "c7_ivf_cluster" -> c7IvfCluster,
     "c7_sq8_ann" -> c7Sq8Ann,
