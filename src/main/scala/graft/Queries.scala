@@ -1319,28 +1319,22 @@ object Queries {
     */
   private[graft] val p3Deduped: Q = (s, d) => {
     import s.implicits._
-    val toks = tokens($"text")
-    val sEn = countIn(toks, StopwordsEn).cast("long")
-    val sDe = countIn(toks, StopwordsDe).cast("long")
-    val sEs = countIn(toks, StopwordsEs).cast("long")
-    val sFr = countIn(toks, StopwordsFr).cast("long")
-    val pred = when(sEn >= sDe && sEn >= sEs && sEn >= sFr, "en")
-      .when(sDe >= sEs && sDe >= sFr, "de")
-      .when(sEs >= sFr, "es")
-      .otherwise("fr")
-    // Spread before the gates: the repetition signals are interpreted-HOF
-    // compute (~1 ms/doc) — parallelism pinned, not left to the scan's
-    // split count (same rule as t5).
-    val gated = operators.Spread.byCols(Tables.documents(s, d), Seq($"doc_id"))
-      .select($"doc_id", $"text", pred.as("pred"),
-        round(qualityScore($"text"), 6).as("quality"),
-        round(dupTokenFrac(toks), 6).as("dup_frac"),
-        round(topNgramFrac(toks, 2), 6).as("top2"),
-        size(toks).cast("long").as("n_tok"))
-      .where($"pred" === "en" && $"quality" >= 0.5 &&
+    // Built through the user-facing recipe API (graft.api.CorpusRecipe):
+    // the p3 gate row is the end-to-end oracle check OF that API. Spread
+    // before the gates pins parallelism for the interpreted-HOF signals
+    // (same rule as t5); CollapseProject fuses the score columns into one
+    // projection and the combined gate runs below the dedup shuffle
+    // (PlanAuditSpec pins both).
+    graft.api.CorpusRecipe(Tables.documents(s, d))
+      .spread()
+      .scoreLanguage("pred")
+      .scoreQuality("quality")
+      .scoreRepetition("dup_frac", "top2")
+      .countTokens("n_tok")
+      .gate($"pred" === "en" && $"quality" >= 0.5 &&
         $"dup_frac" <= 0.6 && $"top2" <= 0.1)
-    gated.groupBy($"text")
-      .agg(min($"doc_id").as("doc_id"), min($"n_tok").as("n_tok"))
+      .exactDedup("n_tok")
+      .frame
       .select($"doc_id", $"n_tok", lit("all").as("blk"))
   }
 
@@ -1376,15 +1370,7 @@ object Queries {
     */
   val p2CorpusDedup: Q = (s, d) => {
     import s.implicits._
-    val toks = tokens($"text")
-    val sEn = countIn(toks, StopwordsEn).cast("long")
-    val sDe = countIn(toks, StopwordsDe).cast("long")
-    val sEs = countIn(toks, StopwordsEs).cast("long")
-    val sFr = countIn(toks, StopwordsFr).cast("long")
-    val pred = when(sEn >= sDe && sEn >= sEs && sEn >= sFr, "en")
-      .when(sDe >= sEs && sDe >= sFr, "de")
-      .when(sEs >= sFr, "es")
-      .otherwise("fr")
+    val pred = languagePick(tokens($"text"))
     val clean = Tables.documents(s, d)
       .select($"doc_id", $"text", pred.as("pred"),
         round(qualityScore($"text"), 6).as("quality"))
@@ -1407,15 +1393,7 @@ object Queries {
     */
   val p1CorpusClean: Q = (s, d) => {
     import s.implicits._
-    val toks = tokens($"text")
-    val sEn = countIn(toks, StopwordsEn).cast("long")
-    val sDe = countIn(toks, StopwordsDe).cast("long")
-    val sEs = countIn(toks, StopwordsEs).cast("long")
-    val sFr = countIn(toks, StopwordsFr).cast("long")
-    val pred = when(sEn >= sDe && sEn >= sEs && sEn >= sFr, "en")
-      .when(sDe >= sEs && sDe >= sFr, "de")
-      .when(sEs >= sFr, "es")
-      .otherwise("fr")
+    val pred = languagePick(tokens($"text"))
     Tables.documents(s, d)
       .select($"doc_id", $"text", pred.as("pred"),
         round(qualityScore($"text"), 6).as("quality"))

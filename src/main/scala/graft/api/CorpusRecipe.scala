@@ -1,0 +1,111 @@
+package graft.api
+
+import graft.functions.TextFunctions._
+import graft.operators.{Sampling, Spread, TextDedup}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The user-facing recipe builder: composes the engine's curation
+  * operators — language-ID, quality and Gopher repetition gates, exact
+  * and near dedup, deterministic sampling, token budgets — into ONE lazy
+  * DataFrame plan, so a user of the reference pipeline can express the
+  * end-to-end corpus recipe without writing Spark.
+  *
+  * Every step appends the SAME expressions the corresponding gate row
+  * runs (t1 language pick, t2 quality, t5 repetition signals, e1 exact
+  * dedup, s2 budget): Catalyst's CollapseProject fuses the chained
+  * `withColumn`s into the scan projection and the combined `gate` filter
+  * runs BEFORE the first shuffle — a recipe plans exactly like the
+  * hand-written p-series queries. The p3 gate row builds its pre-budget
+  * stages through this API, so the DuckDB oracle checks the builder
+  * end-to-end every round.
+  *
+  * Laziness contract: every step except [[tokenBudget]] only composes the
+  * plan. `tokenBudget` delegates to [[Sampling.tokenBudget]], which runs
+  * its pass-1 job eagerly and rebuilds the frame behind an analysis
+  * barrier — gate and project BEFORE budgeting (the step order the
+  * builder's API makes natural).
+  */
+final class CorpusRecipe private (
+    val frame: DataFrame, idCol: String, textCol: String) {
+
+  private def next(df: DataFrame) = new CorpusRecipe(df, idCol, textCol)
+  private def toks = tokens(col(textCol))
+
+  /** Pin parallelism ahead of per-row scoring compute (the t5/p3 rule:
+    * interpreted-HOF signals cost ~1 ms/doc — don't leave their
+    * parallelism to the scan's split count).
+    */
+  def spread(): CorpusRecipe = next(Spread.byCols(frame, Seq(col(idCol))))
+
+  /** t1's stopword-argmax language pick as a column. */
+  def scoreLanguage(out: String = "pred"): CorpusRecipe =
+    next(frame.withColumn(out, languagePick(toks)))
+
+  /** t2's quality score (rounded like the gate rows). */
+  def scoreQuality(out: String = "quality"): CorpusRecipe =
+    next(frame.withColumn(out, round(qualityScore(col(textCol)), 6)))
+
+  /** t5's Gopher repetition signals. */
+  def scoreRepetition(
+      dupOut: String = "dup_frac", topOut: String = "top2"): CorpusRecipe =
+    next(frame
+      .withColumn(dupOut, round(dupTokenFrac(toks), 6))
+      .withColumn(topOut, round(topNgramFrac(toks, 2), 6)))
+
+  /** Whitespace token count (the budget unit). */
+  def countTokens(out: String = "n_tok"): CorpusRecipe =
+    next(frame.withColumn(out, size(toks).cast("long")))
+
+  /** Combined filter over the scored columns — keep this ONE gate before
+    * any dedup/budget step so the filter fuses below the first shuffle.
+    */
+  def gate(keep: Column): CorpusRecipe = next(frame.where(keep))
+
+  /** e1's exact dedup: one canonical row per distinct text, keeper =
+    * min id; `carry` columns survive as their group minimum.
+    */
+  def exactDedup(carry: String*): CorpusRecipe = {
+    val aggs = min(col(idCol)).as(idCol) +: carry.map(c => min(col(c)).as(c))
+    next(frame.groupBy(col(textCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol) +: carry.map(col): _*))
+  }
+
+  /** e2+e8's near dedup: MinHash-LSH candidate pairs → connected
+    * components → keep each cluster's min-id representative. The pair
+    * path is the capped/salted [[TextDedup.minhashBandPairs]] machinery.
+    */
+  def nearDedup(k: Int = 8, shingleK: Int = 3, bands: Int = 4): CorpusRecipe = {
+    val pairs = TextDedup.minhashBandPairs(frame, textCol, idCol, k, shingleK, bands)
+    val reps = graft.operators.ConnectedComponents
+      .minLabel(frame.select(col(idCol)), pairs, "d1", "d2")
+      .where(col("cluster") === col(idCol))
+      .select(col(idCol))
+    next(frame.join(reps, Seq(idCol), "left_semi"))
+  }
+
+  /** s1's deterministic stratified sample (md5-draw, engine-portable). */
+  def sample(
+      stratumCol: String, rates: Map[String, Double],
+      defaultRate: Double = 0.0): CorpusRecipe =
+    next(Sampling.stratified(frame, idCol, stratumCol, rates, defaultRate))
+
+  /** s2's exact per-stratum token budget (greedy md5-draw prefix; the
+    * distributed two-pass prefix sum — EAGER, see class doc).
+    */
+  def tokenBudget(
+      stratumCol: String, tokenCol: String, budgets: Map[String, Long],
+      defaultBudget: Long = 0L): CorpusRecipe =
+    next(Sampling.tokenBudget(frame, idCol, stratumCol, tokenCol, budgets, defaultBudget))
+
+  /** Final projection, ending the recipe. */
+  def select(cols: Column*): DataFrame = frame.select(cols: _*)
+}
+
+object CorpusRecipe {
+  def apply(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): CorpusRecipe =
+    new CorpusRecipe(df, idCol, textCol)
+}

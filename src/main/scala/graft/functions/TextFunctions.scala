@@ -84,6 +84,22 @@ object TextFunctions {
   val StopwordsEs: Seq[String] = Seq("el", "la", "de", "y", "es", "un", "en", "que")
   val StopwordsFr: Seq[String] = Seq("le", "la", "de", "et", "est", "un", "en", "que")
 
+  /** The 4-way stopword-count language pick used across the t1/p-series
+    * queries and [[graft.api.CorpusRecipe]]: argmax of per-language
+    * function-word hits with the deterministic en > de > es > fr
+    * tie-break the when-chain encodes.
+    */
+  def languagePick(toks: Column): Column = {
+    val sEn = countIn(toks, StopwordsEn).cast("long")
+    val sDe = countIn(toks, StopwordsDe).cast("long")
+    val sEs = countIn(toks, StopwordsEs).cast("long")
+    val sFr = countIn(toks, StopwordsFr).cast("long")
+    when(sEn >= sDe && sEn >= sEs && sEn >= sFr, "en")
+      .when(sDe >= sEs && sDe >= sFr, "de")
+      .when(sEs >= sFr, "es")
+      .otherwise("fr")
+  }
+
   /** Punctuation character count (quality-scoring signal). */
   def punctCount(text: Column): Column =
     length(text) - length(regexp_replace(text, "[.,;:!?]", ""))
