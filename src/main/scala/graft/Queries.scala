@@ -810,6 +810,50 @@ object Queries {
       .orderBy($"doc_id", $"chunk_id")
   }
 
+  /** M1 export-shard manifest — the artifact a training job consumes: a
+    * deterministic md5-draw shard assignment (engine-portable, like the
+    * [[Sampling]] draws) plus per-shard document count, token mass, and an
+    * order-independent content fingerprint (bit_xor of per-doc 60-bit text
+    * hashes — O(1) aggregate state; a concat-then-hash manifest would
+    * collect a shard's docs into one task). Re-running the manifest months
+    * later, on any engine, must reproduce it bit-for-bit — that is the
+    * audit trail for "which data did this run train on".
+    */
+  val m1ShardManifest: Q = (s, d) => {
+    import s.implicits._
+    val shard = expr(
+      "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 8")
+    Tables.documents(s, d)
+      .select(shard.as("shard"), $"text")
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens($"text")).cast("long")).as("n_tokens"),
+        expr("bit_xor(cast(conv(substring(md5(text), 1, 15), 16, 10) as bigint))").as("fp"))
+      .orderBy($"shard")
+  }
+
+  /** Q6 per-column profile — null counts and exact distinct cardinality
+    * per events column, one aggregation pass unpivoted to a row per
+    * column (the data-quality report beside q3's value stats).
+    */
+  val q6NullProfile: Q = (s, d) => {
+    import s.implicits._
+    def nulls(c: Column) = sum(when(c.isNull, 1L).otherwise(0L))
+    Tables.events(s, d)
+      .agg(
+        nulls($"user_id").as("nn_user_id"), countDistinct($"user_id").as("nd_user_id"),
+        nulls($"event_type").as("nn_event_type"), countDistinct($"event_type").as("nd_event_type"),
+        nulls($"value").as("nn_value"), countDistinct($"value").as("nd_value"),
+        nulls($"props").as("nn_props"), countDistinct($"props").as("nd_props"))
+      .selectExpr(
+        """stack(4,
+          |'user_id', nn_user_id, nd_user_id,
+          |'event_type', nn_event_type, nd_event_type,
+          |'value', nn_value, nd_value,
+          |'props', nn_props, nd_props) AS (col_name, n_null, n_distinct)""".stripMargin)
+      .orderBy($"col_name")
+  }
+
   /** E3 SimHash 60-bit fingerprints. */
   val e3Simhash: Q = (s, d) =>
     TextDedup.simhash(Tables.documents(s, d), "text", "doc_id")
@@ -1649,6 +1693,26 @@ object Queries {
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "m1_shard_manifest" ->
+      """SELECT ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  bit_xor(('0x' || substring(md5(text), 1, 15))::BIGINT) AS fp
+        |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
+    "q6_null_profile" ->
+      """SELECT col_name, n_null, n_distinct FROM (
+        |  SELECT 'user_id' AS col_name, CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct FROM events
+        |  UNION ALL
+        |  SELECT 'event_type', CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |         CAST(COUNT(DISTINCT event_type) AS BIGINT) FROM events
+        |  UNION ALL
+        |  SELECT 'value', CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |         CAST(COUNT(DISTINCT value) AS BIGINT) FROM events
+        |  UNION ALL
+        |  SELECT 'props', CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |         CAST(COUNT(DISTINCT props) AS BIGINT) FROM events)
+        |ORDER BY col_name""".stripMargin,
     // chunking: windows of 50 tokens every 40 — w[s+1 : s+50] in DuckDB's
     // inclusive-slice notation equals Spark's slice(w, s+1, 50)
     "t9_doc_chunks" ->
@@ -2224,6 +2288,8 @@ object Queries {
     "j6_bucketed_join" -> j6BucketedJoin,
     "q2_rollup" -> q2Rollup,
     "q5_cube" -> q5Cube,
+    "q6_null_profile" -> q6NullProfile,
+    "m1_shard_manifest" -> m1ShardManifest,
     "t9_doc_chunks" -> t9DocChunks,
     "q3_profile" -> q3Profile,
     "c7_ivf_cluster" -> c7IvfCluster,
