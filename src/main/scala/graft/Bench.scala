@@ -60,12 +60,19 @@ object Bench {
     val results = qs.map { case (name, _) => name -> math.min(p1(name), p2(name)) }
     val stealD = stealTicks() - steal0
     val total = results.map(_._2).sum
-    def line(prec: Int): String = {
+    // ONE line builder: `keep` selects which queries appear in the map;
+    // when some are elided, elided_n records it so the map is never
+    // silently partial (the elided floor-cost rows live at full precision
+    // in bench_detail.json).
+    def line(prec: Int, keep: Seq[(String, Double)] = results): String = {
       val fmt = "%." + prec + "f"
-      val qj = results.map { case (k, v) =>
+      val qj = keep.map { case (k, v) =>
         "\"" + k + "\":" + fmt.formatLocal(java.util.Locale.ROOT, v)
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt.formatLocal(java.util.Locale.ROOT, total)},"unit":"sec","queries":$qj,"sf":"$sfDir","steal_ticks":$stealD}"""
+      val elided =
+        if (keep.size == results.size) ""
+        else s""","elided_n":${results.size - keep.size}"""
+      s"""{"metric":"total","value":${fmt.formatLocal(java.util.Locale.ROOT, total)},"unit":"sec","queries":$qj$elided,"sf":"$sfDir","steal_ticks":$stealD}"""
     }
     // Full precision to a file (the driver's stdout capture keeps only the
     // LAST ~2000 chars; rounds 7 and 8 lost the JSON line to that buffer).
@@ -73,24 +80,19 @@ object Bench {
       line(6).getBytes("UTF-8"))
     catch { case _: Throwable => }
     // The LAST printed line is the one the driver parses from its tail
-    // buffer — emit it at the highest precision that leaves headroom for
-    // the trailing sbt status line inside the 2000-char window. Final
-    // fallback as the surface grows: elide the CHEAPEST queries from the
-    // map (raising the cut until the line fits) — the slow rows the
-    // bench exists to surface always survive, the elided floor-cost rows
-    // live at full precision in bench_detail.json, and `elided_below`
-    // records the cut so the map is never silently partial.
-    def lineTop(prec: Int, cut: Double): String = {
-      val fmt = "%." + prec + "f"
-      val kept = results.filter(_._2 >= cut)
-      val qj = kept.map { case (k, v) =>
-        "\"" + k + "\":" + fmt.formatLocal(java.util.Locale.ROOT, v)
-      }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt.formatLocal(java.util.Locale.ROOT, total)},"unit":"sec","queries":$qj,"elided_below":$cut,"elided_n":${results.size - kept.size},"sf":"$sfDir","steal_ticks":$stealD}"""
+    // buffer — emit it at the highest precision that fits, then fall back
+    // to keeping only the SLOWEST queries, adding entries by descending
+    // cost while the line still fits. The last fallback is fit-by-
+    // construction for any surface size or host speed: the slow rows the
+    // bench exists to surface always survive.
+    val byCost = results.sortBy(-_._2)
+    def slowestThatFit(prec: Int): String = {
+      var n = byCost.length
+      while (n > 1 && line(prec, byCost.take(n).sortBy(_._1)).length > 1800) n -= 1
+      line(prec, byCost.take(n).sortBy(_._1))
     }
-    val candidates = Seq(3, 2, 1).map(line) ++
-      Seq(0.05, 0.1, 0.2, 0.5, 1.0, 2.0).map(lineTop(2, _))
-    val out = candidates.find(_.length <= 1800).getOrElse(lineTop(2, 5.0))
+    val out = Seq(3, 2, 1).map(line(_)).find(_.length <= 1800)
+      .getOrElse(slowestThatFit(2))
     println(out)
     spark.stop()
   }

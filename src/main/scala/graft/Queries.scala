@@ -134,11 +134,12 @@ object Queries {
   }
 
   // JSONL/CSV mirrors of the documents table, written once per
-  // (session, sf) — like the bucketed tables, a layout job outside the
-  // timed read path.
+  // (session, sf, source version) — like the bucketed tables, a layout
+  // job outside the timed read path.
   private val textFormatStage = new operators.SessionCache[String]
   private def ensureTextFormat(s: SparkSession, d: String, fmt: String): String =
-    textFormatStage.getOrBuild(s"${System.identityHashCode(s)}#$d#$fmt") {
+    textFormatStage.getOrBuild(
+      s"${System.identityHashCode(s)}#$d#$fmt#${sourceTag(d, "documents.parquet")}") {
       val pathTag = java.security.MessageDigest.getInstance("MD5")
         .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
       val out = s"/tmp/graft_${fmt}_docs_" +
@@ -885,12 +886,22 @@ object Queries {
       .orderBy($"pe", $"ie")
   }
 
-  // Bucketed lake tables, written once per (session, sf) — table layout is
-  // a periodic job like the IVF index build, so the gate times the JOIN the
-  // layout pays for, not the one-time write.
+  // Freshness tag for session-cached layout artifacts derived from a
+  // testdata file: (size, mtime) of the source parquet — a regenerated
+  // fixture changes the cache key and the mirror/table is rebuilt, the
+  // same contract stageForStream enforces for the streaming stage dirs.
+  private def sourceTag(d: String, tableFile: String): String = {
+    val p = java.nio.file.Paths.get(s"$d/$tableFile")
+    s"${java.nio.file.Files.size(p)}#${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+  }
+
+  // Bucketed lake tables, written once per (session, sf, source version) —
+  // table layout is a periodic job like the IVF index build, so the gate
+  // times the JOIN the layout pays for, not the one-time write.
   private val bucketedTables = new operators.SessionCache[(String, String)]
   private def ensureBucketed(s: SparkSession, d: String): (String, String) =
-    bucketedTables.getOrBuild(s"${System.identityHashCode(s)}#$d") {
+    bucketedTables.getOrBuild(
+      s"${System.identityHashCode(s)}#$d#${sourceTag(d, "orders.parquet")}#${sourceTag(d, "customer.parquet")}") {
       val key = d.replaceAll("[^A-Za-z0-9]", "_")
       val (ot, ct) = (s"orders_bkt_$key", s"customer_bkt_$key")
       Seq(ot, ct).foreach { t =>

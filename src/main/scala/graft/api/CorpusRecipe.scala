@@ -63,12 +63,15 @@ final class CorpusRecipe private (
   def gate(keep: Column): CorpusRecipe = next(frame.where(keep))
 
   /** e1's exact dedup: one canonical row per distinct text, keeper =
-    * min id; `carry` columns survive as their group minimum.
+    * min id; `carry` columns survive as their group minimum. The text
+    * column stays in the frame (it IS the group key) so text-dependent
+    * steps — nearDedup, countTokens, a later score — still compose after
+    * dedup; unused columns prune away if the recipe never reads them.
     */
   def exactDedup(carry: String*): CorpusRecipe = {
     val aggs = min(col(idCol)).as(idCol) +: carry.map(c => min(col(c)).as(c))
     next(frame.groupBy(col(textCol)).agg(aggs.head, aggs.tail: _*)
-      .select(col(idCol) +: carry.map(col): _*))
+      .select(col(idCol) +: col(textCol) +: carry.map(col): _*))
   }
 
   /** e2+e8's near dedup: MinHash-LSH candidate pairs → connected

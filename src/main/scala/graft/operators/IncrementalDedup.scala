@@ -70,33 +70,52 @@ object IncrementalDedup {
     * least/greatest normalization + distinct), so appending the delta's
     * signatures to the lake afterwards completes the induction: pairs
     * within all data so far = union of every batch's deltaPairs.
+    *
+    * Shape: the delta rows ride INSIDE the unioned, bucket-sized frame
+    * (flagged `__dl`), and the probe side filters that same frame — both
+    * join inputs share the window exchange, so the delta's sketch is
+    * computed ONCE (a separate deltaSigs probe would re-evaluate the
+    * shingle+minhash pipeline, the dominant cost, a second time). Within
+    * a kept bucket the [[TextDedup.bucketPairs]] salting discipline
+    * applies: each member owns one of `⌈size/smallCap⌉` salt cells, the
+    * probe replicates to every cell, and each pair meets in exactly one —
+    * so a near-boilerplate bucket's fan-out spreads over cells instead of
+    * landing on the single task that owns its join key.
     */
   def deltaPairs(
       corpusSigs: DataFrame,
       deltaSigs: DataFrame,
       idCol: String,
       maxBucket: Long = 1L << 16,
+      smallCap: Int = 1024,
       metricName: String = "graft.lsh.incremental"): DataFrame = {
+    require(smallCap >= 2, "smallCap must be >= 2")
     val all = corpusSigs.select(col(idCol), col("band"), col("bsig"))
-      .unionByName(deltaSigs.select(col(idCol), col("band"), col("bsig")))
-    // size every (band, bsig) bucket on the probe side; oversized buckets
-    // are boilerplate — drop + account, never fan out
-    val sized = all
+      .withColumn("__dl", lit(false))
+      .unionByName(deltaSigs.select(col(idCol), col("band"), col("bsig"))
+        .withColumn("__dl", lit(true)))
+    // size every (band, bsig) bucket; oversized buckets are boilerplate —
+    // drop + account, never fan out
+    val base = all
       .withColumn("__bsz",
         count(lit(1)).over(Window.partitionBy(col("band"), col("bsig"))))
       .observe(metricName,
         max(col("__bsz")).as("max_bucket"),
         sum(when(col("__bsz") > maxBucket, 1L).otherwise(0L)).as("dropped_members"))
       .where(col("__bsz") <= maxBucket)
-      .drop("__bsz")
-    sized.as("__al")
-      .join(deltaSigs.as("__dl"),
-        col("__al.band") === col("__dl.band") &&
-          col("__al.bsig") === col("__dl.bsig") &&
-          col(s"__al.$idCol") =!= col(s"__dl.$idCol"))
+      .withColumn("__ns",
+        greatest(lit(1), ceil(col("__bsz") / lit(smallCap.toDouble))).cast("int"))
+      .withColumn("__g", pmod(xxhash64(col(idCol)), col("__ns")).cast("int"))
+    val probe = base.where(col("__dl"))
+      .select(col(idCol).as("__pid"), col("band").as("__pband"),
+        col("bsig").as("__pbsig"),
+        explode(sequence(lit(0), col("__ns") - 1)).as("__pg"))
+    base.join(probe,
+        col("band") === col("__pband") && col("bsig") === col("__pbsig") &&
+          col("__g") === col("__pg") && col(idCol) =!= col("__pid"))
       .select(
-        least(col(s"__al.$idCol"), col(s"__dl.$idCol")).as("d1"),
-        greatest(col(s"__al.$idCol"), col(s"__dl.$idCol")).as("d2"))
+        least(col(idCol), col("__pid")).as("d1"),
+        greatest(col(idCol), col("__pid")).as("d2"))
       .distinct()
   }
 }

@@ -26,6 +26,15 @@ class CorpusRecipeSpec extends SparkSpec {
     assert(kept == Set(1L, 4L, 5L), kept.toString)
   }
 
+  test("exactDedup keeps the text column so text-dependent steps compose after it") {
+    // the canonical pipeline order: cheap exact dedup first, then the
+    // sketch-based near dedup over the survivors
+    val kept = CorpusRecipe(docs).exactDedup().nearDedup().frame
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // exact: 1/2 -> 1; near: 3 merges into 1's cluster
+    assert(kept == Set(1L, 4L, 5L), kept.toString)
+  }
+
   test("sample and tokenBudget delegate to the Sampling operators verbatim") {
     val viaApi = CorpusRecipe(docs)
       .sample("lang", Map("en" -> 0.9), defaultRate = 1.0).frame

@@ -54,6 +54,18 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(day1.nonEmpty && day2.nonEmpty)
   }
 
+  test("forced salting (tiny smallCap) reproduces the default result") {
+    val docs = corpus(60)
+    val delta = docs.where($"doc_id" % 10 === 0)
+    val standing = docs.where($"doc_id" % 10 =!= 0)
+    def run(cap: Int) =
+      IncrementalDedup.deltaPairs(sigs(standing), sigs(delta), "doc_id", smallCap = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val salted = run(2) // every bucket > 2 members splits into cells
+    assert(salted == run(1024), "salting must never change the pair set")
+    assert(salted.nonEmpty)
+  }
+
   test("maxBucket drops boilerplate buckets and accounts them via observe") {
     // 40 boilerplate docs collapse into one mega-bucket per band (size 40 >
     // maxBucket 16 → dropped); ids 100/101 are a genuine near-dup pair in

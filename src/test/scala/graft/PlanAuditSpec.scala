@@ -84,6 +84,12 @@ class PlanAuditSpec extends SparkSpec {
     // through ONE task. A constant partition key constant-folds to the
     // same plan silently (the round-6/7 p3 regression). Walk every planned
     // query and refuse the shape outright.
+    //
+    // Blind spot, accepted: queries that EXECUTE at construction time
+    // (the streaming gates, c8_ann_rewrite's collect, tokenBudget's eager
+    // passes) expose only their post-barrier plan here — their internal
+    // shapes are pinned by their own specs (and constructing them below
+    // really runs them, which is the bulk of this test's runtime).
     import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
