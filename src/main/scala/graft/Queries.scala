@@ -325,6 +325,42 @@ object Queries {
       .orderBy($"user_id", $"session_start")
   }
 
+  /** W2s — w2's sessionization EXECUTED AS A STREAM: the stateful-MERGE
+    * window case w1s's fixed windows don't cover (sessions grow and fuse
+    * as events arrive across micro-batches; Spark merges overlapping
+    * session state per key). Append mode emits a session exactly once,
+    * when the watermark passes its end (last event + 30-min gap) — at
+    * which point its state is dropped, so state is bounded by OPEN
+    * sessions, not stream length. Oracle = w2's batch session derivation
+    * restricted to sessions the final watermark closed.
+    */
+  val w2sStreamSession: Q = (s, d) => {
+    import s.implicits._
+    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+    val stage = stageForStream(d, "events.parquet")
+    val raw = s.readStream.schema(rawSchema).parquet(stage)
+    val ev =
+      if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw.withColumn("ts", $"ts".cast("timestamp"))
+    val agg = ev.withWatermark("ts", "10 minutes")
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id",
+        $"sw.start".cast("timestamp_ntz").as("session_start"), $"n_events")
+    val name = "w2s_stream_session_sink"
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = agg.writeStream
+        .format("memory").queryName(name).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.table(name).orderBy($"user_id", $"session_start")
+  }
+
   /** Q3 data-profiling summary per event_type — the curation-side stats
     * pass a pipeline runs before training: count, mean (through the same
     * order-independent DECIMAL accumulation as every money sum), and
@@ -1631,6 +1667,20 @@ object Queries {
         |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM y)
         |SELECT user_id, min(ts) AS session_start, CAST(count(*) AS BIGINT) AS n_events
         |FROM z GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    // w2's batch sessions restricted to those the stream's final watermark
+    // closed (session end = last event + 30-min gap; watermark = max ts −
+    // 10 min) — append mode emits exactly those.
+    "w2s_stream_session" ->
+      """WITH x AS (SELECT user_id, ts,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events),
+        |y AS (SELECT user_id, ts,
+        |  CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s FROM x),
+        |z AS (SELECT user_id, ts,
+        |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM y)
+        |SELECT user_id, min(ts) AS session_start, CAST(count(*) AS BIGINT) AS n_events
+        |FROM z GROUP BY user_id, sid
+        |HAVING max(ts) + INTERVAL 30 MINUTE <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+        |ORDER BY user_id, session_start""".stripMargin,
     "e1_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS dup_count
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
@@ -2284,6 +2334,7 @@ object Queries {
     "w1_time_window" -> w1TimeWindow,
     "w1s_stream_window" -> w1sStreamWindow,
     "w2_session_window" -> w2SessionWindow,
+    "w2s_stream_session" -> w2sStreamSession,
     "w3_sliding_window" -> w3SlidingWindow,
     "e9_contamination" -> e9Contamination,
     "e1_exact_dedup" -> e1ExactDedup,
