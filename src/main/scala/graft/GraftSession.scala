@@ -26,8 +26,11 @@ object GraftSession {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       // managed-table home for bucketed lake tables (LakeLayout
       // .writeBucketed → saveAsTable); explicit so the engine never
-      // depends on (or litters) the launch cwd
-      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
+      // depends on (or litters) the launch cwd. Keyed by PID so a
+      // concurrent bench/verify JVM can't drop-and-recreate a table
+      // location out from under this one mid-query (ADVICE r9 #2).
+      .config("spark.sql.warehouse.dir",
+        s"/tmp/graft-warehouse-${ProcessHandle.current().pid()}")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.ui.enabled", "false")

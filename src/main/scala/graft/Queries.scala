@@ -142,14 +142,21 @@ object Queries {
       s"${System.identityHashCode(s)}#$d#$fmt#${sourceTag(d, "documents.parquet")}") {
       val pathTag = java.security.MessageDigest.getInstance("MD5")
         .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-      val out = s"/tmp/graft_${fmt}_docs_" +
+      // PID-keyed: Spark's overwrite deletes the dir before rewriting, so
+      // a concurrent bench/verify JVM sharing the path could read a
+      // half-written mirror (ADVICE r9 #2)
+      val out = s"/tmp/graft_${fmt}_docs_${ProcessHandle.current().pid()}_" +
         d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + pathTag
       val w = Tables.documents(s, d).write.mode("overwrite")
       fmt match {
         case "json" => w.json(out)
         // escape=quote (RFC 4180 doubling) + header; multiLine on the read
-        // side handles embedded newlines in text
-        case "csv" => w.option("header", "true").option("escape", "\"").csv(out)
+        // side handles embedded newlines in text. nullValue is pinned to a
+        // sentinel that cannot collide with document text, so an empty
+        // STRING field roundtrips as "" instead of silently becoming null
+        // on read (ADVICE r9 #1 — the default maps both to "")
+        case "csv" => w.option("header", "true").option("escape", "\"")
+          .option("nullValue", "\\N").csv(out)
       }
       out
     }
@@ -178,6 +185,7 @@ object Queries {
     val dir = ensureTextFormat(s, d, "csv")
     s.read.schema(Tables.documents(s, d).schema)
       .option("header", "true").option("escape", "\"").option("multiLine", "true")
+      .option("nullValue", "\\N").option("emptyValue", "")
       .csv(dir)
       .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
       .orderBy($"doc_id")
@@ -334,6 +342,42 @@ object Queries {
     * sessions, not stream length. Oracle = w2's batch session derivation
     * restricted to sessions the final watermark closed.
     */
+  /** Run a bounded stream (AvailableNow) to a memory sink and return the
+    * sink table — the shared machinery of the streaming gate rows
+    * (e2s/w1s/w2s/i1).
+    *
+    * Stateful-operator parallelism is pinned to 8 for the run: each
+    * micro-batch commits one state store per shuffle partition — a FIXED
+    * cost regardless of data volume — and the gate streams are one small
+    * file (a real deployment sizes this to sustained stream volume; the
+    * value is pinned into the checkpoint at first start either way).
+    *
+    * The pin mutates the SESSION-global shuffle.partitions and restores it
+    * after; that is only correct because gate queries run sequentially
+    * (Verify and Bench execute one query at a time). The guard makes the
+    * assumption explicit: a concurrent second stream gate would race the
+    * restore and leak 8 partitions into unrelated plans (ADVICE r9 #4),
+    * so reentry fails fast instead.
+    */
+  private val streamGateActive = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def runStreamGate(
+      s: SparkSession, df: org.apache.spark.sql.Dataset[_], name: String): DataFrame = {
+    require(streamGateActive.compareAndSet(false, true),
+      "stream gate helper is not reentrant (it pins session-global shuffle.partitions)")
+    try {
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = df.writeStream
+          .format("memory").queryName(name).outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally streamGateActive.set(false)
+    s.table(name)
+  }
+
   val w2sStreamSession: Q = (s, d) => {
     import s.implicits._
     val rawSchema = s.read.parquet(s"$d/events.parquet").schema
@@ -348,17 +392,8 @@ object Queries {
       .agg(count(lit(1)).as("n_events"))
       .select($"user_id",
         $"sw.start".cast("timestamp_ntz").as("session_start"), $"n_events")
-    val name = "w2s_stream_session_sink"
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = agg.writeStream
-        .format("memory").queryName(name).outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    s.table(name).orderBy($"user_id", $"session_start")
+    runStreamGate(s, agg, "w2s_stream_session_sink")
+      .orderBy($"user_id", $"session_start")
   }
 
   /** Q3 data-profiling summary per event_type — the curation-side stats
@@ -433,19 +468,8 @@ object Queries {
       .groupBy(window($"ts", "1 hour").as("win"), $"event_type")
       .agg(count(lit(1)).as("n"), sum(dec($"value")).cast("double").as("sum_value"))
       .select($"win.start".cast("timestamp_ntz").as("w"), $"event_type", $"n", $"sum_value")
-    val name = "w1s_stream_window_sink"
-    // same stateful-parallelism pinning rationale as e2s: one state store
-    // per shuffle partition per micro-batch, sized to the gate stream
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = agg.writeStream
-        .format("memory").queryName(name).outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    s.table(name).orderBy($"w", $"event_type")
+    runStreamGate(s, agg, "w1s_stream_window_sink")
+      .orderBy($"w", $"event_type")
   }
 
   /** As-of join (nearest prior event): for each click, the most recent
@@ -757,8 +781,12 @@ object Queries {
   private def stageForStream(d: String, tableFile: String): String = {
     val pathTag = java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    // PID-keyed like the format mirrors: the staged copy is not atomic, so
+    // a concurrent JVM re-staging the same path could expose a truncated
+    // file to this one's running stream (ADVICE r9 #2)
     val stage = java.nio.file.Paths.get(
       s"/tmp/graft_stream_${tableFile.stripSuffix(".parquet")}_" +
+        s"${ProcessHandle.current().pid()}_" +
         d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + pathTag)
     java.nio.file.Files.createDirectories(stage)
     val src = java.nio.file.Paths.get(s"$d/$tableFile")
@@ -783,22 +811,8 @@ object Queries {
       .as[graft.streaming.StreamDoc]
     val pairs = graft.streaming.StreamingNearDedup
       .candidatePairs(stream, k = 8, shingleK = 3, bands = 4)
-    val name = "e2s_stream_pairs_sink"
-    // Stateful-operator parallelism: each micro-batch commits one state
-    // store per shuffle partition, a FIXED cost regardless of data volume.
-    // The gate stream is one small file — 8 stores, not the session's 32
-    // (a real deployment sizes this to sustained stream volume; it is
-    // pinned into the checkpoint at first start either way).
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = pairs.writeStream
-        .format("memory").queryName(name).outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    s.table(name).select($"d1", $"d2").distinct().orderBy($"d1", $"d2")
+    runStreamGate(s, pairs, "e2s_stream_pairs_sink")
+      .select($"d1", $"d2").distinct().orderBy($"d1", $"d2")
   }
 
   /** E2i incremental near-dedup — the daily-delta path: the corpus's LSH
@@ -806,17 +820,19 @@ object Queries {
     * .bandSignatures]], 3 small columns per doc); a new batch sketches
     * only itself and probes the lake with one equi-join
     * ([[IncrementalDedup.deltaPairs]]). Gate split: doc_id % 10 == 0 is
-    * the "new batch", the rest is the standing corpus. The oracle is the
-    * FULL batch recompute (e2's sketch SQL) restricted to pairs touching
-    * the delta — hash-equality proves incremental processing loses
-    * nothing vs the batch gold standard, while only ever sketching 10% of
-    * the documents and never shuffling corpus text.
+    * the "new batch", the rest is the standing corpus — whose signatures
+    * are read from the [[ensureSigLake]] table, bucketed by (band, bsig)
+    * exactly as a production lake would be, so the probe plans zero
+    * lake-side exchanges. The oracle is the FULL batch recompute (e2's
+    * sketch SQL) restricted to pairs touching the delta — hash-equality
+    * proves incremental processing loses nothing vs the batch gold
+    * standard, while only ever sketching 10% of the documents and never
+    * shuffling corpus text (or corpus signatures).
     */
   val e2iIncrementalPairs: Q = (s, d) => {
     import s.implicits._
     val docs = Tables.documents(s, d)
-    val corpusSigs = IncrementalDedup.bandSignatures(
-      docs.where($"doc_id" % 10 =!= 0), "text", "doc_id", 8, 3, 4)
+    val corpusSigs = s.table(ensureSigLake(s, d))
     val deltaSigs = IncrementalDedup.bandSignatures(
       docs.where($"doc_id" % 10 === 0), "text", "doc_id", 8, 3, 4)
     IncrementalDedup.deltaPairs(corpusSigs, deltaSigs, "doc_id")
@@ -931,6 +947,17 @@ object Queries {
     s"${java.nio.file.Files.size(p)}#${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
   }
 
+  // a fresh JVM's in-memory catalog doesn't know tables whose files
+  // a PREVIOUS run left in the warehouse — clear both catalog entry
+  // and location or saveAsTable refuses (LOCATION_ALREADY_EXISTS)
+  private def resetTable(s: SparkSession, t: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir") + "/" + t)
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
   // Bucketed lake tables, written once per (session, sf, source version) —
   // table layout is a periodic job like the IVF index build, so the gate
   // times the JOIN the layout pays for, not the one-time write.
@@ -940,19 +967,32 @@ object Queries {
       s"${System.identityHashCode(s)}#$d#${sourceTag(d, "orders.parquet")}#${sourceTag(d, "customer.parquet")}") {
       val key = d.replaceAll("[^A-Za-z0-9]", "_")
       val (ot, ct) = (s"orders_bkt_$key", s"customer_bkt_$key")
-      Seq(ot, ct).foreach { t =>
-        // a fresh JVM's in-memory catalog doesn't know tables whose files
-        // a PREVIOUS run left in the warehouse — clear both catalog entry
-        // and location or saveAsTable refuses (LOCATION_ALREADY_EXISTS)
-        s.sql(s"DROP TABLE IF EXISTS $t")
-        val loc = new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir") + "/" + t)
-        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(loc)) fs.delete(loc, true)
-      }
+      Seq(ot, ct).foreach(resetTable(s, _))
       graft.sources.LakeLayout.writeBucketed(Tables.orders(s, d), ot, 8, "o_custkey")
       graft.sources.LakeLayout.writeBucketed(Tables.customer(s, d), ct, 8, "c_custkey")
       (ot, ct)
+    }
+
+  /** The e2i signature lake as it would exist in production: the standing
+    * corpus's (doc_id, band, bsig) rows written ONCE, bucketed by
+    * (band, bsig) ([[graft.sources.LakeLayout.writeBucketedBy]]), so every
+    * subsequent delta probe joins against its at-rest clustering and plans
+    * zero lake-side exchanges (PlanAuditSpec pins the shape). Session-cached
+    * layout job like [[ensureBucketed]] — the gate times the PROBE the lake
+    * layout pays for, not the one-time corpus sketch.
+    */
+  private val sigLakeTables = new operators.SessionCache[String]
+  private[graft] def ensureSigLake(s: SparkSession, d: String): String =
+    sigLakeTables.getOrBuild(
+      s"${System.identityHashCode(s)}#$d#${sourceTag(d, "documents.parquet")}") {
+      import s.implicits._
+      val t = "siglake_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      resetTable(s, t)
+      val corpus = Tables.documents(s, d).where($"doc_id" % 10 =!= 0)
+      graft.sources.LakeLayout.writeBucketedBy(
+        IncrementalDedup.bandSignatures(corpus, "text", "doc_id", 8, 3, 4),
+        t, 8, Seq("band", "bsig"), Seq("band", "bsig"))
+      t
     }
 
   /** J6 co-located bucketed join — SURVEY §4's "co-locate joins via

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Incremental near-dup detection: dedup a NEW batch against an existing
@@ -71,16 +70,46 @@ object IncrementalDedup {
     * signatures to the lake afterwards completes the induction: pairs
     * within all data so far = union of every batch's deltaPairs.
     *
-    * Shape: the delta rows ride INSIDE the unioned, bucket-sized frame
-    * (flagged `__dl`), and the probe side filters that same frame — both
-    * join inputs share the window exchange, so the delta's sketch is
-    * computed ONCE (a separate deltaSigs probe would re-evaluate the
-    * shingle+minhash pipeline, the dominant cost, a second time). Within
-    * a kept bucket the [[TextDedup.bucketPairs]] salting discipline
-    * applies: each member owns one of `⌈size/smallCap⌉` salt cells, the
-    * probe replicates to every cell, and each pair meets in exactly one —
-    * so a near-boilerplate bucket's fan-out spreads over cells instead of
-    * landing on the single task that owns its join key.
+    * Shape — the lake NEVER re-shuffles (VERDICT r9 #1). Everything that
+    * sizes, drops, and salts buckets is computed on delta-sized frames and
+    * reaches the lake only through broadcasts:
+    *
+    *   1. `deltaCnt`: per-(band, bsig) delta member counts — one
+    *      delta-sized aggregate.
+    *   2. `lakeCnt`: the lake's member counts for EXACTLY those buckets —
+    *      a broadcast semi-join restricts the lake BEFORE its aggregate,
+    *      so aggregate state is delta-bucket-sized and the partial/final
+    *      agg on (band, bsig) is satisfied by a (band, bsig)-bucketed
+    *      lake's at-rest clustering: zero lake exchanges.
+    *   3. `kept`: total bucket size = lake + delta members; buckets over
+    *      `maxBucket` are dropped + accounted via `observe`
+    *      (`max_bucket`/`dropped_members` on `metricName` — a bucket
+    *      that big is boilerplate and its pairs are noise); survivors
+    *      carry `__ns = ⌈size/smallCap⌉` salt cells. This frame is one
+    *      row per delta-touched bucket — it broadcasts.
+    *   4. The lake⋈delta pair join runs on EXACTLY the lake's at-rest
+    *      keys (band, bsig), deliberately unsalted: a salt cell can only
+    *      spread work that crosses a shuffle, and the whole point is that
+    *      lake rows never do — every cell of a sig-bucket is co-located
+    *      in the same at-rest bucket regardless, and adding the cell to
+    *      the join keys would make the lake's (band, bsig) clustering a
+    *      strict SUBSET of the keys, which Spark (conservatively, via
+    *      requireAllClusterKeysForCoPartition) answers by reshuffling
+    *      the lake on the full keys — the exact corpus-sized shuffle
+    *      this operator exists to avoid. Per-bucket fan-out is instead
+    *      bounded by the `maxBucket` drop. PlanAuditSpec pins the
+    *      resulting shape: zero shuffles above any lake scan.
+    *   5. The delta⋈delta pair join keeps [[TextDedup.bucketPairs]]'
+    *      salted-cell discipline (each base member owns one of `__ns`
+    *      cells, the probe replicates to every cell, each pair meets in
+    *      exactly one): both of its sides are delta-sized and genuinely
+    *      shuffle, so there the salt does spread a near-boilerplate
+    *      bucket's fan-out across tasks.
+    *
+    * The delta sketch is evaluated once per branch over 3-column
+    * signature rows; callers probing a multi-band sketch should pass a
+    * cached/materialized `deltaSigs` if the upstream shingle+minhash
+    * lineage is expensive to recompute.
     */
   def deltaPairs(
       corpusSigs: DataFrame,
@@ -90,32 +119,49 @@ object IncrementalDedup {
       smallCap: Int = 1024,
       metricName: String = "graft.lsh.incremental"): DataFrame = {
     require(smallCap >= 2, "smallCap must be >= 2")
-    val all = corpusSigs.select(col(idCol), col("band"), col("bsig"))
-      .withColumn("__dl", lit(false))
-      .unionByName(deltaSigs.select(col(idCol), col("band"), col("bsig"))
-        .withColumn("__dl", lit(true)))
-    // size every (band, bsig) bucket; oversized buckets are boilerplate —
-    // drop + account, never fan out
-    val base = all
-      .withColumn("__bsz",
-        count(lit(1)).over(Window.partitionBy(col("band"), col("bsig"))))
+    val lake = corpusSigs.select(col(idCol), col("band"), col("bsig"))
+    val delta = deltaSigs.select(col(idCol), col("band"), col("bsig"))
+    val deltaCnt = delta.groupBy(col("band"), col("bsig"))
+      .agg(count(lit(1)).as("__dc"))
+    val lakeCnt = lake
+      .join(broadcast(deltaCnt.select(col("band"), col("bsig"))),
+        Seq("band", "bsig"), "left_semi")
+      .groupBy(col("band"), col("bsig"))
+      .agg(count(lit(1)).as("__lc"))
+    // one row per delta-touched bucket; dropped_members = total members
+    // (lake + delta) of the dropped buckets, same accounting the batch
+    // path reports per member row
+    val kept = deltaCnt
+      .join(lakeCnt, Seq("band", "bsig"), "left")
+      .withColumn("__bsz", col("__dc") + coalesce(col("__lc"), lit(0L)))
       .observe(metricName,
         max(col("__bsz")).as("max_bucket"),
-        sum(when(col("__bsz") > maxBucket, 1L).otherwise(0L)).as("dropped_members"))
+        sum(when(col("__bsz") > maxBucket, col("__bsz")).otherwise(0L))
+          .as("dropped_members"))
       .where(col("__bsz") <= maxBucket)
       .withColumn("__ns",
         greatest(lit(1), ceil(col("__bsz") / lit(smallCap.toDouble))).cast("int"))
+      .select(col("band"), col("bsig"), col("__ns"))
+    val lakeKept = lake.join(broadcast(kept), Seq("band", "bsig"))
+    val deltaKept = delta.join(broadcast(kept), Seq("band", "bsig"))
       .withColumn("__g", pmod(xxhash64(col(idCol)), col("__ns")).cast("int"))
-    val probe = base.where(col("__dl"))
-      .select(col(idCol).as("__pid"), col("band").as("__pband"),
-        col("bsig").as("__pbsig"),
-        explode(sequence(lit(0), col("__ns") - 1)).as("__pg"))
-    base.join(probe,
+    val flatProbe = deltaKept.select(col(idCol).as("__pid"),
+      col("band").as("__pband"), col("bsig").as("__pbsig"))
+    val lakePairs = lakeKept.join(flatProbe,
+        col("band") === col("__pband") && col("bsig") === col("__pbsig") &&
+          col(idCol) =!= col("__pid"))
+      .select(
+        least(col(idCol), col("__pid")).as("d1"),
+        greatest(col(idCol), col("__pid")).as("d2"))
+    val saltProbe = deltaKept.select(col(idCol).as("__pid"),
+      col("band").as("__pband"), col("bsig").as("__pbsig"),
+      explode(sequence(lit(0), col("__ns") - 1)).as("__pg"))
+    val deltaPairs = deltaKept.join(saltProbe,
         col("band") === col("__pband") && col("bsig") === col("__pbsig") &&
           col("__g") === col("__pg") && col(idCol) =!= col("__pid"))
       .select(
         least(col(idCol), col("__pid")).as("d1"),
         greatest(col(idCol), col("__pid")).as("d2"))
-      .distinct()
+    lakePairs.unionByName(deltaPairs).distinct()
   }
 }

@@ -19,13 +19,25 @@ object LakeLayout {
   /** Write `df` as a bucketed, sorted managed table (parquet). */
   def writeBucketed(
       df: DataFrame, table: String, buckets: Int, key: String,
-      sortKeys: Seq[String] = Nil): Unit = {
-    val sorted = if (sortKeys.isEmpty) Seq(key) else sortKeys
+      sortKeys: Seq[String] = Nil): Unit =
+    writeBucketedBy(df, table, buckets, Seq(key),
+      if (sortKeys.isEmpty) Seq(key) else sortKeys)
+
+  /** [[writeBucketed]] with a composite bucket key — e.g. the incremental
+    * dedup signature lake bucketed by (band, bsig), whose at-rest
+    * `HashPartitioning(keys)` satisfies any downstream join/aggregation
+    * clustered on a SUPERSET of the keys (Spark's subset-satisfies rule),
+    * so lake probes plan zero lake-side exchanges.
+    */
+  def writeBucketedBy(
+      df: DataFrame, table: String, buckets: Int, keys: Seq[String],
+      sortKeys: Seq[String]): Unit = {
+    require(keys.nonEmpty && sortKeys.nonEmpty, "bucket and sort keys required")
     df.write
       .format("parquet")
       .mode("overwrite")
-      .bucketBy(buckets, key)
-      .sortBy(sorted.head, sorted.tail: _*)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(sortKeys.head, sortKeys.tail: _*)
       .saveAsTable(table)
   }
 

@@ -165,4 +165,78 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "interval join must bucket into an equi-join")
   }
+
+  test("e2i: a bucketed signature lake plans ZERO lake-side shuffles on the delta probe") {
+    // The deltaPairs contract (VERDICT r9 #1): corpus signatures reach the
+    // pair join through their at-rest (band, bsig) bucketing — bucket
+    // sizing, drop keys, and salt-cell counts arrive via broadcasts, so no
+    // plan node above a lake scan is ever a shuffle. Audited with
+    // broadcasts DISABLED so the pair join takes the sort-merge path a
+    // too-big-to-broadcast delta takes at 100 TB (the explicit broadcast()
+    // hints on the delta-sized bucket frames still apply — those are
+    // broadcast-able at any scale by construction), and AQE off so the
+    // executed plan carries concrete exchange nodes.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val lakeTable = Queries.ensureSigLake(spark, d)
+      val deltaSigs = graft.operators.IncrementalDedup.bandSignatures(
+        Tables.documents(spark, d).where(col("doc_id") % 10 === 0),
+        "text", "doc_id", 8, 3, 4)
+      val probe = graft.operators.IncrementalDedup.deltaPairs(
+        spark.table(lakeTable), deltaSigs, "doc_id")
+      val plan = probe.queryExecution.executedPlan
+      def allLakeScans(p: org.apache.spark.sql.execution.SparkPlan) = p.collect {
+        case f: FileSourceScanExec if f.tableIdentifier.exists(_.table == lakeTable) => f
+      }
+      assert(allLakeScans(plan).nonEmpty, "the probe must scan the lake table")
+      assert(allLakeScans(plan).forall(_.bucketedScan),
+        "lake scans must read the at-rest bucketed layout")
+      // RAW lake signature rows must never cross a shuffle. From each
+      // shuffle, walk DOWN through nodes that merely pass lake rows along
+      // (unary ops, a broadcast join's streamed side): reaching a lake
+      // scan means corpus-sized rows feed this exchange — the r9 defect.
+      // Stop at aggregates (lake rows already reduced to per-bucket
+      // counts), at shuffled joins (output is delta-involving pairs), and
+      // at exchange boundaries (a broadcast of the delta-sized count
+      // frame is the intended design).
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+      import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+      def shufflesRawLake(p: SparkPlan): Boolean = p match {
+        case f: FileSourceScanExec => f.tableIdentifier.exists(_.table == lakeTable)
+        case b: BroadcastHashJoinExec =>
+          shufflesRawLake(b.buildSide match {
+            case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.right
+            case org.apache.spark.sql.catalyst.optimizer.BuildRight => b.left
+          })
+        case _: BaseAggregateExec => false
+        case _: SortMergeJoinExec => false
+        case _: ShuffledHashJoinExec => false
+        case _: org.apache.spark.sql.execution.exchange.Exchange => false
+        case u if u.children.size == 1 => shufflesRawLake(u.children.head)
+        case _ => false
+      }
+      val offending = plan.collect {
+        case sh: ShuffleExchangeExec if shufflesRawLake(sh.child) => sh
+      }
+      if (offending.nonEmpty) {
+        java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/e2i_plan.txt"),
+          plan.treeString.getBytes("UTF-8"))
+        java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/e2i_offenders.txt"),
+          offending.map(_.treeString).mkString("\n=====\n").getBytes("UTF-8"))
+      }
+      assert(offending.isEmpty,
+        s"lake rows must never re-shuffle on a delta probe: ${offending.size} offending exchange(s), trees in /tmp/e2i_offenders.txt")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
 }
