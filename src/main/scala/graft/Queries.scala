@@ -1487,6 +1487,51 @@ object Queries {
       .orderBy($"doc_id")
   }
 
+  /** P4 — the FULL RefinedWeb/C4-style curation recipe through the
+    * user-facing [[graft.api.CorpusRecipe]] builder, covering the steps p3
+    * does not (r9 advice): synthetic PII and URLs attached (t6/u1's
+    * construction discipline, so every stage provably FIRES) → PII scrub →
+    * benchmark decontamination (e9's bench split) → exact dedup carrying
+    * the keeper's url → per-domain cap (u1's md5-draw keeper order) →
+    * token count. The scrub is a row-local regexp chain fused into the
+    * scan projection; decontamination broadcasts the bench shingle set;
+    * the dedup groupBy is the first corpus shuffle; the cap ships ≤ k ids
+    * per domain through the bounded-heap aggregate. The oracle recomputes
+    * the ENTIRE chain in SQL, so the builder's composition — step order,
+    * column plumbing, keeper semantics — is driver-checked end-to-end,
+    * not just each operator in isolation.
+    */
+  val p4CurationRecipe: Q = (s, d) => {
+    import s.implicits._
+    val url = concat(lit("https://"),
+      when($"doc_id" % 4 === 0, "www.").otherwise(""),
+      lit("u"), $"doc_id" % 7, lit("."),
+      lit("site"), $"doc_id" % 23, lit("."),
+      when($"doc_id" % 3 === 0, "com").when($"doc_id" % 3 === 1, "org").otherwise("net"),
+      lit("/page/"), $"doc_id", lit("?ref="), $"source")
+    val piiText = concat($"text",
+      when($"doc_id" % 3 === 0,
+        concat(lit(" contact User"), $"doc_id", lit("@Example.COM"))).otherwise(lit("")),
+      when($"doc_id" % 5 === 0,
+        concat(lit(" from 10.0."), ($"doc_id" % 256).cast("string"), lit(".7"))).otherwise(lit("")),
+      when($"doc_id" % 7 === 0,
+        concat(lit(" call +1-555-01"), lpad(($"doc_id" % 100).cast("string"), 2, "0"))).otherwise(lit("")))
+    val docs = Tables.documents(s, d)
+    val corpus = docs.where($"doc_id" % 10 =!= 0)
+      .select($"doc_id", piiText.as("text"), url.as("url"))
+    val bench = docs.where($"doc_id" % 10 === 0).select($"doc_id", $"text")
+    graft.api.CorpusRecipe(corpus)
+      .scrubPii()
+      .decontaminate(bench, shingleK = 5)
+      .exactDedup("url")
+      .capPerDomain("url", 5)
+      .countTokens("n_tok")
+      .frame
+      .select($"doc_id", registeredDomain($"url").as("domain"),
+        $"n_tok", md5($"text").as("text_md5"))
+      .orderBy($"doc_id")
+  }
+
   /** P2 — the full training-data corpus pipeline as ONE declarative plan:
     * language-ID → quality gate → MinHash-LSH near-dup pairs → connected
     * components → one representative (min doc_id) per near-dup cluster,
@@ -2345,6 +2390,41 @@ object Queries {
         |cum AS (SELECT doc_id, n_tok,
         |  sum(n_tok) OVER (ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS cum FROM ded)
         |SELECT doc_id, n_tok FROM cum WHERE cum <= 2000 ORDER BY doc_id""".stripMargin,
+    // the full curation-recipe chain recomputed in SQL: t6's scrub ∘ e9's
+    // decontamination ∘ e1's dedup ∘ u1's capped-domain keeper order
+    "p4_curation_recipe" ->
+      """WITH base AS (SELECT doc_id,
+        |  text || (CASE WHEN doc_id % 3 = 0 THEN ' contact User' || doc_id || '@Example.COM' ELSE '' END) ||
+        |         (CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' || (doc_id % 256) || '.7' ELSE '' END) ||
+        |         (CASE WHEN doc_id % 7 = 0 THEN ' call +1-555-01' || lpad((doc_id % 100)::VARCHAR, 2, '0') ELSE '' END) AS text,
+        |  'https://' || (CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END) ||
+        |  'u' || CAST(doc_id % 7 AS VARCHAR) || '.site' || CAST(doc_id % 23 AS VARCHAR) || '.' ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN 'com' WHEN doc_id % 3 = 1 THEN 'org' ELSE 'net' END) ||
+        |  '/page/' || CAST(doc_id AS VARCHAR) || '?ref=' || source AS url
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |scrub AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+\d[\d-]{7,}\d', '<PHONE>', 'g') AS text, url FROM base),
+        |ch AS (SELECT doc_id, ('0x' || substring(md5(s), 1, 15))::BIGINT AS h FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-4),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM scrub))),
+        |bh AS (SELECT DISTINCT ('0x' || substring(md5(s), 1, 15))::BIGINT AS h FROM (
+        |  SELECT unnest(list_transform(generate_series(1, len(w)-4),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS s
+        |  FROM (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % 10 = 0))),
+        |bad AS (SELECT DISTINCT ch.doc_id FROM ch JOIN bh ON ch.h = bh.h),
+        |keep AS (SELECT s.* FROM scrub s LEFT JOIN bad b ON s.doc_id = b.doc_id WHERE b.doc_id IS NULL),
+        |ded AS (SELECT min(doc_id) AS doc_id, text, min(url) AS url FROM keep GROUP BY text),
+        |dom AS (SELECT doc_id, text,
+        |  regexp_extract(regexp_replace(regexp_extract(url, '^[a-z]+://([^/?]+)', 1), '^www\.', ''), '([^.]+\.[^.]+)$', 1) AS domain FROM ded),
+        |rk AS (SELECT doc_id, text, domain, row_number() OVER (PARTITION BY domain
+        |  ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rk FROM dom)
+        |SELECT doc_id, domain, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |  md5(text) AS text_md5
+        |FROM rk WHERE rk <= 5 ORDER BY doc_id""".stripMargin,
   )
 
   /** name → query function; keys must match [[oracle]] keys (where present). */
@@ -2428,6 +2508,7 @@ object Queries {
     "s1_stratified_sample" -> s1StratifiedSample,
     "s2_token_budget" -> s2TokenBudget,
     "p3_corpus_recipe" -> p3CorpusRecipe,
+    "p4_curation_recipe" -> p4CurationRecipe,
     "p1_corpus_clean" -> p1CorpusClean,
     "p2_corpus_dedup" -> p2CorpusDedup,
   )

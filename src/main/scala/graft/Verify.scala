@@ -7,7 +7,13 @@ object Verify {
     val Array(sfDir, outDir) = args
     val spark = GraftSession.local()
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Local-iteration filter (unset in the driver → full surface):
+    // SPARK_GRAFT_VERIFY_ONLY=q1,q2 dumps only those queries.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -33,7 +39,7 @@ object Verify {
     // top-k on the same data — gives the approximate-by-construction gate
     // rows a number the judge can track round-over-round (the specs assert
     // recall bounds; this records the value the driver actually ran).
-    try {
+    try if (only.isEmpty) {
       val exact = Queries.c8AnnExact(spark, sfDir).select("vec_id")
         .collect().map(_.getAs[Number](0).longValue).toSet
       val entries = Seq("c8_ann_ivf", "c7_sq8_ann", "c7_pq_ann").flatMap { name =>

@@ -1,7 +1,8 @@
 package graft.api
 
+import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
-import graft.operators.{Sampling, Spread, TextDedup}
+import graft.operators.{LineDedup, Sampling, Spread, TextDedup}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -85,6 +86,66 @@ final class CorpusRecipe private (
       .where(col("cluster") === col(idCol))
       .select(col(idCol))
     next(frame.join(reps, Seq(idCol), "left_semi"))
+  }
+
+  /** t6's PII scrub applied IN PLACE: emails, dotted-quad IPs, and phone
+    * numbers replaced by typed placeholders. A row-local regexp chain —
+    * composes into the scan projection, no shuffle.
+    */
+  def scrubPii(): CorpusRecipe =
+    next(frame.withColumn(textCol, TextFunctions.scrubPii(col(textCol))))
+
+  /** e9's benchmark decontamination: DROP every document sharing at least
+    * one `shingleK`-token shingle with `bench` (which must expose the same
+    * id/text column names). The bench shingle set is eval-suite-sized →
+    * broadcast into the corpus-side probe; the corpus text itself never
+    * shuffles — only the (small) contaminated-id set reaches the anti-join.
+    */
+  def decontaminate(bench: DataFrame, shingleK: Int = 5): CorpusRecipe = {
+    val bad = TextDedup.contamination(frame, bench, textCol, idCol, shingleK)
+      .select(col(idCol))
+    next(frame.join(bad, Seq(idCol), "left_anti"))
+  }
+
+  /** u1's RefinedWeb mixing rule: keep at most `k` documents per
+    * registered domain of `urlCol`, selected by the deterministic md5 draw
+    * (draw ascending, id tie-break — the same keeper order as [[sample]]).
+    * The cap is the bounded-heap `topk_ids` aggregate (≤ k ids per domain
+    * per map task cross one shuffle), NEVER a per-domain ranking window —
+    * a mega-domain must not sort in one task. Requires a LONG id column
+    * and the graft session extensions (topk_ids).
+    */
+  def capPerDomain(urlCol: String, k: Int): CorpusRecipe = {
+    val kept = frame
+      .select(col(idCol), registeredDomain(col(urlCol)).as("__dom"),
+        (-conv(Sampling.drawHex(col(idCol)), 16, 10).cast("double")).as("__nd"))
+      .groupBy(col("__dom"))
+      .agg(expr(s"topk_ids(__nd, $idCol, $k)").as("__ids"))
+      .select(explode(col("__ids")).as(idCol))
+    next(frame.join(kept, Seq(idCol), "left_semi"))
+  }
+
+  /** e11's exact substring scrub (Lee et al. 2021): `k`-token passages
+    * shared by ≥ 2 documents are removed and the text column REBUILT from
+    * the surviving tokens. Documents reduced to nothing survive with empty
+    * text — chain a `gate(length(col("text")) > 0)` to drop them.
+    */
+  def scrubSharedPassages(k: Int = 8): CorpusRecipe = {
+    val cleaned = TextDedup.passageScrub(frame, textCol, idCol, k)
+      .select(col(idCol), col("clean_text"))
+    next(frame.drop(textCol).join(cleaned, Seq(idCol))
+      .withColumnRenamed("clean_text", textCol))
+  }
+
+  /** l1's line-level boilerplate removal IN PLACE: lines appearing in ≥
+    * `minDocs` documents are dropped corpus-wide (broadcast blocklist,
+    * row-local clean; text order preserved).
+    */
+  def dropBoilerplateLines(minDocs: Int, sep: String = "\n"): CorpusRecipe = {
+    val cleaned = LineDedup.removeBoilerplate(frame, idCol, textCol, sep, minDocs)
+      .select(col(idCol), col("clean_text"))
+    next(frame.drop(textCol).join(cleaned, Seq(idCol))
+      .withColumnRenamed("clean_text", textCol))
   }
 
   /** s1's deterministic stratified sample (md5-draw, engine-portable). */

@@ -56,6 +56,64 @@ class CorpusRecipeSpec extends SparkSpec {
       s"api=$budgeted direct=$directB")
   }
 
+  test("scrubPii rewrites the text column in place (p4's oracle pins parity)") {
+    val dirty = Seq((1L, "mail me at bob@example.com or call +1-555-0100 ok"))
+      .toDF("doc_id", "text")
+    val out = CorpusRecipe(dirty).scrubPii().frame
+      .select("text").head().getString(0)
+    assert(out == "mail me at <EMAIL> or call <PHONE> ok", out)
+  }
+
+  test("decontaminate drops exactly the docs sharing a shingle with the bench") {
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val kept = CorpusRecipe(docs).decontaminate(bench, shingleK = 5).frame
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // docs 1-3 contain the bench's 5-shingle ("the quick brown fox jumps");
+    // 4 and 5 share nothing
+    assert(kept == Set(4L, 5L), kept.toString)
+  }
+
+  test("capPerDomain keeps at most k docs per registered domain, md5-draw order") {
+    val withUrl = docs.withColumn("url",
+      concat(lit("https://www.site"), $"doc_id" % 2, lit(".com/p/"), $"doc_id"))
+    val kept = CorpusRecipe(withUrl).capPerDomain("url", 1).frame
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // domains: site1.com = {1,3,5}, site0.com = {2,4}; keeper = min md5-draw
+    val draw = (id: Long) => java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes).take(4).map("%02x".format(_)).mkString
+    val expect = Set(Seq(1L, 3L, 5L).minBy(draw), Seq(2L, 4L).minBy(draw))
+    assert(kept == expect, s"kept=$kept expect=$expect")
+  }
+
+  test("scrubSharedPassages rebuilds text and matches the operator's clean_text") {
+    val eight = Seq(
+      (1L, "one two three four five six seven eight tail1 x"),
+      (2L, "one two three four five six seven eight tail2 y"),
+      (3L, "totally distinct words with no shared passage at all"))
+      .toDF("doc_id", "text")
+    val out = CorpusRecipe(eight).scrubSharedPassages(8).frame
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val direct = TextDedup.passageScrub(eight, "text", "doc_id", 8)
+      .select("doc_id", "clean_text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == direct, out.toString)
+    assert(out(1L) == "tail1 x" && out(3L).startsWith("totally"), out.toString)
+  }
+
+  test("dropBoilerplateLines removes corpus-frequent lines in place") {
+    val lined = Seq(
+      (1L, "unique one\nsubscribe now"),
+      (2L, "unique two\nsubscribe now"),
+      (3L, "unique three\nsubscribe now"))
+      .toDF("doc_id", "text")
+    val out = CorpusRecipe(lined).dropBoilerplateLines(minDocs = 3).frame
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unique one", 2L -> "unique two", 3L -> "unique three"),
+      out.toString)
+  }
+
   test("full recipe chain composes lazily and collapses dup groups") {
     // plan-shape (gate fused below the dedup shuffle over a real parquet
     // scan) is pinned by PlanAuditSpec's p3 test, which builds through
