@@ -3,6 +3,7 @@ package graft
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
 import graft.operators.{AnnSearch, AsOfJoin, ConnectedComponents, IncrementalDedup, IvfIndex, LineDedup, LmScore, Pq, RangeJoin, Sampling, TemporalDedup, TextDedup}
+import graft.streaming.IngestPipeline
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -837,6 +838,99 @@ object Queries {
       docs.where($"doc_id" % 10 === 0), "text", "doc_id", 8, 3, 4)
     IncrementalDedup.deltaPairs(corpusSigs, deltaSigs, "doc_id")
       .orderBy($"d1", $"d2")
+  }
+
+  private def deleteDir(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(java.nio.file.Files.delete(_))
+
+  /** Stage the i1 media fixture: one MJPEG-AVI per seed document (the 6
+    * smallest doc_ids of the SF), laid out `watch/tt<id>/vid<id>.mp4` —
+    * the reference watcher's `<imdbId>/<fileName>` tree (`watcher.js:22-29`).
+    * Video `id` has `16 + 8·(id % 3)` frames at 8 fps (native ≤ the
+    * extractor's 12 fps grid, so container timestamps — exact multiples
+    * of 0.125 — survive to the output). Frame `i` is a JPEG whose top row
+    * of 8×8 cells spells the bits of `i` (each cell is exactly one JPEG
+    * block: solid black/white blocks decode near-exactly, so distinct i →
+    * distinct descriptor, robustly); every `i % 4 == 3` frame REUSES
+    * frame `i−1`'s bytes, planting the temporal duplicates the C3 dedup
+    * must drop. PID-keyed like every fixture dir (no cross-JVM clobber);
+    * built once per process, deterministic bytes either way.
+    */
+  private def stageI1Media(s: SparkSession, d: String): String = {
+    val pathTag = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val root = java.nio.file.Paths.get(
+      s"/tmp/graft_i1_media_${ProcessHandle.current().pid()}_$pathTag")
+    if (!java.nio.file.Files.exists(root.resolve("_done"))) {
+      deleteDir(root)
+      java.nio.file.Files.createDirectories(root)
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+        .orderBy(col("doc_id")).limit(6).collect().map(_.getLong(0))
+      ids.foreach { id =>
+        val nf = (16 + 8 * (id % 3)).toInt
+        def jpeg(i: Int): Array[Byte] = {
+          val img = new java.awt.image.BufferedImage(
+            64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g2 = img.createGraphics()
+          g2.setColor(java.awt.Color.BLACK)
+          g2.fillRect(0, 0, 64, 64)
+          g2.setColor(java.awt.Color.WHITE)
+          (0 until 8).foreach { j =>
+            if (((i >> j) & 1) == 1) g2.fillRect(j * 8, 0, 8, 8)
+          }
+          g2.dispose()
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpg", baos)
+          baos.toByteArray
+        }
+        val uniq = scala.collection.mutable.Map.empty[Int, Array[Byte]]
+        val frames = (0 until nf).map { i =>
+          val src = if (i % 4 == 3) i - 1 else i
+          uniq.getOrElseUpdate(src, jpeg(src))
+        }
+        val avi = graft.multimodal.AviMjpeg.write(frames, 8, 64, 64)
+        val dir = root.resolve(s"tt$id")
+        java.nio.file.Files.createDirectories(dir)
+        java.nio.file.Files.write(dir.resolve(s"vid$id.mp4"), avi)
+      }
+      java.nio.file.Files.write(root.resolve("_done"), Array.emptyByteArray)
+    }
+    root.toString
+  }
+
+  /** I1 — the reference's WHOLE REASON TO EXIST as one driver-checked gate
+    * row (r9 missing #4): the SURVEY §3.1/3.2 ingest lifecycle executed
+    * END-TO-END through [[graft.streaming.IngestPipeline.start]] — a
+    * binaryFile STREAM over the staged media tree (A1 watch), in-JVM
+    * MJPEG-AVI frame decode (A15), real descriptor + hash-code extraction
+    * on every frame (A16), vectorize/normalize/keys (B7-B11), temporal
+    * kept-set dedup (C3), and the algo-partitioned frames-lake append
+    * (A10), exactly-once via the file-source checkpoint. The oracle
+    * derives the expected kept frames from the fixture's generating
+    * formula with a generate_series — every planted `i % 4 == 3`
+    * duplicate must be dropped BY THE REAL DESCRIPTOR PATH (equal bytes →
+    * equal `hi` within the 2 s window) and every distinct frame kept, so
+    * a regression anywhere in the chain (container walk, decode,
+    * descriptor, dedup ordering, sink) breaks the hash.
+    */
+  val i1IngestLifecycle: Q = (s, d) => {
+    import s.implicits._
+    val watch = stageI1Media(s, d)
+    val base = java.nio.file.Paths.get(
+      watch.replaceFirst("graft_i1_media", "graft_i1_out"))
+    deleteDir(base) // fresh lake + checkpoint per run: append sink must not double
+    val frames = base.resolve("frames").toString
+    val ckpt = base.resolve("ckpt").toString
+    val q = IngestPipeline.start(s, watch, frames, ckpt, algo = "in",
+      extractor = IngestPipeline.defaultExtractor, availableNow = true)
+    q.awaitTermination()
+    s.read.parquet(frames)
+      .select($"imdb_id", $"file_name", $"time",
+        $"duration".cast("double").as("duration"))
+      .orderBy($"imdb_id", $"time")
   }
 
   /** T9 document → training chunks: fixed-length token windows with
@@ -2390,6 +2484,21 @@ object Queries {
         |cum AS (SELECT doc_id, n_tok,
         |  sum(n_tok) OVER (ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS cum FROM ded)
         |SELECT doc_id, n_tok FROM cum WHERE cum <= 2000 ORDER BY doc_id""".stripMargin,
+    // the fixture's generating formula re-derived: video id has
+    // 16+8*(id%3) frames at 8 fps; every i%4==3 frame duplicates i-1's
+    // bytes and must be dropped by the kept-set dedup; duration = last
+    // frame's timecode (computed before dedup). Exact doubles: every
+    // timecode is a multiple of 0.125.
+    "i1_ingest_lifecycle" ->
+      """WITH v AS (SELECT doc_id, 16 + 8 * (doc_id % 3) AS nf
+        |  FROM documents ORDER BY doc_id LIMIT 6),
+        |f AS (SELECT doc_id, nf, unnest(range(nf)) AS i FROM v)
+        |SELECT 'tt' || CAST(doc_id AS VARCHAR) AS imdb_id,
+        |  'vid' || CAST(doc_id AS VARCHAR) || '.mp4' AS file_name,
+        |  i::DOUBLE / 8.0 AS time,
+        |  (nf - 1)::DOUBLE / 8.0 AS duration
+        |FROM f WHERE i % 4 <> 3
+        |ORDER BY imdb_id, time""".stripMargin,
     // the full curation-recipe chain recomputed in SQL: t6's scrub ∘ e9's
     // decontamination ∘ e1's dedup ∘ u1's capped-domain keeper order
     "p4_curation_recipe" ->
@@ -2483,6 +2592,7 @@ object Queries {
     "e2_minhash_pairs" -> e2MinhashPairs,
     "e2s_stream_pairs" -> e2sStreamPairs,
     "e2i_incremental_pairs" -> e2iIncrementalPairs,
+    "i1_ingest_lifecycle" -> i1IngestLifecycle,
     "e3_simhash" -> e3Simhash,
     "e3_simhash_near" -> e3SimhashNear,
     "e8_dedup_cluster" -> e8DedupCluster,

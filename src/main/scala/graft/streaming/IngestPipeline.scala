@@ -115,7 +115,12 @@ object IngestPipeline {
     frames
       .withColumn("vec_raw", parseHexVector(col("ha"), dim))
       .withColumn("norm", l2Norm(col("vec_raw")))
-      .withColumn("ha_vec", l2NormalizeWith(col("vec_raw"), col("norm")))
+      // an all-zero hash vector (e.g. a black frame whose descriptor
+      // samples no bits) has norm 0 — keep it as the zero vector instead
+      // of tripping ANSI division-by-zero mid-stream
+      .withColumn("ha_vec",
+        when(col("norm") > 0, l2NormalizeWith(col("vec_raw"), col("norm")))
+          .otherwise(col("vec_raw")))
       .withColumn("duration", max(col("time")).over(w).cast("float"))
       .withColumn("hash_id", hashId(col("imdbId"), col("fileName"), col("time")))
       .withColumn("primary_key", enginePrimaryKey(col("hash_id")))
