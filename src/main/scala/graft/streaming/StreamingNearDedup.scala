@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 /** A document on the ingest stream. */
 case class StreamDoc(id: Long, text: String)
@@ -167,6 +167,60 @@ object StreamingNearDedup {
             out.iterator
           }
       }
+  }
+
+  /** A corpus band-signature row — the signature-lake schema
+    * ([[graft.operators.IncrementalDedup]]: (doc_id, band, bsig)).
+    */
+  case class SigRow(doc_id: Long, band: Int, bsig: String)
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Band-signature rows of a document stream — BIT-IDENTICAL to the batch
+    * [[graft.operators.IncrementalDedup.bandSignatures]] (md5 over the
+    * band's comma-joined minhash rows; StreamLakeFlushSpec pins row-set
+    * equality), so a sink of these rows IS the signature lake a later
+    * batch delta probes.
+    */
+  def bandSignatureRows(
+      docs: Dataset[StreamDoc], k: Int, shingleK: Int, bands: Int): Dataset[SigRow] = {
+    require(k % bands == 0, "k must divide into bands")
+    val rowsPer = k / bands
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.flatMap { d =>
+      val sig = signature(d.text, k, shingleK)
+      if (sig == null) Iterator.empty
+      else (0 until bands).iterator.map { b =>
+        SigRow(d.id, b,
+          md5Hex(sig.slice(b * rowsPer, (b + 1) * rowsPer).mkString(",")))
+      }
+    }
+  }
+
+  /** The stream → signature-lake flush (VERDICT r9 #4): run beside
+    * [[candidatePairs]] on the same input stream, appending each
+    * micro-batch's band signatures to `lakePath` — a stream-deduped corpus
+    * thereby leaves behind exactly the lake the NEXT day's batch delta
+    * probes ([[graft.operators.IncrementalDedup.deltaPairs]]), unifying
+    * the streaming and incremental dedup paths on ONE persisted artifact
+    * (they are the same state at different temperatures). Exactly-once via
+    * the file-source checkpoint; at 100 TB the appended rows are 3 small
+    * columns per doc (tens of bytes), and the periodic job that compacts
+    * the appends into the (band, bsig)-bucketed at-rest layout
+    * ([[graft.sources.LakeLayout.writeBucketedBy]]) is the same
+    * out-of-band compaction any append-heavy lake table runs.
+    */
+  def sigLakeSink(
+      docs: Dataset[StreamDoc], lakePath: String, checkpoint: String,
+      k: Int, shingleK: Int, bands: Int,
+      availableNow: Boolean = false): StreamingQuery = {
+    val writer = bandSignatureRows(docs, k, shingleK, bands)
+      .writeStream.option("checkpointLocation", checkpoint)
+      .format("parquet").option("path", lakePath).outputMode("append")
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
 
   /** Candidate near-dup pairs over an unbounded document stream. Append
