@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ByteDot, ByteLutSum, DotProduct, TopKIds}
+import graft.functions.{ByteDot, ByteLutSum, DotProduct, L2SqDistance, TopKIds, VectorSum}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -18,6 +18,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProduct(children.head, children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("fast_l2sq"),
+      new ExpressionInfo(classOf[L2SqDistance].getName, "fast_l2sq"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        L2SqDistance(children.head, children(1))))
+    ext.injectFunction((
       new FunctionIdentifier("byte_dot"),
       new ExpressionInfo(classOf[ByteDot].getName, "byte_dot"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
@@ -32,6 +37,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TopKIds].getName, "topk_ids"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         TopKIds(children.head, children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("vector_sum"),
+      new ExpressionInfo(classOf[VectorSum].getName, "vector_sum"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VectorSum(children.head)))
     // ANN auto-rewrite: ORDER BY fast_dot DESC LIMIT k -> nprobe-pruned scan
     // (no-op unless an IvfRegistry model is registered).
     ext.injectOptimizerRule(_ => graft.plans.IvfTopKRewrite())

@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
-import graft.operators.{AnnSearch, AsOfJoin, ConnectedComponents, IncrementalDedup, IvfIndex, LineDedup, LmScore, Pq, RangeJoin, Sampling, TemporalDedup, TextDedup}
+import graft.operators.{AnnSearch, AsOfJoin, ConnectedComponents, IncrementalDedup, IvfIndex, LineDedup, LmScore, Pq, RangeJoin, Sampling, SequencePack, TemporalDedup, TextDedup, VectorMetric}
 import graft.streaming.IngestPipeline
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -265,6 +265,37 @@ object Queries {
     val q = e.where($"vec_id" === 0).select($"embedding")
       .head().getSeq[Float](0).map(_.toDouble)
     AnnSearch.exactTopK(e.where($"vec_id" =!= 0), "embedding", "vec_id", q, 15)
+      .select($"vec_id", round($"score", 6).as("score"))
+  }
+
+  /** C8-L2 exact nearest-15 by SQUARED L2 distance — the Milvus
+    * `MetricType.L2` half of the metric surface the reference leaves at IP
+    * (searcher.js:104). Same serving shape as [[c8AnnExact]] (scored scan →
+    * TakeOrderedAndProject), ordered ASCENDING; the score is the native
+    * codegen'd `fast_l2sq` sequential fold, bit-matched by the oracle's
+    * list fold.
+    */
+  val c8AnnL2: Q = (s, d) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val q = e.where($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    AnnSearch.exactTopK(e.where($"vec_id" =!= 0), "embedding", "vec_id", q, 15,
+        VectorMetric.L2)
+      .select($"vec_id", round($"score", 6).as("score"))
+  }
+
+  /** C8-COS exact top-15 by cosine — the third Milvus metric; IP over the
+    * row norm × query norm, same sequential-double-fold parity argument as
+    * the e5 cosine-pairs oracle.
+    */
+  val c8AnnCos: Q = (s, d) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val q = e.where($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    AnnSearch.exactTopK(e.where($"vec_id" =!= 0), "embedding", "vec_id", q, 15,
+        VectorMetric.Cosine)
       .select($"vec_id", round($"score", 6).as("score"))
   }
 
@@ -1426,6 +1457,54 @@ object Queries {
       .orderBy($"doc_id")
   }
 
+  /** S3 deterministic train/val/test split ([[Sampling.splitLabel]]): the
+    * md5 draw cut at 0.9/0.95 — scan-local, engine-reproducible, and
+    * STABLE under corpus growth (a doc's split never changes when other
+    * docs arrive, the eval-contamination guarantee a per-run random split
+    * cannot give).
+    */
+  val s3SplitAssign: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id",
+        Sampling.splitLabel($"doc_id",
+          Seq("train" -> 0.9, "val" -> 0.05), "test").as("split"))
+      .orderBy($"doc_id")
+  }
+
+  /** V1 per-label embedding centroids (class prototypes / embedding-drift
+    * baseline) via the native `vector_sum` TypedImperativeAggregate — ONE
+    * double[dim] of state per label with map-side partial aggregation,
+    * where the posexplode alternative shuffles dim× the corpus and needs a
+    * second shuffle to re-assemble vectors.
+    */
+  val v1LabelCentroid: Q = (s, d) => {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .groupBy($"label")
+      .agg(call_function("vector_sum", $"embedding").as("vs"),
+        count(lit(1)).as("n"))
+      .select($"label",
+        transform($"vs", x => round(x / $"n", 6)).as("centroid"), $"n")
+      .orderBy($"label")
+  }
+
+  /** X1 sequence-packing manifest ([[SequencePack.packManifest]]):
+    * documents concatenated in deterministic md5-draw order and cut into
+    * 2048-token context windows; per doc, its global token offset and
+    * chunk range. The offset is a distributed two-pass prefix sum — the
+    * `sum() OVER (ORDER BY draw)` form the oracle uses would serialize
+    * the corpus through one task (the empty-partition-spec window trap
+    * PlanAuditSpec rejects).
+    */
+  val x1PackManifest: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", size(tokens($"text")).cast("long").as("n_tok"))
+    SequencePack.packManifest(docs, "doc_id", "n_tok", 2048L)
+      .orderBy($"doc_id")
+  }
+
   /** T6 PII scrubbing — C4-style cleaning with typed redaction tags.
     * Synthetic PII (emails, dotted-quad IPs, phone numbers) is derived
     * deterministically from doc_id so the scrub provably FIRES; the oracle
@@ -1771,6 +1850,26 @@ object Queries {
         |s AS (SELECT vec_id,
         |  list_sum(list_transform(list_zip(embedding, (SELECT qv FROM q)),
         |    x -> x[1]::DOUBLE * x[2]::DOUBLE))::DOUBLE AS score_raw
+        |  FROM embeddings WHERE vec_id <> 0)
+        |SELECT vec_id, round(score_raw, 6) AS score FROM s
+        |ORDER BY score_raw DESC, vec_id LIMIT 15""".stripMargin,
+    "c8_ann_l2" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |s AS (SELECT vec_id,
+        |  list_sum(list_transform(list_zip(embedding, (SELECT qv FROM q)),
+        |    x -> (x[1]::DOUBLE - x[2]::DOUBLE) * (x[1]::DOUBLE - x[2]::DOUBLE)))::DOUBLE AS score_raw
+        |  FROM embeddings WHERE vec_id <> 0)
+        |SELECT vec_id, round(score_raw, 6) AS score FROM s
+        |ORDER BY score_raw ASC, vec_id LIMIT 15""".stripMargin,
+    "c8_ann_cos" ->
+      """WITH q AS (SELECT embedding AS qv,
+        |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))::DOUBLE) AS qn
+        |  FROM embeddings WHERE vec_id = 0),
+        |s AS (SELECT vec_id,
+        |  list_sum(list_transform(list_zip(embedding, (SELECT qv FROM q)),
+        |    x -> x[1]::DOUBLE * x[2]::DOUBLE))::DOUBLE
+        |    / (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))::DOUBLE)
+        |       * (SELECT qn FROM q)) AS score_raw
         |  FROM embeddings WHERE vec_id <> 0)
         |SELECT vec_id, round(score_raw, 6) AS score FROM s
         |ORDER BY score_raw DESC, vec_id LIMIT 15""".stripMargin,
@@ -2350,6 +2449,37 @@ object Queries {
         |SELECT doc_id, lang, n_tok FROM c
         |WHERE cum <= CASE lang WHEN 'en' THEN 3000 WHEN 'zh' THEN 1000 ELSE 500 END
         |ORDER BY doc_id""".stripMargin,
+    // thresholds are thresholdHex(0.9)/(0.95): floor-rounded 32-bit cuts of
+    // the unit interval, fixed-width lowercase hex => lexicographic compare
+    "s3_split_assign" ->
+      """SELECT doc_id,
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'train'
+        |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'f3333333' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "v1_label_centroid" ->
+      """WITH u AS (SELECT label,
+        |    unnest(embedding) AS val,
+        |    unnest(generate_series(1, len(embedding))) AS pos
+        |  FROM embeddings),
+        |s AS (SELECT label, pos, sum(val::DOUBLE) AS sv, CAST(count(*) AS BIGINT) AS c
+        |  FROM u GROUP BY label, pos)
+        |SELECT label, list(round(sv / c, 6) ORDER BY pos) AS centroid, max(c) AS n
+        |FROM s GROUP BY label ORDER BY label""".stripMargin,
+    "x1_pack_manifest" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+        |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS draw
+        |  FROM documents),
+        |c AS (SELECT doc_id, tokens,
+        |    CAST(COALESCE(sum(tokens) OVER (ORDER BY draw, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+        |  FROM t WHERE tokens > 0)
+        |SELECT doc_id, tokens, tok_offset,
+        |  tok_offset // 2048 AS first_chunk,
+        |  (tok_offset + tokens - 1) // 2048 AS last_chunk,
+        |  (tok_offset + tokens - 1) // 2048 - tok_offset // 2048 + 1 AS n_chunks
+        |FROM c ORDER BY doc_id""".stripMargin,
     // the IDENTICAL regex texts run under RE2 — patterns are written to the
     // common Java/RE2 subset, and DuckDB's regexp_replace needs the 'g' flag
     // to match Spark's replace-all default
@@ -2557,6 +2687,8 @@ object Queries {
     "c4_max_agg" -> c4MaxAgg,
     "c5_chunking" -> c5Chunking,
     "c8_ann_exact" -> c8AnnExact,
+    "c8_ann_l2" -> c8AnnL2,
+    "c8_ann_cos" -> c8AnnCos,
     "q1_pricing_agg" -> q1PricingAgg,
     "j1_join_revenue" -> j1JoinRevenue,
     "j2_json_extract" -> j2JsonExtract,
@@ -2617,6 +2749,9 @@ object Queries {
     "q4_mixture_report" -> q4MixtureReport,
     "s1_stratified_sample" -> s1StratifiedSample,
     "s2_token_budget" -> s2TokenBudget,
+    "s3_split_assign" -> s3SplitAssign,
+    "v1_label_centroid" -> v1LabelCentroid,
+    "x1_pack_manifest" -> x1PackManifest,
     "p3_corpus_recipe" -> p3CorpusRecipe,
     "p4_curation_recipe" -> p4CurationRecipe,
     "p1_corpus_clean" -> p1CorpusClean,

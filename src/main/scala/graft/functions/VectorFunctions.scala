@@ -36,6 +36,22 @@ object VectorFunctions {
     */
   def fastDot(a: Column, b: Column): Column = call_function("fast_dot", a, b)
 
+  /** Squared L2 distance, accumulated sequentially in DOUBLE — the
+    * composed (extension-free) twin of [[graft.functions.L2SqDistance]];
+    * bit-identical by the same sequential-fold argument as [[dot]].
+    */
+  def l2Sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** [[l2Sq]] via the native codegen'd [[graft.functions.L2SqDistance]]
+    * expression — requires a session with [[graft.GraftExtensions]].
+    */
+  def fastL2Sq(a: Column, b: Column): Column = call_function("fast_l2sq", a, b)
+
   /** Sum of squares, sequential double fold. */
   def sumSquares(v: Column): Column =
     aggregate(v, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))

@@ -29,17 +29,42 @@ object AnnSearch {
     if (df.sparkSession.catalog.functionExists("fast_dot")) fastDot(a, b)
     else dot(a, b)
 
+  private def bestL2Sq(df: DataFrame)(a: Column, b: Column): Column =
+    if (df.sparkSession.catalog.functionExists("fast_l2sq")) fastL2Sq(a, b)
+    else l2Sq(a, b)
+
+  /** The exact per-row score of `vecCol` against a literal query under
+    * `metric` — shared by the exact scan and the quantized paths' re-rank
+    * phase ([[graft.serving.SearchService]]).
+    */
+  def exactScore(df: DataFrame, vecCol: String, query: Seq[Double],
+                 metric: VectorMetric): Column = metric match {
+    case VectorMetric.Ip => bestDot(df)(col(vecCol), typedlit(query))
+    case VectorMetric.Cosine =>
+      val qn = math.sqrt(query.map(x => x * x).sum)
+      bestDot(df)(col(vecCol), typedlit(query)) / (l2Norm(col(vecCol)) * lit(qn))
+    case VectorMetric.L2 => bestL2Sq(df)(col(vecCol), typedlit(query))
+  }
+
+  /** `ORDER BY score [DESC|ASC], id LIMIT k` under the metric's better-is
+    * direction — Spark plans it as TakeOrderedAndProject either way.
+    */
+  private[graft] def topK(scored: DataFrame, idCol: String,
+                          metric: VectorMetric, k: Int): DataFrame =
+    scored.orderBy(
+      if (metric.descending) desc("score") else asc("score"), col(idCol))
+      .limit(k)
+
   def exactTopK(
       df: DataFrame,
       vecCol: String,
       idCol: String,
       query: Seq[Double],
-      k: Int): DataFrame =
-    df.select(
-        col(idCol),
-        bestDot(df)(col(vecCol), typedlit(query)).as("score"))
-      .orderBy(desc("score"), col(idCol))
-      .limit(k)
+      k: Int,
+      metric: VectorMetric = VectorMetric.Ip): DataFrame =
+    topK(
+      df.select(col(idCol), exactScore(df, vecCol, query, metric).as("score")),
+      idCol, metric, k)
 
   /** Exact top-k cosine (IP over normalized vectors — SURVEY §1.3). */
   def exactTopKCosine(
@@ -47,14 +72,8 @@ object AnnSearch {
       vecCol: String,
       idCol: String,
       query: Seq[Double],
-      k: Int): DataFrame = {
-    val qn = math.sqrt(query.map(x => x * x).sum)
-    df.select(
-        col(idCol),
-        (bestDot(df)(col(vecCol), typedlit(query)) / (l2Norm(col(vecCol)) * lit(qn))).as("score"))
-      .orderBy(desc("score"), col(idCol))
-      .limit(k)
-  }
+      k: Int): DataFrame =
+    exactTopK(df, vecCol, idCol, query, k, VectorMetric.Cosine)
 }
 
 /** IVF coarse-quantization index: build once (periodic job), serve many.
@@ -138,8 +157,41 @@ object IvfIndex {
     df.withColumn(outCol, (array_position(arr, array_min(arr)) - 1).cast("int"))
   }
 
-  /** Rank centroids by IP with the query (driver-side, nlist is tiny),
-    * prune to `nprobe` clusters, exact top-k within the probed subset.
+  /** The `nprobe` most promising cluster ids for `query` under `metric`
+    * (driver-side — nlist is tiny). IP ranks by c·q, cosine by c·q/‖c‖
+    * (the query norm is constant across centroids), L2 by ‖c−q‖²
+    * ascending — the classic IVF cell-selection rule of each metric.
+    */
+  def rankCentroids(model: Model, query: Seq[Double],
+                    metric: VectorMetric, nprobe: Int): Array[Int] = {
+    val q = query.toArray
+    def ip(c: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < math.min(c.length, q.length)) { acc += c(i) * q(i); i += 1 }
+      acc
+    }
+    def l2sq(c: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < math.min(c.length, q.length)) {
+        val d = c(i) - q(i); acc += d * d; i += 1
+      }
+      acc
+    }
+    val scored = model.centroids.zipWithIndex.map { case (c, i) =>
+      val s = metric match {
+        case VectorMetric.Ip     => ip(c)
+        case VectorMetric.Cosine =>
+          ip(c) / math.max(math.sqrt(c.map(x => x * x).sum), 1e-300)
+        case VectorMetric.L2     => l2sq(c)
+      }
+      (i, s)
+    }
+    scored.sortBy(s => if (metric.descending) -s._2 else s._2)
+      .take(nprobe).map(_._1)
+  }
+
+  /** Rank centroids with the query (driver-side, tiny), prune to `nprobe`
+    * clusters, exact top-k within the probed subset.
     */
   def search(
       indexed: DataFrame,
@@ -148,12 +200,11 @@ object IvfIndex {
       idCol: String,
       query: Seq[Double],
       k: Int,
-      nprobe: Int): DataFrame = {
-    val probed = model.centroids.zipWithIndex
-      .map { case (c, i) => (i, c.zip(query).map { case (a, b) => a * b }.sum) }
-      .sortBy(-_._2).take(nprobe).map(_._1)
+      nprobe: Int,
+      metric: VectorMetric = VectorMetric.Ip): DataFrame = {
+    val probed = rankCentroids(model, query, metric, nprobe)
     AnnSearch.exactTopK(
       indexed.where(col("cluster_id").isin(probed.toIndexedSeq: _*)),
-      vecCol, idCol, query, k)
+      vecCol, idCol, query, k, metric)
   }
 }

@@ -117,10 +117,14 @@ object Pq {
     out
   }
 
-  /** Flattened m×256 ADC lookup table for `query` (entries past ksub are
-    * unused padding — `byte_lut_sum` indexes by the raw byte).
+  /** Flattened m×256 ADC lookup table (entries past ksub are unused
+    * padding — `byte_lut_sum` indexes by the raw byte). `entry` maps a
+    * (codebook centroid, query subvector slice) pair to its table value —
+    * IP, squared L2, or the query-independent centroid norm² (cosine's
+    * denominator half).
     */
-  private def lut(model: Model, query: Seq[Double]): Seq[Double] = {
+  private def lut(model: Model, query: Seq[Double])(
+      entry: (Array[Double], Int) => Double): Seq[Double] = {
     require(query.length == model.dim,
       s"query dim ${query.length} != model dim ${model.dim}")
     val flat = new Array[Double](model.m * 256)
@@ -130,11 +134,7 @@ object Pq {
       // per-subspace length: KMeans may converge to fewer than ksub
       // centroids, and subspaces converge independently
       while (c < model.codebooks(j).length) {
-        val cent = model.codebooks(j)(c)
-        var acc = 0.0
-        var i = 0
-        while (i < model.dsub) { acc += cent(i) * query(j * model.dsub + i); i += 1 }
-        flat(j * 256 + c) = acc
+        flat(j * 256 + c) = entry(model.codebooks(j)(c), j)
         c += 1
       }
       j += 1
@@ -142,21 +142,53 @@ object Pq {
     flat.toIndexedSeq
   }
 
-  /** ADC approximate IP score of PQ codes against a float query — exactly
-    * the IP of the query with [[decode]](codes), by construction.
+  private def ipLut(model: Model, query: Seq[Double]): Seq[Double] =
+    lut(model, query) { (cent, j) =>
+      var acc = 0.0; var i = 0
+      while (i < model.dsub) { acc += cent(i) * query(j * model.dsub + i); i += 1 }
+      acc
+    }
+
+  /** ADC approximate score of PQ codes against a float query under
+    * `metric` — exactly the metric of the query with [[decode]](codes), by
+    * construction (subspaces concatenate, so IP/L2²/norm² all decompose as
+    * per-subspace sums; the Jégou 2011 ADC argument). Cosine divides the
+    * IP table sum by √(centroid-norm² table sum)·‖q‖ — two LUT reads per
+    * subspace instead of one, still never decoding.
     */
-  def score(codesCol: Column, model: Model, query: Seq[Double]): Column =
-    call_function("byte_lut_sum", codesCol, typedlit(lut(model, query)))
+  def score(codesCol: Column, model: Model, query: Seq[Double],
+            metric: VectorMetric = VectorMetric.Ip): Column = metric match {
+    case VectorMetric.Ip =>
+      call_function("byte_lut_sum", codesCol, typedlit(ipLut(model, query)))
+    case VectorMetric.L2 =>
+      val l2 = lut(model, query) { (cent, j) =>
+        var acc = 0.0; var i = 0
+        while (i < model.dsub) {
+          val d = query(j * model.dsub + i) - cent(i); acc += d * d; i += 1
+        }
+        acc
+      }
+      call_function("byte_lut_sum", codesCol, typedlit(l2))
+    case VectorMetric.Cosine =>
+      val norms = lut(model, query) { (cent, _) =>
+        var acc = 0.0; var i = 0
+        while (i < model.dsub) { acc += cent(i) * cent(i); i += 1 }
+        acc
+      }
+      val qn = math.sqrt(query.map(x => x * x).sum)
+      call_function("byte_lut_sum", codesCol, typedlit(ipLut(model, query))) /
+        (sqrt(call_function("byte_lut_sum", codesCol, typedlit(norms))) * lit(qn))
+  }
 
   /** Top-k ADC search over a PQ-encoded table (pass an IVF-pruned frame
     * for the composed IVF_PQ path).
     */
   def searchTopK(encoded: DataFrame, codesCol: String, idCol: String,
-                 model: Model, query: Seq[Double], k: Int): DataFrame =
-    encoded
-      .select(col(idCol), score(col(codesCol), model, query).as("score"))
-      .orderBy(desc("score"), col(idCol))
-      .limit(k)
+                 model: Model, query: Seq[Double], k: Int,
+                 metric: VectorMetric = VectorMetric.Ip): DataFrame =
+    AnnSearch.topK(
+      encoded.select(col(idCol), score(col(codesCol), model, query, metric).as("score")),
+      idCol, metric, k)
 
   // Session-scoped registry: fitting m codebooks + encoding is the periodic
   // index build (same contract as IvfIndex.buildCached) — gate/bench time

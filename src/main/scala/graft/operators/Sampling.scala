@@ -41,6 +41,32 @@ object Sampling {
   def keep(id: Column, rate: Double): Column =
     if (rate >= 1.0) lit(true) else drawHex(id) < lit(thresholdHex(rate))
 
+  /** Deterministic, disjoint, exhaustive split assignment (train/val/test):
+    * the same md5 draw as [[keep]]/[[stratified]], cut at the cumulative
+    * fractions. `fractions` are (label, share) in order; any remainder of
+    * the unit interval gets `restLabel`. Because the draw is a pure
+    * function of the id, a document's split NEVER changes as the corpus
+    * grows or re-partitions — the eval-contamination guarantee a per-run
+    * random split cannot give — and any engine recomputes the identical
+    * assignment (the s3 gate row's oracle does, in DuckDB).
+    *
+    * Scale shape: a scan-local projection — no shuffle, no state.
+    */
+  def splitLabel(
+      id: Column,
+      fractions: Seq[(String, Double)],
+      restLabel: String): Column = {
+    require(fractions.nonEmpty, "need at least one (label, fraction)")
+    require(fractions.forall(_._2 >= 0.0), s"negative fraction in $fractions")
+    val cums = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+    require(cums.last <= 1.0 + 1e-9, s"fractions sum past 1.0: $fractions")
+    val draw = drawHex(id)
+    fractions.map(_._1).zip(cums).foldRight(lit(restLabel): Column) {
+      case ((label, cum), acc) =>
+        when(draw < lit(thresholdHex(math.min(cum, 1.0))), lit(label)).otherwise(acc)
+    }
+  }
+
   /** Stratified deterministic sample: per-stratum rates (e.g. language or
     * source mixing weights), `defaultRate` for strata not listed. Rows keep
     * their columns; the caller filters nothing else.

@@ -82,19 +82,53 @@ object Sq8 {
     df.withColumn(outCol, enc(col(vecCol)))
   }
 
-  /** Approximate IP score of encoded codes against a float query. */
-  def score(codesCol: Column, model: Model, query: Seq[Double]): Column = {
+  /** Approximate score of encoded codes against a float query under
+    * `metric`. IP stays on the 2-mul [[graft.functions.ByteDot]] kernel
+    * (w = scale ⊙ q folds the affine decode into the weights). L2 and the
+    * norm half of cosine are NOT affine in the code byte (the c² term), so
+    * they ride the [[graft.functions.ByteLutSum]] ADC kernel with a
+    * per-DIMENSION 256-entry table — the SQ8 analog of PQ's per-subspace
+    * LUT, built once per query on the driver (dim·256 doubles):
+    *
+    *   L2:     lut[i·256+c] = (minᵢ + scaleᵢ·c − qᵢ)²   → Σ = ‖v̂−q‖²
+    *   normSq: lut[i·256+c] = (minᵢ + scaleᵢ·c)²         → Σ = ‖v̂‖²
+    *
+    * Cosine = IP̂ / (√‖v̂‖² · ‖q‖); codes are never decoded on any path.
+    */
+  def score(codesCol: Column, model: Model, query: Seq[Double],
+            metric: VectorMetric = VectorMetric.Ip): Column = {
     require(query.length == model.dim)
-    val w = query.indices.map(i => model.scales(i) * query(i))
-    val bias = query.indices.map(i => model.mins(i) * query(i)).sum
-    call_function("byte_dot", codesCol, typedlit(w)) + lit(bias)
+    def ipScore: Column = {
+      val w = query.indices.map(i => model.scales(i) * query(i))
+      val bias = query.indices.map(i => model.mins(i) * query(i)).sum
+      call_function("byte_dot", codesCol, typedlit(w)) + lit(bias)
+    }
+    def lut(entry: (Int, Int) => Double): Column = {
+      val flat = new Array[Double](model.dim * 256)
+      var i = 0
+      while (i < model.dim) {
+        var c = 0
+        while (c < 256) { flat(i * 256 + c) = entry(i, c); c += 1 }
+        i += 1
+      }
+      call_function("byte_lut_sum", codesCol, typedlit(flat.toIndexedSeq))
+    }
+    def decoded(i: Int, c: Int): Double = model.mins(i) + model.scales(i) * c
+    metric match {
+      case VectorMetric.Ip => ipScore
+      case VectorMetric.L2 =>
+        lut((i, c) => { val d = decoded(i, c) - query(i); d * d })
+      case VectorMetric.Cosine =>
+        val qn = math.sqrt(query.map(x => x * x).sum)
+        ipScore / (sqrt(lut((i, c) => { val v = decoded(i, c); v * v })) * lit(qn))
+    }
   }
 
   /** Top-k approximate search over an SQ8-encoded table. */
   def searchTopK(encoded: DataFrame, codesCol: String, idCol: String,
-                 model: Model, query: Seq[Double], k: Int): DataFrame =
-    encoded
-      .select(col(idCol), score(col(codesCol), model, query).as("score"))
-      .orderBy(desc("score"), col(idCol))
-      .limit(k)
+                 model: Model, query: Seq[Double], k: Int,
+                 metric: VectorMetric = VectorMetric.Ip): DataFrame =
+    AnnSearch.topK(
+      encoded.select(col(idCol), score(col(codesCol), model, query, metric).as("score")),
+      idCol, metric, k)
 }

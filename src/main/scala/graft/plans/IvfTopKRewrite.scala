@@ -1,8 +1,8 @@
 package graft.plans
 
-import graft.functions.{ByteDot, ByteLutSum, DotProduct}
+import graft.functions.{ByteDot, ByteLutSum, DotProduct, L2SqDistance}
 import graft.operators.{IvfIndex, Pq}
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Descending, Expression, In, Literal, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, AttributeReference, Descending, Expression, In, Literal, SortOrder}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -30,20 +30,22 @@ object IvfRegistry {
 
 /** The optimizer rule (SURVEY §7.3 "custom Catalyst, perf only"): matches
   *
-  *   GlobalLimit k ── LocalLimit k ── Sort[score DESC]
+  *   GlobalLimit k ── LocalLimit k ── Sort[score DESC|ASC]
   *     ── Project[.., score AS s] ── [Filter] ── child(with cluster_id)
   *
   * for any score expression whose tree contains
   *
   *  - `fast_dot(vec, qLit)`            (plain IP — AnnSearch.exactTopK),
   *  - `fast_dot(vec, qLit) / norms`    (cosine — AnnSearch.exactTopKCosine),
+  *  - `fast_l2sq(vec, qLit)`           (L2 — AnnSearch.exactTopK(L2);
+  *    sorted ASCENDING, centroids rank by distance asc),
   *  - `byte_dot(codes, wLit) + bias`   (SQ8 — Sq8.searchTopK; w = scale·q,
   *    so centroid ranking in the scale-weighted space preserves the
   *    quantized score order),
   *  - `byte_lut_sum(codes, lutLit)`    (PQ ADC — Pq.searchTopK; requires
   *    `IvfRegistry.registerPq`: each IVF centroid is PQ-encoded and scored
-  *    through the query's LUT, ranking centroids in exactly the quantized
-  *    space the rows are scored in),
+  *    through the query's LUT — IP or distance alike, since the sort
+  *    direction carries the better-is sense),
   *
   * and injects `Filter(cluster_id IN topNprobeClusters(q))` directly above
   * the base relation — below any pre-existing Filter, whose predicate is
@@ -72,8 +74,9 @@ case class IvfTopKRewrite() extends Rule[LogicalPlan] {
     * scale-weighted) query vector, or ADC through the PQ LUT.
     */
   private def findScorer(e: Expression): Option[Array[Double] => Double] = e.collectFirst {
-    case DotProduct(_, Literal(q: ArrayData, _)) => ipWith(q.toDoubleArray())
-    case ByteDot(_, Literal(w: ArrayData, _))    => ipWith(w.toDoubleArray())
+    case DotProduct(_, Literal(q: ArrayData, _))   => ipWith(q.toDoubleArray())
+    case ByteDot(_, Literal(w: ArrayData, _))      => ipWith(w.toDoubleArray())
+    case L2SqDistance(_, Literal(q: ArrayData, _)) => l2SqWith(q.toDoubleArray())
     case ByteLutSum(_, Literal(lut: ArrayData, _)) if IvfRegistry.currentPq.isDefined =>
       val pq = IvfRegistry.currentPq.get
       val flat = lut.toDoubleArray()
@@ -94,9 +97,22 @@ case class IvfTopKRewrite() extends Rule[LogicalPlan] {
     acc
   }
 
+  private def l2SqWith(q: Array[Double])(c: Array[Double]): Double = {
+    val n = math.min(q.length, c.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { val d = q(i) - c(i); acc += d * d; i += 1 }
+    acc
+  }
+
+  /** Descending sorts rank centroids by score desc (IP-family); ascending
+    * sorts rank asc (L2 distance — exact `fast_l2sq` or an ADC distance
+    * LUT). The sort direction IS the better-is direction of the metric, so
+    * matching on it keeps the rule metric-agnostic.
+    */
   private def rewriteSort(sort: Sort, model: IvfIndex.Model, nprobe: Int): Option[Sort] =
     (sort.order, sort.child) match {
-      case (Seq(SortOrder(attr: AttributeReference, Descending, _, _), _*),
+      case (Seq(SortOrder(attr: AttributeReference, dir @ (Descending | Ascending), _, _), _*),
             p @ Project(projList, pchild)) =>
         val alreadyPruned = pchild.collectFirst {
           case Filter(cond, _) if cond.references.exists(_.name == "cluster_id") => ()
@@ -112,7 +128,8 @@ case class IvfTopKRewrite() extends Rule[LogicalPlan] {
               scala.util.Try {
                 model.centroids.zipWithIndex
                   .map { case (c, i) => (i, scorer(c)) }
-                  .sortBy(-_._2).take(nprobe).map(_._1)
+                  .sortBy(s => if (dir == Descending) -s._2 else s._2)
+                  .take(nprobe).map(_._1)
               }.toOption
             }
             .map { probed =>

@@ -5,7 +5,7 @@ import java.nio.charset.StandardCharsets
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import graft.multimodal.ImageOps
-import graft.operators.{IvfIndex, Pq, Sq8}
+import graft.operators.{AnnSearch, IvfIndex, Pq, Sq8, VectorMetric}
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
@@ -83,7 +83,12 @@ class SearchService(
     // ≤ rerank rows, never a second scan) and return the exact top-k.
     // Recovers the recall a lossy codec gives up for its 4-32×
     // compression; 0 = off.
-    rerank: Int = 0) {
+    rerank: Int = 0,
+    // Distance metric ("ip" | "cosine" | "l2") — the reference serves IP
+    // only (searcher.js:104); Milvus exposes all three, so the engine does
+    // too. Uniform contract: one `score` column, ordered by the metric's
+    // better-is direction (L2 scores are squared distances, ascending).
+    metric: String = "ip") {
 
   require(outputFields.forall(table.columns.contains),
     s"outputFields must exist in the table: ${outputFields.mkString(", ")}")
@@ -93,6 +98,7 @@ class SearchService(
   require(rerank == 0 || (rerank > topK && Seq("ivf_sq8", "ivf_pq").contains(mode)),
     s"rerank=$rerank: must be 0 (off) or > topK=$topK with a lossy-codec mode " +
       "(ivf_sq8/ivf_pq; exact and ivf already serve exact scores)")
+  private val vecMetric: VectorMetric = VectorMetric(metric)
 
   // Query-side descriptor — MUST match the one the table was ingested with
   // (the reference keys both ends on TRACE_ALGO; a table of EHD vectors
@@ -207,11 +213,6 @@ class SearchService(
     (16 to 1 by -1).find(dim % _ == 0).get
   }
 
-  private def bestDot(a: Column, b: Column) =
-    if (table.sparkSession.catalog.functionExists("fast_dot"))
-      graft.functions.VectorFunctions.fastDot(a, b)
-    else graft.functions.VectorFunctions.dot(a, b)
-
   /** The per-request serving plan for a query vector — public so plan-shape
     * specs can `.explain` exactly what a request scans. Quantized modes rank
     * the nlist centroids on the driver (tiny) and scan only the `nprobe`
@@ -221,21 +222,22 @@ class SearchService(
   def searchFrame(q: Array[Float]): DataFrame = {
     val qd = q.map(_.toDouble).toIndexedSeq
     val outCols = keepCols.map(col)
+    // metric-directed `ORDER BY score, id LIMIT n` (TakeOrderedAndProject)
+    def ordered(df: DataFrame, n: Int): DataFrame =
+      df.orderBy(
+        if (vecMetric.descending) desc("score") else asc("score"), col(idCol))
+        .limit(n)
     served match {
       case None =>
-        cached.select(outCols :+
-          bestDot(col(vecCol), typedlit(qd)).as("score"): _*)
-          .orderBy(desc("score"), col(idCol))
-          .limit(topK)
+        ordered(cached.select(outCols :+
+          AnnSearch.exactScore(cached, vecCol, qd, vecMetric).as("score"): _*), topK)
       case Some((indexed, model)) =>
-        val probed = model.centroids.zipWithIndex
-          .map { case (c, i) => (i, c.zip(qd).map { case (a, b) => a * b }.sum) }
-          .sortBy(-_._2).take(nprobe).map(_._1)
+        val probed = IvfIndex.rankCentroids(model, qd, vecMetric, nprobe)
         val pruned = indexed.where(col("cluster_id").isin(probed.toIndexedSeq: _*))
         val score = mode match {
-          case "ivf"     => bestDot(col(vecCol), typedlit(qd))
-          case "ivf_sq8" => Sq8.score(col("__codes"), sq8Model.get, qd)
-          case "ivf_pq"  => Pq.score(col("__codes"), pqModel.get, qd)
+          case "ivf"     => AnnSearch.exactScore(pruned, vecCol, qd, vecMetric)
+          case "ivf_sq8" => Sq8.score(col("__codes"), sq8Model.get, qd, vecMetric)
+          case "ivf_pq"  => Pq.score(col("__codes"), pqModel.get, qd, vecMetric)
         }
         val coarse = pruned.select(outCols :+ score.as("score"): _*)
         if (rerank > 0) {
@@ -244,15 +246,15 @@ class SearchService(
           // of just those rows from the SERVED index (its layout carries the
           // float vectors when rerank is on, so streamed delta rows
           // re-score too), id filter pushed into the pruned scan
-          val ids = coarse.select(col(idCol))
-            .orderBy(desc("score"), col(idCol)).limit(rerank)
+          val ids = ordered(coarse.select(col(idCol), col("score")), rerank)
             .collect().map(_.get(0)).toIndexedSeq
-          pruned.where(col(idCol).isin(ids: _*))
-            .select(outCols :+ bestDot(col(vecCol), typedlit(qd)).as("score"): _*)
-            .orderBy(desc("score"), col(idCol))
-            .limit(topK)
+          ordered(
+            pruned.where(col(idCol).isin(ids: _*))
+              .select(outCols :+
+                AnnSearch.exactScore(pruned, vecCol, qd, vecMetric).as("score"): _*),
+            topK)
         } else
-          coarse.orderBy(desc("score"), col(idCol)).limit(topK)
+          ordered(coarse, topK)
     }
   }
 

@@ -414,4 +414,34 @@ class SearchServiceSpec extends SparkSpec {
       assert(codes.head == 200, codes.toString)
     } finally svc.stop()
   }
+
+  test("metric=l2/cosine: exact serving matches AnnSearch; quantized recall holds") {
+    import graft.operators.{AnnSearch, VectorMetric}
+    val table = clusteredVectors()
+    val rnd = new scala.util.Random(21L)
+    val q = Array.tabulate(16)(d =>
+      (if (d / 4 == 1) 10.0f else 0.0f) + (rnd.nextFloat() - 0.5f))
+    val qd = q.map(_.toDouble).toIndexedSeq
+    for (m <- Seq("l2", "cosine")) {
+      val metric = VectorMetric(m)
+      val exactSvc = new SearchService(table, "vec", "id", topK = 15, metric = m)
+      val svc = new SearchService(table, "vec", "id", topK = 15,
+        mode = "ivf_sq8", nlist = 4, nprobe = 2, metric = m)
+      try {
+        // exact mode = the AnnSearch exact scan under the same metric
+        val gold = AnnSearch.exactTopK(table, "vec", "id", qd, 15, metric)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val served = exactSvc.searchVector(q).map(r => (r.getLong(0), r.getDouble(1)))
+        assert(served == gold, s"[$m] exact serving diverged:\n$served\n$gold")
+        // L2 serves ascending (nearest first), cosine descending
+        val scores = served.map(_._2)
+        assert(if (metric.descending) scores == scores.sorted.reverse
+               else scores == scores.sorted, s"[$m] wrong score order: $scores")
+
+        val quant = svc.searchVector(q).map(_.getLong(0)).toSet
+        val recall = gold.map(_._1).toSet.intersect(quant).size / 15.0
+        assert(recall >= 0.8, s"[$m] quantized recall $recall")
+      } finally { svc.stop(); exactSvc.stop() }
+    }
+  }
 }

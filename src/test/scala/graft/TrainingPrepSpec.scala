@@ -1,0 +1,144 @@
+package graft
+
+import graft.operators.{Sampling, SequencePack}
+import org.apache.spark.sql.functions._
+
+/** Training-prep operators: deterministic split assignment, the native
+  * vector_sum aggregate (label centroids), and sequence packing.
+  */
+class TrainingPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("splitLabel: disjoint, exhaustive, and approximately proportional") {
+    val docs = Tables.documents(spark, Sf0001)
+    val assigned = docs.select($"doc_id",
+      Sampling.splitLabel($"doc_id", Seq("train" -> 0.9, "val" -> 0.05), "test")
+        .as("split"))
+    val counts = assigned.groupBy($"split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    assert(total == docs.count(), "every document gets exactly one split")
+    assert(counts.keySet.subsetOf(Set("train", "val", "test")))
+    // md5 draw is uniform: 90/5/5 within generous tolerance at fixture size
+    assert(counts("train").toDouble / total > 0.8, counts.toString)
+    assert(counts.getOrElse("val", 0L) + counts.getOrElse("test", 0L) > 0)
+  }
+
+  test("splitLabel: assignment is stable under corpus growth") {
+    val docs = Tables.documents(spark, Sf0001)
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id",
+        Sampling.splitLabel($"doc_id", Seq("train" -> 0.8, "val" -> 0.1), "test")
+          .as("split"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val half = assign(docs.where($"doc_id" % 2 === 0))
+    val full = assign(docs)
+    half.foreach { case (id, split) =>
+      assert(full(id) == split, s"doc $id split changed when the corpus grew")
+    }
+  }
+
+  test("splitLabel: rejects fractions past 1.0 and negative shares") {
+    intercept[IllegalArgumentException] {
+      Sampling.splitLabel($"doc_id", Seq("a" -> 0.9, "b" -> 0.2), "c")
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.splitLabel($"doc_id", Seq("a" -> -0.1), "c")
+    }
+  }
+
+  test("vector_sum: equals the posexplode gold; null-skip and empty-group-null contracts") {
+    val e = Tables.embeddings(spark, Sf0001)
+    val got = e.groupBy($"label")
+      .agg(call_function("vector_sum", $"embedding").as("vs"))
+      .collect().map(r => r.get(0).toString -> r.getSeq[Double](1)).toMap
+    // gold: the dim-times-larger explode route
+    val gold = e.select($"label", posexplode($"embedding").as(Seq("pos", "x")))
+      .groupBy($"label", $"pos").agg(sum($"x".cast("double")).as("s"))
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"pos", $"s"))).as("ps"))
+      .collect()
+      .map(r => r.get(0).toString ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(_.getDouble(1)))
+      .toMap
+    assert(got.keySet == gold.keySet)
+    got.foreach { case (label, vs) =>
+      val g = gold(label)
+      assert(vs.length == g.length)
+      vs.zip(g).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)),
+          s"label $label diverged: $a vs $b")
+      }
+    }
+
+    // nulls are skipped; a group of only nulls sums to NULL
+    val withNulls = Seq(
+      ("a", Some(Seq(1.0f, 2.0f))), ("a", None),
+      ("b", None))
+      .toDF("k", "v")
+    val r = withNulls.groupBy($"k")
+      .agg(call_function("vector_sum", $"v").as("vs"))
+      .collect().map(row => row.getString(0) -> Option(row.get(1))).toMap
+    assert(r("a").get.asInstanceOf[scala.collection.Seq[Double]].toSeq == Seq(1.0, 2.0))
+    assert(r("b").isEmpty, "all-null group must yield NULL")
+  }
+
+  test("vector_sum: stable under repartitioning (partial aggregation merges)") {
+    val e = Tables.embeddings(spark, Sf0001)
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"label").agg(call_function("vector_sum", $"embedding").as("vs"))
+        .collect().map(r => r.get(0).toString -> r.getSeq[Double](1).map(x => math.round(x * 1e6)))
+        .toMap
+    assert(sums(e) == sums(e.repartition(17)))
+  }
+
+  test("vector_sum: dimension mismatch in a group throws, never truncates") {
+    val bad = Seq(("a", Seq(1.0f, 2.0f)), ("a", Seq(1.0f))).toDF("k", "v")
+    val ex = intercept[Exception] {
+      bad.groupBy($"k").agg(call_function("vector_sum", $"v")).collect()
+    }
+    assert(ex.getMessage.contains("dimension mismatch")
+      || Option(ex.getCause).exists(_.getMessage.contains("dimension mismatch")))
+  }
+
+  test("packManifest: matches the single-partition window gold; chunk maths hold") {
+    val docs = Tables.documents(spark, Sf0001)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tok"))
+    val ctx = 512L
+    val got = SequencePack.packManifest(docs, "doc_id", "n_tok", ctx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sortBy(_._1)
+
+    // gold: driver-side sequential prefix sum in (draw, id) order
+    val rows = docs.select($"doc_id", $"n_tok",
+        Sampling.drawHex($"doc_id").as("draw"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .filter(_._2 > 0)
+      .sortBy { case (id, _, draw) => (draw, id) }
+    var cum = 0L
+    val gold = rows.map { case (id, tok, _) =>
+      val off = cum; cum += tok
+      val first = off / ctx
+      val last = (off + tok - 1) / ctx
+      (id, tok, off, first, last, last - first + 1)
+    }.sortBy(_._1)
+    assert(got.toSeq == gold.toSeq)
+
+    // global properties: offsets tile the concatenation exactly
+    val total = rows.map(_._2).sum
+    assert(got.map(_._2).sum == total)
+    val byOffset = got.sortBy(_._3)
+    byOffset.sliding(2).foreach {
+      case Array((_, tok, off, _, _, _), (_, _, off2, _, _, _)) =>
+        assert(off + tok == off2, "offsets must tile with no gaps or overlaps")
+      case _ =>
+    }
+  }
+
+  test("packManifest: zero-token documents are dropped") {
+    val docs = Seq((1L, 0L), (2L, 10L), (3L, 5L)).toDF("doc_id", "n_tok")
+    val got = SequencePack.packManifest(docs, "doc_id", "n_tok", 8L)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L, 3L))
+  }
+}
