@@ -101,7 +101,30 @@ object Bench {
         name -> (System.nanoTime() - s) / 1e9
       }
     }.toMap
-    val results = qs.map { case (name, _) => name -> math.min(p1(name), p2(name)) }
+    // Steal-storm retry (r9 judge item 8): min-of-2 absorbs moderate host
+    // noise, but a stormy round (r8's 4118 ticks vs r9's 1020) still
+    // poisons round-over-round deltas. If the host stole heavily DURING
+    // the timed passes, spend one more wall-budgeted pass — each query
+    // keeps the min across all passes it ran in, so a retry can only
+    // sharpen the estimate, never regress it.
+    val stealMid = stealTicks() - steal0
+    val p3: Map[String, Double] =
+      if (stealMid <= 1500L) Map.empty
+      else {
+        val s0 = System.nanoTime()
+        qs.flatMap { case (name, fn) =>
+          if (System.nanoTime() - s0 > budgetNs) None
+          else {
+            val s = System.nanoTime()
+            try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => }
+            Some(name -> (System.nanoTime() - s) / 1e9)
+          }
+        }.toMap
+      }
+    val results = qs.map { case (name, _) =>
+      name -> math.min(math.min(p1(name), p2(name)),
+        p3.getOrElse(name, Double.MaxValue))
+    }
     val stealD = stealTicks() - steal0
     val total = results.map(_._2).sum
     // ONE line builder: `keep` selects which queries appear in the map;

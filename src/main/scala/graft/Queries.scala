@@ -1489,6 +1489,44 @@ object Queries {
       .orderBy($"label")
   }
 
+  /** Q7 exact per-group quantiles (p50/p90/p99 of `value` per event_type)
+    * via Spark's built-in exact `percentile` aggregate — linear
+    * interpolation, matched by DuckDB's `quantile_cont`. SCALE NOTE: the
+    * exact aggregate holds a value→count map per group
+    * (ObjectHashAggregate, memory O(distinct values per group)); at 100 TB
+    * per-group value sets can exceed executor memory, so the serving twin
+    * is `approx_percentile` (the t-digest sketch, O(1) state) — the same
+    * exact/approx pairing as the documented e7 countDistinct/HLL twin;
+    * TrainingPrepSpec pins the sketch within its error bound on the gate
+    * fixture.
+    */
+  val q7ValueQuantiles: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy($"event_type")
+      .agg(percentile($"value", typedlit(Seq(0.5, 0.9, 0.99))).as("qs"),
+        count(lit(1)).as("n"))
+      .select($"event_type",
+        transform($"qs", x => round(x, 6)).as("quantiles"), $"n")
+      .orderBy($"event_type")
+  }
+
+  /** T10 corpus vocabulary: top-200 whitespace tokens by document-blind
+    * occurrence count — the heavy-hitter scan tokenizer/BPE training
+    * starts from. One explode → map-side-combined count → global top-k
+    * (TakeOrderedAndProject, no full sort); ties broken by token text.
+    */
+  val t10VocabTopk: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(explode(tokens($"text")).as("token"))
+      .where(length($"token") > 0)
+      .groupBy($"token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"token")
+      .limit(200)
+  }
+
   /** X1 sequence-packing manifest ([[SequencePack.packManifest]]):
     * documents concatenated in deterministic md5-draw order and cut into
     * 2048-token context windows; per doc, its global token offset and
@@ -2466,6 +2504,17 @@ object Queries {
         |  FROM u GROUP BY label, pos)
         |SELECT label, list(round(sv / c, 6) ORDER BY pos) AS centroid, max(c) AS n
         |FROM s GROUP BY label ORDER BY label""".stripMargin,
+    "q7_value_quantiles" ->
+      """SELECT event_type,
+        |  list_transform(quantile_cont(value::DOUBLE, [0.5, 0.9, 0.99]),
+        |    x -> round(x, 6)) AS quantiles,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "t10_vocab_topk" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |SELECT token, CAST(count(*) AS BIGINT) AS n
+        |FROM tok WHERE len(token) > 0
+        |GROUP BY token ORDER BY n DESC, token LIMIT 200""".stripMargin,
     "x1_pack_manifest" ->
       """WITH t AS (SELECT doc_id,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
@@ -2752,6 +2801,8 @@ object Queries {
     "s3_split_assign" -> s3SplitAssign,
     "v1_label_centroid" -> v1LabelCentroid,
     "x1_pack_manifest" -> x1PackManifest,
+    "q7_value_quantiles" -> q7ValueQuantiles,
+    "t10_vocab_topk" -> t10VocabTopk,
     "p3_corpus_recipe" -> p3CorpusRecipe,
     "p4_curation_recipe" -> p4CurationRecipe,
     "p1_corpus_clean" -> p1CorpusClean,

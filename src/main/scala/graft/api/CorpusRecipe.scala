@@ -2,7 +2,7 @@ package graft.api
 
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
-import graft.operators.{LineDedup, Sampling, Spread, TextDedup}
+import graft.operators.{LineDedup, Sampling, SequencePack, Spread, TextDedup}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -161,6 +161,28 @@ final class CorpusRecipe private (
       stratumCol: String, tokenCol: String, budgets: Map[String, Long],
       defaultBudget: Long = 0L): CorpusRecipe =
     next(Sampling.tokenBudget(frame, idCol, stratumCol, tokenCol, budgets, defaultBudget))
+
+  /** s3's deterministic train/val/test assignment as a column
+    * ([[Sampling.splitLabel]]): the md5 draw cut at cumulative fractions —
+    * scan-local, engine-portable, and stable under corpus growth. Chain a
+    * `gate(col(out) === "train")` to keep one side.
+    */
+  def split(
+      fractions: Seq[(String, Double)],
+      restLabel: String,
+      out: String = "split"): CorpusRecipe =
+    next(frame.withColumn(out,
+      Sampling.splitLabel(col(idCol), fractions, restLabel)))
+
+  /** x1's concat-then-chunk sequence packing ([[SequencePack
+    * .packManifest]]) — a TERMINAL step: the curated corpus becomes the
+    * per-document packing manifest (token offset + chunk range in
+    * `ctxLen`-token context windows, md5-draw order). EAGER like
+    * [[tokenBudget]] (two-pass prefix sum behind an analysis barrier) —
+    * gate and dedup BEFORE packing.
+    */
+  def packManifest(tokenCol: String, ctxLen: Long): DataFrame =
+    SequencePack.packManifest(frame, idCol, tokenCol, ctxLen)
 
   /** Final projection, ending the recipe. */
   def select(cols: Column*): DataFrame = frame.select(cols: _*)

@@ -132,4 +132,31 @@ class CorpusRecipeSpec extends SparkSpec {
     // vacuous gate (doc 5's text opens with "a", so it predicts en too)
     assert(rows == Set(1L, 3L, 4L, 5L), rows.toString)
   }
+
+  test("split and packManifest delegate to their operators verbatim") {
+    val viaApi = CorpusRecipe(docs)
+      .split(Seq("train" -> 0.8, "val" -> 0.1), "test").frame
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val direct = docs.select($"doc_id",
+        Sampling.splitLabel($"doc_id", Seq("train" -> 0.8, "val" -> 0.1), "test")
+          .as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaApi == direct)
+
+    // the terminal packing step over a gated recipe: train-side docs only,
+    // manifest equals the operator run on the same filtered frame
+    val packed = CorpusRecipe(docs)
+      .countTokens("n_tok")
+      .split(Seq("train" -> 0.8), "heldout")
+      .gate($"split" === "train")
+      .packManifest("n_tok", ctxLen = 16L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val directP = graft.operators.SequencePack.packManifest(
+        docs.withColumn("n_tok", size(split($"text", " ")).cast("long"))
+          .where(Sampling.splitLabel($"doc_id", Seq("train" -> 0.8), "heldout") === "train"),
+        "doc_id", "n_tok", 16L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(packed == directP && packed.nonEmpty)
+  }
 }

@@ -135,6 +135,33 @@ class TrainingPrepSpec extends SparkSpec {
     }
   }
 
+  test("q7's scale twin: approx_percentile tracks the exact percentile within bound") {
+    val ev = Tables.events(spark, Sf0001)
+    val ps = Seq(0.5, 0.9, 0.99)
+    // the sketch guarantees RANK error (<= n/accuracy), not value error —
+    // at a heavy-tailed p99 adjacent ranks can be far apart in value, so
+    // the assertion brackets the approx value between exact quantiles at
+    // p ± 0.05 (generous: fixture groups are only ~hundreds of rows)
+    val lo = ps.map(p => math.max(0.0, p - 0.05))
+    val hi = ps.map(p => math.min(1.0, p + 0.05))
+    val exact = ev.groupBy($"event_type")
+      .agg(percentile($"value", typedlit(lo)).as("lo"),
+        percentile($"value", typedlit(hi)).as("hi"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getSeq[Double](1), r.getSeq[Double](2)))
+      .toMap
+    val approx = ev.groupBy($"event_type")
+      .agg(approx_percentile($"value", typedlit(ps), lit(10000)).as("qs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (k, (los, his)) =>
+      approx(k).zipWithIndex.foreach { case (a, i) =>
+        assert(a >= los(i) - 1e-9 && a <= his(i) + 1e-9,
+          s"group $k p=${ps(i)}: approx $a outside exact [${los(i)}, ${his(i)}]")
+      }
+    }
+  }
+
   test("packManifest: zero-token documents are dropped") {
     val docs = Seq((1L, 0L), (2L, 10L), (3L, 5L)).toDF("doc_id", "n_tok")
     val got = SequencePack.packManifest(docs, "doc_id", "n_tok", 8L)
