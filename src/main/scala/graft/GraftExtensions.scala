@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ByteDot, ByteLutSum, DotProduct, L2SqDistance, TopKIds, VectorSum}
+import graft.functions.{ByteDot, ByteLutSum, DotProduct, FreqItems, L2SqDistance, TopKIds, VectorSum}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -42,6 +42,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VectorSum].getName, "vector_sum"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VectorSum(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("freq_items"),
+      new ExpressionInfo(classOf[FreqItems].getName, "freq_items"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        FreqItems(children.head, children(1))))
     // ANN auto-rewrite: ORDER BY fast_dot DESC LIMIT k -> nprobe-pruned scan
     // (no-op unless an IvfRegistry model is registered).
     ext.injectOptimizerRule(_ => graft.plans.IvfTopKRewrite())

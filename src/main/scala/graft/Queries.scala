@@ -1527,6 +1527,28 @@ object Queries {
       .limit(200)
   }
 
+  /** T10a the same vocabulary top-k through the [[graft.functions.FreqItems
+    * Misra–Gries sketch]] — the O(cap)-state twin of t10's exact groupBy.
+    * At 100 TB the exact form shuffles (distinct tokens × map partitions)
+    * rows; this ships one O(cap) sketch per partition through partial
+    * aggregation. cap=1024 ≥ the corpus vocabulary, so the sketch is in its
+    * EXACT regime (no counter ever evicted — FreqItems scaladoc) and the
+    * row hash-matches t10's oracle; FreqItemsSpec carries the approx-regime
+    * bounds on a planted Zipf fixture the gate corpus's 31-token vocabulary
+    * cannot exercise.
+    */
+  val t10aVocabSketch: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(explode(tokens($"text")).as("token"))
+      .where(length($"token") > 0)
+      .agg(expr("freq_items(token, 1024)").as("sk"))
+      .select(explode($"sk").as("e"))
+      .select($"e.token".as("token"), $"e.n".as("n"))
+      .orderBy($"n".desc, $"token")
+      .limit(200)
+  }
+
   /** X1 sequence-packing manifest ([[SequencePack.packManifest]]):
     * documents concatenated in deterministic md5-draw order and cut into
     * 2048-token context windows; per doc, its global token offset and
@@ -2515,6 +2537,12 @@ object Queries {
         |SELECT token, CAST(count(*) AS BIGINT) AS n
         |FROM tok WHERE len(token) > 0
         |GROUP BY token ORDER BY n DESC, token LIMIT 200""".stripMargin,
+    // exact-regime sketch ≡ the exact count — same oracle text as t10
+    "t10a_vocab_sketch" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |SELECT token, CAST(count(*) AS BIGINT) AS n
+        |FROM tok WHERE len(token) > 0
+        |GROUP BY token ORDER BY n DESC, token LIMIT 200""".stripMargin,
     "x1_pack_manifest" ->
       """WITH t AS (SELECT doc_id,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
@@ -2803,6 +2831,7 @@ object Queries {
     "x1_pack_manifest" -> x1PackManifest,
     "q7_value_quantiles" -> q7ValueQuantiles,
     "t10_vocab_topk" -> t10VocabTopk,
+    "t10a_vocab_sketch" -> t10aVocabSketch,
     "p3_corpus_recipe" -> p3CorpusRecipe,
     "p4_curation_recipe" -> p4CurationRecipe,
     "p1_corpus_clean" -> p1CorpusClean,

@@ -110,6 +110,21 @@ object IncrementalDedup {
     * signature rows; callers probing a multi-band sketch should pass a
     * cached/materialized `deltaSigs` if the upstream shingle+minhash
     * lineage is expensive to recompute.
+    *
+    * SCAN pruning (`scanPruneMax`): the broadcast joins above restrict the
+    * lake executor-side, AFTER every lake row group is read — correct, but
+    * the probe still pays the full lake's IO. Since a lake row can only
+    * survive by matching a delta (band, bsig), filtering the lake scan by
+    * the delta's distinct `bsig` set is a sound superset filter, and it
+    * reaches parquet as a pushed `In`: the bucketed lake is `sortBy(band,
+    * bsig)` at rest ([[graft.sources.LakeLayout.writeBucketedBy]]), so
+    * row-group min/max stats are tight bsig ranges and a delta touching
+    * ~10^4 of an md5-uniform keyspace skips the overwhelming share of a
+    * multi-million-row-group lake's IO. The key set is delta-sized by
+    * construction; if the delta somehow carries more than `scanPruneMax`
+    * distinct signatures the filter is skipped (results identical, just
+    * no skipping). 0 disables. The collect is eager at plan-build — pass
+    * a cached `deltaSigs` (see above) to avoid re-sketching.
     */
   def deltaPairs(
       corpusSigs: DataFrame,
@@ -117,10 +132,19 @@ object IncrementalDedup {
       idCol: String,
       maxBucket: Long = 1L << 16,
       smallCap: Int = 1024,
-      metricName: String = "graft.lsh.incremental"): DataFrame = {
+      metricName: String = "graft.lsh.incremental",
+      scanPruneMax: Int = 1 << 16): DataFrame = {
     require(smallCap >= 2, "smallCap must be >= 2")
-    val lake = corpusSigs.select(col(idCol), col("band"), col("bsig"))
     val delta = deltaSigs.select(col(idCol), col("band"), col("bsig"))
+    val lakeAll = corpusSigs.select(col(idCol), col("band"), col("bsig"))
+    val lake =
+      if (scanPruneMax <= 0) lakeAll
+      else {
+        val keys = delta.select(col("bsig")).distinct()
+          .limit(scanPruneMax + 1).collect().map(_.getString(0))
+        if (keys.length > scanPruneMax) lakeAll
+        else lakeAll.where(col("bsig").isin(keys.toIndexedSeq: _*))
+      }
     val deltaCnt = delta.groupBy(col("band"), col("bsig"))
       .agg(count(lit(1)).as("__dc"))
     val lakeCnt = lake

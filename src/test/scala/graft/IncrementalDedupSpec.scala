@@ -37,6 +37,21 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(incremental.exists(p => p._1 % 10 == 0 ^ p._2 % 10 == 0))
   }
 
+  test("scan pruning off (scanPruneMax=0) and overflow fallback match the default") {
+    val docs = corpus(60)
+    val delta = docs.where($"doc_id" % 10 === 0)
+    val standing = docs.where($"doc_id" % 10 =!= 0)
+    def run(pruneMax: Int) =
+      IncrementalDedup.deltaPairs(sigs(standing), sigs(delta), "doc_id",
+        scanPruneMax = pruneMax)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val default = run(1 << 16)
+    assert(run(0) == default, "pruning must be a pure IO optimization")
+    // more distinct delta sigs than the cap -> filter skipped, same answer
+    assert(run(1) == default, "overflowing the key cap must fall back cleanly")
+    assert(default.nonEmpty)
+  }
+
   test("batch induction: union of per-batch deltaPairs == full pairs over everything") {
     val docs = corpus(40)
     val b1 = docs.where($"doc_id" < 20)

@@ -198,6 +198,12 @@ class PlanAuditSpec extends SparkSpec {
       assert(allLakeScans(plan).nonEmpty, "the probe must scan the lake table")
       assert(allLakeScans(plan).forall(_.bucketedScan),
         "lake scans must read the at-rest bucketed layout")
+      // scan pruning: the delta's bsig key set must reach parquet as a
+      // pushed In so the sortBy(band, bsig) lake skips row groups — the
+      // IO story (deltaPairs scaladoc, scanPruneMax)
+      assert(allLakeScans(plan).forall(
+        _.metadata.getOrElse("PushedFilters", "").contains("In(bsig")),
+        "delta bsig keys must be pushed into the lake scan")
       // RAW lake signature rows must never cross a shuffle. From each
       // shuffle, walk DOWN through nodes that merely pass lake rows along
       // (unary ops, a broadcast join's streamed side): reaching a lake
