@@ -865,8 +865,12 @@ object Queries {
     import s.implicits._
     val docs = Tables.documents(s, d)
     val corpusSigs = s.table(ensureSigLake(s, d))
+    // materialize the delta's sketch once (deltaPairs scaladoc: the probe
+    // reads it from several branches plus the scan-prune key collect, and
+    // a daily delta's 3-column signatures are small by construction)
     val deltaSigs = IncrementalDedup.bandSignatures(
       docs.where($"doc_id" % 10 === 0), "text", "doc_id", 8, 3, 4)
+      .localCheckpoint()
     IncrementalDedup.deltaPairs(corpusSigs, deltaSigs, "doc_id")
       .orderBy($"d1", $"d2")
   }
