@@ -1569,6 +1569,22 @@ object Queries {
       .orderBy($"doc_id")
   }
 
+  /** X2 doc-intact packing manifest ([[SequencePack.packNoSplit]]): the
+    * other packing policy — no document split across context windows; docs
+    * that miss the remainder open a new window. Sequential-greedy is a
+    * chain, so the operator packs fixed 64-doc SHARDS independently (bins
+    * never span shards, waste ≤ one open window per shard); the per-shard
+    * fold is an `aggregate` HOF over the shard's sorted doc array. The
+    * oracle replays the identical recurrence as a recursive CTE.
+    */
+  val x2PackNosplit: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", size(tokens($"text")).cast("long").as("n_tok"))
+    SequencePack.packNoSplit(docs, "doc_id", "n_tok", 2048L, 64)
+      .orderBy($"doc_id")
+  }
+
   /** T6 PII scrubbing — C4-style cleaning with typed redaction tags.
     * Synthetic PII (emails, dotted-quad IPs, phone numbers) is derived
     * deterministically from doc_id so the scrub provably FIRES; the oracle
@@ -2561,6 +2577,31 @@ object Queries {
         |  (tok_offset + tokens - 1) // 2048 AS last_chunk,
         |  (tok_offset + tokens - 1) // 2048 - tok_offset // 2048 + 1 AS n_chunks
         |FROM c ORDER BY doc_id""".stripMargin,
+    // x2 replays packNoSplit's greedy recurrence as a recursive CTE: the
+    // anchor is each shard's first doc (always bin 0, off 0 — the fold's
+    // fill=ctx sentinel), the recursive step carries (fill, bin) doc by doc
+    "x2_pack_nosplit" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+        |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS draw
+        |  FROM documents),
+        |r AS (SELECT doc_id, tokens,
+        |    (row_number() OVER (ORDER BY draw, doc_id) - 1) AS idx
+        |  FROM t WHERE tokens > 0),
+        |s AS (SELECT doc_id, tokens, idx // 64 AS shard,
+        |    row_number() OVER (PARTITION BY idx // 64 ORDER BY idx) AS rn
+        |  FROM r),
+        |step AS (
+        |  SELECT shard, rn, doc_id, tokens,
+        |    CAST(0 AS BIGINT) AS bin, CAST(0 AS BIGINT) AS off, tokens AS fill
+        |  FROM s WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.shard, s.rn, s.doc_id, s.tokens,
+        |    CASE WHEN p.fill + s.tokens > 2048 THEN p.bin + 1 ELSE p.bin END,
+        |    CASE WHEN p.fill + s.tokens > 2048 THEN CAST(0 AS BIGINT) ELSE p.fill END,
+        |    CASE WHEN p.fill + s.tokens > 2048 THEN s.tokens ELSE p.fill + s.tokens END
+        |  FROM s JOIN step p ON s.shard = p.shard AND s.rn = p.rn + 1)
+        |SELECT doc_id, tokens, shard, bin, off FROM step ORDER BY doc_id""".stripMargin,
     // the IDENTICAL regex texts run under RE2 — patterns are written to the
     // common Java/RE2 subset, and DuckDB's regexp_replace needs the 'g' flag
     // to match Spark's replace-all default
@@ -2833,6 +2874,7 @@ object Queries {
     "s3_split_assign" -> s3SplitAssign,
     "v1_label_centroid" -> v1LabelCentroid,
     "x1_pack_manifest" -> x1PackManifest,
+    "x2_pack_nosplit" -> x2PackNosplit,
     "q7_value_quantiles" -> q7ValueQuantiles,
     "t10_vocab_topk" -> t10VocabTopk,
     "t10a_vocab_sketch" -> t10aVocabSketch,

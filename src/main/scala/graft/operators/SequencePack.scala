@@ -88,4 +88,72 @@ object SequencePack {
       .add("n_chunks", LongType, nullable = false)
     spark.createDataFrame(out, schema)
   }
+
+  /** Document-INTACT greedy packing — the other standard packing policy
+    * beside [[packManifest]]'s concat-then-chunk: no document is ever split
+    * across context windows; a doc that doesn't fit the current window's
+    * remainder opens a new one (the remainder is padding). A doc longer
+    * than `ctxLen` gets a window of its own (truncation is a separate,
+    * explicit step — silent truncation here would corrupt the audit trail).
+    *
+    * Greedy packing is a sequential recurrence (each doc's bin depends on
+    * every earlier remainder), so a corpus-wide chain cannot parallelize.
+    * The production answer is SHARDED packing: documents are laid out in
+    * the deterministic [[Sampling.drawHex]] md5-draw order (same global
+    * shuffle as [[packManifest]]), cut into fixed `shardDocs`-sized shards
+    * by the [[GlobalRank]] two-pass rank, and each shard packs its own bins
+    * independently — embarrassingly parallel, bins never span shards, and
+    * the waste is bounded by one open window per shard. Within a shard the
+    * fold runs as an `aggregate` higher-order function over the shard's
+    * sorted doc array (bounded at `shardDocs` structs of group state —
+    * size the shard to ~10^4 docs at 100 TB), so the whole operator is
+    * one rank pass + one shuffle, no driver loop, no window-without-
+    * partition.
+    *
+    * Returns `(idCol, tokens, shard, bin, off)`: bin is the within-shard
+    * window ordinal, off the doc's token offset inside its window.
+    * Deterministic for a given (corpus, ctxLen, shardDocs) — the x2 gate
+    * row's DuckDB oracle replays the same recurrence as a recursive CTE.
+    */
+  def packNoSplit(
+      df: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      ctxLen: Long,
+      shardDocs: Int): DataFrame = {
+    require(ctxLen > 0, s"ctxLen must be positive, got $ctxLen")
+    require(shardDocs > 0, s"shardDocs must be positive, got $shardDocs")
+    val base = df
+      .select(col(idCol), col(tokenCol).cast("long").as("tokens"))
+      .where(col("tokens") > 0)
+      .withColumn("__draw", Sampling.drawHex(col(idCol)))
+    val ranked = GlobalRank
+      .withGlobalIndex(base, Seq(col("__draw"), col(idCol)), "__idx")
+      .withColumn("shard", (col("__idx") / shardDocs).cast("long"))
+    val rowsT = "array<struct<id:bigint,tokens:bigint,bin:bigint,off:bigint>>"
+    // fill starts at ctxLen so the first doc always "overflows" into bin 0
+    // at off 0 — the same sentinel the oracle's rn=1 anchor encodes
+    val init = struct(
+      lit(ctxLen).as("fill"), lit(-1L).as("bin"),
+      expr(s"CAST(array() AS $rowsT)").as("rows"))
+    def step(acc: org.apache.spark.sql.Column, x: org.apache.spark.sql.Column) = {
+      val over = acc("fill") + x("tokens") > lit(ctxLen)
+      val bin = when(over, acc("bin") + 1L).otherwise(acc("bin"))
+      val off = when(over, lit(0L)).otherwise(acc("fill"))
+      val fill = when(over, x("tokens")).otherwise(acc("fill") + x("tokens"))
+      struct(fill.as("fill"), bin.as("bin"),
+        concat(acc("rows"), array(struct(
+          x("id").as("id"), x("tokens").as("tokens"),
+          bin.as("bin"), off.as("off")))).as("rows"))
+    }
+    ranked
+      .groupBy(col("shard"))
+      .agg(sort_array(collect_list(struct(
+        col("__idx"), col(idCol).cast("long").as("id"), col("tokens")))).as("docs"))
+      .select(col("shard"),
+        aggregate(col("docs"), init, step, acc => acc("rows")).as("rows"))
+      .select(col("shard"), explode(col("rows")).as("r"))
+      .select(col("r.id").as(idCol), col("r.tokens").as("tokens"),
+        col("shard"), col("r.bin").as("bin"), col("r.off").as("off"))
+  }
 }

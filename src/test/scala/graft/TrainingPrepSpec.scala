@@ -162,6 +162,56 @@ class TrainingPrepSpec extends SparkSpec {
     }
   }
 
+  test("packNoSplit: matches a sequential greedy fold; invariants hold") {
+    val ctx = 16L
+    val shardDocs = 5
+    val docs = Seq.tabulate(37)(i => (i.toLong, 1L + (i * 7) % 18)) // some > ctx
+      .toDF("doc_id", "n_tok")
+    val got = SequencePack.packNoSplit(docs, "doc_id", "n_tok", ctx, shardDocs)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // single-threaded replay of the documented recurrence
+    val draw = docs.select($"doc_id", Sampling.drawHex($"doc_id").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ordered = docs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, _) => (draw(id), id) }
+    val gold = scala.collection.mutable.Map[Long, (Long, Long, Long, Long)]()
+    ordered.zipWithIndex.foreach { case ((id, n), idx) =>
+      val shard = idx / shardDocs
+      val (fill, bin) =
+        if (idx % shardDocs == 0) (ctx, -1L) // shard start: sentinel
+        else {
+          val prev = ordered(idx - 1)._1
+          val (_, _, pb, po) = gold(prev)
+          (po + gold(prev)._1, pb) // fill = prev off + prev tokens
+        }
+      val (nb, off) = if (fill + n > ctx) (bin + 1, 0L) else (bin, fill)
+      gold(id) = (n, shard, nb, off)
+    }
+    assert(got == gold.toMap, s"diff=${got.toSet.diff(gold.toSet)}")
+    // invariants: docs intact & unique, window fits unless a lone oversize,
+    // bins dense per shard
+    assert(got.size == 37)
+    got.values.foreach { case (n, _, _, off) =>
+      assert(off + n <= ctx || off == 0, "only a lone oversized doc may overflow")
+    }
+    got.values.groupBy { case (_, s, b, _) => (s, b) }.foreach { case (_, docs) =>
+      assert(docs.map(_._1).sum <= ctx || docs.size == 1)
+    }
+    got.values.groupBy(_._2).foreach { case (_, inShard) =>
+      val bins = inShard.map(_._3).toSet
+      assert(bins == (0L to bins.max).toSet, "bins must be dense from 0")
+    }
+  }
+
+  test("packNoSplit: stable under input repartitioning") {
+    val docs = Seq.tabulate(50)(i => (i.toLong, 1L + i % 9)).toDF("doc_id", "n_tok")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      SequencePack.packNoSplit(df, "doc_id", "n_tok", 32L, 8)
+        .collect().map(_.toSeq).toSet
+    assert(run(docs.repartition(1)) == run(docs.repartition(13)))
+  }
+
   test("packManifest: zero-token documents are dropped") {
     val docs = Seq((1L, 0L), (2L, 10L), (3L, 5L)).toDF("doc_id", "n_tok")
     val got = SequencePack.packManifest(docs, "doc_id", "n_tok", 8L)
