@@ -184,6 +184,15 @@ final class CorpusRecipe private (
   def packManifest(tokenCol: String, ctxLen: Long): DataFrame =
     SequencePack.packManifest(frame, idCol, tokenCol, ctxLen)
 
+  /** x2's doc-intact greedy packing ([[SequencePack.packNoSplit]]) — the
+    * TERMINAL twin of [[packManifest]] for runs where documents must not
+    * straddle context windows; packs in `shardDocs`-sized md5-draw-order
+    * shards (bins never span shards). Lazy plan, but the rank pass prices
+    * like a shuffle — gate and dedup BEFORE packing.
+    */
+  def packNoSplit(tokenCol: String, ctxLen: Long, shardDocs: Int = 1 << 14): DataFrame =
+    SequencePack.packNoSplit(frame, idCol, tokenCol, ctxLen, shardDocs)
+
   /** Final projection, ending the recipe. */
   def select(cols: Column*): DataFrame = frame.select(cols: _*)
 }

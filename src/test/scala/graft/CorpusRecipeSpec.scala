@@ -159,4 +159,16 @@ class CorpusRecipeSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
     assert(packed == directP && packed.nonEmpty)
   }
+
+  test("packNoSplit delegates to the operator verbatim") {
+    val viaApi = CorpusRecipe(docs)
+      .countTokens("n_tok")
+      .packNoSplit("n_tok", ctxLen = 16L, shardDocs = 7)
+      .collect().map(_.toSeq).toSet
+    val direct = graft.operators.SequencePack.packNoSplit(
+        docs.withColumn("n_tok", size(split($"text", " ")).cast("long")),
+        "doc_id", "n_tok", 16L, 7)
+      .collect().map(_.toSeq).toSet
+    assert(viaApi == direct && viaApi.nonEmpty)
+  }
 }
