@@ -60,5 +60,40 @@ class StreamLakeFlushSpec extends SparkSpec {
       .filter(p => deltaIds(p._1) || deltaIds(p._2))
     assert(got == want, s"got=${got.size} want=${want.size} " +
       s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+
+    // the documented out-of-band maintenance step: compact the flat flushed
+    // lake into the (band, bsig)-bucketed at-rest layout and prove the
+    // probe gets BOTH scale properties — zero lake-side shuffles (at-rest
+    // clustering satisfies the joins) and the delta's bsig keys pushed
+    // into the parquet scan (row-group skipping)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val table = s"flushlake_compacted_${ProcessHandle.current().pid()}"
+    graft.sources.LakeLayout.writeBucketedBy(
+      spark.read.parquet(lake), table, 4, Seq("band", "bsig"), Seq("band", "bsig"))
+    // AQE off so the executed plan carries concrete scan nodes, broadcasts
+    // off so the pair join needs the lake's clustering (the 100 TB shape) —
+    // same pinning as PlanAuditSpec's e2i audit
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val probe = IncrementalDedup.deltaPairs(spark.table(table), deltaSigs, "doc_id")
+      val gotCompacted = probe.select($"d1", $"d2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gotCompacted == want, "compaction must not change the pair set")
+      val scans = probe.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec if f.tableIdentifier.exists(_.table == table) => f
+      }
+      assert(scans.nonEmpty && scans.forall(_.bucketedScan),
+        "compacted lake must serve bucketed scans")
+      assert(scans.forall(
+        _.metadata.getOrElse("PushedFilters", "").contains("In(bsig")),
+        "delta bsig keys must be pushed into the compacted lake scan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
   }
 }
