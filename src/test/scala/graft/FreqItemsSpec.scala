@@ -63,6 +63,18 @@ class FreqItemsSpec extends SparkSpec {
     }
   }
 
+  test("grouped usage: one sketch per group, exact within each group") {
+    val df = Seq.tabulate(600)(i => (s"g${i % 3}", s"t${i % (10 + i % 3)}"))
+      .toDF("g", "token").repartition(5)
+    val got = df.groupBy($"g").agg(expr("freq_items(token, 32)").as("sk"))
+      .select($"g", explode($"sk").as("e"))
+      .collect().map(r => (r.getString(0), r.getStruct(1).getString(0)) ->
+        r.getStruct(1).getLong(1)).toMap
+    val truth = df.groupBy($"g", $"token").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == truth)
+  }
+
   test("null tokens are skipped; non-literal or invalid cap fails analysis") {
     val withNulls = Seq(Some("a"), None, Some("a"), Some("b"))
       .toDF("token")
