@@ -52,6 +52,13 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(default.nonEmpty)
   }
 
+  test("empty delta probes cleanly (zero pruning keys) and emits no pairs") {
+    val docs = corpus(30)
+    val none = docs.where(lit(false))
+    val out = IncrementalDedup.deltaPairs(sigs(docs), sigs(none), "doc_id")
+    assert(out.collect().isEmpty)
+  }
+
   test("batch induction: union of per-batch deltaPairs == full pairs over everything") {
     val docs = corpus(40)
     val b1 = docs.where($"doc_id" < 20)
