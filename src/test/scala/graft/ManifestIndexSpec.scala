@@ -1,0 +1,67 @@
+package graft
+
+import graft.sources.ManifestIndex
+import org.apache.spark.sql.functions._
+
+/** Contracts of the file-stats manifest (ManifestIndex.scala): planning
+  * from per-file min/max actually SHRINKS the file list on a
+  * range-clustered lake, never loses rows on any layout (clustered,
+  * shuffled, straddling bounds), and returns an empty, correctly-typed
+  * frame when no file intersects.
+  */
+class ManifestIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeLake(clustered: Boolean): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-manifest").toString + "/lake"
+    val docs = spark.range(0, 400).select($"id".as("doc_id"),
+      ($"id" % 7).as("v"))
+    val laid =
+      if (clustered) docs.repartitionByRange(8, $"doc_id").sortWithinPartitions($"doc_id")
+      else docs.repartition(8) // round-robin: every file spans ~everything
+    laid.write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("range-clustered lake: the pruned list shrinks, rows match the plain filter") {
+    val dir = writeLake(clustered = true)
+    val manifest = ManifestIndex.build(spark, dir, "doc_id").localCheckpoint()
+    val total = manifest.count()
+    assert(total >= 8, "fixture must produce one file per range partition")
+    val files = ManifestIndex.prunedFiles(manifest, 90, 140)
+    assert(files.nonEmpty && files.size < total,
+      s"a 50-key range must not read all $total files (got ${files.size})")
+    val got = ManifestIndex.rangeRead(spark, dir, manifest, "doc_id", 90, 140)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = spark.read.parquet(dir).where($"doc_id".between(90, 140))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && got.size == 51)
+  }
+
+  test("unclustered lake degrades gracefully: full list, still correct") {
+    val dir = writeLake(clustered = false)
+    val manifest = ManifestIndex.build(spark, dir, "doc_id").localCheckpoint()
+    val got = ManifestIndex.rangeRead(spark, dir, manifest, "doc_id", 90, 140)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == (90L to 140L).toSet)
+  }
+
+  test("no intersecting file: empty frame with the lake's schema") {
+    val dir = writeLake(clustered = true)
+    val manifest = ManifestIndex.build(spark, dir, "doc_id").localCheckpoint()
+    assert(ManifestIndex.prunedFiles(manifest, 1000, 2000).isEmpty)
+    val out = ManifestIndex.rangeRead(spark, dir, manifest, "doc_id", 1000, 2000)
+    assert(out.schema.fieldNames.toSeq == Seq("doc_id", "v"))
+    assert(out.count() == 0)
+  }
+
+  test("bounds straddling a file boundary: residual predicate trims the edges") {
+    val dir = writeLake(clustered = true)
+    val manifest = ManifestIndex.build(spark, dir, "doc_id").localCheckpoint()
+    // bounds chosen to cut through file interiors on the 400/8 layout
+    val got = ManifestIndex.rangeRead(spark, dir, manifest, "doc_id", 37, 363)
+      .agg(count(lit(1)), min($"doc_id"), max($"doc_id"))
+      .collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) == (327L, 37L, 363L))
+  }
+}
