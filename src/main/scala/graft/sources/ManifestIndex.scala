@@ -42,6 +42,44 @@ object ManifestIndex {
       .agg(min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"),
         count(lit(1)).as("rows"))
 
+  /** Incremental maintenance: stats for files that appeared since
+    * `existing` was built, scanned from ONLY those files, unioned with the
+    * rows that survive (files can also disappear — compaction rewrites
+    * them — so stale manifest rows are dropped against the live listing).
+    * Cost is O(new files), the append-time shape a daily ingest pays;
+    * [[build]] remains the once-per-historical-lake retrofit.
+    */
+  def refresh(
+      spark: SparkSession, dir: String, keyCol: String,
+      existing: DataFrame): DataFrame = {
+    // compare on bare URI paths: input_file_name() ("file:///x") and the
+    // Hadoop listing ("file:/x") render the same file differently
+    def pathOf(s: String): String = new java.net.URI(s).getPath
+    val hpath = new org.apache.hadoop.fs.Path(dir)
+    val fs = hpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = scala.collection.mutable.Buffer.empty[String]
+    val it = fs.listFiles(hpath, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet"))
+        live += f.getPath.toUri.toString
+    }
+    val livePaths = live.map(pathOf).toSet
+    // the manifest is tiny by contract — the known set collects like
+    // prunedFiles does
+    val known = existing.select(col("file")).collect().map(_.getString(0))
+    val knownPaths = known.map(pathOf).toSet
+    val keepStrings = known.filter(s => livePaths(pathOf(s))).toIndexedSeq
+    val fresh = live.filterNot(s => knownPaths(pathOf(s))).toSeq
+    val kept = existing.where(col("file").isin(keepStrings: _*))
+    if (fresh.isEmpty) kept
+    else kept.unionByName(
+      spark.read.parquet(fresh: _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"),
+          count(lit(1)).as("rows")))
+  }
+
   /** The pruned files for an inclusive [lo, hi] range — the planning step.
     * Collects the (tiny) manifest and keeps files whose span intersects.
     */

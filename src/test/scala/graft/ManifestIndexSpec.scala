@@ -55,6 +55,34 @@ class ManifestIndexSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("refresh: appends scan only new files, compaction drops stale rows") {
+    def norm(s: String) = new java.net.URI(s).getPath
+    def asSet(m: org.apache.spark.sql.DataFrame) =
+      m.collect().map(r => (norm(r.getString(0)), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    val dir = writeLake(clustered = true)
+    val m0 = ManifestIndex.build(spark, dir, "doc_id").localCheckpoint()
+    // day 2: an append drops two new files into the lake
+    spark.range(400, 500).select($"id".as("doc_id"), ($"id" % 7).as("v"))
+      .repartitionByRange(2, $"doc_id").sortWithinPartitions($"doc_id")
+      .write.mode("append").parquet(dir)
+    val refreshed = ManifestIndex.refresh(spark, dir, "doc_id", m0).localCheckpoint()
+    assert(asSet(refreshed) == asSet(ManifestIndex.build(spark, dir, "doc_id")),
+      "incremental refresh must equal a full rebuild")
+    assert(refreshed.count() == m0.count() + 2)
+    // the refreshed manifest plans reads over the new range too
+    val got = ManifestIndex.rangeRead(spark, dir, refreshed, "doc_id", 420, 430)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == (420L to 430L).toSet)
+    // compaction: the lake is rewritten, every old manifest row is stale
+    spark.read.parquet(dir).repartitionByRange(3, $"doc_id")
+      .sortWithinPartitions($"doc_id")
+      .write.mode("overwrite").parquet(dir)
+    val afterCompact = ManifestIndex.refresh(spark, dir, "doc_id", refreshed)
+    assert(asSet(afterCompact) == asSet(ManifestIndex.build(spark, dir, "doc_id")),
+      "stale rows for rewritten files must be dropped")
+  }
+
   test("bounds straddling a file boundary: residual predicate trims the edges") {
     val dir = writeLake(clustered = true)
     val manifest = ManifestIndex.build(spark, dir, "doc_id").localCheckpoint()
