@@ -193,6 +193,23 @@ final class CorpusRecipe private (
   def packNoSplit(tokenCol: String, ctxLen: Long, shardDocs: Int = 1 << 14): DataFrame =
     SequencePack.packNoSplit(frame, idCol, tokenCol, ctxLen, shardDocs)
 
+  /** Corpus vocabulary top-k — a TERMINAL reporting step over the curated
+    * corpus (the heavy-hitter scan tokenizer/BPE training starts from),
+    * served by the `freq_items` Misra–Gries sketch (t10a): one O(cap)
+    * summary per partition instead of a (vocab × partitions)-row shuffle.
+    * Counts are exact while the corpus vocabulary stays within `cap`;
+    * beyond it they are lower bounds within n/cap with every token above
+    * that frequency guaranteed present (FreqItems scaladoc).
+    */
+  def vocabulary(k: Int, cap: Int = 1 << 17): DataFrame =
+    frame.select(explode(toks).as("token"))
+      .where(length(col("token")) > 0)
+      .agg(expr(s"freq_items(token, $cap)").as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.token").as("token"), col("e.n").as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
   /** Final projection, ending the recipe. */
   def select(cols: Column*): DataFrame = frame.select(cols: _*)
 }

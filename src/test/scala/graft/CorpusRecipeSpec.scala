@@ -160,6 +160,17 @@ class CorpusRecipeSpec extends SparkSpec {
     assert(packed == directP && packed.nonEmpty)
   }
 
+  test("vocabulary reports the exact top-k within the sketch's exact regime") {
+    val got = CorpusRecipe(docs).vocabulary(k = 10, cap = 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val want = docs.select(explode(split($"text", " ")).as("token"))
+      .where(length($"token") > 0)
+      .groupBy($"token").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"token").limit(10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("packNoSplit delegates to the operator verbatim") {
     val viaApi = CorpusRecipe(docs)
       .countTokens("n_tok")

@@ -204,6 +204,31 @@ class TrainingPrepSpec extends SparkSpec {
     }
   }
 
+  test("packNoSplit: random corpora match the sequential replay (3 seeds)") {
+    for (seed <- Seq(1, 7, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val ctx = 8L + rnd.nextInt(40)
+      val shardDocs = 3 + rnd.nextInt(9)
+      val n = 20 + rnd.nextInt(60)
+      val lens = Seq.tabulate(n)(i => (i.toLong, 1L + rnd.nextInt(2 * ctx.toInt)))
+      val docs = lens.toDF("doc_id", "n_tok").repartition(1 + rnd.nextInt(6))
+      val got = SequencePack.packNoSplit(docs, "doc_id", "n_tok", ctx, shardDocs)
+        .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+      val draw = docs.select($"doc_id", Sampling.drawHex($"doc_id").as("d"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val ordered = lens.sortBy { case (id, _) => (draw(id), id) }
+      var (fill, bin) = (ctx, -1L)
+      val gold = ordered.zipWithIndex.map { case ((id, tok), idx) =>
+        if (idx % shardDocs == 0) { fill = ctx; bin = -1L }
+        val over = fill + tok > ctx
+        if (over) { bin += 1; fill = tok } else fill += tok
+        id -> ((idx / shardDocs).toLong, bin, if (over) 0L else fill - tok)
+      }.toMap
+      assert(got == gold, s"seed=$seed ctx=$ctx shardDocs=$shardDocs")
+    }
+  }
+
   test("packNoSplit: stable under input repartitioning") {
     val docs = Seq.tabulate(50)(i => (i.toLong, 1L + i % 9)).toDF("doc_id", "n_tok")
     def run(df: org.apache.spark.sql.DataFrame) =
