@@ -190,7 +190,7 @@ final class CorpusRecipe private (
     * shards (bins never span shards). Lazy plan, but the rank pass prices
     * like a shuffle — gate and dedup BEFORE packing.
     */
-  def packNoSplit(tokenCol: String, ctxLen: Long, shardDocs: Int = 1 << 14): DataFrame =
+  def packNoSplit(tokenCol: String, ctxLen: Long, shardDocs: Int = 1024): DataFrame =
     SequencePack.packNoSplit(frame, idCol, tokenCol, ctxLen, shardDocs)
 
   /** Corpus vocabulary top-k — a TERMINAL reporting step over the curated

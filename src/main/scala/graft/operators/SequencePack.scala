@@ -105,10 +105,14 @@ object SequencePack {
     * independently — embarrassingly parallel, bins never span shards, and
     * the waste is bounded by one open window per shard. Within a shard the
     * fold runs as an `aggregate` higher-order function over the shard's
-    * sorted doc array (bounded at `shardDocs` structs of group state —
-    * size the shard to ~10^4 docs at 100 TB), so the whole operator is
-    * one rank pass + one shuffle, no driver loop, no window-without-
-    * partition.
+    * sorted doc array, so the whole operator is one rank pass + one
+    * shuffle, no driver loop, no window-without-partition.
+    *
+    * Sizing `shardDocs`: group state is `shardDocs` structs, but the HOF
+    * fold rebuilds its accumulator array per element — O(shardDocs²)
+    * struct copies per shard — so keep shards at ~10^3 docs (the waste,
+    * ≤ one open window per shard, is already ≈0.1% there; quadrupling the
+    * shard buys ~nothing and pays 16× the fold).
     *
     * Returns `(idCol, tokens, shard, bin, off)`: bin is the within-shard
     * window ordinal, off the doc's token offset inside its window.
