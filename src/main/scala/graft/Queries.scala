@@ -1497,6 +1497,23 @@ object Queries {
       .orderBy($"doc_id")
   }
 
+  /** S4 target-mixture budget ([[Sampling.mixtureBudget]]): the user
+    * states SHARES per language and one total; per-stratum budgets fall
+    * out, scaled down to the binding constraint so proportions stay exact
+    * (at this fixture's sf0.01 the zh stratum binds and is admitted
+    * whole; at sf0.1 the requested total binds — both branches are
+    * deterministic and the oracle recomputes them in SQL).
+    */
+  val s4MixtureBudget: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", $"lang", size(tokens($"text")).cast("long").as("n_tok"))
+    Sampling.mixtureBudget(docs, "doc_id", "lang", "n_tok",
+        Map("en" -> 0.5, "zh" -> 0.2, "de" -> 0.15, "es" -> 0.1, "fr" -> 0.05),
+        totalTokens = 30000L)
+      .orderBy($"doc_id")
+  }
+
   /** S3 deterministic train/val/test split ([[Sampling.splitLabel]]): the
     * md5 draw cut at 0.9/0.95 — scan-local, engine-reproducible, and
     * STABLE under corpus growth (a doc's split never changes when other
@@ -2569,6 +2586,25 @@ object Queries {
         |SELECT doc_id, lang, n_tok FROM c
         |WHERE cum <= CASE lang WHEN 'en' THEN 3000 WHEN 'zh' THEN 1000 ELSE 500 END
         |ORDER BY doc_id""".stripMargin,
+    // achievable/budgets recomputed in SQL with the same double division +
+    // floor the engine uses; shares forced to DOUBLE (a bare 0.5 in VALUES
+    // would be DECIMAL and round differently)
+    "s4_mixture_budget" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS draw
+        |  FROM documents),
+        |tot AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS t FROM d GROUP BY lang),
+        |shr AS (SELECT * FROM (VALUES
+        |    ('en', 0.5::DOUBLE), ('zh', 0.2::DOUBLE), ('de', 0.15::DOUBLE),
+        |    ('es', 0.1::DOUBLE), ('fr', 0.05::DOUBLE)) s(lang, share)),
+        |ach AS (SELECT least(30000, CAST(min(floor(t / share)) AS BIGINT)) AS a
+        |  FROM tot JOIN shr USING (lang)),
+        |b AS (SELECT shr.lang, CAST(floor(share * a) AS BIGINT) AS budget FROM shr, ach),
+        |c AS (SELECT doc_id, lang, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY lang ORDER BY draw, doc_id) AS cum FROM d)
+        |SELECT doc_id, lang, n_tok FROM c JOIN b USING (lang)
+        |WHERE cum <= budget ORDER BY doc_id""".stripMargin,
     // thresholds are thresholdHex(0.9)/(0.95): floor-rounded 32-bit cuts of
     // the unit interval, fixed-width lowercase hex => lexicographic compare
     "s3_split_assign" ->
@@ -2913,6 +2949,7 @@ object Queries {
     "s1_stratified_sample" -> s1StratifiedSample,
     "s2_token_budget" -> s2TokenBudget,
     "s3_split_assign" -> s3SplitAssign,
+    "s4_mixture_budget" -> s4MixtureBudget,
     "v1_label_centroid" -> v1LabelCentroid,
     "x1_pack_manifest" -> x1PackManifest,
     "x2_pack_nosplit" -> x2PackNosplit,

@@ -162,6 +162,17 @@ final class CorpusRecipe private (
       defaultBudget: Long = 0L): CorpusRecipe =
     next(Sampling.tokenBudget(frame, idCol, stratumCol, tokenCol, budgets, defaultBudget))
 
+  /** s4's target-mixture budget ([[Sampling.mixtureBudget]]): state the
+    * desired per-stratum SHARES and one total; the total scales down to
+    * the binding stratum so proportions stay exact, then s2's exact
+    * prefix cut applies (EAGER like [[tokenBudget]]). Strata not in
+    * `shares` are dropped — a mixture spec is a whitelist.
+    */
+  def mixTo(
+      stratumCol: String, tokenCol: String, shares: Map[String, Double],
+      totalTokens: Long): CorpusRecipe =
+    next(Sampling.mixtureBudget(frame, idCol, stratumCol, tokenCol, shares, totalTokens))
+
   /** s3's deterministic train/val/test assignment as a column
     * ([[Sampling.splitLabel]]): the md5 draw cut at cumulative fractions —
     * scan-local, engine-portable, and stable under corpus growth. Chain a

@@ -191,6 +191,47 @@ object Sampling {
     spark.createDataFrame(kept, schema).drop(drawName, tokName)
   }
 
+  /** Target-MIXTURE token budget: the user states desired SHARES per
+    * stratum (en 0.5, zh 0.2, …) and a total token budget; the per-stratum
+    * budgets fall out, and the kept set is [[tokenBudget]]'s EXACT
+    * prefix-sum cut. The subtlety this owns: a stratum may not HAVE
+    * `share × total` tokens, and silently under-filling it would skew the
+    * mixture — so the total is scaled DOWN to the binding constraint,
+    * `achievable = min(total, min_s(available_s / share_s))`, keeping the
+    * proportions exact (the binding stratum is admitted whole). Strata
+    * not in `shares` get budget 0 — a mixture spec is a whitelist.
+    *
+    * Cost beyond [[tokenBudget]]'s two passes: ONE #strata-row aggregate
+    * for the availability totals (the [[tokenBudgetByRate]] shape).
+    * Deterministic given (corpus, shares, total) — the s4 gate row's
+    * oracle recomputes achievable/budgets/cut in SQL and hash-matches.
+    */
+  def mixtureBudget(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      tokenCol: String,
+      shares: Map[String, Double],
+      totalTokens: Long): DataFrame = {
+    require(shares.nonEmpty && shares.values.forall(s => s > 0.0 && s <= 1.0),
+      "shares must be in (0, 1]")
+    require(math.abs(shares.values.sum - 1.0) <= 1e-9, "shares must sum to 1")
+    require(totalTokens >= 0, "totalTokens must be non-negative")
+    val totals: Map[String, Long] = df
+      .where(col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol))
+      .agg(sum(col(tokenCol).cast("long")).as("__tot"))
+      .collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .toMap
+    // double division + truncation, the exact arithmetic the SQL oracle
+    // replays (floor == truncate for non-negatives)
+    val achievable = (Seq(totalTokens) ++
+      shares.map { case (k, s) => (totals.getOrElse(k, 0L) / s).toLong }).min
+    val budgets = shares.map { case (k, s) => k -> (s * achievable).toLong }
+    tokenBudget(df, idCol, stratumCol, tokenCol, budgets, defaultBudget = 0L)
+  }
+
   /** Token-budget mix IN EXPECTATION: one tiny per-stratum aggregate
     * (#strata rows to the driver) turns each budget into a keep-rate
     * `min(1, budget / stratum_total)`, then the [[stratified]] scan-local

@@ -160,6 +160,19 @@ class CorpusRecipeSpec extends SparkSpec {
     assert(packed == directP && packed.nonEmpty)
   }
 
+  test("mixTo delegates to mixtureBudget verbatim") {
+    val shares = Map("en" -> 0.6, "de" -> 0.4)
+    val viaApi = CorpusRecipe(docs)
+      .countTokens("n_tok")
+      .mixTo("lang", "n_tok", shares, 2000L).frame
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val direct = graft.operators.Sampling.mixtureBudget(
+        docs.withColumn("n_tok", size(split($"text", " ")).cast("long")),
+        "doc_id", "lang", "n_tok", shares, 2000L)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaApi == direct && viaApi.nonEmpty)
+  }
+
   test("vocabulary reports the exact top-k within the sketch's exact regime") {
     val got = CorpusRecipe(docs).vocabulary(k = 10, cap = 4096)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq

@@ -91,6 +91,36 @@ class SamplingSpec extends SparkSpec {
     assert(out.columns.contains("__tb_draw") && out.head().getString(3) == "mine")
   }
 
+  test("mixtureBudget: binding stratum admitted whole, proportions held, whitelist semantics") {
+    // zh has far fewer tokens than its share asks for -> it binds
+    val docs = ((0L until 300L).map(i => (i, "en", 10L)) ++
+      (300L until 330L).map(i => (i, "zh", 10L)) ++
+      (330L until 360L).map(i => (i, "xx", 10L))) // not in shares -> dropped
+      .toDF("doc_id", "lang", "n_tok")
+    val shares = Map("en" -> 0.5, "zh" -> 0.5)
+    val kept = Sampling.mixtureBudget(docs, "doc_id", "lang", "n_tok", shares, 100000L)
+      .groupBy($"lang").agg(sum($"n_tok").as("toks")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // achievable = min(100000, en 6000/.5=12000, zh 300/.5=600) = 600
+    assert(kept == Map("en" -> 300L, "zh" -> 300L),
+      s"binding zh must be whole and en scaled to match: $kept")
+
+    // total binds when every stratum has headroom: achievable = 400,
+    // budgets 200/200, and the 10-token docs tile the budgets exactly
+    val kept2 = Sampling.mixtureBudget(docs, "doc_id", "lang", "n_tok", shares, 400L)
+      .groupBy($"lang").agg(sum($"n_tok").as("toks")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept2 == Map("en" -> 200L, "zh" -> 200L), s"total-bound case: $kept2")
+
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureBudget(docs, "doc_id", "lang", "n_tok", Map("en" -> 0.7), 100L)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureBudget(docs, "doc_id", "lang", "n_tok",
+        Map("en" -> 0.5, "zh" -> 0.5, "de" -> 0.0), 100L)
+    }
+  }
+
   test("tokenBudgetByRate: scan-local twin lands near the budget in expectation") {
     val df = (0L until 4000L).map(i => (i, "en", 10L)).toDF("id", "stratum", "n_tok")
     // total 40000 tokens, budget 10000 -> rate 0.25
