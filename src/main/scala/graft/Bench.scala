@@ -97,8 +97,12 @@ object Bench {
       if (System.nanoTime() - t0 > budgetNs) name -> p1(name)
       else {
         val s = System.nanoTime()
-        try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => }
-        name -> (System.nanoTime() - s) / 1e9
+        // a failed re-run keeps its pass-1 time: time-to-error is not a
+        // timing, and the min would adopt it as a phantom speedup
+        try {
+          materialize(fn(spark, sfDir))
+          name -> (System.nanoTime() - s) / 1e9
+        } catch { case _: Throwable => name -> p1(name) }
       }
     }.toMap
     // Steal-storm retry (r9 judge item 8): min-of-2 absorbs moderate host
@@ -116,8 +120,13 @@ object Bench {
           if (System.nanoTime() - s0 > budgetNs) None
           else {
             val s = System.nanoTime()
-            try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => }
-            Some(name -> (System.nanoTime() - s) / 1e9)
+            // record ONLY successful runs: a fast failure's time-to-error
+            // is not a timing, and min() would adopt it as a phantom
+            // speedup — the exact delta-poisoning this pass exists to fix
+            try {
+              materialize(fn(spark, sfDir))
+              Some(name -> (System.nanoTime() - s) / 1e9)
+            } catch { case _: Throwable => None }
           }
         }.toMap
       }

@@ -29,8 +29,8 @@ object GraftSession {
       // depends on (or litters) the launch cwd. Keyed by PID so a
       // concurrent bench/verify JVM can't drop-and-recreate a table
       // location out from under this one mid-query (ADVICE r9 #2).
-      .config("spark.sql.warehouse.dir",
-        s"/tmp/graft-warehouse-${ProcessHandle.current().pid()}")
+      .config("spark.sql.warehouse.dir", graft.sources.TempDirs.register(
+        s"/tmp/graft-warehouse-${ProcessHandle.current().pid()}"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.ui.enabled", "false")

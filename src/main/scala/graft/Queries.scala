@@ -146,8 +146,9 @@ object Queries {
       // PID-keyed: Spark's overwrite deletes the dir before rewriting, so
       // a concurrent bench/verify JVM sharing the path could read a
       // half-written mirror (ADVICE r9 #2)
-      val out = s"/tmp/graft_${fmt}_docs_${ProcessHandle.current().pid()}_" +
-        d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + pathTag
+      val out = graft.sources.TempDirs.register(
+        s"/tmp/graft_${fmt}_docs_${ProcessHandle.current().pid()}_" +
+          d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + pathTag)
       val w = Tables.documents(s, d).write.mode("overwrite")
       fmt match {
         case "json" => w.json(out)
@@ -156,8 +157,19 @@ object Queries {
         // sentinel that cannot collide with document text, so an empty
         // STRING field roundtrips as "" instead of silently becoming null
         // on read (ADVICE r9 #1 — the default maps both to "")
-        case "csv" => w.option("header", "true").option("escape", "\"")
-          .option("nullValue", "\\N").csv(out)
+        case "csv" =>
+          // the sentinel's no-collision claim is an INVARIANT of the
+          // corpus, not of CSV — enforce it where the mirror is written
+          // (ADVICE r9 #1 follow-up): a field that IS the literal \N
+          // would roundtrip to NULL
+          val collisions = Tables.documents(s, d)
+            .where(col("text") === "\\N" || col("lang") === "\\N" ||
+              col("source") === "\\N")
+            .limit(1).count()
+          require(collisions == 0,
+            "csv mirror: a document field equals the \\N null sentinel")
+          w.option("header", "true").option("escape", "\"")
+            .option("nullValue", "\\N").csv(out)
       }
       out
     }
@@ -816,10 +828,10 @@ object Queries {
     // PID-keyed like the format mirrors: the staged copy is not atomic, so
     // a concurrent JVM re-staging the same path could expose a truncated
     // file to this one's running stream (ADVICE r9 #2)
-    val stage = java.nio.file.Paths.get(
+    val stage = java.nio.file.Paths.get(graft.sources.TempDirs.register(
       s"/tmp/graft_stream_${tableFile.stripSuffix(".parquet")}_" +
         s"${ProcessHandle.current().pid()}_" +
-        d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + pathTag)
+        d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + pathTag))
     java.nio.file.Files.createDirectories(stage)
     val src = java.nio.file.Paths.get(s"$d/$tableFile")
     val dst = stage.resolve(tableFile)
@@ -897,8 +909,8 @@ object Queries {
   private def stageI1Media(s: SparkSession, d: String): String = {
     val pathTag = java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    val root = java.nio.file.Paths.get(
-      s"/tmp/graft_i1_media_${ProcessHandle.current().pid()}_$pathTag")
+    val root = java.nio.file.Paths.get(graft.sources.TempDirs.register(
+      s"/tmp/graft_i1_media_${ProcessHandle.current().pid()}_$pathTag"))
     if (!java.nio.file.Files.exists(root.resolve("_done"))) {
       deleteDir(root)
       java.nio.file.Files.createDirectories(root)
@@ -1025,7 +1037,8 @@ object Queries {
       import s.implicits._
       val pathTag = java.security.MessageDigest.getInstance("MD5")
         .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-      val out = s"/tmp/graft_ranged_docs_${ProcessHandle.current().pid()}_$pathTag"
+      val out = graft.sources.TempDirs.register(
+        s"/tmp/graft_ranged_docs_${ProcessHandle.current().pid()}_$pathTag")
       Tables.documents(s, d)
         .repartitionByRange(8, $"doc_id").sortWithinPartitions($"doc_id")
         .write.mode("overwrite").parquet(out)

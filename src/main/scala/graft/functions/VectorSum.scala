@@ -43,6 +43,11 @@ case class VectorSum(
 
   private def add(buf: Array[Double], v: ArrayData): Array[Double] = {
     val n = v.numElements()
+    // a zero-length vector would be indistinguishable from the "no input
+    // yet" buffer sentinel, making the mismatch error depend on row order
+    // across shuffles — reject it outright instead
+    if (n == 0)
+      throw new IllegalArgumentException("vector_sum: zero-length vector")
     val target = if (buf.isEmpty) new Array[Double](n) else buf
     if (target.length != n)
       throw new IllegalArgumentException(

@@ -41,8 +41,17 @@ object AnnSearch {
                  metric: VectorMetric): Column = metric match {
     case VectorMetric.Ip => bestDot(df)(col(vecCol), typedlit(query))
     case VectorMetric.Cosine =>
+      // zero-norm guard (the ingest keeps all-zero hash vectors as zero —
+      // IngestPipeline's vectorize fix): cosine with a zero side is
+      // defined as 0 here rather than tripping ANSI divide-by-zero
       val qn = math.sqrt(query.map(x => x * x).sum)
-      bestDot(df)(col(vecCol), typedlit(query)) / (l2Norm(col(vecCol)) * lit(qn))
+      if (qn == 0.0) lit(0.0)
+      else {
+        val n = l2Norm(col(vecCol))
+        when(n > 0,
+          bestDot(df)(col(vecCol), typedlit(query)) / (n * lit(qn)))
+          .otherwise(lit(0.0))
+      }
     case VectorMetric.L2 => bestL2Sq(df)(col(vecCol), typedlit(query))
   }
 

@@ -175,9 +175,16 @@ object Pq {
         while (i < model.dsub) { acc += cent(i) * cent(i); i += 1 }
         acc
       }
+      // zero-norm guard, same convention as AnnSearch.exactScore/Sq8.score
       val qn = math.sqrt(query.map(x => x * x).sum)
-      call_function("byte_lut_sum", codesCol, typedlit(ipLut(model, query))) /
-        (sqrt(call_function("byte_lut_sum", codesCol, typedlit(norms))) * lit(qn))
+      if (qn == 0.0) lit(0.0)
+      else {
+        val nrm = sqrt(call_function("byte_lut_sum", codesCol, typedlit(norms)))
+        when(nrm > 0,
+          call_function("byte_lut_sum", codesCol, typedlit(ipLut(model, query))) /
+            (nrm * lit(qn)))
+          .otherwise(lit(0.0))
+      }
   }
 
   /** Top-k ADC search over a PQ-encoded table (pass an IVF-pruned frame

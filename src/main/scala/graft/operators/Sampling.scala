@@ -225,9 +225,13 @@ object Sampling {
       .map(r => r.getString(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
       .toMap
     // double division + truncation, the exact arithmetic the SQL oracle
-    // replays (floor == truncate for non-negatives)
+    // replays (floor == truncate for non-negatives). A share stratum
+    // ABSENT from the corpus does not bind (matching the oracle's inner
+    // join): it can't contribute rows either way, and letting its zero
+    // availability drive achievable to 0 would silently empty the whole
+    // corpus because one configured language is missing today.
     val achievable = (Seq(totalTokens) ++
-      shares.map { case (k, s) => (totals.getOrElse(k, 0L) / s).toLong }).min
+      shares.collect { case (k, s) if totals.contains(k) => (totals(k) / s).toLong }).min
     val budgets = shares.map { case (k, s) => k -> (s * achievable).toLong }
     tokenBudget(df, idCol, stratumCol, tokenCol, budgets, defaultBudget = 0L)
   }

@@ -119,8 +119,15 @@ object Sq8 {
       case VectorMetric.L2 =>
         lut((i, c) => { val d = decoded(i, c) - query(i); d * d })
       case VectorMetric.Cosine =>
+        // zero-norm guard: a zero query or an all-zero decoded row scores
+        // 0 instead of tripping ANSI divide-by-zero (AnnSearch.exactScore
+        // pins the same convention for the exact path)
         val qn = math.sqrt(query.map(x => x * x).sum)
-        ipScore / (sqrt(lut((i, c) => { val v = decoded(i, c); v * v })) * lit(qn))
+        if (qn == 0.0) lit(0.0)
+        else {
+          val nrm = sqrt(lut((i, c) => { val v = decoded(i, c); v * v }))
+          when(nrm > 0, ipScore / (nrm * lit(qn))).otherwise(lit(0.0))
+        }
     }
   }
 

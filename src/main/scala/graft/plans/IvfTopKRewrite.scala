@@ -2,7 +2,7 @@ package graft.plans
 
 import graft.functions.{ByteDot, ByteLutSum, DotProduct, L2SqDistance}
 import graft.operators.{IvfIndex, Pq}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, AttributeReference, Descending, Expression, In, Literal, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, AttributeReference, Descending, Expression, In, Literal, SortDirection, SortOrder}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -71,23 +71,36 @@ case class IvfTopKRewrite() extends Rule[LogicalPlan] {
 
   /** A centroid-scoring function recovered from the literal query buried
     * anywhere in the score expression — IP against the (possibly
-    * scale-weighted) query vector, or ADC through the PQ LUT.
+    * scale-weighted) query vector, or ADC through the PQ LUT — paired
+    * with the sort direction the scorer is valid for. IVF pruning only
+    * approximates NEAREST-neighbor semantics: `fast_dot ASC` (k least
+    * similar) or `fast_l2sq DESC` (k farthest) are legitimate exact
+    * queries the rule must leave untouched, so IP-family scorers admit
+    * only Descending and L2 only Ascending. ADC LUTs admit both — the
+    * LUT's content defines the metric (IP LUTs sort desc, distance LUTs
+    * asc), both nearest-semantics under their metric.
     */
-  private def findScorer(e: Expression): Option[Array[Double] => Double] = e.collectFirst {
-    case DotProduct(_, Literal(q: ArrayData, _))   => ipWith(q.toDoubleArray())
-    case ByteDot(_, Literal(w: ArrayData, _))      => ipWith(w.toDoubleArray())
-    case L2SqDistance(_, Literal(q: ArrayData, _)) => l2SqWith(q.toDoubleArray())
-    case ByteLutSum(_, Literal(lut: ArrayData, _)) if IvfRegistry.currentPq.isDefined =>
-      val pq = IvfRegistry.currentPq.get
-      val flat = lut.toDoubleArray()
-      (c: Array[Double]) => {
-        val codes = Pq.encodeVec(pq, c)
-        var acc = 0.0
-        var j = 0
-        while (j < codes.length) { acc += flat(j * 256 + (codes(j) & 0xff)); j += 1 }
-        acc
-      }
-  }
+  private def findScorer(
+      e: Expression): Option[(Array[Double] => Double, Option[SortDirection])] =
+    e.collectFirst {
+      case DotProduct(_, Literal(q: ArrayData, _)) =>
+        (ipWith(q.toDoubleArray()) _, Some(Descending: SortDirection))
+      case ByteDot(_, Literal(w: ArrayData, _)) =>
+        (ipWith(w.toDoubleArray()) _, Some(Descending: SortDirection))
+      case L2SqDistance(_, Literal(q: ArrayData, _)) =>
+        (l2SqWith(q.toDoubleArray()) _, Some(Ascending: SortDirection))
+      case ByteLutSum(_, Literal(lut: ArrayData, _)) if IvfRegistry.currentPq.isDefined =>
+        val pq = IvfRegistry.currentPq.get
+        val flat = lut.toDoubleArray()
+        val scorer = (c: Array[Double]) => {
+          val codes = Pq.encodeVec(pq, c)
+          var acc = 0.0
+          var j = 0
+          while (j < codes.length) { acc += flat(j * 256 + (codes(j) & 0xff)); j += 1 }
+          acc
+        }
+        (scorer, None: Option[SortDirection])
+    }
 
   private def ipWith(q: Array[Double])(c: Array[Double]): Double = {
     val n = math.min(q.length, c.length)
@@ -122,7 +135,9 @@ case class IvfTopKRewrite() extends Rule[LogicalPlan] {
         else
           projList.collectFirst { case a: Alias if a.exprId == attr.exprId => a }
             .flatMap(a => findScorer(a.child))
-            .flatMap { scorer =>
+            // farthest-neighbor shapes (IP asc / L2 desc) stay exact
+            .filter { case (_, allowed) => allowed.forall(_ == dir) }
+            .flatMap { case (scorer, _) =>
               // dim mismatch (e.g. a PQ model fit for another table) must
               // leave the plan untouched, never break analysis
               scala.util.Try {

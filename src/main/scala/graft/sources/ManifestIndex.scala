@@ -97,12 +97,21 @@ object ManifestIndex {
   def rangeRead(
       spark: SparkSession, dir: String, manifest: DataFrame,
       keyCol: String, lo: Long, hi: Long): DataFrame = {
-    val schema = spark.read.parquet(dir).schema
     val files = prunedFiles(manifest, lo, hi)
+    // never list `dir`: a full directory listing + footer pass is the
+    // exact metadata cost this class exists to remove. Non-empty reads
+    // infer schema from the pruned files alone; the empty-result path
+    // takes the schema from ONE manifest-listed file's footer.
     val base =
-      if (files.isEmpty) spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(files: _*)
+      if (files.nonEmpty) spark.read.parquet(files: _*)
+      else {
+        val any = manifest.select(col("file")).limit(1).collect()
+          .headOption.map(_.getString(0))
+        val schema = any.map(f => spark.read.parquet(f).schema)
+          .getOrElse(spark.read.parquet(dir).schema) // empty manifest: empty lake
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      }
     base.where(col(keyCol) >= lo && col(keyCol) <= hi)
   }
 }

@@ -112,6 +112,16 @@ class SamplingSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(kept2 == Map("en" -> 200L, "zh" -> 200L), s"total-bound case: $kept2")
 
+    // a configured stratum ABSENT from the corpus must not bind achievable
+    // to 0 and silently empty the result (it matches the oracle's inner
+    // join: ignored)
+    val keptAbsent = Sampling.mixtureBudget(docs, "doc_id", "lang", "n_tok",
+        Map("en" -> 0.5, "zh" -> 0.3, "missing" -> 0.2), 400L)
+      .groupBy($"lang").agg(sum($"n_tok").as("toks")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(keptAbsent == Map("en" -> 200L, "zh" -> 120L),
+      s"absent stratum must be ignored, not binding: $keptAbsent")
+
     intercept[IllegalArgumentException] {
       Sampling.mixtureBudget(docs, "doc_id", "lang", "n_tok", Map("en" -> 0.7), 100L)
     }

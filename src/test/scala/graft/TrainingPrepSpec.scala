@@ -101,6 +101,21 @@ class TrainingPrepSpec extends SparkSpec {
       || Option(ex.getCause).exists(_.getMessage.contains("dimension mismatch")))
   }
 
+  test("vector_sum: a zero-length vector throws in ANY row order (no sentinel collision)") {
+    // [] first used to be silently swallowed by the empty-buffer sentinel
+    // while [v, []] threw — order-dependent across shuffles
+    for (rows <- Seq(
+        Seq(("a", Seq.empty[Float]), ("a", Seq(1.0f, 2.0f))),
+        Seq(("a", Seq(1.0f, 2.0f)), ("a", Seq.empty[Float])))) {
+      val ex = intercept[Exception] {
+        rows.toDF("k", "v").groupBy($"k")
+          .agg(call_function("vector_sum", $"v")).collect()
+      }
+      assert(ex.getMessage.contains("zero-length")
+        || Option(ex.getCause).exists(_.getMessage.contains("zero-length")))
+    }
+  }
+
   test("packManifest: matches the single-partition window gold; chunk maths hold") {
     val docs = Tables.documents(spark, Sf0001)
       .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tok"))

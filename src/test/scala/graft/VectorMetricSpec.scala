@@ -188,6 +188,52 @@ class VectorMetricSpec extends SparkSpec {
     }
   }
 
+  test("IvfTopKRewrite: farthest-neighbor shapes (IP asc / L2 desc) stay exact") {
+    import org.apache.spark.sql.functions.{asc, desc, col, expr}
+    val (base, q) = fixture
+    val (assigned, model) = IvfIndex.build(base, "embedding", nlist = 8)
+    val indexed = assigned.select($"vec_id", $"embedding", $"cluster_id").cache()
+    indexed.count()
+    try {
+      IvfRegistry.register(model, nprobe = 2)
+      val qLit = org.apache.spark.sql.functions.typedlit(q)
+      // k LEAST similar by IP — a legitimate exact audit query
+      val ipAsc = indexed
+        .select($"vec_id",
+          graft.functions.VectorFunctions.fastDot($"embedding", qLit).as("score"))
+        .orderBy(asc("score"), col("vec_id")).limit(15)
+      assert(!ipAsc.queryExecution.optimizedPlan.toString.contains("cluster_id IN"),
+        "ascending IP top-k must not be approximated")
+      // k FARTHEST by L2 — same
+      val l2Desc = indexed
+        .select($"vec_id",
+          graft.functions.VectorFunctions.fastL2Sq($"embedding", qLit).as("score"))
+        .orderBy(desc("score"), col("vec_id")).limit(15)
+      assert(!l2Desc.queryExecution.optimizedPlan.toString.contains("cluster_id IN"),
+        "descending L2 top-k must not be approximated")
+    } finally {
+      IvfRegistry.clear()
+      indexed.unpersist()
+    }
+  }
+
+  test("cosine scoring: zero-norm rows and zero queries score 0, never throw") {
+    import org.apache.spark.sql.functions.lit
+    val rows = Seq(
+      (1L, Seq(0.0f, 0.0f, 0.0f, 0.0f)), // the ingest's preserved zero vector
+      (2L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = AnnSearch.exactTopK(rows, "embedding", "vec_id",
+        Seq(1.0, 0.0, 0.0, 0.0), 3, VectorMetric.Cosine)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == 0.0 && got(2L) == 1.0 && got(3L) == 0.0)
+    // zero QUERY: all scores 0, ties broken by id, no ANSI divide error
+    val zq = AnnSearch.exactTopK(rows, "embedding", "vec_id",
+        Seq(0.0, 0.0, 0.0, 0.0), 3, VectorMetric.Cosine)
+      .collect().map(_.getDouble(1))
+    assert(zq.forall(_ == 0.0))
+  }
+
   test("VectorMetric: parses names, rejects unknowns") {
     assert(VectorMetric("ip") == VectorMetric.Ip)
     assert(VectorMetric("COSINE") == VectorMetric.Cosine)
