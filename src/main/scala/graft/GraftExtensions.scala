@@ -11,42 +11,55 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * session — including the driver's — picks the functions up from config.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  // wrong-arity calls must fail with a clear analysis-time message, not an
+  // IndexOutOfBounds from children(1) inside the builder (ADVICE r10)
+  private def arity(name: String, n: Int)(
+      b: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression =
+    children => {
+      if (children.length != n) throw new IllegalArgumentException(
+        s"$name requires exactly $n argument(s), got ${children.length}")
+      b(children)
+    }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("fast_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "fast_dot"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        DotProduct(children.head, children(1))))
+      arity("fast_dot", 2)(children =>
+        DotProduct(children.head, children(1)))))
     ext.injectFunction((
       new FunctionIdentifier("fast_l2sq"),
       new ExpressionInfo(classOf[L2SqDistance].getName, "fast_l2sq"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        L2SqDistance(children.head, children(1))))
+      arity("fast_l2sq", 2)(children =>
+        L2SqDistance(children.head, children(1)))))
     ext.injectFunction((
       new FunctionIdentifier("byte_dot"),
       new ExpressionInfo(classOf[ByteDot].getName, "byte_dot"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        ByteDot(children.head, children(1))))
+      arity("byte_dot", 2)(children =>
+        ByteDot(children.head, children(1)))))
     ext.injectFunction((
       new FunctionIdentifier("byte_lut_sum"),
       new ExpressionInfo(classOf[ByteLutSum].getName, "byte_lut_sum"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        ByteLutSum(children.head, children(1))))
+      arity("byte_lut_sum", 2)(children =>
+        ByteLutSum(children.head, children(1)))))
     ext.injectFunction((
       new FunctionIdentifier("topk_ids"),
       new ExpressionInfo(classOf[TopKIds].getName, "topk_ids"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        TopKIds(children.head, children(1), children(2))))
+      arity("topk_ids", 3)(children =>
+        TopKIds(children.head, children(1), children(2)))))
     ext.injectFunction((
       new FunctionIdentifier("vector_sum"),
       new ExpressionInfo(classOf[VectorSum].getName, "vector_sum"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        VectorSum(children.head)))
+      arity("vector_sum", 1)(children =>
+        VectorSum(children.head))))
     ext.injectFunction((
       new FunctionIdentifier("freq_items"),
       new ExpressionInfo(classOf[FreqItems].getName, "freq_items"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        FreqItems(children.head, children(1))))
+      arity("freq_items", 2)(children =>
+        FreqItems(children.head, children(1)))))
     // ANN auto-rewrite: ORDER BY fast_dot DESC LIMIT k -> nprobe-pruned scan
     // (no-op unless an IvfRegistry model is registered).
     ext.injectOptimizerRule(_ => graft.plans.IvfTopKRewrite())

@@ -148,6 +148,13 @@ final class CorpusRecipe private (
       .withColumnRenamed("clean_text", textCol))
   }
 
+  /** Row-local text normalization (lowercase, whitespace collapse,
+    * newline→space before token-level steps, …): `f` rewrites the text
+    * column in place — a scan-fused projection, no shuffle.
+    */
+  def normalize(f: Column => Column): CorpusRecipe =
+    next(frame.withColumn(textCol, f(col(textCol))))
+
   /** s1's deterministic stratified sample (md5-draw, engine-portable). */
   def sample(
       stratumCol: String, rates: Map[String, Double],

@@ -131,6 +131,12 @@ case class FreqItems(
   override def checkInputDataTypes(): TypeCheckResult =
     if (left.dataType != StringType)
       TypeCheckResult.TypeCheckFailure("freq_items requires a STRING token column")
+    // the cap's TYPE gates before its VALUE is evaluated: a non-integral
+    // literal (freq_items(t, 'x')) must be a TypeCheckFailure during
+    // analysis, not a ClassCastException from the eval below
+    else if (!Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+      .contains(right.dataType))
+      TypeCheckResult.TypeCheckFailure("freq_items requires an integral cap")
     else if (!right.foldable || right.eval() == null ||
       right.eval().asInstanceOf[Number].intValue() < 1)
       TypeCheckResult.TypeCheckFailure("freq_items requires a literal cap >= 1")

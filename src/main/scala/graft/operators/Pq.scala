@@ -159,7 +159,11 @@ object Pq {
   def score(codesCol: Column, model: Model, query: Seq[Double],
             metric: VectorMetric = VectorMetric.Ip): Column = metric match {
     case VectorMetric.Ip =>
-      call_function("byte_lut_sum", codesCol, typedlit(ipLut(model, query)))
+      val ip = ipLut(model, query)
+      // provenance lets IvfTopKRewrite admit only the direction this
+      // table's metric is valid for (ADVICE r10 #2)
+      graft.plans.IvfRegistry.recordLut(ip, "ip")
+      call_function("byte_lut_sum", codesCol, typedlit(ip))
     case VectorMetric.L2 =>
       val l2 = lut(model, query) { (cent, j) =>
         var acc = 0.0; var i = 0
@@ -168,6 +172,7 @@ object Pq {
         }
         acc
       }
+      graft.plans.IvfRegistry.recordLut(l2, "dist")
       call_function("byte_lut_sum", codesCol, typedlit(l2))
     case VectorMetric.Cosine =>
       val norms = lut(model, query) { (cent, _) =>
@@ -179,9 +184,12 @@ object Pq {
       val qn = math.sqrt(query.map(x => x * x).sum)
       if (qn == 0.0) lit(0.0)
       else {
+        val ip = ipLut(model, query)
+        graft.plans.IvfRegistry.recordLut(ip, "ip")
+        graft.plans.IvfRegistry.recordLut(norms, "cnorm")
         val nrm = sqrt(call_function("byte_lut_sum", codesCol, typedlit(norms)))
         when(nrm > 0,
-          call_function("byte_lut_sum", codesCol, typedlit(ipLut(model, query))) /
+          call_function("byte_lut_sum", codesCol, typedlit(ip)) /
             (nrm * lit(qn)))
           .otherwise(lit(0.0))
       }

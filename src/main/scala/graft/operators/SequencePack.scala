@@ -134,7 +134,11 @@ object SequencePack {
     val ranked = GlobalRank
       .withGlobalIndex(base, Seq(col("__draw"), col(idCol)), "__idx")
       .withColumn("shard", (col("__idx") / shardDocs).cast("long"))
-    val rowsT = "array<struct<id:bigint,tokens:bigint,bin:bigint,off:bigint>>"
+    // the struct carries the id column's ORIGINAL type (ADVICE r10 #1):
+    // the old cast-to-bigint silently nulled string/UUID doc ids (or threw
+    // under ANSI mode), diverging from packManifest's type preservation
+    val idSql = df.schema(idCol).dataType.sql
+    val rowsT = s"array<struct<id:$idSql,tokens:bigint,bin:bigint,off:bigint>>"
     // fill starts at ctxLen so the first doc always "overflows" into bin 0
     // at off 0 — the same sentinel the oracle's rn=1 anchor encodes
     val init = struct(
@@ -153,7 +157,7 @@ object SequencePack {
     ranked
       .groupBy(col("shard"))
       .agg(sort_array(collect_list(struct(
-        col("__idx"), col(idCol).cast("long").as("id"), col("tokens")))).as("docs"))
+        col("__idx"), col(idCol).as("id"), col("tokens")))).as("docs"))
       .select(col("shard"),
         aggregate(col("docs"), init, step, acc => acc("rows")).as("rows"))
       .select(col("shard"), explode(col("rows")).as("r"))

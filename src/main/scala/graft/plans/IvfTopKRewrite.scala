@@ -23,9 +23,38 @@ object IvfRegistry {
     * queries can rank IVF centroids in the same quantized space.
     */
   def registerPq(model: Pq.Model): Unit = pqState = Some(model)
-  def clear(): Unit = { state = None; pqState = None }
+  def clear(): Unit = {
+    state = None; pqState = None
+    lutKinds.synchronized(lutKinds.clear())
+  }
   def current: Option[(IvfIndex.Model, Int)] = state
   def currentPq: Option[Pq.Model] = pqState
+
+  /** LUT provenance (ADVICE r10 #2): an ADC lookup table's metric is
+    * knowable only at LUT-build time — the flat m×256 doubles in the plan
+    * say nothing about whether larger-is-better (IP) or smaller-is-better
+    * (squared L2). [[graft.operators.Pq.score]] records each table it
+    * builds here, keyed by content fingerprint, so the rewrite can admit
+    * ONLY the matching sort direction: an `ORDER BY adc_l2 DESC LIMIT k`
+    * (k farthest) stays exact instead of being silently nprobe-pruned.
+    * Kinds: `ip` (inner product), `dist` (distance, asc-is-better),
+    * `cnorm` (cosine's centroid-norm² table — never a standalone scorer).
+    * Bounded LRU: serving builds a fresh LUT per query.
+    */
+  private val lutKinds = new java.util.LinkedHashMap[String, String](64, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[String, String]): Boolean =
+      size() > 512
+  }
+  private def lutFp(flat: Array[Double]): String = {
+    val bb = java.nio.ByteBuffer.allocate(flat.length * 8)
+    flat.foreach(bb.putDouble)
+    java.security.MessageDigest.getInstance("MD5").digest(bb.array())
+      .map("%02x".format(_)).mkString
+  }
+  def recordLut(flat: Seq[Double], kind: String): Unit =
+    lutKinds.synchronized { lutKinds.put(lutFp(flat.toArray), kind); () }
+  def lutKind(flat: Array[Double]): Option[String] =
+    lutKinds.synchronized { Option(lutKinds.get(lutFp(flat))) }
 }
 
 /** The optimizer rule (SURVEY §7.3 "custom Catalyst, perf only"): matches
@@ -89,17 +118,55 @@ case class IvfTopKRewrite() extends Rule[LogicalPlan] {
         (ipWith(w.toDoubleArray()) _, Some(Descending: SortDirection))
       case L2SqDistance(_, Literal(q: ArrayData, _)) =>
         (l2SqWith(q.toDoubleArray()) _, Some(Ascending: SortDirection))
-      case ByteLutSum(_, Literal(lut: ArrayData, _)) if IvfRegistry.currentPq.isDefined =>
-        val pq = IvfRegistry.currentPq.get
-        val flat = lut.toDoubleArray()
-        val scorer = (c: Array[Double]) => {
+    }.orElse(lutScorer(e))
+
+  /** ADC (byte_lut_sum) scorer with metric-aware direction (ADVICE r10
+    * #2): the LUT's kind is looked up from [[IvfRegistry.lutKind]] — a
+    * `dist` LUT admits only Ascending, an `ip` LUT only Descending (a
+    * cosine score additionally carries the `cnorm` table, so the centroid
+    * rank divides the ADC inner product by the true centroid norm — the
+    * query-norm factor is constant across centroids and drops out). A LUT
+    * of UNKNOWN provenance (built outside [[graft.operators.Pq.score]])
+    * keeps the legacy both-directions admission, documented as such.
+    */
+  private def lutScorer(
+      e: Expression): Option[(Array[Double] => Double, Option[SortDirection])] =
+    IvfRegistry.currentPq.flatMap { pq =>
+      val luts = e.collect {
+        case ByteLutSum(_, Literal(lut: ArrayData, _)) => lut.toDoubleArray()
+      }
+      if (luts.isEmpty) None
+      else {
+        def adc(flat: Array[Double])(c: Array[Double]): Double = {
           val codes = Pq.encodeVec(pq, c)
           var acc = 0.0
           var j = 0
           while (j < codes.length) { acc += flat(j * 256 + (codes(j) & 0xff)); j += 1 }
           acc
         }
-        (scorer, None: Option[SortDirection])
+        val kinds = luts.map(l => (l, IvfRegistry.lutKind(l)))
+        kinds.collectFirst { case (l, Some("dist")) => l } match {
+          case Some(l) => Some((adc(l) _, Some(Ascending: SortDirection)))
+          case None =>
+            kinds.collectFirst { case (l, Some("ip")) => l } match {
+              case Some(l) if kinds.exists(_._2.contains("cnorm")) =>
+                val cos = (c: Array[Double]) => {
+                  var n2 = 0.0; var i = 0
+                  while (i < c.length) { n2 += c(i) * c(i); i += 1 }
+                  if (n2 == 0.0) 0.0 else adc(l)(c) / math.sqrt(n2)
+                }
+                Some((cos, Some(Descending: SortDirection)))
+              case Some(l) =>
+                Some((adc(l) _, Some(Descending: SortDirection)))
+              case None if kinds.forall(_._2.isEmpty) =>
+                Some((adc(luts.head) _, None: Option[SortDirection]))
+              case None =>
+                // known but non-scoring tables only (e.g. a bare cnorm
+                // read): not a rankable score — leave the plan exact
+                None
+            }
+        }
+      }
     }
 
   private def ipWith(q: Array[Double])(c: Array[Double]): Double = {
