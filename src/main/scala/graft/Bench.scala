@@ -68,6 +68,62 @@ object Bench {
     }.mkString("{", ",", "}")
   } catch { case _: Throwable => "{}" }
 
+  /** Ingest throughput against BASELINE.md's derived target ("≥ 12
+    * fps-equivalent per core", the hasher.js:129-130 analog) — the one
+    * baseline number no bench row measured (VERDICT r10 #4). Real work
+    * end-to-end on the in-JVM A15 path: MJPEG-AVI container parse → JPEG
+    * frame decode → descriptor + BitSampling hash extraction per frame
+    * ([[graft.streaming.IngestPipeline.extractFrames]]), at the
+    * reference's frame geometry (scale=-2:180 → 320×180, 12 fps). One
+    * task per video, `nVids` ≥ cores so every core is busy; the same AVI
+    * bytes replicate across videos (decode cost is per-copy, so
+    * replication changes nothing about the number). Returns (frames,
+    * wall seconds, cores).
+    */
+  private[graft] def ingestFps(
+      spark: org.apache.spark.sql.SparkSession,
+      nVids: Int, nFrames: Int, w: Int, h: Int): (Long, Double, Int) = {
+    def jpeg(i: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g2 = img.createGraphics()
+      g2.setColor(new java.awt.Color(i * 37 % 256, i * 59 % 256, i * 83 % 256))
+      g2.fillRect(0, 0, w, h)
+      g2.setColor(java.awt.Color.WHITE)
+      (0 until 8).foreach { j =>
+        if (((i >> j) & 1) == 1) g2.fillRect(j * (w / 16), 0, w / 16, h / 8)
+      }
+      g2.dispose()
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", baos)
+      baos.toByteArray
+    }
+    val avi = graft.multimodal.AviMjpeg.write(
+      (0 until nFrames).map(jpeg), 12, w, h)
+    import spark.implicits._
+    val media = (0 until nVids).map(v => (s"tt$v", s"vid$v.mp4", avi))
+      .toDF("imdb_id", "file_name", "content").repartition(nVids).cache()
+    media.count()
+    def run(): Long = graft.streaming.IngestPipeline
+      .extractFrames(media, graft.streaming.IngestPipeline.defaultExtractor)
+      .count()
+    run() // warm: JIT + codegen, so the timed pass measures the extractor
+    val t0 = System.nanoTime()
+    val n = run()
+    val wall = (System.nanoTime() - t0) / 1e9
+    media.unpersist()
+    (n, wall, spark.sparkContext.defaultParallelism)
+  }
+
+  private def ingestThroughput(
+      spark: org.apache.spark.sql.SparkSession): String = try {
+    val (frames, wall, cores) = ingestFps(spark, nVids = 32, nFrames = 96,
+      w = 320, h = 180)
+    val fpc = frames / math.max(wall, 1e-9) / cores
+    def f1(d: Double) = "%.1f".formatLocal(java.util.Locale.ROOT, d)
+    s"""{"frames":$frames,"wall_s":${f1(wall)},"cores":$cores,"fps_per_core":${f1(fpc)}}"""
+  } catch { case _: Throwable => "{}" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
@@ -156,7 +212,8 @@ object Bench {
     // contract is untouched).
     try {
       val detail = line(6).dropRight(1) +
-        s""","serving_ms":${servingLatency(spark, sfDir)}}"""
+        s""","serving_ms":${servingLatency(spark, sfDir)}""" +
+        s""","ingest_fps_per_core":${ingestThroughput(spark)}}"""
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_detail.json"), detail.getBytes("UTF-8"))
     } catch { case _: Throwable => }

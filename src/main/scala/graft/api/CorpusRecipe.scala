@@ -163,11 +163,21 @@ final class CorpusRecipe private (
 
   /** s2's exact per-stratum token budget (greedy md5-draw prefix; the
     * distributed two-pass prefix sum — EAGER, see class doc).
+    *
+    * `approx = true` swaps in [[Sampling.tokenBudgetByRate]] — the 100 TB
+    * form (VERDICT r10 #9): one totals aggregation + a scan-local rate
+    * filter instead of the two-pass prefix sum; lands NEAR the budget in
+    * expectation rather than exactly at it (CorpusRecipeSpec pins the
+    * tolerance), never over by more than one stratum's natural variance.
     */
   def tokenBudget(
       stratumCol: String, tokenCol: String, budgets: Map[String, Long],
-      defaultBudget: Long = 0L): CorpusRecipe =
-    next(Sampling.tokenBudget(frame, idCol, stratumCol, tokenCol, budgets, defaultBudget))
+      defaultBudget: Long = 0L, approx: Boolean = false): CorpusRecipe =
+    next(
+      if (approx)
+        Sampling.tokenBudgetByRate(frame, idCol, stratumCol, tokenCol, budgets, defaultBudget)
+      else
+        Sampling.tokenBudget(frame, idCol, stratumCol, tokenCol, budgets, defaultBudget))
 
   /** s4's target-mixture budget ([[Sampling.mixtureBudget]]): state the
     * desired per-stratum SHARES and one total; the total scales down to
@@ -219,14 +229,48 @@ final class CorpusRecipe private (
     * beyond it they are lower bounds within n/cap with every token above
     * that frequency guaranteed present (FreqItems scaladoc).
     */
-  def vocabulary(k: Int, cap: Int = 1 << 17): DataFrame =
-    frame.select(explode(toks).as("token"))
-      .where(length(col("token")) > 0)
-      .agg(expr(s"freq_items(token, $cap)").as("sk"))
-      .select(explode(col("sk")).as("e"))
-      .select(col("e.token").as("token"), col("e.n").as("n"))
-      .orderBy(col("n").desc, col("token"))
-      .limit(k)
+  def vocabulary(k: Int, cap: Int = 1 << 17, approx: Boolean = true): DataFrame =
+    if (approx)
+      frame.select(explode(toks).as("token"))
+        .where(length(col("token")) > 0)
+        .agg(expr(s"freq_items(token, $cap)").as("sk"))
+        .select(explode(col("sk")).as("e"))
+        .select(col("e.token").as("token"), col("e.n").as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(k)
+    else
+      // exact twin (t10's shape): a (vocab × tasks)-row shuffle the sketch
+      // exists to avoid — for when exact counts matter more than shuffle
+      frame.select(explode(toks).as("token"))
+        .where(length(col("token")) > 0)
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(k)
+
+  /** Corpus profile — a TERMINAL one-row reporting step: document count,
+    * distinct-text count, token mass, and token-count percentiles — the
+    * numbers a mixing/budget decision starts from. `approx = true` (the
+    * 100 TB default) serves the twins: HLL `approx_count_distinct`
+    * (±~2.3% standard error at the default precision) and the t-digest
+    * `approx_percentile` — both O(1) state per partition where the exact
+    * forms hold a distinct-set / value-map per group.
+    */
+  def profile(tokenCol: Column, approx: Boolean = true): DataFrame = {
+    val ps = array(lit(0.5), lit(0.9), lit(0.99))
+    if (approx)
+      frame.agg(
+        count(lit(1)).as("n_docs"),
+        approx_count_distinct(col(textCol)).as("n_distinct_texts"),
+        sum(tokenCol.cast("long")).as("n_tokens"),
+        approx_percentile(tokenCol.cast("double"), ps, lit(10000)).as("tok_quantiles"))
+    else
+      frame.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col(textCol)).as("n_distinct_texts"),
+        sum(tokenCol.cast("long")).as("n_tokens"),
+        percentile(tokenCol.cast("double"), ps).as("tok_quantiles"))
+  }
 
   /** Final projection, ending the recipe. */
   def select(cols: Column*): DataFrame = frame.select(cols: _*)

@@ -72,4 +72,17 @@ class AviMjpegSpec extends SparkSpec {
       v.map(_.frames.length).toString)
     assert(AviMjpeg.parse(Array.fill[Byte](64)(0x2a)).isEmpty)
   }
+
+  test("ingest throughput floor: the in-JVM decode+descriptor path is not pathologically slow") {
+    // the bench sidecar reports the real 320x180 number (BASELINE.md's
+    // >= 12 fps/core target); the spec floor is deliberately generous —
+    // this host is a shared VM with steal storms, so the assertion only
+    // guards against an order-of-magnitude regression, not the target
+    val (frames, wall, cores) = Bench.ingestFps(spark, nVids = 4, nFrames = 24,
+      w = 64, h = 48)
+    // the 12 fps resample grid may drop the container's final frame
+    assert(frames >= 4L * 23, s"expected >=92 frames, got $frames")
+    val fpc = frames / math.max(wall, 1e-9) / cores
+    assert(fpc >= 1.0, f"ingest fps/core $fpc%.2f below the 1.0 floor (wall $wall%.2f s)")
+  }
 }

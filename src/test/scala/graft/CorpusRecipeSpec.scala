@@ -195,4 +195,56 @@ class CorpusRecipeSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(viaApi == direct && viaApi.nonEmpty)
   }
+
+  test("approx twins: tokenBudget(approx) lands near the budget; vocabulary twins agree") {
+    val corpus = Tables.documents(spark, Sf0001)
+      .select($"doc_id", $"text", $"lang",
+        size(split($"text", " ")).cast("long").as("n_tok"))
+    val budgets = Map("en" -> 3000L, "zh" -> 1000L)
+    val exact = CorpusRecipe(corpus).tokenBudget("lang", "n_tok", budgets).frame
+      .groupBy($"lang").agg(sum($"n_tok").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = CorpusRecipe(corpus)
+      .tokenBudget("lang", "n_tok", budgets, approx = true).frame
+      .groupBy($"lang").agg(sum($"n_tok").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    budgets.foreach { case (k, b) =>
+      assert(exact(k) <= b, s"exact over budget for $k")
+      // the rate draw is binomial around the budget (sigma ~ sqrt(n_docs)
+      // x tokens/doc ~ 30% of a 1000-token budget on this small fixture):
+      // the in-expectation bound is the contract, so allow 2-sigma slack —
+      // the md5 draw is deterministic, this is a fixed number per fixture
+      assert(math.abs(approx(k) - b) <= 0.6 * b,
+        s"approx budget for $k: got ${approx(k)}, want ~$b")
+    }
+    val vExact = CorpusRecipe(corpus).vocabulary(50, approx = false)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val vSketch = CorpusRecipe(corpus).vocabulary(50, cap = 1 << 17)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(vExact == vSketch, "sketch must equal exact within the <=cap regime")
+  }
+
+  test("profile: approx twins track the exact profile within documented bounds") {
+    val corpus = Tables.documents(spark, Sf0001)
+      .select($"doc_id", $"text", size(split($"text", " ")).cast("long").as("n_tok"))
+    val ex = CorpusRecipe(corpus).profile($"n_tok", approx = false).head()
+    val ap = CorpusRecipe(corpus).profile($"n_tok").head()
+    assert(ex.getLong(0) == ap.getLong(0), "n_docs is exact on both paths")
+    assert(ex.getLong(2) == ap.getLong(2), "n_tokens is exact on both paths")
+    val exD = ex.getLong(1).toDouble
+    assert(math.abs(ap.getLong(1) - exD) <= 0.05 * exD + 1,
+      s"HLL distinct ${ap.getLong(1)} vs exact $exD beyond 5%")
+    val exQ = ex.getSeq[Double](3)
+    val apQ = ap.getSeq[Double](3)
+    exQ.zip(apQ).foreach { case (e, a) =>
+      assert(math.abs(a - e) <= math.max(2.0, 0.05 * e),
+        s"approx percentile $a vs exact $e")
+    }
+  }
+
+  test("normalize rewrites the text column in place, scan-local") {
+    val out = CorpusRecipe(docs).normalize(c => upper(c)).frame
+      .where($"doc_id" === 1).head().getString(1)
+    assert(out == "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG")
+  }
 }

@@ -84,4 +84,23 @@ class FreqItemsSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("cap"))
   }
+
+  test("non-integral cap and wrong arity fail analysis cleanly (ADVICE r10)") {
+    // a string cap must be a type-check failure, not a ClassCastException
+    // thrown from eval() inside checkInputDataTypes
+    val typeErr = intercept[Exception] {
+      Seq("a").toDF("token").agg(expr("freq_items(token, 'x')")).collect()
+    }
+    assert(typeErr.getMessage.contains("integral")
+      || typeErr.getMessage.toLowerCase.contains("type"),
+      s"expected a type-check failure, got: ${typeErr.getMessage}")
+    assert(!typeErr.isInstanceOf[ClassCastException])
+    // a 1-arg call must be an arity error, not IndexOutOfBounds in the builder
+    val arityErr = intercept[Exception] {
+      Seq("a").toDF("token").agg(expr("freq_items(token)")).collect()
+    }
+    assert(arityErr.getMessage.contains("argument")
+      || arityErr.getMessage.toLowerCase.contains("arity"),
+      s"expected an arity error, got: ${arityErr.getMessage}")
+  }
 }

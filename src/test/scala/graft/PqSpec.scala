@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AnnSearch, IvfIndex, Pq}
+import graft.operators.{AnnSearch, IvfIndex, Pq, VectorMetric}
 import graft.plans.IvfRegistry
 import org.apache.spark.sql.functions._
 
@@ -136,5 +136,48 @@ class PqSpec extends SparkSpec {
       IvfRegistry.clear()
       indexed.unpersist()
     }
+  }
+
+  test("direction guard: a distance LUT sorted DESC (farthest) stays exact; ASC prunes") {
+    // ADVICE r10 #2: the LUT's metric kind is recorded at build time, so
+    // an ADC L2 score sorted DESC (k FARTHEST neighbors — a legitimate
+    // exact query) must never be nprobe-approximated, while the normal
+    // ASC nearest form is
+    val e = Tables.embeddings(spark, Sf0001)
+    val q = e.where($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val base = e.where($"vec_id" =!= 0)
+    val (assigned, ivf) = IvfIndex.build(base, "embedding", nlist = 8)
+    val pq = Pq.fit(base, "embedding", m = 8, ksub = 16)
+    // cache so cluster_id is a MATERIALIZED column of the relation — on
+    // the raw lineage Catalyst collapses the projects and the rewrite
+    // correctly declines (cluster_id would be recomputed, not pruned on)
+    val indexed = Pq.encode(assigned, "embedding", pq)
+      .select($"vec_id", $"pq_codes", $"cluster_id").cache()
+    indexed.count()
+    def planOf(df: org.apache.spark.sql.DataFrame) = df.queryExecution.optimizedPlan.toString
+    val prunedRe = "cluster_id#\\d+ IN".r
+    try {
+      IvfRegistry.register(ivf, nprobe = 2)
+      IvfRegistry.registerPq(pq)
+      val dist = Pq.score($"pq_codes", pq, q, VectorMetric.L2)
+      val nearest = indexed.select($"vec_id", dist.as("score"))
+        .orderBy(asc("score"), $"vec_id").limit(15)
+      assert(prunedRe.findFirstIn(planOf(nearest)).isDefined,
+        s"nearest (ASC over a distance LUT) should prune:\n${planOf(nearest)}")
+      val farthest = indexed.select($"vec_id", dist.as("score"))
+        .orderBy(desc("score"), $"vec_id").limit(15)
+      assert(prunedRe.findFirstIn(planOf(farthest)).isEmpty,
+        s"farthest (DESC over a distance LUT) must stay exact:\n${planOf(farthest)}")
+      // and symmetrically: an IP LUT prunes DESC only
+      val ip = Pq.score($"pq_codes", pq, q, VectorMetric.Ip)
+      val ipDesc = indexed.select($"vec_id", ip.as("score"))
+        .orderBy(desc("score"), $"vec_id").limit(15)
+      assert(prunedRe.findFirstIn(planOf(ipDesc)).isDefined)
+      val ipAsc = indexed.select($"vec_id", ip.as("score"))
+        .orderBy(asc("score"), $"vec_id").limit(15)
+      assert(prunedRe.findFirstIn(planOf(ipAsc)).isEmpty,
+        "least-similar (ASC over an IP LUT) must stay exact")
+    } finally { IvfRegistry.clear(); indexed.unpersist(); () }
   }
 }

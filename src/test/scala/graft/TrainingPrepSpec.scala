@@ -258,4 +258,16 @@ class TrainingPrepSpec extends SparkSpec {
       .select($"doc_id").collect().map(_.getLong(0)).toSet
     assert(got == Set(2L, 3L))
   }
+
+  test("packNoSplit: string doc ids keep their type and values (ADVICE r10 #1)") {
+    // the old col(idCol).cast("long") silently nulled non-numeric ids
+    val docs = Seq.tabulate(12)(i => (s"doc-$i", 1L + i % 7)).toDF("doc_id", "n_tok")
+    val got = SequencePack.packNoSplit(docs, "doc_id", "n_tok", 16L, 5)
+    assert(got.schema("doc_id").dataType == org.apache.spark.sql.types.StringType)
+    val rows = got.collect()
+    assert(rows.map(_.getString(0)).toSet == (0 until 12).map(i => s"doc-$i").toSet,
+      "every id must survive unchanged")
+    val byId = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    (0 until 12).foreach(i => assert(byId(s"doc-$i") == 1L + i % 7))
+  }
 }
