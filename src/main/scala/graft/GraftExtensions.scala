@@ -60,6 +60,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FreqItems].getName, "freq_items"),
       arity("freq_items", 2)(children =>
         FreqItems(children.head, children(1)))))
+    // Spark's OWN runtime-filter bloom expressions (BloomFilterAggregate /
+    // BloomFilterMightContain — codegen'd, spark-sketch-backed), surfaced
+    // as SQL functions: the scalable membership primitive behind
+    // TextDedup.contaminationBloom. Internal-but-public Catalyst classes;
+    // exposing them is registration, not reimplementation.
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_agg"),
+      arity("bloom_agg", 3)(children =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children.head, children(1), children(2)))))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_might_contain"),
+      arity("bloom_might_contain", 2)(children =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head, children(1)))))
     // ANN auto-rewrite: ORDER BY fast_dot DESC LIMIT k -> nprobe-pruned scan
     // (no-op unless an IvfRegistry model is registered).
     ext.injectOptimizerRule(_ => graft.plans.IvfTopKRewrite())

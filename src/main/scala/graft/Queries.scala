@@ -152,6 +152,7 @@ object Queries {
       val w = Tables.documents(s, d).write.mode("overwrite")
       fmt match {
         case "json" => w.json(out)
+        case "orc"  => w.orc(out)
         // escape=quote (RFC 4180 doubling) + header; multiLine on the read
         // side handles embedded newlines in text. nullValue is pinned to a
         // sentinel that cannot collide with document text, so an empty
@@ -200,6 +201,22 @@ object Queries {
       .option("header", "true").option("escape", "\"").option("multiLine", "true")
       .option("nullValue", "\\N").option("emptyValue", "")
       .csv(dir)
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  /** B17 ORC ingest roundtrip — the second columnar lake format beside
+    * parquet (the Hive-ecosystem interchange a shared lake actually sees):
+    * documents mirrored to ORC (session-cached layout job) and read back
+    * through the native vectorized ORC source, hash-identical to the
+    * parquet original. Columnar→columnar, so pushdown/pruning semantics
+    * carry over unchanged — the row proves the engine's source surface
+    * isn't parquet-monogamous.
+    */
+  val b17OrcRoundtrip: Q = (s, d) => {
+    import s.implicits._
+    val dir = ensureTextFormat(s, d, "orc")
+    s.read.schema(Tables.documents(s, d).schema).orc(dir)
       .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
       .orderBy($"doc_id")
   }
@@ -2060,6 +2077,8 @@ object Queries {
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
     "b16_csv_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+    "b17_orc_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
     "c1_sort_limit" ->
       "SELECT event_id, ts FROM events ORDER BY ts, event_id LIMIT 100",
     // Exact kept-set semantics (loader.js:202-212) as a recursive CTE: each
@@ -3096,6 +3115,7 @@ object Queries {
     "b13_magic_sniff" -> b13MagicSniff,
     "b15_jsonl_roundtrip" -> b15JsonlRoundtrip,
     "b16_csv_roundtrip" -> b16CsvRoundtrip,
+    "b17_orc_roundtrip" -> b17OrcRoundtrip,
     "c1_sort_limit" -> c1SortLimit,
     "c3_temporal_dedup" -> c3TemporalDedup,
     "c3_window_dedup" -> c3WindowDedup,

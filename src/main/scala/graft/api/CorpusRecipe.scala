@@ -101,9 +101,20 @@ final class CorpusRecipe private (
     * broadcast into the corpus-side probe; the corpus text itself never
     * shuffles — only the (small) contaminated-id set reaches the anti-join.
     */
-  def decontaminate(bench: DataFrame, shingleK: Int = 5): CorpusRecipe = {
-    val bad = TextDedup.contamination(frame, bench, textCol, idCol, shingleK)
-      .select(col(idCol))
+  /** `approx = true` serves [[TextDedup.contaminationBloom]] — the bench
+    * shingle set folded into one Bloom filter instead of a broadcast hash
+    * build (the 100 TB form when the eval suite's distinct shingles stop
+    * fitting a broadcast). No false negatives ever — contamination cannot
+    * survive; false positives over-drop at ≈ shingles/doc × fpp.
+    */
+  def decontaminate(bench: DataFrame, shingleK: Int = 5, approx: Boolean = false,
+      expectedItems: Long = 1L << 20, fpp: Double = 1e-6): CorpusRecipe = {
+    val bad =
+      (if (approx)
+        TextDedup.contaminationBloom(frame, bench, textCol, idCol, shingleK,
+          expectedItems, fpp)
+      else TextDedup.contamination(frame, bench, textCol, idCol, shingleK))
+        .select(col(idCol))
     next(frame.join(bad, Seq(idCol), "left_anti"))
   }
 

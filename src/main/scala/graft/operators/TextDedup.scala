@@ -237,6 +237,51 @@ object TextDedup {
       .agg(countDistinct(col("h")).as("n_shingles"))
   }
 
+  /** The 100 TB form of [[contamination]]: the exact path builds the
+    * bench's DISTINCT shingle-hash set and broadcasts it as a hash-join
+    * build — at a large eval suite (10⁸ shingles × 8 B ≈ 800 MB + hash
+    * table overhead) that broadcast stops fitting. Here the bench side
+    * folds into ONE Bloom filter (Spark's own codegen'd
+    * `BloomFilterAggregate`, spark-sketch bits — a few MB at fpp 10⁻⁶),
+    * the filter ships as a literal, and the corpus scan flags shingles
+    * with `bloom_might_contain` — scan-local, no broadcast hash table, no
+    * bench-side distinct shuffle (duplicate inserts are free).
+    *
+    * Guarantees: NO false negatives — a contaminated document can never
+    * slip through, the property decontamination actually needs. False
+    * positives over-flag: per-document flag probability ≈ shingles/doc ×
+    * fpp, so keep fpp ≤ 10⁻⁶ (the default: ~28.8 bits/item ≈ 3.6 MB per
+    * 10⁶ expected items). `expectedItems` sizes the filter; overshooting
+    * the true count only wastes bits, undershooting raises the effective
+    * fpp (spark-sketch's standard bloom arithmetic).
+    */
+  def contaminationBloom(
+      corpus: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, shingleK: Int,
+      expectedItems: Long = 1L << 20, fpp: Double = 1e-6): DataFrame = {
+    require(expectedItems > 0 && fpp > 0 && fpp < 1,
+      s"bad bloom sizing: items=$expectedItems fpp=$fpp")
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    val benchH = shingleRows(bench, textCol, idCol, shingleK)
+      .select(hash60(col("s")).as("h"))
+    // one aggregate to a single bloom (numBits/8 bytes driver-side —
+    // bounded by construction); null = bench had no shingles at all
+    val bf = benchH.agg(call_function("bloom_agg", col("h"),
+        lit(expectedItems), lit(numBits)).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val corpusShingles = shingleRows(corpus, textCol, idCol, shingleK)
+      .select(col(idCol), hash60(col("s")).as("h"))
+    if (bf == null)
+      corpusShingles.groupBy(col(idCol))
+        .agg(countDistinct(col("h")).as("n_shingles")).limit(0)
+    else
+      corpusShingles
+        .where(call_function("bloom_might_contain", lit(bf), col("h")))
+        .groupBy(col(idCol))
+        .agg(countDistinct(col("h")).as("n_shingles"))
+  }
+
   /** Cross-document passage overlap — the per-document signal behind exact
     * substring dedup (Lee et al. 2021): how many of a document's distinct
     * k-token passages appear in at least one OTHER document. Documents

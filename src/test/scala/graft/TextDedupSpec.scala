@@ -44,6 +44,32 @@ class TextDedupSpec extends SparkSpec {
     assert(self == Map(100L -> 2L), self.toString)
   }
 
+  test("contaminationBloom: never misses a contaminated doc; matches exact on the fixture") {
+    val corpus = Tables.documents(spark, Sf0001).select($"doc_id", $"text")
+      .where($"doc_id" % 10 =!= 0)
+    val bench = Tables.documents(spark, Sf0001).select($"doc_id", $"text")
+      .where($"doc_id" % 10 === 0)
+    def flags(dfr: org.apache.spark.sql.DataFrame) =
+      dfr.select($"doc_id").collect().map(_.getLong(0)).toSet
+    val exact = flags(TextDedup.contamination(corpus, bench, "text", "doc_id", 5))
+    val bloom = flags(TextDedup.contaminationBloom(corpus, bench, "text", "doc_id", 5))
+    assert(exact.nonEmpty, "fixture must actually plant contamination")
+    assert(exact.subsetOf(bloom), "bloom decontamination must have NO false negatives")
+    // at fpp 1e-6 over ~5e4 corpus shingles the expected FP count is ~0.05
+    // — and the bloom hash is deterministic, so this is a fixed outcome
+    assert(bloom == exact, s"unexpected false positives: ${bloom -- exact}")
+    // empty bench: flags nothing, schema intact
+    val none = TextDedup.contaminationBloom(
+      corpus, bench.limit(0), "text", "doc_id", 5)
+    assert(none.columns.toSeq == Seq("doc_id", "n_shingles"))
+    assert(none.count() == 0)
+    // degraded sizing: a deliberately undersized filter still never
+    // misses — fpp rises, the no-false-negative guarantee does not
+    val tiny = flags(TextDedup.contaminationBloom(
+      corpus, bench, "text", "doc_id", 5, expectedItems = 64, fpp = 0.1))
+    assert(exact.subsetOf(tiny))
+  }
+
   test("jaccardPairsPrefix returns exactly the inverted-index result") {
     def norm(dfr: org.apache.spark.sql.DataFrame) =
       dfr.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
