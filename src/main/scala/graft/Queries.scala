@@ -2140,6 +2140,28 @@ object Queries {
         |  FROM embeddings WHERE vec_id <> 0)
         |SELECT vec_id, round(score_raw, 6) AS score FROM s
         |ORDER BY score_raw ASC, vec_id LIMIT 15""".stripMargin,
+    // SQ8 is KMeans-FREE — fit (per-dim min/max), encode (clamped affine
+    // round; floor(x+0.5) mirrors JVM Math.round for the nonnegative
+    // domain), and the byte_dot w=scale⊙q + bias score are all pure
+    // functions of the data, so the "approximate" codec row is actually
+    // ORACLE-CHECKABLE: approximate vs the float exact scan, bit-exact vs
+    // this SQL replay of the quantized pipeline itself
+    "c7_sq8_ann" ->
+      """WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+        |u AS (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS pos FROM v),
+        |st AS (SELECT pos, min(x::DOUBLE) AS mn, max(x::DOUBLE) AS mx FROM u GROUP BY pos),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |w AS (SELECT pos, mn, greatest((mx - mn) / 255.0, 1e-12) AS s,
+        |    greatest((mx - mn) / 255.0, 1e-12) * (SELECT qv FROM q)[pos]::DOUBLE AS wq,
+        |    mn * (SELECT qv FROM q)[pos]::DOUBLE AS bq FROM st),
+        |b AS (SELECT list_sum(list(bq ORDER BY pos)) AS bias FROM w),
+        |terms AS (SELECT u.vec_id, u.pos,
+        |    least(255, greatest(0, CAST(floor((u.x::DOUBLE - w.mn) / w.s + 0.5) AS BIGINT))) * w.wq AS t
+        |  FROM u JOIN w USING (pos)),
+        |sco AS (SELECT vec_id, list_sum(list(t ORDER BY pos)) + (SELECT bias FROM b) AS score_raw
+        |  FROM terms GROUP BY vec_id)
+        |SELECT vec_id, round(score_raw, 6) AS score FROM sco
+        |ORDER BY score_raw DESC, vec_id LIMIT 15""".stripMargin,
     // deterministic IVF: the oracle replays assignment (argmax block sum =
     // argmin ‖v−c‖² for equal-norm axis-block centroids), centroid ranking
     // (query block sums desc, block index tie-break), the nprobe=3 prune,

@@ -1,0 +1,82 @@
+package graft.sources
+
+import graft.operators.{IvfIndex, Pq, Sq8}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Durable index-model artifacts (SURVEY §3.2: index construction is a
+  * PERIODIC JOB; serving is a different process on a different day). The
+  * in-session registries ([[IvfIndex.buildCached]], [[Pq.fitEncodeCached]],
+  * [[Sq8.fitEncodeCached]]) die with the JVM — a real deployment fits the
+  * IVF centroids / PQ codebooks / SQ8 affine stats in the nightly build
+  * job, writes them NEXT TO the encoded table, and every serving JVM loads
+  * them at collection-load time (C9). Models are driver-sized by
+  * construction (nlist·dim, m·ksub·dsub, 2·dim doubles), so one-row-per-
+  * centroid parquet is the right shape: atomic with the same overwrite
+  * semantics as the table itself, engine-portable, and human-inspectable.
+  *
+  * Round-trips are exact: doubles survive parquet bit-for-bit, and load
+  * ordering is pinned by an explicit `orderBy` of the stored indices (a
+  * parquet read has NO inherent row order — the bug this layout avoids is
+  * centroid ids silently permuting between build and serve).
+  */
+object ModelStore {
+
+  def saveIvf(spark: SparkSession, model: IvfIndex.Model, path: String): Unit = {
+    import spark.implicits._
+    model.centroids.zipWithIndex.toIndexedSeq
+      .map { case (c, i) => (i, c.toIndexedSeq) }
+      .toDF("cluster_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadIvf(spark: SparkSession, path: String): IvfIndex.Model = {
+    val rows = spark.read.parquet(path)
+      .orderBy(col("cluster_id")).collect()
+    require(rows.nonEmpty, s"empty IVF model at $path")
+    require(rows.map(_.getInt(0)).toSeq == rows.indices,
+      s"IVF model at $path has non-contiguous cluster ids")
+    IvfIndex.Model(rows.map(_.getSeq[Double](1).toArray))
+  }
+
+  def savePq(spark: SparkSession, model: Pq.Model, path: String): Unit = {
+    import spark.implicits._
+    (for {
+      j <- model.codebooks.indices
+      c <- model.codebooks(j).indices
+    } yield (j, c, model.codebooks(j)(c).toIndexedSeq))
+      .toDF("subspace", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadPq(spark: SparkSession, path: String): Pq.Model = {
+    val rows = spark.read.parquet(path)
+      .orderBy(col("subspace"), col("code")).collect()
+    require(rows.nonEmpty, s"empty PQ model at $path")
+    val bySub = rows.groupBy(_.getInt(0))
+    val m = bySub.keySet.max + 1
+    require(bySub.keySet == (0 until m).toSet,
+      s"PQ model at $path has non-contiguous subspaces")
+    Pq.Model(Array.tabulate(m) { j =>
+      val sub = bySub(j).sortBy(_.getInt(1))
+      require(sub.map(_.getInt(1)).toSeq == sub.indices,
+        s"PQ model at $path: subspace $j has non-contiguous codes")
+      sub.map(_.getSeq[Double](2).toArray)
+    })
+  }
+
+  def saveSq8(spark: SparkSession, model: Sq8.Model, path: String): Unit = {
+    import spark.implicits._
+    model.mins.indices.map(i => (i, model.mins(i), model.scales(i)))
+      .toDF("pos", "min", "scale")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadSq8(spark: SparkSession, path: String): Sq8.Model = {
+    val rows = spark.read.parquet(path).orderBy(col("pos")).collect()
+    require(rows.nonEmpty, s"empty SQ8 model at $path")
+    require(rows.map(_.getInt(0)).toSeq == rows.indices,
+      s"SQ8 model at $path has non-contiguous dimensions")
+    Sq8.Model(rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
+  }
+}
