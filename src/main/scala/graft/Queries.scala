@@ -1982,6 +1982,24 @@ object Queries {
       .orderBy($"shard")
   }
 
+  /** Q8 — the [[graft.api.CorpusRecipe.profile]] terminal under the gate
+    * (exact form): corpus document count, distinct-text count, token mass,
+    * and token-count percentiles in ONE aggregation — the numbers a
+    * mixing/budget decision starts from. The approx twins (HLL distinct,
+    * t-digest percentiles — the 100 TB form) are spec-pinned against this
+    * exact row in CorpusRecipeSpec.
+    */
+  val q8CorpusProfile: Q = (s, d) => {
+    import s.implicits._
+    val corpus = Tables.documents(s, d)
+      .select($"doc_id", $"text", size(split($"text", " ")).cast("long").as("n_tok"))
+    graft.api.CorpusRecipe(corpus).profile($"n_tok", approx = false)
+      .select($"n_docs", $"n_distinct_texts", $"n_tokens",
+        round(element_at($"tok_quantiles", 1), 6).as("p50"),
+        round(element_at($"tok_quantiles", 2), 6).as("p90"),
+        round(element_at($"tok_quantiles", 3), 6).as("p99"))
+  }
+
   /** P2 — the full training-data corpus pipeline as ONE declarative plan:
     * language-ID → quality gate → MinHash-LSH near-dup pairs → connected
     * components → one representative (min doc_id) per near-dup cluster,
@@ -3087,6 +3105,15 @@ object Queries {
         |  max(last_chunk) AS max_chunk,
         |  bit_xor(('0x' || substring(md5(text), 1, 15))::BIGINT) AS fp
         |FROM m GROUP BY 1 ORDER BY shard""".stripMargin,
+    "q8_corpus_profile" ->
+      """WITH t AS (SELECT text, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  round(quantile_cont(n_tok::DOUBLE, 0.5), 6) AS p50,
+        |  round(quantile_cont(n_tok::DOUBLE, 0.9), 6) AS p90,
+        |  round(quantile_cont(n_tok::DOUBLE, 0.99), 6) AS p99
+        |FROM t""".stripMargin,
     "p4_curation_recipe" ->
       """WITH base AS (SELECT doc_id,
         |  text || (CASE WHEN doc_id % 3 = 0 THEN ' contact User' || doc_id || '@Example.COM' ELSE '' END) ||
@@ -3219,6 +3246,7 @@ object Queries {
     "p3_corpus_recipe" -> p3CorpusRecipe,
     "p4_curation_recipe" -> p4CurationRecipe,
     "p5_scrub_recipe" -> p5ScrubRecipe,
+    "q8_corpus_profile" -> q8CorpusProfile,
     "x3_training_export" -> x3TrainingExport,
     "p1_corpus_clean" -> p1CorpusClean,
     "p2_corpus_dedup" -> p2CorpusDedup,

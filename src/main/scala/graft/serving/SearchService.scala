@@ -77,6 +77,14 @@ class SearchService(
     nprobe: Int = 10, // searcher.js:99-110
     indexDir: Option[String] = None,
     deltaDir: Option[String] = None,
+    // Serve-day boot (SURVEY §3.2: the index build is a nightly job, the
+    // serving JVM is a different process): when set, quantized modes LOAD
+    // the IVF centroids + codec models from [[graft.sources.ModelStore]]
+    // artifacts under this dir (written by [[SearchService.buildArtifacts]])
+    // instead of re-fitting KMeans/stats at construction — assignment runs
+    // through the expression-based [[IvfIndex.assign]], so boot cost is one
+    // scan, not an ML fit.
+    modelDir: Option[String] = None,
     // Quantized-mode refinement (Milvus's "refine"/re-rank knob): take the
     // top `rerank` candidates by quantized score, then re-score EXACTLY
     // against the base table's float vectors (an id-pushed point lookup of
@@ -123,13 +131,24 @@ class SearchService(
   private val ivf: Option[(DataFrame, IvfIndex.Model)] =
     if (mode == "exact") None
     else {
-      // clamp to the table size so tiny collections still load (KMeans k
-      // must not exceed the point count)
-      val (assigned, model) =
-        IvfIndex.build(cached, vecCol, math.min(nlist.toLong, nRows).toInt)
-      if (mode == "ivf_sq8") sq8Model = Some(Sq8.fit(cached, vecCol))
-      if (mode == "ivf_pq") pqModel = Some(Pq.fit(cached, vecCol,
-        m = pqM(cached), ksub = math.min(256L, nRows).toInt))
+      val (assigned, model) = modelDir match {
+        case Some(dir) =>
+          val spark = cached.sparkSession
+          val m = graft.sources.ModelStore.loadIvf(spark, s"$dir/ivf")
+          if (mode == "ivf_sq8")
+            sq8Model = Some(graft.sources.ModelStore.loadSq8(spark, s"$dir/sq8"))
+          if (mode == "ivf_pq")
+            pqModel = Some(graft.sources.ModelStore.loadPq(spark, s"$dir/pq"))
+          (IvfIndex.assign(cached, vecCol, m), m)
+        case None =>
+          // clamp to the table size so tiny collections still load (KMeans
+          // k must not exceed the point count)
+          val bm = IvfIndex.build(cached, vecCol, math.min(nlist.toLong, nRows).toInt)
+          if (mode == "ivf_sq8") sq8Model = Some(Sq8.fit(cached, vecCol))
+          if (mode == "ivf_pq") pqModel = Some(Pq.fit(cached, vecCol,
+            m = pqM(cached), ksub = math.min(256L, nRows).toInt))
+          bm
+      }
       val indexed = layout(assigned)
       val laidOut = indexDir match {
         case Some(dir) =>
@@ -346,3 +365,35 @@ class SearchService(
     ex.close()
   }
 }
+
+/** The nightly BUILD half of the [[SearchService]] `modelDir` handoff. */
+object SearchService {
+
+  /** Fit the IVF centroids (+ the codec model `mode` needs) on `table` and
+    * persist them as [[graft.sources.ModelStore]] artifacts under `dir`
+    * (`dir/ivf`, `dir/sq8`, `dir/pq`). A serving JVM then constructs
+    * `new SearchService(..., mode, modelDir = Some(dir))` and boots with
+    * one assignment scan instead of an ML fit — same models, bit-for-bit
+    * (ModelStoreSpec pins the round-trip; SearchServiceSpec pins serving
+    * parity between the fit and loaded paths).
+    */
+  def buildArtifacts(table: DataFrame, vecCol: String, mode: String,
+      nlist: Int, dir: String): Unit = {
+    val spark = table.sparkSession
+    val n = table.count()
+    val (_, ivf) = IvfIndex.build(table, vecCol, math.min(nlist.toLong, n).toInt)
+    graft.sources.ModelStore.saveIvf(spark, ivf, s"$dir/ivf")
+    if (mode == "ivf_sq8")
+      graft.sources.ModelStore.saveSq8(spark, Sq8.fit(table, vecCol), s"$dir/sq8")
+    if (mode == "ivf_pq") {
+      val dim = table.select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col(vecCol))).head().getInt(0)
+      // same m rule as the in-constructor fit (pqM): largest m <= 16
+      // dividing dim, so the loaded and fitted paths build identical models
+      val m = (16 to 1 by -1).find(dim % _ == 0).get
+      graft.sources.ModelStore.savePq(spark,
+        Pq.fit(table, vecCol, m = m, ksub = math.min(256L, n).toInt), s"$dir/pq")
+    }
+  }
+}
+

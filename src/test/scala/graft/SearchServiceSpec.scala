@@ -444,4 +444,26 @@ class SearchServiceSpec extends SparkSpec {
       } finally { svc.stop(); exactSvc.stop() }
     }
   }
+
+  test("modelDir boot: artifact-loaded service serves identically to the fit path") {
+    // the nightly-build / serve-day handoff: buildArtifacts fits+saves the
+    // models; a service constructed with modelDir loads them and must
+    // return the SAME results as one that fit in-constructor (same seed,
+    // same data -> identical models, bit-for-bit through parquet)
+    val emb = Tables.clusteredEmbeddings(spark, Sf0001)
+      .select($"vec_id", $"embedding")
+    val q = emb.orderBy($"vec_id").limit(1).head().getSeq[Float](1).toArray
+    val dir = graft.sources.TempDirs.register(
+      s"/tmp/graft_svc_models_${ProcessHandle.current().pid()}")
+    for (mode <- Seq("ivf", "ivf_sq8", "ivf_pq")) {
+      SearchService.buildArtifacts(emb, "embedding", mode, nlist = 8, dir = dir)
+      val fit = new SearchService(emb, "embedding", "vec_id",
+        mode = mode, nlist = 8, nprobe = 3)
+      val loaded = new SearchService(emb, "embedding", "vec_id",
+        mode = mode, nlist = 8, nprobe = 3, modelDir = Some(dir))
+      def ids(svc: SearchService) =
+        svc.searchVector(q).map(r => (r.getLong(0), r.getDouble(r.length - 1))).toSeq
+      assert(ids(loaded) == ids(fit), s"mode=$mode diverged")
+    }
+  }
 }
