@@ -263,6 +263,22 @@ object TextDedup {
       s"bad bloom sizing: items=$expectedItems fpp=$fpp")
     val numBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(expectedItems, fpp)
+    // Spark's BloomFilterAggregate SILENTLY Math.min-caps both sizing
+    // params at the runtime-filter confs (defaults 4M items / 64M bits) —
+    // under-sizing would push the effective fpp toward 1 and over-drop
+    // nearly the whole corpus with no error, 6 orders of magnitude off the
+    // documented contract. Fail loudly instead, naming the conf to raise.
+    val conf = corpus.sparkSession.conf
+    def capOf(key: String, dflt: Long): Long =
+      scala.util.Try(conf.get(key).toLong).getOrElse(dflt)
+    val maxItems = capOf("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", 4000000L)
+    val maxBits = capOf("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", 67108864L)
+    require(expectedItems <= maxItems && numBits <= maxBits,
+      s"bloom sizing (items=$expectedItems, bits=$numBits) exceeds Spark's " +
+        s"silent caps (maxNumItems=$maxItems, maxNumBits=$maxBits) — raise " +
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits or " +
+        "lower expectedItems/raise fpp; a silently-truncated filter would " +
+        "over-drop the corpus")
     val benchH = shingleRows(bench, textCol, idCol, shingleK)
       .select(hash60(col("s")).as("h"))
     // one aggregate to a single bloom (numBits/8 bytes driver-side —

@@ -72,9 +72,9 @@ object IvfRegistry {
   *    so centroid ranking in the scale-weighted space preserves the
   *    quantized score order),
   *  - `byte_lut_sum(codes, lutLit)`    (PQ ADC — Pq.searchTopK; requires
-  *    `IvfRegistry.registerPq`: each IVF centroid is PQ-encoded and scored
-  *    through the query's LUT — IP or distance alike, since the sort
-  *    direction carries the better-is sense),
+  *    `IvfRegistry.registerPq` AND a provenance record from `Pq.score`:
+  *    each IVF centroid is PQ-encoded and scored through the query's LUT,
+  *    admitted only in its metric's nearest direction — see [[lutScorer]]),
   *
   * and injects `Filter(cluster_id IN topNprobeClusters(q))` directly above
   * the base relation — below any pre-existing Filter, whose predicate is
@@ -105,9 +105,9 @@ case class IvfTopKRewrite() extends Rule[LogicalPlan] {
     * approximates NEAREST-neighbor semantics: `fast_dot ASC` (k least
     * similar) or `fast_l2sq DESC` (k farthest) are legitimate exact
     * queries the rule must leave untouched, so IP-family scorers admit
-    * only Descending and L2 only Ascending. ADC LUTs admit both — the
-    * LUT's content defines the metric (IP LUTs sort desc, distance LUTs
-    * asc), both nearest-semantics under their metric.
+    * only Descending and L2 only Ascending. ADC LUTs carry their metric
+    * in a provenance record ([[lutScorer]]) and admit only the matching
+    * direction; unknown LUTs never rewrite.
     */
   private def findScorer(
       e: Expression): Option[(Array[Double] => Double, Option[SortDirection])] =
@@ -126,8 +126,14 @@ case class IvfTopKRewrite() extends Rule[LogicalPlan] {
     * cosine score additionally carries the `cnorm` table, so the centroid
     * rank divides the ADC inner product by the true centroid norm — the
     * query-norm factor is constant across centroids and drops out). A LUT
-    * of UNKNOWN provenance (built outside [[graft.operators.Pq.score]])
-    * keeps the legacy both-directions admission, documented as such.
+    * of UNKNOWN provenance gets NO rewrite — the plan stays exact. That
+    * covers three failure classes at once: hand-built LUTs the engine
+    * can't attribute a metric to, NON-PQ byte_lut_sum tables (Sq8.score's
+    * dim×256 ADC tables — scoring a centroid through those with the PQ
+    * codebooks would rank garbage), and provenance records evicted from
+    * the bounded LRU or wiped by a concurrent `IvfRegistry.clear()` — in
+    * every case the safe answer is "don't approximate", never the legacy
+    * both-directions admission.
     */
   private def lutScorer(
       e: Expression): Option[(Array[Double] => Double, Option[SortDirection])] =
@@ -158,11 +164,9 @@ case class IvfTopKRewrite() extends Rule[LogicalPlan] {
                 Some((cos, Some(Descending: SortDirection)))
               case Some(l) =>
                 Some((adc(l) _, Some(Descending: SortDirection)))
-              case None if kinds.forall(_._2.isEmpty) =>
-                Some((adc(luts.head) _, None: Option[SortDirection]))
               case None =>
-                // known but non-scoring tables only (e.g. a bare cnorm
-                // read): not a rankable score — leave the plan exact
+                // unknown provenance, or known-but-non-scoring tables
+                // only (a bare cnorm read): leave the plan exact
                 None
             }
         }

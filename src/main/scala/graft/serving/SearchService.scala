@@ -227,10 +227,8 @@ class SearchService(
   }
 
   /** Largest m ≤ 16 dividing dim — PQ needs dim % m == 0. */
-  private def pqM(df: DataFrame): Int = {
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
-    (16 to 1 by -1).find(dim % _ == 0).get
-  }
+  private def pqM(df: DataFrame): Int =
+    SearchService.pqMFor(df.select(size(col(vecCol))).head().getInt(0))
 
   /** The per-request serving plan for a query vector — public so plan-shape
     * specs can `.explain` exactly what a request scans. Quantized modes rank
@@ -369,6 +367,13 @@ class SearchService(
 /** The nightly BUILD half of the [[SearchService]] `modelDir` handoff. */
 object SearchService {
 
+  /** Largest m ≤ 16 dividing dim — THE single m-selection rule, shared by
+    * the in-constructor fit and [[buildArtifacts]] so the nightly-build
+    * and serve-day paths can never silently diverge on model shape.
+    */
+  private[serving] def pqMFor(dim: Int): Int =
+    (16 to 1 by -1).find(dim % _ == 0).get
+
   /** Fit the IVF centroids (+ the codec model `mode` needs) on `table` and
     * persist them as [[graft.sources.ModelStore]] artifacts under `dir`
     * (`dir/ivf`, `dir/sq8`, `dir/pq`). A serving JVM then constructs
@@ -388,9 +393,7 @@ object SearchService {
     if (mode == "ivf_pq") {
       val dim = table.select(org.apache.spark.sql.functions.size(
         org.apache.spark.sql.functions.col(vecCol))).head().getInt(0)
-      // same m rule as the in-constructor fit (pqM): largest m <= 16
-      // dividing dim, so the loaded and fitted paths build identical models
-      val m = (16 to 1 by -1).find(dim % _ == 0).get
+      val m = pqMFor(dim)
       graft.sources.ModelStore.savePq(spark,
         Pq.fit(table, vecCol, m = m, ksub = math.min(256L, n).toInt), s"$dir/pq")
     }

@@ -36,7 +36,10 @@ object ModelStore {
     require(rows.nonEmpty, s"empty IVF model at $path")
     require(rows.map(_.getInt(0)).toSeq == rows.indices,
       s"IVF model at $path has non-contiguous cluster ids")
-    IvfIndex.Model(rows.map(_.getSeq[Double](1).toArray))
+    val cents = rows.map(_.getSeq[Double](1).toArray)
+    require(cents.forall(_.length == cents.head.length),
+      s"IVF model at $path has ragged centroid lengths")
+    IvfIndex.Model(cents)
   }
 
   def savePq(spark: SparkSession, model: Pq.Model, path: String): Unit = {
@@ -57,6 +60,10 @@ object ModelStore {
     val m = bySub.keySet.max + 1
     require(bySub.keySet == (0 until m).toSet,
       s"PQ model at $path has non-contiguous subspaces")
+    val dsub = rows.head.getSeq[Double](2).length
+    require(rows.forall(_.getSeq[Double](2).length == dsub),
+      s"PQ model at $path has ragged centroid lengths (a truncated or " +
+        "hand-edited artifact would silently mis-slice every encode)")
     Pq.Model(Array.tabulate(m) { j =>
       val sub = bySub(j).sortBy(_.getInt(1))
       require(sub.map(_.getInt(1)).toSeq == sub.indices,
