@@ -116,6 +116,59 @@ class PlanAuditSpec extends SparkSpec {
       s"passage overlap must stay equi-join shaped:\n${p.take(1200)}")
   }
 
+  test("p5: the composed scrub recipe never plans a cartesian or pair expansion") {
+    // both constituent ops are counted-DF/blocklist shaped — composition
+    // must not degrade them into a pair-expanding join. The ONE
+    // BroadcastNestedLoopJoin present is l1's deliberate single-row
+    // blocklist broadcast (the scalar-broadcast idiom, same class as
+    // b5/q4's 1-row crossJoins): its build side is the collect_list
+    // aggregate, never a table scan.
+    val p = plan("p5_scrub_recipe")
+    assert(!p.contains("CartesianProduct"),
+      s"p5 must never plan a cartesian:\n${p.take(1200)}")
+    // count detail headers only (formatted explain prints each node in the
+    // tree AND as a "(n) Node" detail); the un-checkpointed l1-cleaned
+    // lineage feeds BOTH sides of the scrub's rebuild join, so the single
+    // blocklist broadcast legitimately appears in two branches
+    val bnlj = "\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 2, s"expected only the 1-row blocklist broadcast (<=2 lineage copies), got $bnlj")
+  }
+
+  test("q8: exact profile is 2 exchanges (countDistinct's two-phase); approx twin is 1") {
+    // exact count(DISTINCT text) necessarily aggregates by text first and
+    // re-aggregates globally — two exchanges by construction; the HLL twin
+    // exists precisely to collapse that to ONE partial-merged aggregation
+    val p = plan("q8_corpus_profile")
+    assert(exchanges(p) <= 2, s"expected <=2 exchanges, got ${exchanges(p)}:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"))
+    import org.apache.spark.sql.functions.{col, size, split}
+    val corpus = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), col("text"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val ap = graft.api.CorpusRecipe(corpus).profile(col("n_tok"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(exchanges(ap) <= 1,
+      s"approx profile must be one aggregation, got ${exchanges(ap)}:\n${ap.take(1200)}")
+  }
+
+  test("b17: ORC roundtrip prunes columns at the ORC scan") {
+    val p = plan("b17_orc_roundtrip")
+    assert(p.contains("Scan orc"), s"must read through the native ORC source:\n${p.take(600)}")
+  }
+
+  test("c8_ann_ivf_det: the deterministic IVF probe is a pruned TakeOrderedAndProject") {
+    // the prune is an executor-side filter on the computed cluster column;
+    // the top-k must still be the bounded-heap TakeOrderedAndProject, and
+    // nothing in the probe may shuffle (scan-local score + filter)
+    val p = plan("c8_ann_ivf_det")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(exchanges(p) == 0, s"probe must be shuffle-free, got ${exchanges(p)}")
+    assert(p.contains("cluster_id IN") || p.contains("IN (0") || p.contains("isin") ||
+      "cluster_id#\\d+ IN".r.findFirstIn(p).isDefined || p.contains(" IN "),
+      s"nprobe prune filter missing:\n${p.take(1200)}")
+  }
+
   test("e2_minhash_pairs: the audited 5-exchange shape holds") {
     val p = plan("e2_minhash_pairs")
     assert(exchanges(p) <= 5, s"expected <=5 exchanges, got ${exchanges(p)}")
