@@ -354,6 +354,35 @@ object Queries {
       .select($"vec_id", round($"score", 6).as("score"))
   }
 
+  /** C8-SQ8-DET — the reference's ACTUAL serving plan (Milvus IVF_SQ8,
+    * searcher.js:99-110) fully composed UNDER THE HASH GATE: deterministic
+    * axis-block IVF assignment + centroid ranking + nprobe prune
+    * ([[c8AnnIvfDet]]'s machinery) feeding the SQ8 byte_dot ADC score
+    * ([[c7Sq8Ann]]'s KMeans-free codec) — prune and codec value-checked IN
+    * COMPOSITION, not just separately. Reuses c7's session-cached
+    * fit+encode, so the timed work is assignment + prune + byte_dot.
+    */
+  val c8AnnIvfSq8Det: Q = (s, d) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val q = e.where($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val dim = q.length
+    val w = dim / 8
+    val model = IvfIndex.Model(Array.tabulate(8)(j =>
+      Array.tabulate(dim)(i => if (i / w == j) 1.0 else 0.0)))
+    val (enc, sq8) = graft.operators.Sq8.fitEncodeCached(s, s"$d#sq8",
+      e.where($"vec_id" =!= 0), "embedding")
+    val probed = IvfIndex.rankCentroids(model, q, VectorMetric.Ip, 3)
+    val indexed = IvfIndex.assign(enc, "embedding", model)
+      .where($"cluster_id".isin(probed.toIndexedSeq: _*))
+    AnnSearch.topK(
+      indexed.select($"vec_id",
+        graft.operators.Sq8.score($"codes", sq8, q).as("score")),
+      "vec_id", VectorMetric.Ip, 15)
+      .select($"vec_id", round($"score", 6).as("score"))
+  }
+
   // ------------------------------------------------------------- joins / agg
 
   /** TPC-H Q1-style pricing summary (filters+group+decimal aggregates). */
@@ -2214,6 +2243,49 @@ object Queries {
         |  FROM cl WHERE cluster IN (SELECT cl FROM pr))
         |SELECT vec_id, round(score_raw, 6) AS score FROM sc
         |ORDER BY score_raw DESC, vec_id LIMIT 15""".stripMargin,
+    // IVF_SQ8 composed: c8_ann_ivf_det's deterministic prune CTEs scope
+    // c7_sq8_ann's quantized scoring — the reference's serving plan
+    // value-checked end to end
+    "c8_ann_ivfsq8_det" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |qb AS (SELECT [list_sum(list_transform(qv[1:8], x -> x::DOUBLE)),
+        |   list_sum(list_transform(qv[9:16], x -> x::DOUBLE)),
+        |   list_sum(list_transform(qv[17:24], x -> x::DOUBLE)),
+        |   list_sum(list_transform(qv[25:32], x -> x::DOUBLE)),
+        |   list_sum(list_transform(qv[33:40], x -> x::DOUBLE)),
+        |   list_sum(list_transform(qv[41:48], x -> x::DOUBLE)),
+        |   list_sum(list_transform(qv[49:56], x -> x::DOUBLE)),
+        |   list_sum(list_transform(qv[57:64], x -> x::DOUBLE))] AS s FROM q),
+        |pr AS (SELECT CAST(block AS INT) AS cl FROM (
+        |   SELECT unnest(s) AS bs, unnest(generate_series(0, 7)) AS block FROM qb)
+        |   ORDER BY bs DESC, block ASC LIMIT 3),
+        |v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+        |bs AS (SELECT vec_id, embedding,
+        |  [list_sum(list_transform(embedding[1:8], x -> x::DOUBLE)),
+        |   list_sum(list_transform(embedding[9:16], x -> x::DOUBLE)),
+        |   list_sum(list_transform(embedding[17:24], x -> x::DOUBLE)),
+        |   list_sum(list_transform(embedding[25:32], x -> x::DOUBLE)),
+        |   list_sum(list_transform(embedding[33:40], x -> x::DOUBLE)),
+        |   list_sum(list_transform(embedding[41:48], x -> x::DOUBLE)),
+        |   list_sum(list_transform(embedding[49:56], x -> x::DOUBLE)),
+        |   list_sum(list_transform(embedding[57:64], x -> x::DOUBLE))] AS s
+        |  FROM v),
+        |cl AS (SELECT vec_id, embedding, CAST(list_indexof(s, list_max(s)) - 1 AS INT) AS cluster FROM bs),
+        |u AS (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS pos
+        |  FROM cl WHERE cluster IN (SELECT cl FROM pr)),
+        |stats AS (SELECT pos, min(x::DOUBLE) AS mn, max(x::DOUBLE) AS mx FROM (
+        |  SELECT unnest(embedding) AS x, generate_subscripts(embedding, 1) AS pos FROM v) GROUP BY pos),
+        |w AS (SELECT pos, mn, greatest((mx - mn) / 255.0, 1e-12) AS sc,
+        |    greatest((mx - mn) / 255.0, 1e-12) * (SELECT qv FROM q)[pos]::DOUBLE AS wq,
+        |    mn * (SELECT qv FROM q)[pos]::DOUBLE AS bq FROM stats),
+        |b AS (SELECT list_sum(list(bq ORDER BY pos)) AS bias FROM w),
+        |terms AS (SELECT u.vec_id, u.pos,
+        |    least(255, greatest(0, CAST(floor((u.x::DOUBLE - w.mn) / w.sc + 0.5) AS BIGINT))) * w.wq AS t
+        |  FROM u JOIN w USING (pos)),
+        |sco AS (SELECT vec_id, list_sum(list(t ORDER BY pos)) + (SELECT bias FROM b) AS score_raw
+        |  FROM terms GROUP BY vec_id)
+        |SELECT vec_id, round(score_raw, 6) AS score FROM sco
+        |ORDER BY score_raw DESC, vec_id LIMIT 15""".stripMargin,
     "c8_ann_cos" ->
       """WITH q AS (SELECT embedding AS qv,
         |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))::DOUBLE) AS qn
@@ -3174,6 +3246,7 @@ object Queries {
     "c8_ann_l2" -> c8AnnL2,
     "c8_ann_cos" -> c8AnnCos,
     "c8_ann_ivf_det" -> c8AnnIvfDet,
+    "c8_ann_ivfsq8_det" -> c8AnnIvfSq8Det,
     "q1_pricing_agg" -> q1PricingAgg,
     "j1_join_revenue" -> j1JoinRevenue,
     "j2_json_extract" -> j2JsonExtract,
