@@ -588,6 +588,35 @@ object Queries {
       .orderBy($"w", $"event_type")
   }
 
+  /** W3s — w3's SLIDING windows EXECUTED AS A STREAM, completing the
+    * streaming window family (w1s tumbling, w2s session): 30-minute
+    * windows every 10 minutes under a 10-minute watermark, APPEND mode.
+    * Each event updates THREE window states scan-side (the overlap
+    * factor); a window row is emitted exactly once when the watermark
+    * passes its end and its state drops — so state is bounded by
+    * windows-in-flight × overlap, not stream length. The oracle replays
+    * w3's epoch-aligned hop assignment restricted to watermark-closed
+    * windows — hash-equality proves the overlapping-window state machine
+    * computes the batch answer.
+    */
+  val w3sStreamSliding: Q = (s, d) => {
+    import s.implicits._
+    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+    val stage = stageForStream(d, "events.parquet")
+    val raw = s.readStream.schema(rawSchema).parquet(stage)
+    val ev =
+      if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw.withColumn("ts", $"ts".cast("timestamp"))
+    val agg = ev.withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "30 minutes", "10 minutes").as("win"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"win.start".cast("timestamp_ntz").as("window_start"),
+        $"event_type", $"n")
+    runStreamGate(s, agg, "w3s_stream_sliding_sink")
+      .orderBy($"window_start", $"event_type")
+  }
+
   /** As-of join (nearest prior event): for each click, the most recent
     * error event of the same user at-or-before it. Union+window form —
     * one shuffle, no range-join blowup ([[AsOfJoin]]).
@@ -2331,6 +2360,19 @@ object Queries {
         |ORDER BY 1, 2""".stripMargin,
     // the oracle re-derives the epoch-aligned hop indexes: an event at tus
     // is in hop k iff k·hop > tus − len and k·hop ≤ tus
+    // w3's hop assignment restricted to watermark-closed windows (end <=
+    // max ts - 10 min) — the windows append mode emitted exactly once
+    "w3s_stream_sliding" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS tus FROM events),
+        |h AS (SELECT event_type, unnest(generate_series(
+        |        (tus - 1800000000) // 600000000 + 1,
+        |        tus // 600000000)) AS k FROM e)
+        |SELECT make_timestamp(k * 600000000) AS window_start, event_type,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM h
+        |WHERE make_timestamp(k * 600000000) + INTERVAL 30 MINUTE
+        |  <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     "w3_sliding_window" ->
       """WITH e AS (SELECT event_type, epoch_us(ts) AS tus FROM events),
         |h AS (SELECT event_type, unnest(generate_series(
@@ -3253,6 +3295,7 @@ object Queries {
     "w1_time_window" -> w1TimeWindow,
     "w1s_stream_window" -> w1sStreamWindow,
     "w2_session_window" -> w2SessionWindow,
+    "w3s_stream_sliding" -> w3sStreamSliding,
     "w2s_stream_session" -> w2sStreamSession,
     "w3_sliding_window" -> w3SlidingWindow,
     "e9_contamination" -> e9Contamination,
