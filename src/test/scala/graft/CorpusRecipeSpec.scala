@@ -247,4 +247,19 @@ class CorpusRecipeSpec extends SparkSpec {
       .where($"doc_id" === 1).head().getString(1)
     assert(out == "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG")
   }
+
+  test("decontaminate(approx=true) delegates to the bloom path and matches exact here") {
+    val corpus = Tables.documents(spark, Sf0001).select($"doc_id", $"text")
+      .where($"doc_id" % 10 =!= 0)
+    val bench = Tables.documents(spark, Sf0001).select($"doc_id", $"text")
+      .where($"doc_id" % 10 === 0)
+    def kept(r: CorpusRecipe) = r.frame.select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val exact = kept(CorpusRecipe(corpus).decontaminate(bench))
+    val bloom = kept(CorpusRecipe(corpus).decontaminate(bench, approx = true))
+    // bloom may only ever drop MORE (false positives), never less; at the
+    // default fpp=1e-6 the fixture sees zero FPs, so equality holds
+    assert(bloom.subsetOf(exact))
+    assert(bloom == exact)
+  }
 }
