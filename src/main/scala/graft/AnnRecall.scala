@@ -59,4 +59,68 @@ object AnnRecall {
       "clustered_sq8" -> recall(sq8),
       "clustered_pq" -> recall(pq))
   }
+
+  /** One measured point of the nprobe recall/latency trade-off. */
+  final case class CurvePoint(codec: String, nprobe: Int,
+                              recall: Double, wallSec: Double)
+
+  /** The nprobe recall/latency CURVE (VERDICT r11 #3): the reference
+    * serves nprobe=10 / nlist=128 on faith (`searcher.js:105`,
+    * `loader.js:334`) — this sweeps nprobe and measures recall@15 plus
+    * probe wall for each codec on the clustered fixture, so the
+    * operating point is a measured choice. All three probed paths share
+    * ONE IVF assignment (nlist=16, the clusteredRecall build); the
+    * quantized codecs are the COMPOSED Milvus shapes — SQ8/PQ codes
+    * scored only inside the nprobe-pruned clusters (IVF_SQ8 =
+    * loader.js:332-334's index, IVF_PQ its high-compression sibling).
+    * Each point times the SECOND run of its probe (plans warm — the
+    * Milvus measurement shape: per-probe latency, not codegen cost).
+    * Probed cluster sets are nested in nprobe (rankCentroids takes a
+    * prefix), so exact-scored `ivf` recall is monotone by construction;
+    * RecallSpec pins monotonicity.
+    */
+  def nprobeCurve(spark: SparkSession, sfDir: String,
+                  nprobes: Seq[Int] = Seq(1, 2, 4, 8, 16)): Seq[CurvePoint] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ce = Tables.clusteredEmbeddings(spark, sfDir)
+    val q = ce.where(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).map(_.toDouble)
+    val base = ce.where(col("vec_id") =!= 0)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select(col("vec_id")).as[Long].collect().toSet
+    val exact = ids(AnnSearch.exactTopK(base, "embedding", "vec_id", q, K))
+    def recall(approx: Set[Long]): Double =
+      approx.intersect(exact).size.toDouble / math.max(1, exact.size)
+
+    val (ivfTbl, ivfModel) = IvfIndex.buildCached(
+      spark, s"$sfDir#clustered-ivf", base, "embedding", 16)
+    // codecs fit + encode over the ASSIGNED table so cluster_id rides
+    // along with the codes — the composed IVF_SQ8 / IVF_PQ layouts
+    val (sq8Tbl, sq8Model) = Sq8.fitEncodeCached(
+      spark, s"$sfDir#clustered-ivfsq8", ivfTbl, "embedding")
+    val (pqTbl, pqModel) = Pq.fitEncodeCached(
+      spark, s"$sfDir#clustered-ivfpq", ivfTbl, "embedding", m = 16, ksub = 64)
+
+    def point(codec: String, np: Int, run: () => Set[Long]): CurvePoint = {
+      run() // warm the probe plan
+      val t0 = System.nanoTime()
+      val got = run()
+      CurvePoint(codec, np, recall(got), (System.nanoTime() - t0) / 1e9)
+    }
+    nprobes.flatMap { np =>
+      val probed = IvfIndex
+        .rankCentroids(ivfModel, q, graft.operators.VectorMetric.Ip, np)
+        .toIndexedSeq
+      def pruned(df: org.apache.spark.sql.DataFrame) =
+        df.where(col("cluster_id").isin(probed: _*))
+      Seq(
+        point("ivf", np, () => ids(AnnSearch.exactTopK(
+          pruned(ivfTbl), "embedding", "vec_id", q, K))),
+        point("ivf_sq8", np, () => ids(Sq8.searchTopK(
+          pruned(sq8Tbl), "codes", "vec_id", sq8Model, q, K))),
+        point("ivf_pq", np, () => ids(Pq.searchTopK(
+          pruned(pqTbl), "pq_codes", "vec_id", pqModel, q, K))))
+    }
+  }
 }

@@ -140,7 +140,7 @@ object Queries {
   private val textFormatStage = new operators.SessionCache[String]
   private def ensureTextFormat(s: SparkSession, d: String, fmt: String): String =
     textFormatStage.getOrBuild(
-      s"${System.identityHashCode(s)}#$d#$fmt#${sourceTag(d, "documents.parquet")}") {
+      s"${operators.SessionCache.token(s)}#$d#$fmt#${sourceTag(d, "documents.parquet")}") {
       val pathTag = java.security.MessageDigest.getInstance("MD5")
         .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
       // PID-keyed: Spark's overwrite deletes the dir before rewriting, so
@@ -896,6 +896,27 @@ object Queries {
       .orderBy($"doc_id")
   }
 
+  /** E9b — the 100 TB form of e9, under the SAME exact oracle (VERDICT r11
+    * #2): [[TextDedup.contaminationBloom]] folds the bench side into ONE
+    * codegen'd Bloom filter literal instead of broadcasting a distinct
+    * hash-join build, so decontamination keeps working when the eval suite
+    * reaches 10⁸ shingles. Hash-equality with e9's exact result is the
+    * no-false-negatives guarantee made driver-visible: at gate sizing
+    * (~25k distinct bench shingles against a filter sized for 2²⁰ items at
+    * fpp 10⁻⁹ → ~45M bits) the expected false-positive count over every
+    * corpus probe is ≪ 1, and the filter is deterministic, so the bloom
+    * path returns bit-for-bit the exact contamination set.
+    */
+  val e9bContaminationBloom: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    TextDedup.contaminationBloom(
+        docs.where($"doc_id" % 10 =!= 0), docs.where($"doc_id" % 10 === 0),
+        "text", "doc_id", shingleK = 5, expectedItems = 1L << 20, fpp = 1e-9)
+      .select($"doc_id", $"n_shingles")
+      .orderBy($"doc_id")
+  }
+
   /** E2 MinHash signatures (k=8 families, 3-word shingles). */
   val e2MinhashSig: Q = (s, d) =>
     TextDedup.minhashSignatures(Tables.documents(s, d), "text", "doc_id", 8, 3)
@@ -996,7 +1017,7 @@ object Queries {
   private val deltaSigCache = new operators.SessionCache[DataFrame]
   private[graft] def ensureDeltaSigs(s: SparkSession, d: String): DataFrame =
     deltaSigCache.getOrBuild(
-      s"${System.identityHashCode(s)}#$d#${sourceTag(d, "documents.parquet")}") {
+      s"${operators.SessionCache.token(s)}#$d#${sourceTag(d, "documents.parquet")}") {
       import s.implicits._
       IncrementalDedup.bandSignatures(
         Tables.documents(s, d).where($"doc_id" % 10 === 0),
@@ -1150,7 +1171,7 @@ object Queries {
   private val rangedDocsStage = new operators.SessionCache[(String, DataFrame)]
   private def ensureRangedDocs(s: SparkSession, d: String): (String, DataFrame) =
     rangedDocsStage.getOrBuild(
-      s"${System.identityHashCode(s)}#$d#${sourceTag(d, "documents.parquet")}") {
+      s"${operators.SessionCache.token(s)}#$d#${sourceTag(d, "documents.parquet")}") {
       import s.implicits._
       val pathTag = java.security.MessageDigest.getInstance("MD5")
         .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
@@ -1259,7 +1280,7 @@ object Queries {
   private val bucketedTables = new operators.SessionCache[(String, String)]
   private def ensureBucketed(s: SparkSession, d: String): (String, String) =
     bucketedTables.getOrBuild(
-      s"${System.identityHashCode(s)}#$d#${sourceTag(d, "orders.parquet")}#${sourceTag(d, "customer.parquet")}") {
+      s"${operators.SessionCache.token(s)}#$d#${sourceTag(d, "orders.parquet")}#${sourceTag(d, "customer.parquet")}") {
       val key = d.replaceAll("[^A-Za-z0-9]", "_")
       val (ot, ct) = (s"orders_bkt_$key", s"customer_bkt_$key")
       Seq(ot, ct).foreach(resetTable(s, _))
@@ -1279,7 +1300,7 @@ object Queries {
   private val sigLakeTables = new operators.SessionCache[String]
   private[graft] def ensureSigLake(s: SparkSession, d: String): String =
     sigLakeTables.getOrBuild(
-      s"${System.identityHashCode(s)}#$d#${sourceTag(d, "documents.parquet")}") {
+      s"${operators.SessionCache.token(s)}#$d#${sourceTag(d, "documents.parquet")}") {
       import s.implicits._
       val t = "siglake_" + d.replaceAll("[^A-Za-z0-9]", "_")
       resetTable(s, t)
@@ -2389,6 +2410,20 @@ object Queries {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // 5-gram contamination: corpus shingle hash60s joined against the
     // distinct benchmark shingle hash60s (benchmark = every 10th doc)
+    // e9b (bloom path) shares e9's EXACT oracle text: hash-equality is the
+    // claim that the bloom form loses nothing at gate sizing
+    "e9b_contamination_bloom" ->
+      """WITH ct AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id % 10 <> 0),
+        |cs AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-4),
+        |  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS s FROM ct),
+        |ch AS (SELECT doc_id, ('0x' || substring(md5(s), 1, 15))::BIGINT AS h FROM cs),
+        |bt AS (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % 10 = 0),
+        |bs AS (SELECT unnest(list_transform(generate_series(1, len(w)-4),
+        |  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS s FROM bt),
+        |bh AS (SELECT DISTINCT ('0x' || substring(md5(s), 1, 15))::BIGINT AS h FROM bs)
+        |SELECT ch.doc_id, CAST(count(DISTINCT ch.h) AS BIGINT) AS n_shingles
+        |FROM ch JOIN bh ON ch.h = bh.h
+        |GROUP BY ch.doc_id ORDER BY doc_id""".stripMargin,
     "e9_contamination" ->
       """WITH ct AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id % 10 <> 0),
         |cs AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-4),
@@ -3299,6 +3334,7 @@ object Queries {
     "w2s_stream_session" -> w2sStreamSession,
     "w3_sliding_window" -> w3SlidingWindow,
     "e9_contamination" -> e9Contamination,
+    "e9b_contamination_bloom" -> e9bContaminationBloom,
     "e1_exact_dedup" -> e1ExactDedup,
     "e12_priority_dedup" -> e12PriorityDedup,
     "e6_topk_per_group" -> e6TopkPerGroup,

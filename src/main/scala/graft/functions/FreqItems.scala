@@ -137,9 +137,16 @@ case class FreqItems(
     else if (!Seq[DataType](ByteType, ShortType, IntegerType, LongType)
       .contains(right.dataType))
       TypeCheckResult.TypeCheckFailure("freq_items requires an integral cap")
-    else if (!right.foldable || right.eval() == null ||
-      right.eval().asInstanceOf[Number].intValue() < 1)
+    else if (!right.foldable || right.eval() == null)
       TypeCheckResult.TypeCheckFailure("freq_items requires a literal cap >= 1")
+    // range-check through longValue: intValue() on a LongType literal
+    // silently wraps (cap 2^32+1 would pass as 1, 2^32 would read 0 and
+    // report the misleading ">= 1" failure) — ADVICE r11 #1
+    else if (right.eval().asInstanceOf[Number].longValue() < 1L ||
+      right.eval().asInstanceOf[Number].longValue() > Int.MaxValue.toLong)
+      TypeCheckResult.TypeCheckFailure(
+        s"freq_items cap must be in [1, ${Int.MaxValue}], " +
+          s"got ${right.eval().asInstanceOf[Number].longValue()}")
     else TypeCheckResult.TypeCheckSuccess
 
   override def withNewMutableAggBufferOffset(newOffset: Int): FreqItems =

@@ -132,7 +132,7 @@ object IvfIndex {
       spark: SparkSession, key: String,
       df: => DataFrame, vecCol: String, nlist: Int,
       seed: Long = 42L): (DataFrame, Model) =
-    registry.getOrBuild(s"${System.identityHashCode(spark)}#$key") {
+    registry.getOrBuild(s"${SessionCache.token(spark)}#$key") {
       val (assigned, model) = build(df, vecCol, nlist, seed)
       val persisted = assigned.persist()
       persisted.count() // materialize — collection load (C9)

@@ -185,7 +185,11 @@ object Pq {
       if (qn == 0.0) lit(0.0)
       else {
         val ip = ipLut(model, query)
-        graft.plans.IvfRegistry.recordLut(ip, "ip")
+        // the cosine marker rides ON the scoring LUT itself (`ip_cos`, one
+        // LRU entry) — if it were split across two entries (ip + cnorm), an
+        // LRU eviction of just the cnorm record would silently degrade a
+        // cosine query to unnormalized-IP centroid ranking (ADVICE r11 #3)
+        graft.plans.IvfRegistry.recordLut(ip, "ip_cos")
         graft.plans.IvfRegistry.recordLut(norms, "cnorm")
         val nrm = sqrt(call_function("byte_lut_sum", codesCol, typedlit(norms)))
         when(nrm > 0,
@@ -217,7 +221,7 @@ object Pq {
   def fitEncodeCached(spark: SparkSession, key: String, df: => DataFrame,
                       vecCol: String, m: Int, ksub: Int,
                       seed: Long = 42L): (DataFrame, Model) =
-    registry.getOrBuild(s"${System.identityHashCode(spark)}#$key") {
+    registry.getOrBuild(s"${SessionCache.token(spark)}#$key") {
       val model = fit(df, vecCol, m, ksub, seed)
       val encoded = encode(df, vecCol, model).persist()
       encoded.count()

@@ -28,7 +28,7 @@ object Sq8 {
   def fitEncodeCached(spark: org.apache.spark.sql.SparkSession, key: String,
                       df: => DataFrame, vecCol: String,
                       outCol: String = "codes"): (DataFrame, Model) =
-    registry.getOrBuild(s"${System.identityHashCode(spark)}#$key") {
+    registry.getOrBuild(s"${SessionCache.token(spark)}#$key") {
       val model = fit(df, vecCol)
       val encoded = encode(df, vecCol, model, outCol).persist()
       encoded.count()

@@ -282,10 +282,31 @@ object TextDedup {
     val benchH = shingleRows(bench, textCol, idCol, shingleK)
       .select(hash60(col("s")).as("h"))
     // one aggregate to a single bloom (numBits/8 bytes driver-side —
-    // bounded by construction); null = bench had no shingles at all
-    val bf = benchH.agg(call_function("bloom_agg", col("h"),
-        lit(expectedItems), lit(numBits)).as("bf"))
-      .head().getAs[Array[Byte]](0)
+    // bounded by construction); null = bench had no shingles at all. The
+    // approx distinct count rides in the SAME pass: the sizing require
+    // above only guards Spark's conf caps, not actual cardinality — a
+    // bench with far more distinct shingles than expectedItems silently
+    // raises the effective fpp and over-drops the corpus (ADVICE r11 #4),
+    // so measure it and warn loudly when the filter is undersized.
+    val aggRow = benchH.agg(
+      call_function("bloom_agg", col("h"), lit(expectedItems), lit(numBits))
+        .as("bf"),
+      approx_count_distinct(col("h")).as("n"))
+      .head()
+    val bf = aggRow.getAs[Array[Byte]](0)
+    val benchDistinct = aggRow.getLong(1)
+    if (benchDistinct > expectedItems) {
+      // k = numBits/items·ln2 hash functions were sized for expectedItems;
+      // with n actual items the effective fpp is (1 − e^(−k·n/m))^k
+      val k = math.max(1, math.round(numBits.toDouble / expectedItems * math.log(2)))
+      val effFpp = math.pow(
+        1 - math.exp(-k.toDouble * benchDistinct / numBits), k.toDouble)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"contaminationBloom undersized: ~$benchDistinct distinct bench " +
+          s"shingles > expectedItems=$expectedItems; effective fpp ≈ " +
+          f"$effFpp%.2e (requested $fpp%.2e) — over-flagging risk; raise " +
+          "expectedItems")
+    }
     val corpusShingles = shingleRows(corpus, textCol, idCol, shingleK)
       .select(col(idCol), hash60(col("s")).as("h"))
     if (bf == null)

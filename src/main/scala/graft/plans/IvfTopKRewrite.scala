@@ -37,8 +37,10 @@ object IvfRegistry {
     * builds here, keyed by content fingerprint, so the rewrite can admit
     * ONLY the matching sort direction: an `ORDER BY adc_l2 DESC LIMIT k`
     * (k farthest) stays exact instead of being silently nprobe-pruned.
-    * Kinds: `ip` (inner product), `dist` (distance, asc-is-better),
-    * `cnorm` (cosine's centroid-norm² table — never a standalone scorer).
+    * Kinds: `ip` (inner product), `ip_cos` (a cosine query's IP table —
+    * the cosine marker rides on the SCORING lut so one LRU entry carries
+    * the whole decision), `dist` (distance, asc-is-better), `cnorm`
+    * (cosine's centroid-norm² table — never a standalone scorer).
     * Bounded LRU: serving builds a fresh LUT per query.
     */
   private val lutKinds = new java.util.LinkedHashMap[String, String](64, 0.75f, true) {
@@ -154,20 +156,29 @@ case class IvfTopKRewrite() extends Rule[LogicalPlan] {
         kinds.collectFirst { case (l, Some("dist")) => l } match {
           case Some(l) => Some((adc(l) _, Some(Ascending: SortDirection)))
           case None =>
-            kinds.collectFirst { case (l, Some("ip")) => l } match {
-              case Some(l) if kinds.exists(_._2.contains("cnorm")) =>
+            // `ip_cos` is the cosine marker recorded ON the scoring LUT
+            // (one LRU entry — ADVICE r11 #3): centroid rank divides the
+            // ADC inner product by the true centroid norm (the query-norm
+            // factor is constant across centroids and drops out). The
+            // companion `cnorm` table is non-scoring provenance only; its
+            // eviction can no longer demote a cosine query to raw IP.
+            kinds.collectFirst { case (l, Some("ip_cos")) => l } match {
+              case Some(l) =>
                 val cos = (c: Array[Double]) => {
                   var n2 = 0.0; var i = 0
                   while (i < c.length) { n2 += c(i) * c(i); i += 1 }
                   if (n2 == 0.0) 0.0 else adc(l)(c) / math.sqrt(n2)
                 }
                 Some((cos, Some(Descending: SortDirection)))
-              case Some(l) =>
-                Some((adc(l) _, Some(Descending: SortDirection)))
               case None =>
-                // unknown provenance, or known-but-non-scoring tables
-                // only (a bare cnorm read): leave the plan exact
-                None
+                kinds.collectFirst { case (l, Some("ip")) => l } match {
+                  case Some(l) =>
+                    Some((adc(l) _, Some(Descending: SortDirection)))
+                  case None =>
+                    // unknown provenance, or known-but-non-scoring tables
+                    // only (a bare cnorm read): leave the plan exact
+                    None
+                }
             }
         }
       }

@@ -38,8 +38,12 @@ object TempDirs {
         new Runnable { def run(): Unit = cleanup() }, 5)
     catch {
       case _: Throwable =>
-        Runtime.getRuntime.addShutdownHook(
+        // the fallback can fail the same way (IllegalStateException when
+        // shutdown is already in progress) — degrade to no cleanup rather
+        // than let register() throw (ADVICE r11 #2)
+        try Runtime.getRuntime.addShutdownHook(
           new Thread(() => cleanup(), "graft-tempdir-cleanup"))
+        catch { case _: Throwable => () }
     }
 
   /** Register `path` for deletion at JVM exit; returns it for chaining. */
