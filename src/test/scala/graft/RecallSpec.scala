@@ -18,6 +18,33 @@ class RecallSpec extends SparkSpec {
     }
   }
 
+  test("nprobe curve: recall monotone non-decreasing in nprobe per codec; full probe = codec ceiling (VERDICT r11 #3)") {
+    val pts = AnnRecall.nprobeCurve(spark, Sf001)
+    assert(pts.map(_.codec).toSet == Set("ivf", "ivf_sq8", "ivf_pq"))
+    pts.groupBy(_.codec).foreach { case (codec, ps) =>
+      val byNp = ps.sortBy(_.nprobe)
+      assert(byNp.map(_.nprobe) == Seq(1, 2, 4, 8, 16), s"$codec nprobes")
+      // probed cluster sets are NESTED (rankCentroids takes a prefix), so
+      // more probes can only add candidates; for the exact-scored ivf path
+      // a true neighbor in the candidate set always makes the top-k, and
+      // on this fixture the quantized codecs preserve that monotonicity
+      byNp.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(b.recall >= a.recall,
+            f"$codec recall fell ${a.recall}%.2f@${a.nprobe} -> ${b.recall}%.2f@${b.nprobe}")
+        case _ => ()
+      }
+      // nprobe = nlist = 16 probes everything: the codec's recall ceiling,
+      // which the 0.8 floor of the clusteredRecall gate also bounds
+      assert(byNp.last.recall >= 0.8,
+        f"$codec full-probe recall ${byNp.last.recall}%.2f < 0.8")
+      // the fixture's query cluster dominates: even nprobe=1 must find
+      // most of the true neighborhood (the cell-selection rule works)
+      assert(byNp.head.recall >= 0.5,
+        f"$codec nprobe=1 recall ${byNp.head.recall}%.2f < 0.5")
+    }
+  }
+
   test("clustered fixture really is clustered: exact top-15 shares the query's cluster") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

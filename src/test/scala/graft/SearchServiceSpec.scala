@@ -445,6 +445,73 @@ class SearchServiceSpec extends SparkSpec {
     }
   }
 
+  test("artifact boot + growing segment composed: boot nightly models, absorb a stream, serve the union (VERDICT r11 #4)") {
+    // The real deployment day: load last night's ModelStore artifacts,
+    // then absorb today's inserts as a growing segment — the two halves
+    // are each spec-proven above; this drives them TOGETHER. Parity
+    // comparator: a service booted from the SAME artifacts over the
+    // already-unioned batch table — identical models + identical rows, so
+    // the streamed path must reproduce its (id, score) list bit-for-bit
+    // (assignment and SQ8 encode are deterministic expressions; any
+    // divergence means the stream layout or refresh union dropped or
+    // re-encoded something).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val table = clusteredVectors()
+    val pid = ProcessHandle.current().pid()
+    val mdir = graft.sources.TempDirs.register(s"/tmp/graft_boot_seg_models_$pid")
+    val base = graft.sources.TempDirs.register(s"/tmp/graft_boot_seg_base_$pid")
+    val delta = graft.sources.TempDirs.register(s"/tmp/graft_boot_seg_delta_$pid")
+    val cp = graft.sources.TempDirs.register(s"/tmp/graft_boot_seg_cp_$pid")
+    SearchService.buildArtifacts(table, "vec", "ivf_sq8", nlist = 4, dir = mdir)
+    val booted = new SearchService(table, "vec", "id", topK = 15,
+      mode = "ivf_sq8", nlist = 4, nprobe = 2,
+      indexDir = Some(base), deltaDir = Some(delta), modelDir = Some(mdir))
+    try {
+      val rnd = new scala.util.Random(99L)
+      val q = Array.tabulate(16)(d =>
+        (if (d / 4 == 2) 10.0f else 0.0f) + (rnd.nextFloat() - 0.5f))
+      val newRows = (0 until 5).map(i =>
+        (1000L + i, Array.tabulate(16)(d => if (d / 4 == 2) 12.0f else 0.0f)))
+
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, Array[Float])]
+      input.addData(newRows: _*)
+      val sink = booted.indexStream(input.toDF().toDF("id", "vec"))
+        .writeStream.format("parquet")
+        .option("path", delta).option("checkpointLocation", cp)
+        .partitionBy("cluster_id")
+        .trigger(Trigger.AvailableNow()).start()
+      sink.awaitTermination()
+      booted.refresh()
+
+      def served(svc: SearchService) =
+        svc.searchVector(q).map(r => (r.getLong(0), r.getDouble(r.length - 1))).toSeq
+      val got = served(booted)
+      // the streamed inserts are 12.0 on the query's cluster block vs the
+      // base's 10.0±0.5 — all five must lead the served list
+      assert(got.take(5).map(_._1).toSet == (1000L until 1005L).toSet,
+        s"streamed rows not leading: ${got.take(6)}")
+
+      // batch comparator over the pre-unioned table, same artifacts
+      val unionTbl = table.union(newRows.toDF("id", "vec"))
+      val batchBase = graft.sources.TempDirs.register(s"/tmp/graft_boot_seg_b2_$pid")
+      val batch = new SearchService(unionTbl, "vec", "id", topK = 15,
+        mode = "ivf_sq8", nlist = 4, nprobe = 2,
+        indexDir = Some(batchBase), modelDir = Some(mdir))
+      try assert(got == served(batch),
+        s"stream-absorbed serving diverged from batch union:\n$got\nvs\n${served(batch)}")
+      finally batch.stop()
+
+      // both halves of the union stay partition-pruned per request
+      val plan = booted.searchFrame(q).queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val pfs = plan.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+      assert(pfs.size == 2 && pfs.forall(_.contains("cluster_id")),
+        s"expected two pruned scans:\n${pfs.mkString("\n")}")
+    } finally booted.stop()
+  }
+
   test("modelDir boot: artifact-loaded service serves identically to the fit path") {
     // the nightly-build / serve-day handoff: buildArtifacts fits+saves the
     // models; a service constructed with modelDir loads them and must
