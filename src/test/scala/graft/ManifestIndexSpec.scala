@@ -83,6 +83,53 @@ class ManifestIndexSpec extends SparkSpec {
       "stale rows for rewritten files must be dropped")
   }
 
+  test("composed prune: IVF cluster partitions x manifest key spans multiply; served top-k parity (VERDICT r11 #9)") {
+    import graft.operators.{AnnSearch, IvfIndex, VectorMetric}
+    // ids ORTHOGONAL to clusters (id = i*4 + c): a per-title range query
+    // and the nprobe cluster filter prune along independent axes, so the
+    // surviving file count multiplies down instead of collapsing to one
+    // axis. Layout: range-laid by id WITHIN each cluster partition.
+    val rnd = new scala.util.Random(5L)
+    val rows = for (c <- 0 until 4; i <- 0 until 60) yield {
+      val v = Array.tabulate(16)(d =>
+        (if (d / 4 == c) 10.0f else 0.0f) + (rnd.nextFloat() - 0.5f))
+      (i * 4L + c, v)
+    }
+    val (assigned, model) = IvfIndex.build(rows.toDF("id", "vec"), "vec", 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-cmanifest").toString + "/ivf"
+    assigned.repartitionByRange(4, $"id").sortWithinPartitions($"id")
+      .write.partitionBy("cluster_id").parquet(dir)
+    val manifest = ManifestIndex
+      .buildPartitioned(spark, dir, "id", "cluster_id").localCheckpoint()
+    val totalFiles = manifest.count()
+
+    val q = Array.tabulate(16)(d =>
+      (if (d / 4 == 2) 10.0 else 0.0) + (rnd.nextDouble() - 0.5))
+    val probed = IvfIndex
+      .rankCentroids(model, q.toIndexedSeq, VectorMetric.Ip, 2).toIndexedSeq
+    val (lo, hi) = (40L, 140L)
+    val files = ManifestIndex
+      .prunedClusterRangeFiles(manifest, "cluster_id", probed, lo, hi)
+    val clusterOnly = manifest.where($"cluster_id".isin(probed: _*)).count()
+    // both prunes demonstrably active — each axis strictly shrinks
+    assert(clusterOnly < totalFiles,
+      s"cluster prune inactive: $clusterOnly of $totalFiles files")
+    assert(files.nonEmpty && files.size < clusterOnly,
+      s"range prune inactive: ${files.size} of $clusterOnly probed-cluster files")
+    assert(files.forall(f => probed.exists(c => f.contains(s"cluster_id=$c"))))
+
+    // the served result off the doubly-pruned scan is exactly the result
+    // off the full lake under the same predicates
+    def top(df: org.apache.spark.sql.DataFrame) =
+      AnnSearch.exactTopK(df, "vec", "id", q.toIndexedSeq, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = top(ManifestIndex.clusterRangeRead(
+      spark, dir, manifest, "id", "cluster_id", probed, lo, hi))
+    val want = top(spark.read.parquet(dir)
+      .where($"cluster_id".isin(probed: _*) && $"id".between(lo, hi)))
+    assert(got == want && got.nonEmpty)
+  }
+
   test("bounds straddling a file boundary: residual predicate trims the edges") {
     val dir = writeLake(clustered = true)
     val manifest = ManifestIndex.build(spark, dir, "doc_id").localCheckpoint()
