@@ -69,15 +69,23 @@ object AnnRecall {
     * `loader.js:334`) — this sweeps nprobe and measures recall@15 plus
     * probe wall for each codec on the clustered fixture, so the
     * operating point is a measured choice. All three probed paths share
-    * ONE IVF assignment (nlist=16, the clusteredRecall build); the
-    * quantized codecs are the COMPOSED Milvus shapes — SQ8/PQ codes
-    * scored only inside the nprobe-pruned clusters (IVF_SQ8 =
-    * loader.js:332-334's index, IVF_PQ its high-compression sibling).
-    * Each point times the SECOND run of its probe (plans warm — the
-    * Milvus measurement shape: per-probe latency, not codegen cost).
-    * Probed cluster sets are nested in nprobe (rankCentroids takes a
-    * prefix), so exact-scored `ivf` recall is monotone by construction;
-    * RecallSpec pins monotonicity.
+    * ONE IVF assignment; the quantized codecs are the COMPOSED Milvus
+    * shapes — SQ8/PQ codes scored only inside the nprobe-pruned clusters
+    * (IVF_SQ8 = loader.js:332-334's index, IVF_PQ its high-compression
+    * sibling). Each point times the SECOND run of its probe (plans warm —
+    * the Milvus measurement shape: per-probe latency, not codegen cost).
+    *
+    * nlist = 32 here, NOT the gate rows' 16: with nlist ≤ the fixture's 8
+    * planted clusters the whole true neighborhood sits in one cell,
+    * recall saturates at nprobe = 1 and the "curve" is a flat line that
+    * measures nothing (the first r12 run showed exactly that). 32 cells
+    * split each planted cluster across ~4, so the top-15 spans several
+    * cells and the recall/nprobe trade-off is visible — the same
+    * oversharding ratio (nlist ≫ natural clusters) the reference's
+    * nlist=128 implies for real corpora. Probed cluster sets are nested
+    * in nprobe (rankCentroids takes a prefix), so exact-scored `ivf`
+    * recall is monotone by construction; RecallSpec pins monotonicity
+    * plus strict growth from nprobe 1 → 16.
     */
   def nprobeCurve(spark: SparkSession, sfDir: String,
                   nprobes: Seq[Int] = Seq(1, 2, 4, 8, 16)): Seq[CurvePoint] = {
@@ -94,13 +102,13 @@ object AnnRecall {
       approx.intersect(exact).size.toDouble / math.max(1, exact.size)
 
     val (ivfTbl, ivfModel) = IvfIndex.buildCached(
-      spark, s"$sfDir#clustered-ivf", base, "embedding", 16)
+      spark, s"$sfDir#curve-ivf32", base, "embedding", 32)
     // codecs fit + encode over the ASSIGNED table so cluster_id rides
     // along with the codes — the composed IVF_SQ8 / IVF_PQ layouts
     val (sq8Tbl, sq8Model) = Sq8.fitEncodeCached(
-      spark, s"$sfDir#clustered-ivfsq8", ivfTbl, "embedding")
+      spark, s"$sfDir#curve-ivfsq8", ivfTbl, "embedding")
     val (pqTbl, pqModel) = Pq.fitEncodeCached(
-      spark, s"$sfDir#clustered-ivfpq", ivfTbl, "embedding", m = 16, ksub = 64)
+      spark, s"$sfDir#curve-ivfpq", ivfTbl, "embedding", m = 16, ksub = 64)
 
     def point(codec: String, np: Int, run: () => Set[Long]): CurvePoint = {
       run() // warm the probe plan

@@ -320,9 +320,18 @@ class SearchService(
   }
 
   private var server: HttpServer = _
+  private var pool: java.util.concurrent.ExecutorService = _
 
   def start(port: Int): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    // JDK HttpServer's default (null) executor dispatches ALL requests on
+    // one thread — concurrent clients would serialize behind each other's
+    // Spark probe and measured throughput would never exceed 1/latency
+    // (found by the r12 serving_rps sidecar). A fixed pool lets concurrent
+    // probes run as concurrent Spark jobs; 16 is comfortably past the
+    // reference's 100 req/s/IP admission cap.
+    pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+    server.setExecutor(pool)
     server.createContext("/search", (ex: HttpExchange) => {
       try {
         if (ex.getRequestMethod != "POST") respond(ex, 405, """{"error":"POST only"}""")
@@ -351,6 +360,7 @@ class SearchService(
 
   def stop(): Unit = {
     if (server != null) server.stop(0)
+    if (pool != null) pool.shutdown()
     cached.unpersist()
     if (indexDir.isEmpty) ivf.foreach(_._1.unpersist())
   }
