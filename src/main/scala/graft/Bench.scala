@@ -17,7 +17,7 @@ object Bench {
     * accounting). Reported in the bench JSON so a slow number can be told
     * apart from a slow engine.
     */
-  private def stealTicks(): Long =
+  private[graft] def stealTicks(): Long =
     try {
       val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
         .find(_.startsWith("cpu ")).getOrElse("")
@@ -256,9 +256,19 @@ object Bench {
     gcBeans.forEach(b => s += math.max(0L, b.getCollectionTime))
     s
   }
+  // Growth-based trigger (r12 self-review): long-lived session caches are
+  // ALLOWED to hold a big slice of heap — an absolute used>threshold test
+  // would fire a futile full GC between every remaining row once they do.
+  // Collect only when usage has GROWN materially past the floor the last
+  // collection established.
+  private var reclaimedFloor = 0L
   private def reclaim(): Unit = {
     val rt = Runtime.getRuntime
-    if (rt.totalMemory() - rt.freeMemory() > rt.maxMemory() / 5) System.gc()
+    val used = rt.totalMemory() - rt.freeMemory()
+    if (used > math.max(rt.maxMemory() / 5, reclaimedFloor + rt.maxMemory() / 10)) {
+      System.gc()
+      reclaimedFloor = rt.totalMemory() - rt.freeMemory()
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -273,25 +283,27 @@ object Bench {
     }
     System.gc() // enter pass 1 with warmup garbage collected, not timed
     val steal0 = stealTicks()
-    // (wall seconds, GC-ms delta during the run) for one timed execution
-    def timed(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Long) = {
+    // (wall seconds, GC-ms delta during the run, run succeeded) for one
+    // timed execution
+    def timed(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Long, Boolean) = {
       val g0 = gcMs()
       val t0 = System.nanoTime()
       materialize(fn(spark, sfDir))
-      ((System.nanoTime() - t0) / 1e9, gcMs() - g0)
+      ((System.nanoTime() - t0) / 1e9, gcMs() - g0, true)
     }
     // Two timed passes, keep the per-query MIN: a single pass is hostage to
     // the host's steal storms; the min of two is a far better estimate of
     // what the engine actually costs.
     val p1 = qs.map { case (name, fn) =>
       // pass-1 failures record their time-to-error (a finite, honest cost
-      // of the attempt — MaxValue here would blow up the printed total);
-      // the RE-RUN passes below are the ones that must never let a fast
-      // failure masquerade as a speedup
+      // of the attempt — MaxValue here would blow up the printed total),
+      // FLAGGED failed so the cross-pass min below never adopts a fast
+      // failure over a later successful timing
       val g0 = gcMs()
       val t0 = System.nanoTime()
-      try materialize(fn(spark, sfDir)) catch { case _: Throwable => }
-      val r = ((System.nanoTime() - t0) / 1e9, gcMs() - g0)
+      val ok = try { materialize(fn(spark, sfDir)); true }
+        catch { case _: Throwable => false }
+      val r = ((System.nanoTime() - t0) / 1e9, gcMs() - g0, ok)
       reclaim()
       name -> r
     }.toMap
@@ -317,7 +329,7 @@ object Bench {
     // keeps the min across all passes it ran in, so a retry can only
     // sharpen the estimate, never regress it.
     val stealMid = stealTicks() - steal0
-    val p3: Map[String, (Double, Long)] =
+    val p3: Map[String, (Double, Long, Boolean)] =
       if (stealMid <= 1500L) Map.empty
       else {
         val s0 = System.nanoTime()
@@ -333,13 +345,16 @@ object Bench {
           }
         }.toMap
       }
-    // per query: the min wall across passes, carrying the GC delta of the
-    // run that PRODUCED that min (attribution travels with the number)
+    // per query: the min wall across SUCCESSFUL passes, carrying the GC
+    // delta of the run that PRODUCED that min (attribution travels with
+    // the number); a failed pass-1 time-to-error is reported only when no
+    // pass ever succeeded — a fast failure must not beat a real timing
     val withGc = qs.map { case (name, _) =>
-      name -> Seq(Some(p1(name)), Some(p2(name)), p3.get(name))
-        .flatten.minBy(_._1)
+      val candidates = Seq(Some(p1(name)), Some(p2(name)), p3.get(name)).flatten
+      val succeeded = candidates.filter(_._3)
+      name -> (if (succeeded.nonEmpty) succeeded else candidates).minBy(_._1)
     }
-    val results = withGc.map { case (name, (t, _)) => name -> t }
+    val results = withGc.map { case (name, (t, _, _)) => name -> t }
     val stealD = stealTicks() - steal0
     val total = results.map(_._2).sum
     // ONE line builder: `keep` selects which queries appear in the map;
@@ -361,7 +376,7 @@ object Bench {
     // plus the serving-latency sidecar (detail-file only — the stdout-line
     // contract is untouched).
     try {
-      val gcJson = withGc.map { case (k, (_, g)) => s""""$k":$g""" }
+      val gcJson = withGc.map { case (k, (_, g, _)) => s""""$k":$g""" }
         .mkString("{", ",", "}")
       // the sf1.0 scaling datapoints are produced by the separate
       // graft.ScalingBench main (an sf1.0 run inside the driver's bench
@@ -369,9 +384,14 @@ object Bench {
       // bench_detail.json stays the one judged artifact
       val scaling = try {
         val p = java.nio.file.Paths.get("scaling.json")
-        if (java.nio.file.Files.exists(p))
-          s""","scaling":${new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim}"""
-        else ""
+        if (java.nio.file.Files.exists(p)) {
+          val bytes = java.nio.file.Files.readAllBytes(p)
+          // parse-validate before splicing: a truncated sidecar (killed
+          // mid-write) would otherwise corrupt the whole judged detail
+          // file — degrade to omitting the key instead
+          new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+          s""","scaling":${new String(bytes, "UTF-8").trim}"""
+        } else ""
       } catch { case _: Throwable => "" }
       val detail = line(6).dropRight(1) +
         s""","gc_ms":$gcJson""" +

@@ -93,6 +93,7 @@ object ScalingBench {
     def f2(d: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, d)
     val rows01 = spark.read.parquet(s"$sf01/documents.parquet").count()
     val rows1 = spark.read.parquet(s"$sf1/documents.parquet").count()
+    val steal0 = Bench.stealTicks()
     val entries = names.map { n =>
       existing.get(n) match {
         case Some(kept) =>
@@ -102,13 +103,18 @@ object ScalingBench {
           run(n, sf01) // warm: JIT + codegen, same discipline as Bench
           val t01 = (0 until 2).map(_ => run(n, sf01)).min
           System.gc() // enter the 10× run clean (Bench.reclaim discipline)
-          val t1 = run(n, sf1)
+          // min-of-2 on the 10× side too (r12 self-review): a single run
+          // is hostage to this host's steal storms, and a storm-inflated
+          // numerator would read as phantom super-linear growth — the
+          // exact misreading the interpretation guide warns against
+          val t1 = (0 until 2).map(_ => run(n, sf1)).min
           println(f"[scaling] $n: sf0.1 ${t01}%.2f s -> 10x ${t1}%.2f s (ratio ${t1 / t01}%.2f)")
           s""""$n":{"sf01_s":${f2(t01)},"sf1_s":${f2(t1)},"ratio":${f2(t1 / t01)}}"""
       }
     }
+    val stealD = Bench.stealTicks() - steal0
     val json =
-      s"""{"copies":10,"rows_sf01":$rows01,"rows_sf1":$rows1,"construction":"10 token-disjoint copies (doc_id offset + per-copy token suffix)","queries":${entries.mkString("{", ",", "}")}}"""
+      s"""{"copies":10,"rows_sf01":$rows01,"rows_sf1":$rows1,"steal_ticks":$stealD,"construction":"10 token-disjoint copies (doc_id offset + per-copy token suffix)","queries":${entries.mkString("{", ",", "}")}}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("scaling.json"), json.getBytes("UTF-8"))
     println(json)

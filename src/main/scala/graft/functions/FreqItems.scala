@@ -139,15 +139,16 @@ case class FreqItems(
       TypeCheckResult.TypeCheckFailure("freq_items requires an integral cap")
     else if (!right.foldable || right.eval() == null)
       TypeCheckResult.TypeCheckFailure("freq_items requires a literal cap >= 1")
-    // range-check through longValue: intValue() on a LongType literal
-    // silently wraps (cap 2^32+1 would pass as 1, 2^32 would read 0 and
-    // report the misleading ">= 1" failure) — ADVICE r11 #1
-    else if (right.eval().asInstanceOf[Number].longValue() < 1L ||
-      right.eval().asInstanceOf[Number].longValue() > Int.MaxValue.toLong)
-      TypeCheckResult.TypeCheckFailure(
-        s"freq_items cap must be in [1, ${Int.MaxValue}], " +
-          s"got ${right.eval().asInstanceOf[Number].longValue()}")
-    else TypeCheckResult.TypeCheckSuccess
+    else {
+      // range-check through longValue: intValue() on a LongType literal
+      // silently wraps (cap 2^32+1 would pass as 1, 2^32 would read 0 and
+      // report the misleading ">= 1" failure) — ADVICE r11 #1
+      val cap = right.eval().asInstanceOf[Number].longValue()
+      if (cap < 1L || cap > Int.MaxValue.toLong)
+        TypeCheckResult.TypeCheckFailure(
+          s"freq_items cap must be in [1, ${Int.MaxValue}], got $cap")
+      else TypeCheckResult.TypeCheckSuccess
+    }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): FreqItems =
     copy(mutableAggBufferOffset = newOffset)

@@ -185,11 +185,16 @@ object Pq {
       if (qn == 0.0) lit(0.0)
       else {
         val ip = ipLut(model, query)
-        // the cosine marker rides ON the scoring LUT itself (`ip_cos`, one
-        // LRU entry) — if it were split across two entries (ip + cnorm), an
-        // LRU eviction of just the cnorm record would silently degrade a
-        // cosine query to unnormalized-IP centroid ranking (ADVICE r11 #3)
-        graft.plans.IvfRegistry.recordLut(ip, "ip_cos")
+        // NOTE the ip table's CONTENT is identical to the plain-Ip
+        // branch's, so its kind record must stay metric-agnostic ("ip") —
+        // a cosine-specific kind here would alias the shared content-keyed
+        // LRU entry and let whichever metric scored last rewrite the other
+        // metric's plan. Cosine-ness is a PER-PLAN property: the rewrite
+        // reads it from the expression shape (ip LUT + companion cnorm LUT
+        // in the same score — IvfTopKRewrite.lutScorer), and declines when
+        // the companion's provenance is missing (ADVICE r11 #3: eviction
+        // must never silently demote cosine to raw-IP ranking).
+        graft.plans.IvfRegistry.recordLut(ip, "ip")
         graft.plans.IvfRegistry.recordLut(norms, "cnorm")
         val nrm = sqrt(call_function("byte_lut_sum", codesCol, typedlit(norms)))
         when(nrm > 0,

@@ -303,8 +303,8 @@ object TextDedup {
         1 - math.exp(-k.toDouble * benchDistinct / numBits), k.toDouble)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"contaminationBloom undersized: ~$benchDistinct distinct bench " +
-          s"shingles > expectedItems=$expectedItems; effective fpp ≈ " +
-          f"$effFpp%.2e (requested $fpp%.2e) — over-flagging risk; raise " +
+          s"shingles > expectedItems=$expectedItems; effective fpp ~= " +
+          f"$effFpp%.2e (requested $fpp%.2e) -- over-flagging risk; raise " +
           "expectedItems")
     }
     val corpusShingles = shingleRows(corpus, textCol, idCol, shingleK)

@@ -37,11 +37,16 @@ object IvfRegistry {
     * builds here, keyed by content fingerprint, so the rewrite can admit
     * ONLY the matching sort direction: an `ORDER BY adc_l2 DESC LIMIT k`
     * (k farthest) stays exact instead of being silently nprobe-pruned.
-    * Kinds: `ip` (inner product), `ip_cos` (a cosine query's IP table —
-    * the cosine marker rides on the SCORING lut so one LRU entry carries
-    * the whole decision), `dist` (distance, asc-is-better), `cnorm`
-    * (cosine's centroid-norm² table — never a standalone scorer).
-    * Bounded LRU: serving builds a fresh LUT per query.
+    * Kinds: `ip` (inner product), `dist` (distance, asc-is-better),
+    * `cnorm` (cosine's centroid-norm² table — never a standalone scorer).
+    * Kinds are deliberately metric-content facts, not per-query-metric
+    * markers: a cosine query's ip table is byte-identical to a plain-Ip
+    * query's, so a metric-specific kind would alias the content-keyed
+    * entry across plans. Cosine-ness is read per-plan from the expression
+    * shape (ip + cnorm in one score); an ip table whose companion LUT has
+    * no surviving provenance record gets NO rewrite (ADVICE r11 #3 —
+    * eviction declines rather than demotes). Bounded LRU: serving builds
+    * a fresh LUT per query.
     */
   private val lutKinds = new java.util.LinkedHashMap[String, String](64, 0.75f, true) {
     override def removeEldestEntry(e: java.util.Map.Entry[String, String]): Boolean =
@@ -152,33 +157,46 @@ case class IvfTopKRewrite() extends Rule[LogicalPlan] {
           while (j < codes.length) { acc += flat(j * 256 + (codes(j) & 0xff)); j += 1 }
           acc
         }
-        val kinds = luts.map(l => (l, IvfRegistry.lutKind(l)))
+        // Metric is a PER-PLAN property read from the expression's own LUT
+        // set — never from a cosine-specific kind on the shared registry:
+        // the cosine score's ip table is byte-identical to the plain-Ip
+        // branch's, so a metric-specific kind would alias the content-keyed
+        // LRU entry and let whichever metric scored LAST rewrite the other
+        // metric's plan (r12 self-review finding). Dedup by content first:
+        // the cosine expression references its norm table twice (guard +
+        // divisor).
+        val uniq = luts.map(_.toIndexedSeq).distinct.map(_.toArray)
+        val kinds = uniq.map(l => (l, IvfRegistry.lutKind(l)))
         kinds.collectFirst { case (l, Some("dist")) => l } match {
           case Some(l) => Some((adc(l) _, Some(Ascending: SortDirection)))
           case None =>
-            // `ip_cos` is the cosine marker recorded ON the scoring LUT
-            // (one LRU entry — ADVICE r11 #3): centroid rank divides the
-            // ADC inner product by the true centroid norm (the query-norm
-            // factor is constant across centroids and drops out). The
-            // companion `cnorm` table is non-scoring provenance only; its
-            // eviction can no longer demote a cosine query to raw IP.
-            kinds.collectFirst { case (l, Some("ip_cos")) => l } match {
-              case Some(l) =>
+            kinds.collectFirst { case (l, Some("ip")) => l } match {
+              case Some(l) if uniq.length == 1 =>
+                // the score reads exactly one LUT and it's an IP table:
+                // plain inner-product ranking
+                Some((adc(l) _, Some(Descending: SortDirection)))
+              case Some(l) if kinds.exists(_._2.contains("cnorm")) =>
+                // ip + cnorm in ONE score is the cosine shape (Pq.score):
+                // centroid rank divides the ADC inner product by the true
+                // centroid norm (the query-norm factor is constant across
+                // centroids and drops out)
                 val cos = (c: Array[Double]) => {
                   var n2 = 0.0; var i = 0
                   while (i < c.length) { n2 += c(i) * c(i); i += 1 }
                   if (n2 == 0.0) 0.0 else adc(l)(c) / math.sqrt(n2)
                 }
                 Some((cos, Some(Descending: SortDirection)))
+              case Some(_) =>
+                // an ip table plus a COMPANION LUT of unknown provenance:
+                // the companion may be a cnorm record the bounded LRU
+                // evicted — declining the rewrite beats silently ranking a
+                // cosine query by raw IP (ADVICE r11 #3); the plan stays
+                // exact
+                None
               case None =>
-                kinds.collectFirst { case (l, Some("ip")) => l } match {
-                  case Some(l) =>
-                    Some((adc(l) _, Some(Descending: SortDirection)))
-                  case None =>
-                    // unknown provenance, or known-but-non-scoring tables
-                    // only (a bare cnorm read): leave the plan exact
-                    None
-                }
+                // unknown provenance, or known-but-non-scoring tables
+                // only (a bare cnorm read): leave the plan exact
+                None
             }
         }
       }

@@ -32,15 +32,28 @@ import org.apache.spark.sql.functions._
   */
 object ManifestIndex {
 
+  /** THE single definition of the manifest row shape (r12 self-review: two
+    * parallel aggregations would let a schema change silently diverge the
+    * partitioned and plain manifests): per file, the key span, the
+    * optional partition value, and the row count. `first(partCol)` is
+    * exact — a partitioned-layout file lives in exactly one
+    * `partCol=...` directory.
+    */
+  private def stats(df: DataFrame, keyCol: String,
+                    partCol: Option[String]): DataFrame = {
+    val aggs = Seq(
+      min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key")) ++
+      partCol.map(p => first(col(p)).as(p)) ++
+      Seq(count(lit(1)).as("rows"))
+    df.groupBy(input_file_name().as("file")).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** One row per parquet file: (file, min_key, max_key, rows). Small by
     * construction (≈100 bytes per file — a 100 TB lake of 128 MB files is
     * an ~80 MB manifest), so readers can collect it driver-side.
     */
   def build(spark: SparkSession, dir: String, keyCol: String): DataFrame =
-    spark.read.parquet(dir)
-      .groupBy(input_file_name().as("file"))
-      .agg(min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"),
-        count(lit(1)).as("rows"))
+    stats(spark.read.parquet(dir), keyCol, None)
 
   /** Incremental maintenance: stats for files that appeared since
     * `existing` was built, scanned from ONLY those files, unioned with the
@@ -73,25 +86,17 @@ object ManifestIndex {
     val fresh = live.filterNot(s => knownPaths(pathOf(s))).toSeq
     val kept = existing.where(col("file").isin(keepStrings: _*))
     if (fresh.isEmpty) kept
-    else kept.unionByName(
-      spark.read.parquet(fresh: _*)
-        .groupBy(input_file_name().as("file"))
-        .agg(min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"),
-          count(lit(1)).as("rows")))
+    else kept.unionByName(stats(spark.read.parquet(fresh: _*), keyCol, None))
   }
 
   /** [[build]] over a PARTITIONED lake (e.g. an [[graft.operators.IvfIndex
     * .write]] layout): each manifest row also records the file's partition
     * value, so a reader can prune on partition membership AND key span in
-    * one manifest pass. `first(partCol)` is exact — a partitioned-layout
-    * file lives in exactly one `partCol=...` directory.
+    * one manifest pass.
     */
   def buildPartitioned(spark: SparkSession, dir: String, keyCol: String,
                        partCol: String): DataFrame =
-    spark.read.parquet(dir)
-      .groupBy(input_file_name().as("file"))
-      .agg(min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"),
-        first(col(partCol)).as(partCol), count(lit(1)).as("rows"))
+    stats(spark.read.parquet(dir), keyCol, Some(partCol))
 
   /** The manifest ∘ partition-prune composition (VERDICT r11 #9): the
     * pruned file set for a served RANGE query against an IVF-partitioned
