@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Contracts of the ScalingBench corpus construction: the judged 10×
+  * scaling table is only meaningful if the scaled corpus actually has the
+  * "10 independent shards" shape the interpretation guide claims — ×N
+  * rows, disjoint doc_ids, and TOKEN-DISJOINT copies (so no cross-copy
+  * near-duplicates are manufactured; on this 31-token-vocabulary table a
+  * plain replication would make every copy an exact token-set dup of its
+  * source and quadratically inflate every pair-finding row).
+  */
+class ScalingCorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ensureScaled: xN rows, disjoint ids, token-disjoint copies, per-copy structure preserved") {
+    val out = java.nio.file.Files.createTempDirectory("graft-scaling").toString
+    val dir = ScalingBench.ensureScaled(spark, Sf0001, out, copies = 3)
+    val src = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val scaled = spark.read.parquet(s"$dir/documents.parquet")
+
+    val n = src.count()
+    assert(scaled.count() == 3 * n, "x3 rows")
+    assert(scaled.select($"doc_id").distinct().count() == 3 * n,
+      "doc_id offsets keep ids disjoint across copies")
+
+    // copies use disjoint token sets: copy i's tokens carry the _r{i}
+    // suffix, so no token (and therefore no shingle) crosses copies
+    val tokensByCopy = scaled
+      .select(($"doc_id" / 100000000L).cast("long").as("copy"),
+        explode(split($"text", " ")).as("t"))
+      .groupBy($"t").agg(countDistinct($"copy").as("n_copies"))
+    assert(tokensByCopy.where($"n_copies" > 1).count() == 0,
+      "a token appearing in two copies would manufacture cross-copy near-dups")
+
+    // each copy preserves the source's internal text structure: the
+    // distinct-text count per copy equals the source's (the token-suffix
+    // rewrite is a bijection on texts), so within-copy pair-finding work
+    // mirrors the source's and total work scales xN, not quadratically
+    val srcDistinct = src.select($"text").distinct().count()
+    val perCopy = scaled
+      .groupBy(($"doc_id" / 100000000L).cast("long").as("copy"))
+      .agg(countDistinct($"text").as("n"))
+      .collect().map(_.getLong(1))
+    assert(perCopy.length == 3 && perCopy.forall(_ == srcDistinct),
+      s"every copy must carry the source's $srcDistinct distinct texts, got ${perCopy.toSeq}")
+
+    // idempotence: a second call reuses the _done-marked corpus
+    val again = ScalingBench.ensureScaled(spark, Sf0001, out, copies = 3)
+    assert(again == dir)
+  }
+}
