@@ -258,7 +258,21 @@ object TextDedup {
   def contaminationBloom(
       corpus: DataFrame, bench: DataFrame,
       textCol: String, idCol: String, shingleK: Int,
-      expectedItems: Long = 1L << 20, fpp: Double = 1e-6): DataFrame = {
+      expectedItems: Long = 1L << 20, fpp: Double = 1e-6): DataFrame =
+    contaminationBloomWith(corpus, textCol, idCol, shingleK,
+      benchShingleBloom(bench, textCol, idCol, shingleK, expectedItems, fpp))
+
+  /** The BUILD half of [[contaminationBloom]], as a standalone PERIODIC
+    * artifact: bench sets change rarely (a new eval release), the corpus
+    * is probed constantly — at 100 TB the filter is built once per bench
+    * release, persisted ([[graft.sources.ModelStore.saveBloom]]), and
+    * every decontamination job loads the bytes instead of re-aggregating
+    * the bench. Returns the serialized spark-sketch filter, or null when
+    * the bench has no shingles at all (the probe then flags nothing).
+    */
+  def benchShingleBloom(
+      bench: DataFrame, textCol: String, idCol: String, shingleK: Int,
+      expectedItems: Long = 1L << 20, fpp: Double = 1e-6): Array[Byte] = {
     require(expectedItems > 0 && fpp > 0 && fpp < 1,
       s"bad bloom sizing: items=$expectedItems fpp=$fpp")
     val numBits = org.apache.spark.util.sketch.BloomFilter
@@ -268,7 +282,7 @@ object TextDedup {
     // under-sizing would push the effective fpp toward 1 and over-drop
     // nearly the whole corpus with no error, 6 orders of magnitude off the
     // documented contract. Fail loudly instead, naming the conf to raise.
-    val conf = corpus.sparkSession.conf
+    val conf = bench.sparkSession.conf
     def capOf(key: String, dflt: Long): Long =
       scala.util.Try(conf.get(key).toLong).getOrElse(dflt)
     val maxItems = capOf("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", 4000000L)
@@ -307,6 +321,17 @@ object TextDedup {
           f"$effFpp%.2e (requested $fpp%.2e) -- over-flagging risk; raise " +
           "expectedItems")
     }
+    bf
+  }
+
+  /** The PROBE half of [[contaminationBloom]]: flag corpus shingles
+    * against a prebuilt filter (fresh from [[benchShingleBloom]] or loaded
+    * from durable artifacts). Scan-local — the filter ships as one codegen
+    * literal, no broadcast hash table, no bench-side work at all.
+    */
+  def contaminationBloomWith(
+      corpus: DataFrame, textCol: String, idCol: String, shingleK: Int,
+      bf: Array[Byte]): DataFrame = {
     val corpusShingles = shingleRows(corpus, textCol, idCol, shingleK)
       .select(col(idCol), hash60(col("s")).as("h"))
     if (bf == null)

@@ -86,4 +86,27 @@ object ModelStore {
       s"SQ8 model at $path has non-contiguous dimensions")
     Sq8.Model(rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
   }
+
+  /** The decontamination bench-set artifact ([[graft.operators.TextDedup
+    * .benchShingleBloom]]): a bench release's shingle Bloom filter is
+    * built once per release and probed by every subsequent corpus job —
+    * the same nightly-build/serve-day split the codec models get. The
+    * serialized spark-sketch bytes are a few MB at fpp 10⁻⁶ per 10⁶
+    * items, so a one-row parquet is the right shape; a null filter (bench
+    * had no shingles) persists as an explicit null row rather than an
+    * absent file, so "built against an empty bench" and "never built" stay
+    * distinguishable.
+    */
+  def saveBloom(spark: SparkSession, bf: Array[Byte], path: String): Unit = {
+    import spark.implicits._
+    Seq(Tuple1(Option(bf))).toDF("filter")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadBloom(spark: SparkSession, path: String): Array[Byte] = {
+    val rows = spark.read.parquet(path).collect()
+    require(rows.length == 1, s"bloom artifact at $path must be one row, " +
+      s"got ${rows.length}")
+    rows.head.getAs[Array[Byte]](0)
+  }
 }

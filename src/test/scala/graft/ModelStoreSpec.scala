@@ -90,4 +90,35 @@ class ModelStoreSpec extends SparkSpec {
       .write.mode("overwrite").parquet(gapped)
     intercept[IllegalArgumentException] { ModelStore.loadIvf(spark, gapped) }
   }
+
+  test("bloom artifact: round-trip bytes exact; loaded filter probes identically; null persists") {
+    import graft.operators.TextDedup
+    val docs = (0L until 40L).map(i =>
+      (i, s"tok${i % 7} tok${(i + 1) % 7} tok${(i + 2) % 7} " +
+        s"tok${(i * 3) % 11} tok${(i * 5) % 11} tok${(i * 7) % 11}"))
+      .toDF("doc_id", "text")
+    val bench = docs.where($"doc_id" % 4 === 0)
+    val corpus = docs.where($"doc_id" % 4 =!= 0)
+    val bf = TextDedup.benchShingleBloom(bench, "text", "doc_id",
+      shingleK = 3, expectedItems = 1L << 12, fpp = 1e-6)
+    val dir = tmp("bloom")
+    ModelStore.saveBloom(spark, bf, dir)
+    val loaded = ModelStore.loadBloom(spark, dir)
+    assert(java.util.Arrays.equals(bf, loaded), "filter bytes must survive bit-for-bit")
+    // the build-day filter and the artifact-loaded filter flag the SAME docs
+    def flagged(f: Array[Byte]) = TextDedup
+      .contaminationBloomWith(corpus, "text", "doc_id", 3, f)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(flagged(loaded) == flagged(bf) && flagged(bf).nonEmpty)
+
+    // an empty bench yields a null filter; the artifact keeps it explicit
+    val none = TextDedup.benchShingleBloom(
+      bench.limit(0), "text", "doc_id", shingleK = 3)
+    assert(none == null)
+    val dirN = tmp("bloom_null")
+    ModelStore.saveBloom(spark, none, dirN)
+    assert(ModelStore.loadBloom(spark, dirN) == null)
+    assert(TextDedup.contaminationBloomWith(corpus, "text", "doc_id", 3,
+      ModelStore.loadBloom(spark, dirN)).count() == 0)
+  }
 }
