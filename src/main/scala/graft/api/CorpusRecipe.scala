@@ -118,6 +118,21 @@ final class CorpusRecipe private (
     next(frame.join(bad, Seq(idCol), "left_anti"))
   }
 
+  /** [[decontaminate]] against a PREBUILT bench filter — the artifact
+    * workflow: the filter is built once per bench release
+    * ([[TextDedup.benchShingleBloom]]), persisted via
+    * [[graft.sources.ModelStore.saveBloom]], and every corpus job probes
+    * the loaded bytes with one scan and no bench-side work at all (the
+    * plan has exactly one corpus scan — PlanAuditSpec's e9b audit).
+    */
+  def decontaminateWith(benchFilter: Array[Byte],
+      shingleK: Int = 5): CorpusRecipe = {
+    val bad = TextDedup
+      .contaminationBloomWith(frame, textCol, idCol, shingleK, benchFilter)
+      .select(col(idCol))
+    next(frame.join(bad, Seq(idCol), "left_anti"))
+  }
+
   /** u1's RefinedWeb mixing rule: keep at most `k` documents per
     * registered domain of `urlCol`, selected by the deterministic md5 draw
     * (draw ascending, id tie-break — the same keeper order as [[sample]]).

@@ -262,4 +262,25 @@ class CorpusRecipeSpec extends SparkSpec {
     assert(bloom.subsetOf(exact))
     assert(bloom == exact)
   }
+
+  test("decontaminateWith: a persisted bench filter drops exactly what the inline bloom path drops") {
+    // the artifact round-trip through the RECIPE surface: build once,
+    // persist, load in "another job", probe — same kept set as building
+    // inline, and a null artifact (empty bench) keeps everything
+    val corpus = Tables.documents(spark, Sf0001).select($"doc_id", $"text")
+      .where($"doc_id" % 10 =!= 0)
+    val bench = Tables.documents(spark, Sf0001).select($"doc_id", $"text")
+      .where($"doc_id" % 10 === 0)
+    def kept(r: CorpusRecipe) = r.frame.select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val bf = graft.operators.TextDedup
+      .benchShingleBloom(bench, "text", "doc_id", shingleK = 5)
+    val dir = graft.sources.TempDirs.register(
+      s"/tmp/graft_recipe_bloom_${ProcessHandle.current().pid()}")
+    graft.sources.ModelStore.saveBloom(spark, bf, dir)
+    val loaded = graft.sources.ModelStore.loadBloom(spark, dir)
+    assert(kept(CorpusRecipe(corpus).decontaminateWith(loaded)) ==
+      kept(CorpusRecipe(corpus).decontaminate(bench, approx = true)))
+    assert(kept(CorpusRecipe(corpus).decontaminateWith(null)) == kept(CorpusRecipe(corpus)))
+  }
 }
