@@ -921,6 +921,24 @@ object Queries {
       .orderBy($"doc_id")
   }
 
+  /** E9c — the ROW-LOCAL decontamination gate ([[TextDedup
+    * .contaminatedCol]]) under the exact anti-join oracle: the surviving
+    * (clean) documents of the corpus after gating each row against the
+    * bench filter. This is the predicate form that drops into a
+    * Structured Streaming ingest (TextDedupSpec streams it through a
+    * memory sink with zero state); the gate row drives the SAME
+    * expression through the driver's hash gate in batch, where DuckDB can
+    * replay the semantics exactly (no false negatives + deterministic
+    * filter + ≪1 expected FP at this sizing → bit-equal clean set).
+    */
+  val e9cCleanGate: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d).where($"doc_id" % 10 =!= 0)
+      .where(!TextDedup.contaminatedCol($"text", 5, ensureBenchBloom(s, d)))
+      .select($"doc_id")
+      .orderBy($"doc_id")
+  }
+
   /** Session-cached bench-release Bloom artifact for e9b (the build half:
     * [[TextDedup.benchShingleBloom]]); the bytes are driver-held, a few MB
     * at this sizing.
@@ -2428,6 +2446,21 @@ object Queries {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // 5-gram contamination: corpus shingle hash60s joined against the
     // distinct benchmark shingle hash60s (benchmark = every 10th doc)
+    // e9c: the row-local gate's CLEAN set = corpus minus e9's contaminated
+    // set (same shingle/hash construction, anti-joined)
+    "e9c_clean_gate" ->
+      """WITH ct AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id % 10 <> 0),
+        |cs AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-4),
+        |  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS s FROM ct),
+        |ch AS (SELECT doc_id, ('0x' || substring(md5(s), 1, 15))::BIGINT AS h FROM cs),
+        |bt AS (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % 10 = 0),
+        |bs AS (SELECT unnest(list_transform(generate_series(1, len(w)-4),
+        |  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS s FROM bt),
+        |bh AS (SELECT DISTINCT ('0x' || substring(md5(s), 1, 15))::BIGINT AS h FROM bs),
+        |bad AS (SELECT DISTINCT ch.doc_id FROM ch JOIN bh ON ch.h = bh.h)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 10 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY doc_id""".stripMargin,
     // e9b (bloom path) shares e9's EXACT oracle text: hash-equality is the
     // claim that the bloom form loses nothing at gate sizing
     "e9b_contamination_bloom" ->
@@ -3353,6 +3386,7 @@ object Queries {
     "w3_sliding_window" -> w3SlidingWindow,
     "e9_contamination" -> e9Contamination,
     "e9b_contamination_bloom" -> e9bContaminationBloom,
+    "e9c_clean_gate" -> e9cCleanGate,
     "e1_exact_dedup" -> e1ExactDedup,
     "e12_priority_dedup" -> e12PriorityDedup,
     "e6_topk_per_group" -> e6TopkPerGroup,

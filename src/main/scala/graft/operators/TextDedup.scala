@@ -324,6 +324,34 @@ object TextDedup {
     bf
   }
 
+  /** The fully ROW-LOCAL contamination predicate — the STREAMING/gate form
+    * of the probe: true iff any of the row's `shingleK`-word shingles
+    * might be in the bench filter. Because it is one boolean expression
+    * over the text column (shingles assembled per row with HOFs, no
+    * explode, no window, no aggregation), it drops into ANY plan shape —
+    * a Structured Streaming ingest gate (`stream.where(!contaminatedCol(
+    * $"text", 5, bf))` decontaminates today's documents as they arrive,
+    * no state store), a scan-fused batch filter, or a recipe gate. Same
+    * guarantee as the batch probe: NO false negatives; a null filter
+    * (empty bench) flags nothing. The batch [[contaminationBloomWith]]
+    * remains the right form when per-doc matched-shingle COUNTS are
+    * needed; this is the yes/no gate.
+    */
+  def contaminatedCol(text: Column, shingleK: Int, bf: Array[Byte]): Column =
+    if (bf == null) lit(false)
+    else element_at(
+      // HOF trap #1 (header note): a split referenced INSIDE a lambda
+      // re-splits the document per element — bind the token array ONCE as
+      // the element of a one-row outer transform, so every inner
+      // reference is a cheap lambda variable
+      transform(array(tokens(text)), w => {
+        val sh = when(size(w) >= shingleK,
+          transform(sequence(lit(0), size(w) - lit(shingleK)),
+            i => array_join(slice(w, i + lit(1), lit(shingleK)), " ")))
+          .otherwise(array().cast("array<string>"))
+        exists(sh, s => call_function("bloom_might_contain", lit(bf), hash60(s)))
+      }), 1)
+
   /** The PROBE half of [[contaminationBloom]]: flag corpus shingles
     * against a prebuilt filter (fresh from [[benchShingleBloom]] or loaded
     * from durable artifacts). Scan-local — the filter ships as one codegen

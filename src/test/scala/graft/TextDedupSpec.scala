@@ -70,6 +70,42 @@ class TextDedupSpec extends SparkSpec {
     assert(exact.subsetOf(tiny))
   }
 
+  test("contaminatedCol: row-local gate flags exactly the batch contamination set; streams without state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val corpus = Tables.documents(spark, Sf0001).select($"doc_id", $"text")
+      .where($"doc_id" % 10 =!= 0)
+    val bench = Tables.documents(spark, Sf0001).select($"doc_id", $"text")
+      .where($"doc_id" % 10 === 0)
+    val bf = TextDedup.benchShingleBloom(bench, "text", "doc_id", 5)
+    def ids(dfr: org.apache.spark.sql.DataFrame) =
+      dfr.select($"doc_id").collect().map(_.getLong(0)).toSet
+    val exact = ids(TextDedup.contamination(corpus, bench, "text", "doc_id", 5))
+    assert(exact.nonEmpty)
+    // 1. batch parity: the predicate flags exactly the aggregate probe's set
+    val flagged = ids(corpus.where(TextDedup.contaminatedCol($"text", 5, bf)))
+    assert(flagged == exact)
+    // 2. edge rows are row-locally safe: short docs and null text gate false
+    val edges = Seq((1L, "too short"), (2L, null: String))
+      .toDF("doc_id", "text")
+    assert(ids(edges.where(TextDedup.contaminatedCol($"text", 5, bf))).isEmpty)
+    assert(edges.where(TextDedup.contaminatedCol($"text", 5, null)).count() == 0)
+    // 3. the STREAMING gate: decontaminate an ingest stream as rows arrive —
+    //    no state store, no aggregation; survivors equal the batch clean set
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    input.addData(corpus.collect().map(r => (r.getLong(0), r.getString(1))).toSeq: _*)
+    val sinkName = "contaminated_col_gate_sink"
+    val q = input.toDF().toDF("doc_id", "text")
+      .where(!TextDedup.contaminatedCol($"text", 5, bf))
+      .writeStream.format("memory").queryName(sinkName)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = ids(spark.table(sinkName))
+    assert(streamed == ids(corpus) -- exact,
+      s"stream gate diverged from batch: extra=${streamed -- (ids(corpus) -- exact)}")
+  }
+
   test("jaccardPairsPrefix returns exactly the inverted-index result") {
     def norm(dfr: org.apache.spark.sql.DataFrame) =
       dfr.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
