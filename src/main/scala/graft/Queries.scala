@@ -1613,6 +1613,47 @@ object Queries {
       .orderBy($"doc_id")
   }
 
+  /** Session-cached deterministic quality model for t11 — built once,
+    * persisted through [[graft.sources.ModelStore.saveQuality]] and read
+    * BACK so the gate times/validates the artifact-loaded serving path
+    * (the same nightly-build/serve-day split as the codec models and the
+    * e9b bench bloom). The weights are an integer-arithmetic function of
+    * the bucket id so the ORACLE can rebuild the identical model in SQL;
+    * the TRAINED path (MLlib fit) is pinned by QualityClassifierSpec.
+    */
+  private val qualityModelCache =
+    new operators.SessionCache[operators.QualityClassifier.Model]
+  private def detQualityModel(s: SparkSession): operators.QualityClassifier.Model =
+    qualityModelCache.getOrBuild(
+      s"${operators.SessionCache.token(s)}#quality_det_512") {
+      val m = operators.QualityClassifier.Model(-0.05,
+        Array.tabulate(512)(b =>
+          ((b.toLong * 2654435761L) % 1000003L).toDouble / 1000003.0 - 0.5))
+      val dir = graft.sources.TempDirs.register(
+        s"/tmp/graft_qmodel_${ProcessHandle.current().pid()}_" +
+          operators.SessionCache.token(s))
+      graft.sources.ModelStore.saveQuality(s, m, dir)
+      graft.sources.ModelStore.loadQuality(s, dir)
+    }
+
+  /** T11 LEARNED quality gate ([[operators.QualityClassifier]]) — the
+    * model-based complement to t2's heuristics: a hashed bag-of-tokens
+    * linear scorer whose weight vector folds into the scan as ONE array
+    * literal. Row-local (no join, no shuffle before the output sort); the
+    * md5 feature hash makes every score engine-replayable, so the oracle
+    * re-derives model AND scores from scratch.
+    */
+  val t11QualityModel: Q = (s, d) => {
+    import s.implicits._
+    val m = detQualityModel(s)
+    Tables.documents(s, d)
+      .select($"doc_id",
+        size(tokens($"text")).cast("long").as("n_tokens"),
+        round(operators.QualityClassifier.logitCol($"text", m), 6).as("q_logit"))
+      .withColumn("keep", ($"q_logit" >= 0.0).cast("int"))
+      .orderBy($"doc_id")
+  }
+
   /** T3 token counting: whitespace tokens + regex (BPE-ish) tokens. */
   val t3TokenStats: Q = (s, d) => {
     import s.implicits._
@@ -2964,6 +3005,18 @@ object Queries {
         |    + (CASE WHEN punct_ratio <= 0.1 THEN 1.0 ELSE 0.0 END)
         |    + least(sw_ratio * 5.0, 1.0)) / 3.0, 6) AS quality
         |FROM c ORDER BY doc_id""".stripMargin,
+    // the oracle rebuilds the deterministic model inline (weight = pure
+    // integer function of the md5 bucket) and folds token weights in list
+    // order — the same sequential double sum as the engine's HOF aggregate
+    "t11_quality_model" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sc AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        |  round(-0.05 + list_sum(list_transform(w, t ->
+        |    ((((('0x' || substring(md5(t), 1, 8))::BIGINT % 512) * 2654435761) % 1000003) / 1000003.0) - 0.5))
+        |    / greatest(len(w)::DOUBLE, 1.0), 6) AS q_logit
+        |  FROM toks)
+        |SELECT doc_id, n_tokens, q_logit, CAST(q_logit >= 0.0 AS INT) AS keep
+        |FROM sc ORDER BY doc_id""".stripMargin,
     "t3_token_stats" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
@@ -3429,6 +3482,7 @@ object Queries {
     "e11_passage_scrub" -> e11PassageScrub,
     "t1_langid" -> t1Langid,
     "t2_quality" -> t2Quality,
+    "t11_quality_model" -> t11QualityModel,
     "t3_token_stats" -> t3TokenStats,
     "t4_fingerprint" -> t4Fingerprint,
     "t5_repetition" -> t5Repetition,

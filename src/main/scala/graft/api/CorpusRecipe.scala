@@ -2,7 +2,7 @@ package graft.api
 
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
-import graft.operators.{LineDedup, Sampling, SequencePack, Spread, TextDedup}
+import graft.operators.{LineDedup, QualityClassifier, Sampling, SequencePack, Spread, TextDedup}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -46,6 +46,19 @@ final class CorpusRecipe private (
   /** t2's quality score (rounded like the gate rows). */
   def scoreQuality(out: String = "quality"): CorpusRecipe =
     next(frame.withColumn(out, round(qualityScore(col(textCol)), 6)))
+
+  /** t11's LEARNED quality gate ([[graft.operators.QualityClassifier]]):
+    * score with a fitted/loaded model (row-local — the weights fold into
+    * the scan as one literal) and keep rows at or above `threshold`. The
+    * model comes from the periodic labeling job via
+    * [[graft.sources.ModelStore.loadQuality]].
+    */
+  def filterQuality(model: QualityClassifier.Model,
+                    threshold: Double = 0.0,
+                    scoreOut: String = "q_logit"): CorpusRecipe =
+    next(frame
+      .withColumn(scoreOut, QualityClassifier.logitCol(col(textCol), model))
+      .where(col(scoreOut) >= threshold))
 
   /** t5's Gopher repetition signals. */
   def scoreRepetition(

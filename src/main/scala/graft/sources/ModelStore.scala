@@ -109,4 +109,28 @@ object ModelStore {
       s"got ${rows.length}")
     rows.head.getAs[Array[Byte]](0)
   }
+
+  /** The learned quality-filter artifact ([[graft.operators
+    * .QualityClassifier]]): dim doubles + a bias, fit in the periodic
+    * labeling job and folded into every scoring scan as one array literal.
+    * One row (bias, weights) — doubles survive parquet bit-for-bit, and
+    * the array column keeps bucket order by construction (no row-order
+    * dependence to pin).
+    */
+  def saveQuality(spark: SparkSession,
+                  model: graft.operators.QualityClassifier.Model,
+                  path: String): Unit = {
+    import spark.implicits._
+    Seq((model.bias, model.weights.toIndexedSeq)).toDF("bias", "weights")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadQuality(spark: SparkSession,
+                  path: String): graft.operators.QualityClassifier.Model = {
+    val rows = spark.read.parquet(path).collect()
+    require(rows.length == 1,
+      s"quality model at $path must be one row, got ${rows.length}")
+    graft.operators.QualityClassifier.Model(
+      rows.head.getDouble(0), rows.head.getSeq[Double](1).toArray)
+  }
 }
