@@ -383,6 +383,40 @@ object Queries {
       .select($"vec_id", round($"score", 6).as("score"))
   }
 
+  /** C8-PQ-DET — the LAST quantized codec under the hash gate: Milvus
+    * IVF_PQ (the high-compression sibling of the reference's IVF_SQ8,
+    * loader.js:332-334) composed end-to-end with value equality. Same
+    * deterministic axis-block IVF prune as [[c8AnnIvfDet]]; the PQ half
+    * uses [[Pq.gridFit]]'s grid codebooks (constant-vector centroids on a
+    * per-subspace min/max grid of subvector means), under which the REAL
+    * machinery — [[Pq.encodeVec]]'s per-subspace argmin, the query-LUT
+    * build, and the codegen'd `byte_lut_sum` ADC kernel — is a pure
+    * function of the data the oracle replays fold-for-fold in SQL. The
+    * KMeans-codebook row ([[c7PqAnn]]) keeps proving the learned path with
+    * recall sidecars; this row proves the pipeline's VALUES. Encode comes
+    * from [[Pq.gridFitEncodeCached]] — a periodic build, so the timed query
+    * is assignment + prune + ADC, the serving shape.
+    */
+  val c8AnnIvfPqDet: Q = (s, d) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val q = e.where($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val dim = q.length
+    val w = dim / 8
+    val model = IvfIndex.Model(Array.tabulate(8)(j =>
+      Array.tabulate(dim)(i => if (i / w == j) 1.0 else 0.0)))
+    val (enc, pq) = Pq.gridFitEncodeCached(s, s"$d#pqdet",
+      e.where($"vec_id" =!= 0), "embedding", m = 8, ksub = 16)
+    val probed = IvfIndex.rankCentroids(model, q, VectorMetric.Ip, 3)
+    val indexed = IvfIndex.assign(enc, "embedding", model)
+      .where($"cluster_id".isin(probed.toIndexedSeq: _*))
+    AnnSearch.topK(
+      indexed.select($"vec_id", Pq.score($"pq_codes", pq, q).as("score")),
+      "vec_id", VectorMetric.Ip, 15)
+      .select($"vec_id", round($"score", 6).as("score"))
+  }
+
   // ------------------------------------------------------------- joins / agg
 
   /** TPC-H Q1-style pricing summary (filters+group+decimal aggregates). */
@@ -2413,6 +2447,60 @@ object Queries {
         |  FROM terms GROUP BY vec_id)
         |SELECT vec_id, round(score_raw, 6) AS score FROM sco
         |ORDER BY score_raw DESC, vec_id LIMIT 15""".stripMargin,
+    // IVF_PQ composed, deterministic grid codebooks: the oracle rebuilds
+    // the per-subspace level grid (min/max of subvector means over the
+    // FULL fit set), replays encodeVec's argmin (sequential squared-diff
+    // fold, first-wins tie via ORDER BY dd, c), the IVF nprobe=3 prune,
+    // and byte_lut_sum's ADC sum (per-subspace level·q fold, then the
+    // j-ordered outer fold) — every fold in the engine's order
+    "c8_ann_ivfpq_det" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |qb AS (SELECT [list_sum(list_transform(qv[1:8], x -> x::DOUBLE)),
+        |   list_sum(list_transform(qv[9:16], x -> x::DOUBLE)),
+        |   list_sum(list_transform(qv[17:24], x -> x::DOUBLE)),
+        |   list_sum(list_transform(qv[25:32], x -> x::DOUBLE)),
+        |   list_sum(list_transform(qv[33:40], x -> x::DOUBLE)),
+        |   list_sum(list_transform(qv[41:48], x -> x::DOUBLE)),
+        |   list_sum(list_transform(qv[49:56], x -> x::DOUBLE)),
+        |   list_sum(list_transform(qv[57:64], x -> x::DOUBLE))] AS s FROM q),
+        |pr AS (SELECT CAST(block AS INT) AS cl FROM (
+        |   SELECT unnest(s) AS bs, unnest(generate_series(0, 7)) AS block FROM qb)
+        |   ORDER BY bs DESC, block ASC LIMIT 3),
+        |v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+        |bs AS (SELECT vec_id,
+        |  [list_sum(list_transform(embedding[1:8], x -> x::DOUBLE)),
+        |   list_sum(list_transform(embedding[9:16], x -> x::DOUBLE)),
+        |   list_sum(list_transform(embedding[17:24], x -> x::DOUBLE)),
+        |   list_sum(list_transform(embedding[25:32], x -> x::DOUBLE)),
+        |   list_sum(list_transform(embedding[33:40], x -> x::DOUBLE)),
+        |   list_sum(list_transform(embedding[41:48], x -> x::DOUBLE)),
+        |   list_sum(list_transform(embedding[49:56], x -> x::DOUBLE)),
+        |   list_sum(list_transform(embedding[57:64], x -> x::DOUBLE))] AS s
+        |  FROM v),
+        |keep AS (SELECT vec_id FROM (
+        |   SELECT vec_id, CAST(list_indexof(s, list_max(s)) - 1 AS INT) AS cluster FROM bs)
+        |   WHERE cluster IN (SELECT cl FROM pr)),
+        |sub AS (SELECT vec_id, j, list_slice(embedding, j*8+1, j*8+8) AS sv
+        |  FROM v CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) js),
+        |mu AS (SELECT vec_id, j,
+        |  list_sum(list_transform(sv, x -> x::DOUBLE)) / 8.0 AS mean FROM sub),
+        |st AS (SELECT j, min(mean) AS mn, max(mean) AS mx FROM mu GROUP BY j),
+        |lv AS (SELECT j, c, mn + (c * (mx - mn)) / 15.0 AS level
+        |  FROM st CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS c) cs),
+        |dist AS (SELECT s2.vec_id, s2.j, l.c, l.level,
+        |  list_sum(list_transform(s2.sv, x -> (x::DOUBLE - l.level) * (x::DOUBLE - l.level))) AS dd
+        |  FROM sub s2 JOIN keep USING (vec_id) JOIN lv l USING (j)),
+        |codes AS (SELECT vec_id, j, level FROM (
+        |   SELECT vec_id, j, level, row_number() OVER (PARTITION BY vec_id, j ORDER BY dd ASC, c ASC) AS rn
+        |   FROM dist) WHERE rn = 1),
+        |lutv AS (SELECT c2.vec_id, c2.j,
+        |  list_sum(list_transform(list_slice((SELECT qv FROM q), c2.j*8+1, c2.j*8+8),
+        |    x -> c2.level * x::DOUBLE)) AS t
+        |  FROM codes c2),
+        |sco AS (SELECT vec_id, list_sum(list(t ORDER BY j)) AS score_raw
+        |  FROM lutv GROUP BY vec_id)
+        |SELECT vec_id, round(score_raw, 6) AS score FROM sco
+        |ORDER BY score_raw DESC, vec_id LIMIT 15""".stripMargin,
     "c8_ann_cos" ->
       """WITH q AS (SELECT embedding AS qv,
         |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))::DOUBLE) AS qn
@@ -3428,6 +3516,7 @@ object Queries {
     "c8_ann_cos" -> c8AnnCos,
     "c8_ann_ivf_det" -> c8AnnIvfDet,
     "c8_ann_ivfsq8_det" -> c8AnnIvfSq8Det,
+    "c8_ann_ivfpq_det" -> c8AnnIvfPqDet,
     "q1_pricing_agg" -> q1PricingAgg,
     "j1_join_revenue" -> j1JoinRevenue,
     "j2_json_extract" -> j2JsonExtract,

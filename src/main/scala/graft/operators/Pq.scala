@@ -214,6 +214,43 @@ object Pq {
       encoded.select(col(idCol), score(col(codesCol), model, query, metric).as("score")),
       idCol, metric, k)
 
+  /** Deterministic GRID codebooks — the SQL-replayable twin of [[fit]]
+    * (the c8_ann_ivf_det trick applied to PQ): centroid `c` of subspace `j`
+    * is the CONSTANT vector at level `mn_j + c·(mx_j−mn_j)/(ksub−1)`, where
+    * `mn_j`/`mx_j` are the min/max over rows of the subvector MEAN. For a
+    * constant-vector codebook, [[encodeVec]]'s argmin ‖v_sub − level·1‖²
+    * reduces to the nearest grid level to mean(v_sub) — a pure function of
+    * the row an oracle replays exactly (same sequential double folds, same
+    * first-wins tie-break). The KMeans [[fit]] stays the production path
+    * (better codebooks → recall sidecars); this fit exists so the WHOLE PQ
+    * pipeline — argmin encode, query LUT build, byte_lut_sum ADC — can sit
+    * under a value-equality gate.
+    *
+    * The stats pass is one aggregation (2·m doubles to the driver —
+    * bounded by construction, like the SQ8 min/max fit).
+    */
+  def gridFit(df: DataFrame, vecCol: String, m: Int, ksub: Int): Model = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    require(ksub >= 2 && ksub <= 256, s"ksub $ksub outside [2, 256]")
+    val dsub = dim / m
+    // subvector means: the same sequential double fold the oracle performs
+    // (list order, each float cast to double as it is added), then /dsub
+    val meanCols = (0 until m).map { j =>
+      (aggregate(slice(col(vecCol), j * dsub + 1, dsub), lit(0.0d),
+        (acc, x) => acc + x) / lit(dsub.toDouble)).as(s"__m$j")
+    }
+    val aggs = (0 until m).flatMap(j =>
+      Seq(min(col(s"__m$j")).as(s"mn$j"), max(col(s"__m$j")).as(s"mx$j")))
+    val row = df.select(meanCols: _*).agg(aggs.head, aggs.tail: _*).head()
+    Model(Array.tabulate(m) { j =>
+      val mn = row.getDouble(2 * j)
+      val mx = row.getDouble(2 * j + 1)
+      Array.tabulate(ksub)(c =>
+        Array.fill(dsub)(mn + c * (mx - mn) / (ksub - 1).toDouble))
+    })
+  }
+
   // Session-scoped registry: fitting m codebooks + encoding is the periodic
   // index build (same contract as IvfIndex.buildCached) — gate/bench time
   // the ADC SEARCH, not the build. Lazy cells keep the m KMeans fits out of
@@ -228,6 +265,20 @@ object Pq {
                       seed: Long = 42L): (DataFrame, Model) =
     registry.getOrBuild(s"${SessionCache.token(spark)}#$key") {
       val model = fit(df, vecCol, m, ksub, seed)
+      val encoded = encode(df, vecCol, model).persist()
+      encoded.count()
+      (encoded, model)
+    }
+
+  /** [[gridFit]] + [[encode]] memoized per (session, key) — the
+    * deterministic-codebook index build backing the c8_ann_ivfpq_det gate
+    * row (key space is disjoint from [[fitEncodeCached]]'s via the caller's
+    * key string).
+    */
+  def gridFitEncodeCached(spark: SparkSession, key: String, df: => DataFrame,
+                          vecCol: String, m: Int, ksub: Int): (DataFrame, Model) =
+    registry.getOrBuild(s"${SessionCache.token(spark)}#$key") {
+      val model = gridFit(df, vecCol, m, ksub)
       val encoded = encode(df, vecCol, model).persist()
       encoded.count()
       (encoded, model)

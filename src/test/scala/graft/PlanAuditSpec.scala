@@ -181,6 +181,15 @@ class PlanAuditSpec extends SparkSpec {
       s"nprobe prune filter missing:\n${p.take(1200)}")
   }
 
+  test("c8_ann_ivfpq_det: the composed IVF_PQ probe is a shuffle-free TakeOrderedAndProject") {
+    // same structural contract as the det-IVF probe: scan-local ADC score
+    // (byte_lut_sum over the cached codes) + cluster prune + bounded-heap
+    // top-k — no exchange anywhere in the probe
+    val p = plan("c8_ann_ivfpq_det")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(exchanges(p) == 0, s"probe must be shuffle-free, got ${exchanges(p)}")
+  }
+
   test("e2_minhash_pairs: the audited 5-exchange shape holds") {
     val p = plan("e2_minhash_pairs")
     assert(exchanges(p) <= 5, s"expected <=5 exchanges, got ${exchanges(p)}")

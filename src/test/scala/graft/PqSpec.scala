@@ -54,6 +54,45 @@ class PqSpec extends SparkSpec {
     assert(recall >= 0.2, s"PQ recall $recall at chance level")
   }
 
+  test("PQ gridFit: constant-vector grid codebooks; encode is nearest-level-to-mean") {
+    val base = Tables.embeddings(spark, Sf0001).where($"vec_id" =!= 0)
+    val gm = Pq.gridFit(base, "embedding", m = 8, ksub = 16)
+    assert(gm.m == 8 && gm.ksub == 16 && gm.dsub == gm.dim / 8)
+    gm.codebooks.foreach { book =>
+      book.foreach(c => assert(c.forall(_ == c(0)),
+        "grid centroids must be constant vectors"))
+      val levels = book.map(_(0))
+      assert(levels.zip(levels.tail).forall { case (a, b) => a <= b },
+        "levels must ascend mn → mx")
+    }
+    // the scaladoc claim the oracle relies on: for constant-vector
+    // codebooks, encodeVec's per-subspace argmin over squared-diff sums
+    // picks the nearest grid level to the subvector mean (first-wins ties)
+    val rows = base.limit(40).select($"vec_id", $"embedding").collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1).toArray.map(_.toDouble)
+      val got = Pq.encodeVec(gm, v)
+      val want = (0 until gm.m).map { j =>
+        var s = 0.0
+        (0 until gm.dsub).foreach(i => s += v(j * gm.dsub + i))
+        val mean = s / gm.dsub
+        val levels = gm.codebooks(j).map(_(0))
+        levels.indices.minBy(c => (levels(c) - mean) * (levels(c) - mean))
+      }
+      assert(got.map(_.toInt).toSeq == want, s"vec ${r.getLong(0)}")
+    }
+    // ADC exactness holds for grid codebooks through the same score path
+    val q = Tables.embeddings(spark, Sf0001).where($"vec_id" === 0)
+      .select($"embedding").head().getSeq[Float](0).map(_.toDouble)
+    val enc = Pq.encode(base, "embedding", gm)
+    enc.select($"pq_codes", Pq.score($"pq_codes", gm, q).as("score"))
+      .limit(20).collect().foreach { r =>
+        val ip = Pq.decode(gm, r.getAs[Array[Byte]](0))
+          .zip(q).map { case (a, b) => a * b }.sum
+        assert(math.abs(r.getDouble(1) - ip) < 1e-9)
+      }
+  }
+
   test("PQ: m must divide dim; ksub capped at one byte") {
     val base = Tables.embeddings(spark, Sf0001).where($"vec_id" =!= 0)
     intercept[IllegalArgumentException] {
