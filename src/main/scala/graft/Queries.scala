@@ -1791,6 +1791,30 @@ object Queries {
       .orderBy($"doc_id")
   }
 
+  /** S5 LEAKAGE-FREE split: the md5 split draw is keyed on the NEAR-DUP
+    * CLUSTER (e8's minhash-LSH connected components), not the row — every
+    * member of a duplicate cluster lands in the SAME split, so
+    * near-identical documents can never straddle train and eval. This is
+    * the split-level contamination a row-keyed split (s3) cannot prevent
+    * (Lee et al. 2021 "Deduplicating Training Data Makes Language Models
+    * Better" §4 measures exactly this train/test overlap), and it costs
+    * one expression over labels the dedup pass already computed. Honest
+    * trade vs s3: assignment is stable only while the CLUSTERS are stable
+    * — a new arrival that merges two clusters re-draws the merged group
+    * (inherent to any leakage-unit split; run it on the post-dedup frozen
+    * corpus, which is where splits are cut anyway).
+    */
+  val s5LeakfreeSplit: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val pairs = TextDedup.minhashBandPairs(docs, "text", "doc_id", 8, 3, 4)
+    ConnectedComponents.minLabel(docs.select($"doc_id"), pairs, "d1", "d2")
+      .select($"doc_id", $"cluster",
+        Sampling.splitLabel($"cluster",
+          Seq("train" -> 0.9, "val" -> 0.05), "test").as("split"))
+      .orderBy($"doc_id")
+  }
+
   /** V1 per-label embedding centroids (class prototypes / embedding-drift
     * baseline) via the native `vector_sum` TypedImperativeAggregate — ONE
     * double[dim] of state per label with map-side partial aggregation,
@@ -3174,6 +3198,39 @@ object Queries {
         |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'f3333333' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // e8's recursive-CTE cluster oracle feeding s3's md5 cut, keyed on the
+    // CLUSTER id — the oracle proves both the labels and the draw key
+    "s5_leakfree_split" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM toks),
+        |hp AS (SELECT doc_id, ('0x' || substring(md5(s), 1, 15))::BIGINT AS h1,
+        |               ('0x' || substring(md5(s), 17, 14))::BIGINT AS h2 FROM sh),
+        |sig AS (SELECT doc_id, j, min((h1 + j * h2) & 1152921504606846975) AS minh
+        |  FROM hp CROSS JOIN generate_series(0, 7) g(j) GROUP BY doc_id, j),
+        |wide AS (SELECT doc_id,
+        |  max(CASE WHEN j=0 THEN minh END) AS m0, max(CASE WHEN j=1 THEN minh END) AS m1,
+        |  max(CASE WHEN j=2 THEN minh END) AS m2, max(CASE WHEN j=3 THEN minh END) AS m3,
+        |  max(CASE WHEN j=4 THEN minh END) AS m4, max(CASE WHEN j=5 THEN minh END) AS m5,
+        |  max(CASE WHEN j=6 THEN minh END) AS m6, max(CASE WHEN j=7 THEN minh END) AS m7
+        |  FROM sig GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, md5(CAST(m0 AS VARCHAR) || ',' || CAST(m1 AS VARCHAR)) AS bsig FROM wide
+        |  UNION ALL SELECT doc_id, 1, md5(CAST(m2 AS VARCHAR) || ',' || CAST(m3 AS VARCHAR)) FROM wide
+        |  UNION ALL SELECT doc_id, 2, md5(CAST(m4 AS VARCHAR) || ',' || CAST(m5 AS VARCHAR)) FROM wide
+        |  UNION ALL SELECT doc_id, 3, md5(CAST(m6 AS VARCHAR) || ',' || CAST(m7 AS VARCHAR)) FROM wide),
+        |pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+        |edges AS (SELECT d1 AS ea, d2 AS eb FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.a, e.eb FROM reach r JOIN edges e ON r.b = e.ea),
+        |cc AS (SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster FROM reach GROUP BY a)
+        |SELECT doc_id, cluster,
+        |  CASE WHEN substring(md5(CAST(cluster AS VARCHAR)), 1, 8) < 'e6666666' THEN 'train'
+        |       WHEN substring(md5(CAST(cluster AS VARCHAR)), 1, 8) < 'f3333333' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM cc ORDER BY doc_id""".stripMargin,
     "v1_label_centroid" ->
       """WITH u AS (SELECT label,
         |    unnest(embedding) AS val,
@@ -3584,6 +3641,7 @@ object Queries {
     "s2_token_budget" -> s2TokenBudget,
     "s3_split_assign" -> s3SplitAssign,
     "s4_mixture_budget" -> s4MixtureBudget,
+    "s5_leakfree_split" -> s5LeakfreeSplit,
     "v1_label_centroid" -> v1LabelCentroid,
     "x1_pack_manifest" -> x1PackManifest,
     "x2_pack_nosplit" -> x2PackNosplit,

@@ -238,8 +238,24 @@ final class CorpusRecipe private (
       fractions: Seq[(String, Double)],
       restLabel: String,
       out: String = "split"): CorpusRecipe =
+    splitBy(col(idCol), fractions, restLabel, out)
+
+  /** [[split]] keyed on an arbitrary LEAKAGE UNIT instead of the row id
+    * (s5's semantics): pass the near-dup cluster label, the registered
+    * domain, or any grouping column — every row sharing the key draws the
+    * SAME split, so that unit can never straddle train and eval (the
+    * split-level contamination a row-keyed draw cannot prevent). Key on a
+    * stable unit: cluster-keyed assignment re-draws a group when later
+    * arrivals merge its clusters, so cut leak-free splits on the
+    * post-dedup frozen corpus.
+    */
+  def splitBy(
+      key: Column,
+      fractions: Seq[(String, Double)],
+      restLabel: String,
+      out: String = "split"): CorpusRecipe =
     next(frame.withColumn(out,
-      Sampling.splitLabel(col(idCol), fractions, restLabel)))
+      Sampling.splitLabel(key, fractions, restLabel)))
 
   /** x1's concat-then-chunk sequence packing ([[SequencePack
     * .packManifest]]) — a TERMINAL step: the curated corpus becomes the

@@ -149,6 +149,33 @@ class CorpusRecipeSpec extends SparkSpec {
     assert(rows == Set(1L, 3L, 4L, 5L), rows.toString)
   }
 
+  test("splitBy on the near-dup cluster: no near-dup pair straddles train/eval") {
+    import graft.operators.ConnectedComponents
+    val pairs = TextDedup.minhashBandPairs(docs, "text", "doc_id", 8, 3, 4)
+    val clustered = docs.join(
+      ConnectedComponents.minLabel(docs.select($"doc_id"), pairs, "d1", "d2"),
+      Seq("doc_id"))
+    val out = CorpusRecipe(clustered)
+      .splitBy($"cluster", Seq("train" -> 0.5, "val" -> 0.25), "test").frame
+    // the leakage property: one split per cluster, exactly
+    val perCluster = out.groupBy($"cluster")
+      .agg(countDistinct($"split").as("n")).collect()
+    assert(perCluster.forall(_.getLong(1) == 1L), perCluster.mkString(","))
+    // and therefore no LSH candidate pair straddles
+    val splitOf = out.select($"doc_id", $"split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    pairs.collect().foreach { p =>
+      assert(splitOf(p.getLong(0)) == splitOf(p.getLong(1)),
+        s"pair ${p.getLong(0)}-${p.getLong(1)} straddles splits")
+    }
+    // the key is the CLUSTER draw: members score their cluster's md5, not
+    // their own (doc 2 and 3 follow doc 1's draw)
+    val direct = clustered.withColumn("split",
+      Sampling.splitLabel($"cluster", Seq("train" -> 0.5, "val" -> 0.25), "test"))
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(splitOf == direct)
+  }
+
   test("split and packManifest delegate to their operators verbatim") {
     val viaApi = CorpusRecipe(docs)
       .split(Seq("train" -> 0.8, "val" -> 0.1), "test").frame
