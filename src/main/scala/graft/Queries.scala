@@ -340,15 +340,25 @@ object Queries {
     * the probed top-k — is hash-checked end-to-end; the KMeans rows keep
     * proving the learned-centroid path with recall sidecars.
     */
+  /** The deterministic equal-norm axis-block IVF model shared by the three
+    * det-ANN gate rows: centroid j is 1 on dims [j·(dim/8), (j+1)·(dim/8)),
+    * 0 elsewhere — ‖c‖² is equal for all j, so `assign`'s argmin ‖v−c‖²
+    * reduces to argmax block-sum, a pure row function the oracles replay.
+    * (Requires 8 | dim; the gate tables are dim=64.)
+    */
+  private def axisBlockIvfModel(dim: Int): IvfIndex.Model = {
+    require(dim % 8 == 0, s"axis-block model needs 8 | dim, got $dim")
+    val w = dim / 8
+    IvfIndex.Model(Array.tabulate(8)(j =>
+      Array.tabulate(dim)(i => if (i / w == j) 1.0 else 0.0)))
+  }
+
   val c8AnnIvfDet: Q = (s, d) => {
     import s.implicits._
     val e = Tables.embeddings(s, d)
     val q = e.where($"vec_id" === 0).select($"embedding")
       .head().getSeq[Float](0).map(_.toDouble)
-    val dim = q.length
-    val w = dim / 8
-    val model = IvfIndex.Model(Array.tabulate(8)(j =>
-      Array.tabulate(dim)(i => if (i / w == j) 1.0 else 0.0)))
+    val model = axisBlockIvfModel(q.length)
     val indexed = IvfIndex.assign(e.where($"vec_id" =!= 0), "embedding", model)
     IvfIndex.search(indexed, model, "embedding", "vec_id", q, 15, nprobe = 3)
       .select($"vec_id", round($"score", 6).as("score"))
@@ -367,10 +377,7 @@ object Queries {
     val e = Tables.embeddings(s, d)
     val q = e.where($"vec_id" === 0).select($"embedding")
       .head().getSeq[Float](0).map(_.toDouble)
-    val dim = q.length
-    val w = dim / 8
-    val model = IvfIndex.Model(Array.tabulate(8)(j =>
-      Array.tabulate(dim)(i => if (i / w == j) 1.0 else 0.0)))
+    val model = axisBlockIvfModel(q.length)
     val (enc, sq8) = graft.operators.Sq8.fitEncodeCached(s, s"$d#sq8",
       e.where($"vec_id" =!= 0), "embedding")
     val probed = IvfIndex.rankCentroids(model, q, VectorMetric.Ip, 3)
@@ -402,10 +409,7 @@ object Queries {
     val e = Tables.embeddings(s, d)
     val q = e.where($"vec_id" === 0).select($"embedding")
       .head().getSeq[Float](0).map(_.toDouble)
-    val dim = q.length
-    val w = dim / 8
-    val model = IvfIndex.Model(Array.tabulate(8)(j =>
-      Array.tabulate(dim)(i => if (i / w == j) 1.0 else 0.0)))
+    val model = axisBlockIvfModel(q.length)
     val (enc, pq) = Pq.gridFitEncodeCached(s, s"$d#pqdet",
       e.where($"vec_id" =!= 0), "embedding", m = 8, ksub = 16)
     val probed = IvfIndex.rankCentroids(model, q, VectorMetric.Ip, 3)
@@ -1486,12 +1490,20 @@ object Queries {
     * components → (doc, canonical cluster id). The step that turns pairwise
     * near-dup candidates into a one-document-per-cluster corpus clean.
     */
-  val e8DedupCluster: Q = (s, d) => {
+  /** The canonical (doc_id, cluster) near-dup labeling — ONE definition
+    * shared by e8 (the clustering gate row) and s5 (the split keyed on it),
+    * so the split's leakage unit is provably the dedup pass's cluster.
+    */
+  private def dedupClusters(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d)
     val pairs = TextDedup.minhashBandPairs(docs, "text", "doc_id", 8, 3, 4)
     ConnectedComponents.minLabel(docs.select($"doc_id"), pairs, "d1", "d2")
-      .orderBy($"doc_id")
+  }
+
+  val e8DedupCluster: Q = (s, d) => {
+    import s.implicits._
+    dedupClusters(s, d).orderBy($"doc_id")
   }
 
   /** E8b: same pair graph, clustered by [[ConnectedComponents.alternatingStar]]
@@ -1806,9 +1818,7 @@ object Queries {
     */
   val s5LeakfreeSplit: Q = (s, d) => {
     import s.implicits._
-    val docs = Tables.documents(s, d)
-    val pairs = TextDedup.minhashBandPairs(docs, "text", "doc_id", 8, 3, 4)
-    ConnectedComponents.minLabel(docs.select($"doc_id"), pairs, "d1", "d2")
+    dedupClusters(s, d)
       .select($"doc_id", $"cluster",
         Sampling.splitLabel($"cluster",
           Seq("train" -> 0.9, "val" -> 0.05), "test").as("split"))

@@ -134,17 +134,16 @@ final class CorpusRecipe private (
   /** [[decontaminate]] against a PREBUILT bench filter — the artifact
     * workflow: the filter is built once per bench release
     * ([[TextDedup.benchShingleBloom]]), persisted via
-    * [[graft.sources.ModelStore.saveBloom]], and every corpus job probes
-    * the loaded bytes with one scan and no bench-side work at all (the
-    * plan has exactly one corpus scan — PlanAuditSpec's e9b audit).
+    * [[graft.sources.ModelStore.saveBloom]], and every corpus job gates
+    * rows with [[TextDedup.contaminatedCol]] — genuinely ONE corpus scan
+    * and no join (e9c's row-local form; the aggregate probe would scan the
+    * corpus twice here, once for the probe and once as the anti-join
+    * side). A null artifact (empty bench) is a no-op.
     */
   def decontaminateWith(benchFilter: Array[Byte],
-      shingleK: Int = 5): CorpusRecipe = {
-    val bad = TextDedup
-      .contaminationBloomWith(frame, textCol, idCol, shingleK, benchFilter)
-      .select(col(idCol))
-    next(frame.join(bad, Seq(idCol), "left_anti"))
-  }
+      shingleK: Int = 5): CorpusRecipe =
+    next(frame.where(
+      !TextDedup.contaminatedCol(col(textCol), shingleK, benchFilter)))
 
   /** u1's RefinedWeb mixing rule: keep at most `k` documents per
     * registered domain of `urlCol`, selected by the deterministic md5 draw

@@ -64,8 +64,13 @@ object QualityClassifier {
     (v % dim).toInt
   }
 
-  /** Row-local quality logit for `text` under `model`. Empty docs score
-    * exactly `bias` (the n_tokens guard), null text scores null.
+  /** Row-local quality logit for `text` under `model`. Null text scores
+    * null. An EMPTY string scores `bias + w[bucket("")]`: Spark's
+    * `split("", " ")` yields `[""]` (one empty token, size 1 — so the
+    * denominator is always ≥ 1 and needs no guard), and the oracle's
+    * `string_split` agrees, which is exactly why the gate row hashes —
+    * calibrate the empty-doc decision with the empty-token bucket's
+    * weight, not the bias alone.
     */
   def logitCol(text: Column, model: Model): Column = {
     val w = typedLit(model.weights.toIndexedSeq)
@@ -73,8 +78,7 @@ object QualityClassifier {
     val contrib = transform(toks,
       t => element_at(w, (bucketCol(t, model.dim) + 1L).cast("int")))
     val s = aggregate(contrib, lit(0.0d), (acc, x) => acc + x)
-    lit(model.bias) +
-      s / greatest(size(toks).cast("double"), lit(1.0d))
+    lit(model.bias) + s / size(toks).cast("double")
   }
 
   /** Keep-gate: logit >= threshold (fastText's decision rule with an
@@ -99,6 +103,10 @@ object QualityClassifier {
     val spark = df.sparkSession
     import spark.implicits._
     val data = df
+      // null text would NPE inside the typed map; the serve path scores it
+      // null (ungated), so the consistent fit-side treatment is to drop it
+      // from the training set rather than crash the job
+      .where(col(textCol).isNotNull && col(labelCol).isNotNull)
       .select(col(labelCol).cast("double"), split(col(textCol), " "))
       .as[(Double, Seq[String])]
       .map { case (y, toks) =>

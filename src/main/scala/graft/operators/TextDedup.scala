@@ -344,13 +344,11 @@ object TextDedup {
       // re-splits the document per element — bind the token array ONCE as
       // the element of a one-row outer transform, so every inner
       // reference is a cheap lambda variable
-      transform(array(tokens(text)), w => {
-        val sh = when(size(w) >= shingleK,
-          transform(sequence(lit(0), size(w) - lit(shingleK)),
-            i => array_join(slice(w, i + lit(1), lit(shingleK)), " ")))
-          .otherwise(array().cast("array<string>"))
-        exists(sh, s => call_function("bloom_might_contain", lit(bf), hash60(s)))
-      }), 1)
+      // shingle assembly via THE shared producer (TextFunctions.shingles —
+      // same space-joined windows, same n<k empty guard, zip_with form)
+      transform(array(tokens(text)), w =>
+        exists(shingles(w, shingleK),
+          s => call_function("bloom_might_contain", lit(bf), hash60(s)))), 1)
 
   /** The PROBE half of [[contaminationBloom]]: flag corpus shingles
     * against a prebuilt filter (fresh from [[benchShingleBloom]] or loaded

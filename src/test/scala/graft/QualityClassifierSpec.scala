@@ -29,7 +29,7 @@ class QualityClassifierSpec extends SparkSpec {
     assert(sqlSide.toSeq == jvmSide)
   }
 
-  test("logitCol matches a driver-side sequential fold; empty text scores bias") {
+  test("logitCol matches a driver-side sequential fold; empty text scores bias + w[bucket(\"\")]") {
     val m = detModel(256)
     val docs = Seq("alpha beta gamma delta", "alpha alpha alpha", "", "solo")
     val got = docs.toDF("text")
@@ -46,6 +46,17 @@ class QualityClassifierSpec extends SparkSpec {
     val nul = Seq[Option[String]](None).toDF("text")
       .select(QualityClassifier.logitCol($"text", m).as("l")).head()
     assert(nul.isNullAt(0))
+  }
+
+  test("fit drops null-text/null-label rows instead of crashing the job") {
+    val df = Seq(
+      (Option("clean words about science and history"), Option(1.0)),
+      (Option("spam spam spam buy now click"), Option(0.0)),
+      (Option.empty[String], Option(1.0)),
+      (Option("unlabeled row"), Option.empty[Double]))
+      .toDF("text", "label")
+    val m = QualityClassifier.fit(df, "text", "label", dim = 64)
+    assert(m.dim == 64) // the fit completed on the 2 usable rows
   }
 
   test("fit separates planted junk from clean docs and the artifact round-trips") {
