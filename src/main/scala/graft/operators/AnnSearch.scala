@@ -83,6 +83,46 @@ object AnnSearch {
       query: Seq[Double],
       k: Int): DataFrame =
     exactTopK(df, vecCol, idCol, query, k, VectorMetric.Cosine)
+
+  /** BATCHED exact top-k: score EVERY query in `queries` against the base
+    * table in ONE lake scan — the nightly re-rank / offline-eval shape
+    * (per-request serving is [[graft.serving.SearchService]]; running a
+    * million separate scans is how a 100 TB lake dies). `queries`
+    * broadcasts (a query batch is driver-sized by definition — chunk the
+    * batch if it ever approaches the broadcast budget); each base
+    * partition folds its scored rows into per-query O(k) heaps via the
+    * `topk_ids` TypedImperativeAggregate, so the single shuffle carries at
+    * most #partitions × #queries × k (score, id) pairs — never the scored
+    * cross product, and never a per-query window sort over the base.
+    *
+    * Output: (qidCol, rank, idCol), rank 0-based best-first, ties by
+    * (score better-first, id ASC) — `topk_ids`' deterministic order.
+    */
+  def batchTopK(base: DataFrame, vecCol: String, idCol: String,
+                queries: DataFrame, qidCol: String, qvecCol: String,
+                k: Int, metric: VectorMetric = VectorMetric.Ip): DataFrame = {
+    val score = metric match {
+      case VectorMetric.Ip => bestDot(base)(col(vecCol), col(qvecCol))
+      case VectorMetric.L2 => bestL2Sq(base)(col(vecCol), col(qvecCol))
+      case VectorMetric.Cosine =>
+        // both norms are per-row now — zero-guard each side (exactScore's
+        // convention: cosine against a zero vector is 0, not a div error)
+        val bn = l2Norm(col(vecCol))
+        val qn = l2Norm(col(qvecCol))
+        when(bn > 0 && qn > 0,
+          bestDot(base)(col(vecCol), col(qvecCol)) / (bn * qn))
+          .otherwise(lit(0.0))
+    }
+    // topk_ids keeps the HIGHEST ord: negate for ascending-better metrics
+    // (-score DESC ≡ score ASC, id tie-break unchanged)
+    val ord = if (metric.descending) score else -score
+    base.crossJoin(broadcast(queries))
+      .select(col(qidCol), col(idCol), ord.as("__ord"))
+      .groupBy(col(qidCol))
+      .agg(call_function("topk_ids", col("__ord"), col(idCol), lit(k)).as("__ids"))
+      .select(col(qidCol), posexplode(col("__ids")).as(Seq("rank", idCol)))
+      .select(col(qidCol), col("rank").cast("long").as("rank"), col(idCol))
+  }
 }
 
 /** IVF coarse-quantization index: build once (periodic job), serve many.
