@@ -265,6 +265,13 @@ object Bench {
   private def reclaim(): Unit = {
     val rt = Runtime.getRuntime
     val used = rt.totalMemory() - rt.freeMemory()
+    // The floor must track the LIVE set, not its historical maximum
+    // (ADVICE r12): a post-GC measurement taken while a transient spike
+    // was still live would otherwise ratchet the floor up permanently,
+    // re-opening a floor+maxMemory/10 garbage window. `used` ≥ live, so
+    // min-decaying against each between-row reading walks the floor back
+    // down whenever the JVM's own collections reveal a smaller live set.
+    reclaimedFloor = math.min(reclaimedFloor, used)
     if (used > math.max(rt.maxMemory() / 5, reclaimedFloor + rt.maxMemory() / 10)) {
       System.gc()
       reclaimedFloor = rt.totalMemory() - rt.freeMemory()

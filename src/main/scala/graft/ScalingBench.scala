@@ -50,6 +50,14 @@ object ScalingBench {
       deleteDir(root)
       java.nio.file.Files.createDirectories(root)
       val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+      // the "disjoint shards" construction rests on id-offsetting: a source
+      // id at or above Offset would collide across copies and silently
+      // corrupt the scaling ratios (ADVICE r12) — one cheap agg guards it
+      val bounds = docs.agg(
+        min(col("doc_id")).cast("long"), max(col("doc_id")).cast("long")).head
+      require(!bounds.isNullAt(1) && bounds.getLong(1) < Offset && bounds.getLong(0) >= 0L,
+        s"ensureScaled needs doc_id in [0, $Offset) for disjoint copies; " +
+          s"source has [${bounds.get(0)}, ${bounds.get(1)}]")
       val reps = (0 until copies).map { i =>
         if (i == 0) docs
         else docs

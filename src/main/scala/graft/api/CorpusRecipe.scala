@@ -52,13 +52,21 @@ final class CorpusRecipe private (
     * the scan as one literal) and keep rows at or above `threshold`. The
     * model comes from the periodic labeling job via
     * [[graft.sources.ModelStore.loadQuality]].
+    *
+    * Null-text POLICY (ADVICE r12): null text scores a null logit, and
+    * this gate DROPS it — a row the quality model cannot score does not
+    * pass a quality gate. The drop is spelled out in the predicate
+    * (isNotNull, not a null-propagating comparison) so the policy reads
+    * from the plan. Contrast [[decontaminateWith]], which KEEPS null-text
+    * rows: absent text cannot be contaminated, but it also cannot be
+    * known-good.
     */
   def filterQuality(model: QualityClassifier.Model,
                     threshold: Double = 0.0,
                     scoreOut: String = "q_logit"): CorpusRecipe =
     next(frame
       .withColumn(scoreOut, QualityClassifier.logitCol(col(textCol), model))
-      .where(col(scoreOut) >= threshold))
+      .where(col(scoreOut).isNotNull && col(scoreOut) >= threshold))
 
   /** t5's Gopher repetition signals. */
   def scoreRepetition(

@@ -101,26 +101,36 @@ object AnnSearch {
   def batchTopK(base: DataFrame, vecCol: String, idCol: String,
                 queries: DataFrame, qidCol: String, qvecCol: String,
                 k: Int, metric: VectorMetric = VectorMetric.Ip): DataFrame = {
+    // the output carries BOTH ids — same name would be ambiguous downstream
+    require(qidCol != idCol,
+      s"batchTopK: qidCol and idCol must differ (both are '$idCol')")
+    // Minimal disjoint projections BEFORE the crossJoin (ADVICE r12): a
+    // column name shared between base and queries (or qidCol/qvecCol
+    // colliding with idCol/vecCol) would otherwise make col() resolution
+    // ambiguous at analysis time. Renaming to reserved internal names also
+    // prunes both scans to exactly the columns the search reads.
+    val b = base.select(col(idCol).as("__bid"), col(vecCol).as("__bvec"))
+    val q = queries.select(col(qidCol).as("__qid"), col(qvecCol).as("__qvec"))
     val score = metric match {
-      case VectorMetric.Ip => bestDot(base)(col(vecCol), col(qvecCol))
-      case VectorMetric.L2 => bestL2Sq(base)(col(vecCol), col(qvecCol))
+      case VectorMetric.Ip => bestDot(base)(col("__bvec"), col("__qvec"))
+      case VectorMetric.L2 => bestL2Sq(base)(col("__bvec"), col("__qvec"))
       case VectorMetric.Cosine =>
         // both norms are per-row now — zero-guard each side (exactScore's
         // convention: cosine against a zero vector is 0, not a div error)
-        val bn = l2Norm(col(vecCol))
-        val qn = l2Norm(col(qvecCol))
+        val bn = l2Norm(col("__bvec"))
+        val qn = l2Norm(col("__qvec"))
         when(bn > 0 && qn > 0,
-          bestDot(base)(col(vecCol), col(qvecCol)) / (bn * qn))
+          bestDot(base)(col("__bvec"), col("__qvec")) / (bn * qn))
           .otherwise(lit(0.0))
     }
     // topk_ids keeps the HIGHEST ord: negate for ascending-better metrics
     // (-score DESC ≡ score ASC, id tie-break unchanged)
     val ord = if (metric.descending) score else -score
-    base.crossJoin(broadcast(queries))
-      .select(col(qidCol), col(idCol), ord.as("__ord"))
-      .groupBy(col(qidCol))
-      .agg(call_function("topk_ids", col("__ord"), col(idCol), lit(k)).as("__ids"))
-      .select(col(qidCol), posexplode(col("__ids")).as(Seq("rank", idCol)))
+    b.crossJoin(broadcast(q))
+      .select(col("__qid"), col("__bid"), ord.as("__ord"))
+      .groupBy(col("__qid"))
+      .agg(call_function("topk_ids", col("__ord"), col("__bid"), lit(k)).as("__ids"))
+      .select(col("__qid").as(qidCol), posexplode(col("__ids")).as(Seq("rank", idCol)))
       .select(col(qidCol), col("rank").cast("long").as("rank"), col(idCol))
   }
 }

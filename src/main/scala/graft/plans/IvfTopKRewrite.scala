@@ -187,11 +187,14 @@ case class IvfTopKRewrite() extends Rule[LogicalPlan] {
                 }
                 Some((cos, Some(Descending: SortDirection)))
               case Some(_) =>
-                // an ip table plus a COMPANION LUT of unknown provenance:
-                // the companion may be a cnorm record the bounded LRU
-                // evicted — declining the rewrite beats silently ranking a
-                // cosine query by raw IP (ADVICE r11 #3); the plan stays
-                // exact
+                // an ip table plus a COMPANION LUT that is not a cnorm:
+                // either unknown provenance (possibly a cnorm record the
+                // bounded LRU evicted — declining beats silently ranking a
+                // cosine query by raw IP, ADVICE r11 #3), or — explicitly
+                // (ADVICE r12) — a SECOND known ip table. The engine never
+                // emits a two-ip-LUT score, and the single-LUT ADC ranker
+                // can't reproduce whatever combination such a score
+                // computes, so both shapes decline; the plan stays exact
                 None
               case None =>
                 // unknown provenance, or known-but-non-scoring tables
