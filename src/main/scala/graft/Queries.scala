@@ -328,6 +328,26 @@ object Queries {
       .select($"vec_id", round($"score", 6).as("score"))
   }
 
+  /** C8-BATCH — [[AnnSearch.batchTopK]], the offline-eval / nightly
+    * re-rank shape: EVERY query vector scored against the base in ONE lake
+    * scan (a per-query loop of exact scans is how a 100 TB lake dies). The
+    * query batch broadcasts; each base partition folds its rows into
+    * per-query O(k) heaps (`topk_ids`), so the single shuffle carries
+    * #partitions × #queries × k pairs, never the scored cross product.
+    * Output is (qid, rank, vec_id) — rank 0-based best-first, ties
+    * (score DESC, id ASC) — the exact order the oracle's window replays.
+    * The queries frame deliberately keeps the base's own `embedding`
+    * column name: the pre-join minimal projections (ADVICE r12) make the
+    * name overlap legal.
+    */
+  val c8BatchTopK: Q = (s, d) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val base = e.where($"vec_id" >= 3)
+    val queries = e.where($"vec_id" < 3).select($"vec_id".as("qid"), $"embedding")
+    AnnSearch.batchTopK(base, "embedding", "vec_id", queries, "qid", "embedding", 15)
+  }
+
   /** C8-DET — the IVF prune+probe pipeline UNDER THE HASH GATE (VERDICT
     * r10 #2): the same [[IvfIndex.assign]] → [[IvfIndex.rankCentroids]] →
     * prune → exact-top-k machinery as [[c8AnnIvf]], but with sd1's
@@ -2547,6 +2567,17 @@ object Queries {
         |  FROM embeddings WHERE vec_id <> 0)
         |SELECT vec_id, round(score_raw, 6) AS score FROM s
         |ORDER BY score_raw DESC, vec_id LIMIT 15""".stripMargin,
+    "c8_batch_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3),
+        |s AS (SELECT q.qid, e.vec_id,
+        |  list_sum(list_transform(list_zip(e.embedding, q.qv),
+        |    x -> x[1]::DOUBLE * x[2]::DOUBLE))::DOUBLE AS score
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id >= 3),
+        |r AS (SELECT qid, vec_id, CAST(row_number() OVER (
+        |    PARTITION BY qid ORDER BY score DESC, vec_id) - 1 AS BIGINT) AS rank
+        |  FROM s)
+        |SELECT qid, rank, vec_id FROM r WHERE rank < 15
+        |ORDER BY qid, rank""".stripMargin,
     "q1_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -3581,6 +3612,7 @@ object Queries {
     "c8_ann_exact" -> c8AnnExact,
     "c8_ann_l2" -> c8AnnL2,
     "c8_ann_cos" -> c8AnnCos,
+    "c8_batch_topk" -> c8BatchTopK,
     "c8_ann_ivf_det" -> c8AnnIvfDet,
     "c8_ann_ivfsq8_det" -> c8AnnIvfSq8Det,
     "c8_ann_ivfpq_det" -> c8AnnIvfPqDet,
