@@ -366,7 +366,7 @@ object Queries {
     * reduces to argmax block-sum, a pure row function the oracles replay.
     * (Requires 8 | dim; the gate tables are dim=64.)
     */
-  private def axisBlockIvfModel(dim: Int): IvfIndex.Model = {
+  private[graft] def axisBlockIvfModel(dim: Int): IvfIndex.Model = {
     require(dim % 8 == 0, s"axis-block model needs 8 | dim, got $dim")
     val w = dim / 8
     IvfIndex.Model(Array.tabulate(8)(j =>
@@ -1234,6 +1234,50 @@ object Queries {
         concat_ws(" ", slice($"w", $"st" + 1, lit(L))).as("chunk_text"),
         least(lit(L), size($"w") - $"st").cast("long").as("n_tok"))
       .orderBy($"doc_id", $"chunk_id")
+  }
+
+  /** R1 — retrieval-corpus build + search composed end to end: chunk every
+    * document (t9's L=50/S=40 token windows), embed each chunk with a
+    * deterministic hashed bag-of-words (feature hashing, Weinberger et al.
+    * ICML'09: bucket = hash60(token) mod dim, sign = bit 6 of the same
+    * hash — one md5 per token, engine-portable), then serve the first
+    * three documents' chunks as queries through [[AnnSearch.batchTopK]]
+    * (cosine, k=5) over all other chunks: the RAG build-and-retrieve loop
+    * as ONE driver-checked plan. Chunk key = doc_id·10⁵ + chunk index
+    * (chunk counts are ≤ tokens/40, far under 10⁵, so keys are disjoint
+    * and doc ranges stay contiguous).
+    *
+    * Scale shape: embedding is explode → map-side-combinable two-level
+    * groupBy (bucket sums carry ONE double per (chunk, bucket), the dense
+    * assemble is a 64-entry map lookup per chunk — never a per-token
+    * array update); the search is the batched one-scan top-k. Nothing in
+    * the plan holds a document, a chunk set, or the query batch's scores
+    * in one task's memory.
+    */
+  val r1RetrievalTopK: Q = (s, d) => {
+    import s.implicits._
+    val dim = 64
+    val L = 50
+    val S = 40
+    val toks = tokens($"text")
+    val starts = when(size(toks) > 0,
+      sequence(lit(0), size(toks) - 1, lit(S))).otherwise(array())
+    val chunks = Tables.documents(s, d)
+      .select($"doc_id", toks.as("w"), explode(starts).as("st"))
+      .select(($"doc_id" * 100000 + ($"st" / S)).cast("long").as("cid"),
+        slice($"w", $"st" + 1, lit(L)).as("ct"))
+    val hashed = chunks.select($"cid", explode($"ct").as("t"))
+      .select($"cid", hash60($"t").as("h"))
+      .select($"cid", ($"h" % dim).as("b"),
+        when(shiftright($"h", 6) % 2 === 0, 1.0).otherwise(-1.0).as("sgn"))
+    val emb = hashed.groupBy($"cid", $"b").agg(sum($"sgn").as("v"))
+      .groupBy($"cid")
+      .agg(map_from_entries(collect_list(struct($"b", $"v"))).as("m"))
+      .select($"cid", transform(sequence(lit(0), lit(dim - 1)),
+        j => coalesce(element_at($"m", j.cast("long")), lit(0.0))).as("emb"))
+    val queries = emb.where($"cid" < 3 * 100000).select($"cid".as("qid"), $"emb")
+    AnnSearch.batchTopK(emb.where($"cid" >= 3 * 100000), "emb", "cid",
+      queries, "qid", "emb", 5, VectorMetric.Cosine)
   }
 
   /** M1 export-shard manifest — the artifact a training job consumes: a
@@ -2812,6 +2856,32 @@ object Queries {
         |  array_to_string(w[s + 1 : least(s + 50, len(w))], ' ') AS chunk_text,
         |  CAST(least(50, len(w) - s) AS BIGINT) AS n_tok
         |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+    "r1_retrieval_topk" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |st AS (SELECT doc_id, w, unnest(generate_series(0, len(w) - 1, 40)) AS s FROM toks WHERE len(w) > 0),
+        |ch AS (SELECT doc_id * 100000 + CAST(s / 40 AS BIGINT) AS cid,
+        |  w[s + 1 : least(s + 50, len(w))] AS ct FROM st),
+        |tok AS (SELECT cid, unnest(ct) AS t FROM ch),
+        |bs AS (SELECT cid, hv % 64 AS b,
+        |  CASE WHEN (hv // 64) % 2 = 0 THEN 1.0 ELSE -1.0 END AS sgn
+        |  FROM (SELECT cid, ('0x' || substring(md5(t), 1, 15))::BIGINT AS hv FROM tok)),
+        |sums AS (SELECT cid, b, sum(sgn) AS v FROM bs GROUP BY cid, b),
+        |grid AS (SELECT c.cid, r.j FROM (SELECT DISTINCT cid FROM ch) c
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) r),
+        |emb AS (SELECT g.cid, list(coalesce(s.v, 0.0) ORDER BY g.j) AS e
+        |  FROM grid g LEFT JOIN sums s ON s.cid = g.cid AND s.b = g.j GROUP BY g.cid),
+        |en AS (SELECT cid, e,
+        |  sqrt(list_sum(list_transform(e, x -> x::DOUBLE * x::DOUBLE))::DOUBLE) AS nrm FROM emb),
+        |sc AS (SELECT q.cid AS qid, b.cid,
+        |  CASE WHEN b.nrm > 0 AND q.nrm > 0 THEN
+        |    list_sum(list_transform(list_zip(b.e, q.e), x -> x[1]::DOUBLE * x[2]::DOUBLE))::DOUBLE
+        |      / (b.nrm * q.nrm)
+        |  ELSE 0.0 END AS score
+        |  FROM (SELECT * FROM en WHERE cid >= 300000) b
+        |  CROSS JOIN (SELECT * FROM en WHERE cid < 300000) q),
+        |r AS (SELECT qid, cid, CAST(row_number() OVER (
+        |    PARTITION BY qid ORDER BY score DESC, cid) - 1 AS BIGINT) AS rank FROM sc)
+        |SELECT qid, rank, cid FROM r WHERE rank < 5 ORDER BY qid, rank""".stripMargin,
     "b5_positional_zip" ->
       """WITH o AS (SELECT * FROM (SELECT o_orderkey, CAST(row_number() OVER (ORDER BY o_orderkey) AS INT) AS pos FROM orders) t WHERE pos <= 20),
         |p AS (SELECT * FROM (SELECT p_partkey, CAST(row_number() OVER (ORDER BY p_partkey) AS INT) AS pos FROM part) t WHERE pos <= 20)
@@ -3645,6 +3715,7 @@ object Queries {
     "m1_shard_manifest" -> m1ShardManifest,
     "m2_manifest_range" -> m2ManifestRange,
     "t9_doc_chunks" -> t9DocChunks,
+    "r1_retrieval_topk" -> r1RetrievalTopK,
     "q3_profile" -> q3Profile,
     "c7_ivf_cluster" -> c7IvfCluster,
     "c7_sq8_ann" -> c7Sq8Ann,
