@@ -49,4 +49,38 @@ class ScalingCorpusSpec extends SparkSpec {
     val again = ScalingBench.ensureScaled(spark, Sf0001, out, copies = 3)
     assert(again == dir)
   }
+
+  test("ensureScaledEmb: xN rows, disjoint ids, IVF layout partitioned and complete") {
+    val out = java.nio.file.Files.createTempDirectory("graft-scaling-emb").toString
+    val dir = ScalingBench.ensureScaledEmb(spark, Sf0001, out, copies = 3)
+    val src = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+    val plain = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = src.count()
+    assert(plain.count() == 3 * n, "x3 rows")
+    assert(plain.select($"vec_id").distinct().count() == 3 * n,
+      "vec_id offsets keep ids disjoint across copies")
+
+    // the IVF layout is the SAME rows, laid out partitioned by the
+    // axis-block cluster assignment — cluster_id must be a real partition
+    // directory (that is what the probe's file prune reads), and the
+    // per-cluster row counts must be x3 the source assignment's (copies
+    // repeat vectors verbatim, so assignment repeats too)
+    val ivfRoot = java.nio.file.Paths.get(dir, "ivf")
+    assert(java.nio.file.Files.list(ivfRoot).toArray.map(_.toString)
+      .exists(_.contains("cluster_id=")), "partitionBy(cluster_id) directories")
+    val lake = spark.read.parquet(s"$dir/ivf")
+    assert(lake.count() == 3 * n, "IVF layout carries every row")
+    val dim = src.select(size($"embedding")).head().getInt(0)
+    val srcAssigned = graft.operators.IvfIndex
+      .assign(src, "embedding", Queries.axisBlockIvfModel(dim))
+      .groupBy($"cluster_id").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val lakeCounts = lake.groupBy($"cluster_id").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(lakeCounts == srcAssigned.map { case (k, v) => k -> 3 * v },
+      "per-cluster counts are exactly x3 the source assignment")
+
+    val again = ScalingBench.ensureScaledEmb(spark, Sf0001, out, copies = 3)
+    assert(again == dir)
+  }
 }
