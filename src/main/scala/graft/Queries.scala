@@ -1259,24 +1259,32 @@ object Queries {
     val dim = 64
     val L = 50
     val S = 40
-    val toks = tokens($"text")
-    val starts = when(size(toks) > 0,
-      sequence(lit(0), size(toks) - 1, lit(S))).otherwise(array())
-    val chunks = Tables.documents(s, d)
-      .select($"doc_id", toks.as("w"), explode(starts).as("st"))
-      .select(($"doc_id" * 100000 + ($"st" / S)).cast("long").as("cid"),
-        slice($"w", $"st" + 1, lit(L)).as("ct"))
-    val hashed = chunks.select($"cid", explode($"ct").as("t"))
-      .select($"cid", hash60($"t").as("h"))
-      .select($"cid", ($"h" % dim).as("b"),
-        when(shiftright($"h", 6) % 2 === 0, 1.0).otherwise(-1.0).as("sgn"))
-    val emb = hashed.groupBy($"cid", $"b").agg(sum($"sgn").as("v"))
-      .groupBy($"cid")
-      .agg(map_from_entries(collect_list(struct($"b", $"v"))).as("m"))
-      .select($"cid", transform(sequence(lit(0), lit(dim - 1)),
-        j => coalesce(element_at($"m", j.cast("long")), lit(0.0))).as("emb"))
-    val queries = emb.where($"cid" < 3 * 100000).select($"cid".as("qid"), $"emb")
-    AnnSearch.batchTopK(emb.where($"cid" >= 3 * 100000), "emb", "cid",
+    // chunk + embed as a reusable stage, applied AFTER each branch's
+    // doc_id filter: the query branch must never embed the whole corpus
+    // to keep three documents' chunks (the doc filter reaches the parquet
+    // scan as a pushed predicate — PlanAuditSpec pins it)
+    def embChunks(df: DataFrame): DataFrame = {
+      val toks = tokens($"text")
+      val starts = when(size(toks) > 0,
+        sequence(lit(0), size(toks) - 1, lit(S))).otherwise(array())
+      val chunks = df
+        .select($"doc_id", toks.as("w"), explode(starts).as("st"))
+        .select(($"doc_id" * 100000 + ($"st" / S)).cast("long").as("cid"),
+          slice($"w", $"st" + 1, lit(L)).as("ct"))
+      chunks.select($"cid", explode($"ct").as("t"))
+        .select($"cid", hash60($"t").as("h"))
+        .select($"cid", ($"h" % dim).as("b"),
+          when(shiftright($"h", 6) % 2 === 0, 1.0).otherwise(-1.0).as("sgn"))
+        .groupBy($"cid", $"b").agg(sum($"sgn").as("v"))
+        .groupBy($"cid")
+        .agg(map_from_entries(collect_list(struct($"b", $"v"))).as("m"))
+        .select($"cid", transform(sequence(lit(0), lit(dim - 1)),
+          j => coalesce(element_at($"m", j.cast("long")), lit(0.0))).as("emb"))
+    }
+    val docs = Tables.documents(s, d)
+    val queries = embChunks(docs.where($"doc_id" < 3))
+      .select($"cid".as("qid"), $"emb")
+    AnnSearch.batchTopK(embChunks(docs.where($"doc_id" >= 3)), "emb", "cid",
       queries, "qid", "emb", 5, VectorMetric.Cosine)
   }
 

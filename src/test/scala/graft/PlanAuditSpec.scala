@@ -319,4 +319,22 @@ class PlanAuditSpec extends SparkSpec {
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
   }
+
+  test("r1: both branch doc filters reach the parquet scans; queries broadcast") {
+    val p = plan("r1_retrieval_topk")
+    // the query branch must never embed the whole corpus to keep three
+    // documents' chunks — each branch's doc_id range is pushed into its scan
+    assert(p.contains("LessThan(doc_id,3)"),
+      s"query-branch filter not pushed:\n${p.take(800)}")
+    assert(p.contains("GreaterThanOrEqual(doc_id,3)"),
+      "base-branch filter not pushed")
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.nonEmpty && reads.forall(r =>
+      r.contains("doc_id") && r.contains("text") && !r.contains("source")),
+      s"scans must prune to (doc_id, text): $reads")
+    // one broadcast cross product (the query batch), never a shuffled one
+    assert(p.contains("BroadcastNestedLoopJoin"), "query batch must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "the scored cross product must not shuffle")
+  }
 }
