@@ -348,6 +348,27 @@ object Queries {
     AnnSearch.batchTopK(base, "embedding", "vec_id", queries, "qid", "embedding", 15)
   }
 
+  /** C8-BATCH-IVF-DET — [[AnnSearch.batchTopKIvf]] under the hash gate
+    * with the deterministic axis-block model: every query ranks the
+    * centroids IN THE PLAN (same score + stable index tie-break as the
+    * driver-side `rankCentroids`), explodes to its nprobe=3 probe
+    * clusters, and the probe set broadcast-equi-joins the assigned base —
+    * the batched, equi-join form of [[c8AnnIvfDet]]'s per-query prune.
+    * The oracle replays in-SQL centroid ranking (per-query window over
+    * the 8 block sums), first-max assignment, the per-cluster candidate
+    * restriction, and the heap order.
+    */
+  val c8BatchIvfDet: Q = (s, d) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val dim = e.select(size($"embedding")).head().getInt(0)
+    val model = axisBlockIvfModel(dim)
+    val indexed = IvfIndex.assign(e.where($"vec_id" >= 3), "embedding", model)
+    val queries = e.where($"vec_id" < 3).select($"vec_id".as("qid"), $"embedding")
+    AnnSearch.batchTopKIvf(indexed, model, "embedding", "vec_id", "cluster_id",
+      queries, "qid", "embedding", 15, nprobe = 3)
+  }
+
   /** C8-DET — the IVF prune+probe pipeline UNDER THE HASH GATE (VERDICT
     * r10 #2): the same [[IvfIndex.assign]] → [[IvfIndex.rankCentroids]] →
     * prune → exact-top-k machinery as [[c8AnnIvf]], but with sd1's
@@ -2510,6 +2531,41 @@ object Queries {
         |  FROM cl WHERE cluster IN (SELECT cl FROM pr))
         |SELECT vec_id, round(score_raw, 6) AS score FROM sc
         |ORDER BY score_raw DESC, vec_id LIMIT 15""".stripMargin,
+    "c8_batch_ivf_det" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3),
+        |qb AS (SELECT qid, qv,
+        |  [list_sum(list_transform(qv[1:8], x -> x::DOUBLE)),
+        |   list_sum(list_transform(qv[9:16], x -> x::DOUBLE)),
+        |   list_sum(list_transform(qv[17:24], x -> x::DOUBLE)),
+        |   list_sum(list_transform(qv[25:32], x -> x::DOUBLE)),
+        |   list_sum(list_transform(qv[33:40], x -> x::DOUBLE)),
+        |   list_sum(list_transform(qv[41:48], x -> x::DOUBLE)),
+        |   list_sum(list_transform(qv[49:56], x -> x::DOUBLE)),
+        |   list_sum(list_transform(qv[57:64], x -> x::DOUBLE))] AS s FROM q),
+        |pr AS (SELECT qid, cl FROM (
+        |  SELECT qid, CAST(block AS INT) AS cl,
+        |    row_number() OVER (PARTITION BY qid ORDER BY bs DESC, block ASC) AS rk
+        |  FROM (SELECT qid, unnest(s) AS bs, unnest(generate_series(0, 7)) AS block FROM qb))
+        |  WHERE rk <= 3),
+        |bs AS (SELECT vec_id, embedding,
+        |  [list_sum(list_transform(embedding[1:8], x -> x::DOUBLE)),
+        |   list_sum(list_transform(embedding[9:16], x -> x::DOUBLE)),
+        |   list_sum(list_transform(embedding[17:24], x -> x::DOUBLE)),
+        |   list_sum(list_transform(embedding[25:32], x -> x::DOUBLE)),
+        |   list_sum(list_transform(embedding[33:40], x -> x::DOUBLE)),
+        |   list_sum(list_transform(embedding[41:48], x -> x::DOUBLE)),
+        |   list_sum(list_transform(embedding[49:56], x -> x::DOUBLE)),
+        |   list_sum(list_transform(embedding[57:64], x -> x::DOUBLE))] AS s
+        |  FROM embeddings WHERE vec_id >= 3),
+        |cl AS (SELECT vec_id, embedding, CAST(list_indexof(s, list_max(s)) - 1 AS INT) AS cluster FROM bs),
+        |sc AS (SELECT pr.qid, c.vec_id,
+        |  list_sum(list_transform(list_zip(c.embedding, q.qv),
+        |    x -> x[1]::DOUBLE * x[2]::DOUBLE))::DOUBLE AS score
+        |  FROM cl c JOIN pr ON c.cluster = pr.cl JOIN q ON q.qid = pr.qid),
+        |r AS (SELECT qid, vec_id, CAST(row_number() OVER (
+        |    PARTITION BY qid ORDER BY score DESC, vec_id) - 1 AS BIGINT) AS rank FROM sc)
+        |SELECT qid, rank, vec_id FROM r WHERE rank < 15
+        |ORDER BY qid, rank""".stripMargin,
     // IVF_SQ8 composed: c8_ann_ivf_det's deterministic prune CTEs scope
     // c7_sq8_ann's quantized scoring — the reference's serving plan
     // value-checked end to end
@@ -3691,6 +3747,7 @@ object Queries {
     "c8_ann_l2" -> c8AnnL2,
     "c8_ann_cos" -> c8AnnCos,
     "c8_batch_topk" -> c8BatchTopK,
+    "c8_batch_ivf_det" -> c8BatchIvfDet,
     "c8_ann_ivf_det" -> c8AnnIvfDet,
     "c8_ann_ivfsq8_det" -> c8AnnIvfSq8Det,
     "c8_ann_ivfpq_det" -> c8AnnIvfPqDet,

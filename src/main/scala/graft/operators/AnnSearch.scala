@@ -111,27 +111,101 @@ object AnnSearch {
     // prunes both scans to exactly the columns the search reads.
     val b = base.select(col(idCol).as("__bid"), col(vecCol).as("__bvec"))
     val q = queries.select(col(qidCol).as("__qid"), col(qvecCol).as("__qvec"))
-    val score = metric match {
-      case VectorMetric.Ip => bestDot(base)(col("__bvec"), col("__qvec"))
-      case VectorMetric.L2 => bestL2Sq(base)(col("__bvec"), col("__qvec"))
+    heapTopK(b.crossJoin(broadcast(q)), base, metric, k, qidCol, idCol)
+  }
+
+  /** Score the (`__bvec`, `__qvec`) pair under `metric` — exactScore's
+    * conventions (cosine zero-guards both sides to 0). `fnSrc` only picks
+    * the session for the native-vs-composed dot check.
+    */
+  private def pairScore(fnSrc: DataFrame, metric: VectorMetric): Column =
+    metric match {
+      case VectorMetric.Ip => bestDot(fnSrc)(col("__bvec"), col("__qvec"))
+      case VectorMetric.L2 => bestL2Sq(fnSrc)(col("__bvec"), col("__qvec"))
       case VectorMetric.Cosine =>
-        // both norms are per-row now — zero-guard each side (exactScore's
-        // convention: cosine against a zero vector is 0, not a div error)
         val bn = l2Norm(col("__bvec"))
         val qn = l2Norm(col("__qvec"))
         when(bn > 0 && qn > 0,
-          bestDot(base)(col("__bvec"), col("__qvec")) / (bn * qn))
+          bestDot(fnSrc)(col("__bvec"), col("__qvec")) / (bn * qn))
           .otherwise(lit(0.0))
     }
+
+  /** Shared tail of the batched searches: score each candidate
+    * (`__qid`, `__bid`, `__bvec`, `__qvec`) row, fold per-partition
+    * per-query O(k) heaps, explode to (qidCol, rank, idCol).
+    */
+  private def heapTopK(cands: DataFrame, fnSrc: DataFrame,
+                       metric: VectorMetric, k: Int,
+                       qidCol: String, idCol: String): DataFrame = {
+    val score = pairScore(fnSrc, metric)
     // topk_ids keeps the HIGHEST ord: negate for ascending-better metrics
     // (-score DESC ≡ score ASC, id tie-break unchanged)
     val ord = if (metric.descending) score else -score
-    b.crossJoin(broadcast(q))
+    cands
       .select(col("__qid"), col("__bid"), ord.as("__ord"))
       .groupBy(col("__qid"))
       .agg(call_function("topk_ids", col("__ord"), col("__bid"), lit(k)).as("__ids"))
       .select(col("__qid").as(qidCol), posexplode(col("__ids")).as(Seq("rank", idCol)))
       .select(col(qidCol), col("rank").cast("long").as("rank"), col(idCol))
+  }
+
+  /** BATCHED IVF top-k: the 100 TB form of [[batchTopK]]. Instead of a
+    * query×lake cross product, each query row ranks the nlist centroids
+    * IN THE PLAN (an O(nlist·dim) expression over centroid literals — the
+    * same arithmetic [[IvfIndex.rankCentroids]] runs on the driver for one
+    * query), explodes to its `nprobe` probe clusters, and the probe set
+    * broadcast-EQUI-joins the indexed lake on `clusterCol`: the lake
+    * streams through a hash join keyed on its partition column (dynamic
+    * partition pruning can skip unprobed partitions entirely), each base
+    * row is scored only against the queries that probed its cluster, and
+    * the per-query O(k) heaps bound the shuffle exactly like [[batchTopK]].
+    * Candidate volume is Σ_q (probed fraction) of the lake instead of
+    * |queries|·|lake|.
+    *
+    * Per-query results equal `IvfIndex.search` with the same model/nprobe
+    * (AnnBatchSpec pins parity): centroid ranking uses the identical
+    * score and the identical stable index tie-break.
+    */
+  def batchTopKIvf(indexed: DataFrame, model: IvfIndex.Model,
+                   vecCol: String, idCol: String, clusterCol: String,
+                   queries: DataFrame, qidCol: String, qvecCol: String,
+                   k: Int, nprobe: Int,
+                   metric: VectorMetric = VectorMetric.Ip): DataFrame = {
+    require(qidCol != idCol,
+      s"batchTopKIvf: qidCol and idCol must differ (both are '$idCol')")
+    val q0 = queries.select(col(qidCol).as("__qid"), col(qvecCol).as("__qvec"))
+    val dotFn: (Column, Column) => Column =
+      if (queries.sparkSession.catalog.functionExists("fast_dot"))
+        graft.functions.VectorFunctions.fastDot
+      else graft.functions.VectorFunctions.dot
+    // rankCentroids' per-metric centroid score, as a column over the
+    // centroid LITERAL: IP = c·q; cosine = c·q/max(‖c‖,ε) (query norm is
+    // constant across centroids); L2 ranks by ‖c‖²−2c·q, which orders —
+    // and ties — exactly like ‖c−q‖² (the dropped ‖q‖² is constant)
+    def rankScore(c: Array[Double]): Column = metric match {
+      case VectorMetric.Ip => dotFn(col("__qvec"), typedlit(c.toIndexedSeq))
+      case VectorMetric.Cosine =>
+        dotFn(col("__qvec"), typedlit(c.toIndexedSeq)) /
+          lit(math.max(math.sqrt(c.map(x => x * x).sum), 1e-300))
+      case VectorMetric.L2 =>
+        lit(c.map(x => x * x).sum) -
+          lit(2.0) * dotFn(col("__qvec"), typedlit(c.toIndexedSeq))
+    }
+    // ascending array_sort over (±score, index) = better-first with the
+    // stable index tie-break rankCentroids' sortBy gives
+    val ranked = array(model.centroids.zipWithIndex.map { case (c, j) =>
+      val s = rankScore(c)
+      struct((if (metric.descending) -s else s).as("s"), lit(j).as("j"))
+    }.toIndexedSeq: _*)
+    val probes = q0.select(col("__qid"), col("__qvec"),
+      explode(transform(slice(array_sort(ranked), 1, nprobe), p => p.getField("j")))
+        .as("__pc"))
+    val b = indexed.select(col(idCol).as("__bid"), col(vecCol).as("__bvec"),
+      col(clusterCol).as("__bc"))
+    // equi-join, probe side broadcast: each base row meets only the
+    // queries that probed its cluster
+    heapTopK(b.join(broadcast(probes), col("__bc") === col("__pc")),
+      indexed, metric, k, qidCol, idCol)
   }
 }
 

@@ -59,6 +59,47 @@ class AnnBatchSpec extends SparkSpec {
     assert(ex.getMessage.contains("qidCol"))
   }
 
+  test("batchTopKIvf == per-query IvfIndex.search, every metric") {
+    val e = Tables.embeddings(spark, Sf0001)
+    val dim = e.select(size($"embedding")).head().getInt(0)
+    val model = Queries.axisBlockIvfModel(dim)
+    val indexed = graft.operators.IvfIndex
+      .assign(e.where($"vec_id" >= 3), "embedding", model)
+    val queries = e.where($"vec_id" < 3).select($"vec_id".as("qid"), $"embedding")
+    val qvecs = queries.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toSeq
+    for (m <- Seq(VectorMetric.Ip, VectorMetric.L2, VectorMetric.Cosine)) {
+      val got = AnnSearch
+        .batchTopKIvf(indexed, model, "embedding", "vec_id", "cluster_id",
+          queries, "qid", "embedding", 10, nprobe = 3, m)
+        .orderBy($"qid", $"rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val want = qvecs.flatMap { case (qid, qv) =>
+        graft.operators.IvfIndex
+          .search(indexed, model, "embedding", "vec_id", qv, 10, nprobe = 3, m)
+          .select($"vec_id").collect().map(_.getLong(0))
+          .zipWithIndex.map { case (id, rank) => (qid, rank.toLong, id) }
+      }
+      assert(got == want, s"batched/per-query IVF divergence under $m")
+    }
+  }
+
+  test("batchTopKIvf joins on the cluster key — equi-join, no cross product") {
+    val e = Tables.embeddings(spark, Sf0001)
+    val model = Queries.axisBlockIvfModel(64)
+    val indexed = graft.operators.IvfIndex
+      .assign(e.where($"vec_id" >= 3), "embedding", model)
+    val queries = e.where($"vec_id" < 3).select($"vec_id".as("qid"), $"embedding")
+    val plan = AnnSearch
+      .batchTopKIvf(indexed, model, "embedding", "vec_id", "cluster_id",
+        queries, "qid", "embedding", 10, nprobe = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe set must broadcast-HASH-join the lake on the cluster key:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "the batched IVF path must never fall back to a cross product")
+  }
+
   test("one scan, one shuffle: plan has a broadcast nested-loop join, no sort") {
     val (base, queries) = fixture
     val plan = AnnSearch
