@@ -1275,38 +1275,64 @@ object Queries {
     * the plan holds a document, a chunk set, or the query batch's scores
     * in one task's memory.
     */
+  /** The r-family's chunk+embed stage: t9's L=50/S=40 token windows, each
+    * chunk embedded as a feature-hashed bag-of-words (Weinberger et al.
+    * ICML'09 — bucket = hash60(token) mod dim, sign = bit 6 of the same
+    * hash, one md5 per token, engine-portable). Apply AFTER the branch's
+    * doc filter so the predicate reaches the parquet scan. Embedding is
+    * explode → map-side-combinable two-level groupBy → 64-entry dense
+    * assemble per chunk — never a per-token array update.
+    */
+  private def hashedChunkEmb(df: DataFrame, dim: Int = 64,
+                             L: Int = 50, S: Int = 40): DataFrame = {
+    val toks = tokens(col("text"))
+    val starts = when(size(toks) > 0,
+      sequence(lit(0), size(toks) - 1, lit(S))).otherwise(array())
+    val chunks = df
+      .select(col("doc_id"), toks.as("w"), explode(starts).as("st"))
+      .select((col("doc_id") * 100000 + (col("st") / S)).cast("long").as("cid"),
+        slice(col("w"), col("st") + 1, lit(L)).as("ct"))
+    chunks.select(col("cid"), explode(col("ct")).as("t"))
+      .select(col("cid"), hash60(col("t")).as("h"))
+      .select(col("cid"), (col("h") % dim).as("b"),
+        when(shiftright(col("h"), 6) % 2 === 0, 1.0).otherwise(-1.0).as("sgn"))
+      .groupBy(col("cid"), col("b")).agg(sum(col("sgn")).as("v"))
+      .groupBy(col("cid"))
+      .agg(map_from_entries(collect_list(struct(col("b"), col("v")))).as("m"))
+      .select(col("cid"), transform(sequence(lit(0), lit(dim - 1)),
+        j => coalesce(element_at(col("m"), j.cast("long")), lit(0.0))).as("emb"))
+  }
+
   val r1RetrievalTopK: Q = (s, d) => {
     import s.implicits._
-    val dim = 64
-    val L = 50
-    val S = 40
-    // chunk + embed as a reusable stage, applied AFTER each branch's
-    // doc_id filter: the query branch must never embed the whole corpus
-    // to keep three documents' chunks (the doc filter reaches the parquet
-    // scan as a pushed predicate — PlanAuditSpec pins it)
-    def embChunks(df: DataFrame): DataFrame = {
-      val toks = tokens($"text")
-      val starts = when(size(toks) > 0,
-        sequence(lit(0), size(toks) - 1, lit(S))).otherwise(array())
-      val chunks = df
-        .select($"doc_id", toks.as("w"), explode(starts).as("st"))
-        .select(($"doc_id" * 100000 + ($"st" / S)).cast("long").as("cid"),
-          slice($"w", $"st" + 1, lit(L)).as("ct"))
-      chunks.select($"cid", explode($"ct").as("t"))
-        .select($"cid", hash60($"t").as("h"))
-        .select($"cid", ($"h" % dim).as("b"),
-          when(shiftright($"h", 6) % 2 === 0, 1.0).otherwise(-1.0).as("sgn"))
-        .groupBy($"cid", $"b").agg(sum($"sgn").as("v"))
-        .groupBy($"cid")
-        .agg(map_from_entries(collect_list(struct($"b", $"v"))).as("m"))
-        .select($"cid", transform(sequence(lit(0), lit(dim - 1)),
-          j => coalesce(element_at($"m", j.cast("long")), lit(0.0))).as("emb"))
-    }
     val docs = Tables.documents(s, d)
-    val queries = embChunks(docs.where($"doc_id" < 3))
+    val queries = hashedChunkEmb(docs.where($"doc_id" < 3))
       .select($"cid".as("qid"), $"emb")
-    AnnSearch.batchTopK(embChunks(docs.where($"doc_id" >= 3)), "emb", "cid",
+    AnnSearch.batchTopK(hashedChunkEmb(docs.where($"doc_id" >= 3)), "emb", "cid",
       queries, "qid", "emb", 5, VectorMetric.Cosine)
+  }
+
+  /** R2 — r1's retrieval corpus served through the BATCHED IVF path
+    * ([[AnnSearch.batchTopKIvf]]): the hashed chunk embeddings are
+    * axis-block-assigned (the deterministic 8-cluster model over the
+    * derived dim=64 space), every query chunk ranks the centroids
+    * in-plan under cosine, and the probe set equi-joins the assigned
+    * chunk lake — the scaled form of chunked retrieval, end-to-end from
+    * raw text to pruned top-k under one oracle. nprobe=3 of nlist=8: the
+    * oracle replays the probe restriction exactly, so this row
+    * value-checks that the PRUNED result is what pruning says it is (not
+    * that it equals r1's exact scan — IVF is approximate by design).
+    */
+  val r2RetrievalIvf: Q = (s, d) => {
+    import s.implicits._
+    val model = axisBlockIvfModel(64)
+    val docs = Tables.documents(s, d)
+    val indexed = IvfIndex.assign(
+      hashedChunkEmb(docs.where($"doc_id" >= 3)), "emb", model)
+    val queries = hashedChunkEmb(docs.where($"doc_id" < 3))
+      .select($"cid".as("qid"), $"emb")
+    AnnSearch.batchTopKIvf(indexed, model, "emb", "cid", "cluster_id",
+      queries, "qid", "emb", 5, nprobe = 3, VectorMetric.Cosine)
   }
 
   /** M1 export-shard manifest — the artifact a training job consumes: a
@@ -2946,6 +2972,51 @@ object Queries {
         |r AS (SELECT qid, cid, CAST(row_number() OVER (
         |    PARTITION BY qid ORDER BY score DESC, cid) - 1 AS BIGINT) AS rank FROM sc)
         |SELECT qid, rank, cid FROM r WHERE rank < 5 ORDER BY qid, rank""".stripMargin,
+    // r2 replays r1's embedding CTEs, then the IVF machinery in SQL. The
+    // axis-block centroids share one norm (sqrt 8), so the engine's cosine
+    // centroid rank c·q/‖c‖ orders — and ties — exactly like the raw block
+    // sum: the probe window needs no norm division.
+    "r2_retrieval_ivf" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |st AS (SELECT doc_id, w, unnest(generate_series(0, len(w) - 1, 40)) AS s FROM toks WHERE len(w) > 0),
+        |ch AS (SELECT doc_id * 100000 + CAST(s / 40 AS BIGINT) AS cid,
+        |  w[s + 1 : least(s + 50, len(w))] AS ct FROM st),
+        |tok AS (SELECT cid, unnest(ct) AS t FROM ch),
+        |bsg AS (SELECT cid, hv % 64 AS b,
+        |  CASE WHEN (hv // 64) % 2 = 0 THEN 1.0 ELSE -1.0 END AS sgn
+        |  FROM (SELECT cid, ('0x' || substring(md5(t), 1, 15))::BIGINT AS hv FROM tok)),
+        |sums AS (SELECT cid, b, sum(sgn) AS v FROM bsg GROUP BY cid, b),
+        |grid AS (SELECT c.cid, r.j FROM (SELECT DISTINCT cid FROM ch) c
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) r),
+        |emb AS (SELECT g.cid, list(coalesce(s.v, 0.0) ORDER BY g.j) AS e
+        |  FROM grid g LEFT JOIN sums s ON s.cid = g.cid AND s.b = g.j GROUP BY g.cid),
+        |en AS (SELECT cid, e,
+        |  sqrt(list_sum(list_transform(e, x -> x::DOUBLE * x::DOUBLE))::DOUBLE) AS nrm,
+        |  [list_sum(list_transform(e[1:8], x -> x::DOUBLE)),
+        |   list_sum(list_transform(e[9:16], x -> x::DOUBLE)),
+        |   list_sum(list_transform(e[17:24], x -> x::DOUBLE)),
+        |   list_sum(list_transform(e[25:32], x -> x::DOUBLE)),
+        |   list_sum(list_transform(e[33:40], x -> x::DOUBLE)),
+        |   list_sum(list_transform(e[41:48], x -> x::DOUBLE)),
+        |   list_sum(list_transform(e[49:56], x -> x::DOUBLE)),
+        |   list_sum(list_transform(e[57:64], x -> x::DOUBLE))] AS s FROM emb),
+        |pr AS (SELECT qid, cl FROM (
+        |  SELECT cid AS qid, CAST(block AS INT) AS cl,
+        |    row_number() OVER (PARTITION BY cid ORDER BY bs DESC, block ASC) AS rk
+        |  FROM (SELECT cid, unnest(s) AS bs, unnest(generate_series(0, 7)) AS block
+        |        FROM en WHERE cid < 300000))
+        |  WHERE rk <= 3),
+        |cl AS (SELECT cid, e, nrm, CAST(list_indexof(s, list_max(s)) - 1 AS INT) AS cluster
+        |  FROM en WHERE cid >= 300000),
+        |sc AS (SELECT pr.qid, c.cid,
+        |  CASE WHEN c.nrm > 0 AND q.nrm > 0 THEN
+        |    list_sum(list_transform(list_zip(c.e, q.e),
+        |      x -> x[1]::DOUBLE * x[2]::DOUBLE))::DOUBLE / (c.nrm * q.nrm)
+        |  ELSE 0.0 END AS score
+        |  FROM cl c JOIN pr ON c.cluster = pr.cl JOIN en q ON q.cid = pr.qid),
+        |r AS (SELECT qid, cid, CAST(row_number() OVER (
+        |    PARTITION BY qid ORDER BY score DESC, cid) - 1 AS BIGINT) AS rank FROM sc)
+        |SELECT qid, rank, cid FROM r WHERE rank < 5 ORDER BY qid, rank""".stripMargin,
     "b5_positional_zip" ->
       """WITH o AS (SELECT * FROM (SELECT o_orderkey, CAST(row_number() OVER (ORDER BY o_orderkey) AS INT) AS pos FROM orders) t WHERE pos <= 20),
         |p AS (SELECT * FROM (SELECT p_partkey, CAST(row_number() OVER (ORDER BY p_partkey) AS INT) AS pos FROM part) t WHERE pos <= 20)
@@ -3781,6 +3852,7 @@ object Queries {
     "m2_manifest_range" -> m2ManifestRange,
     "t9_doc_chunks" -> t9DocChunks,
     "r1_retrieval_topk" -> r1RetrievalTopK,
+    "r2_retrieval_ivf" -> r2RetrievalIvf,
     "q3_profile" -> q3Profile,
     "c7_ivf_cluster" -> c7IvfCluster,
     "c7_sq8_ann" -> c7Sq8Ann,
