@@ -1257,31 +1257,18 @@ object Queries {
       .orderBy($"doc_id", $"chunk_id")
   }
 
-  /** R1 — retrieval-corpus build + search composed end to end: chunk every
-    * document (t9's L=50/S=40 token windows), embed each chunk with a
-    * deterministic hashed bag-of-words (feature hashing, Weinberger et al.
-    * ICML'09: bucket = hash60(token) mod dim, sign = bit 6 of the same
-    * hash — one md5 per token, engine-portable), then serve the first
-    * three documents' chunks as queries through [[AnnSearch.batchTopK]]
-    * (cosine, k=5) over all other chunks: the RAG build-and-retrieve loop
-    * as ONE driver-checked plan. Chunk key = doc_id·10⁵ + chunk index
-    * (chunk counts are ≤ tokens/40, far under 10⁵, so keys are disjoint
-    * and doc ranges stay contiguous).
-    *
-    * Scale shape: embedding is explode → map-side-combinable two-level
-    * groupBy (bucket sums carry ONE double per (chunk, bucket), the dense
-    * assemble is a 64-entry map lookup per chunk — never a per-token
-    * array update); the search is the batched one-scan top-k. Nothing in
-    * the plan holds a document, a chunk set, or the query batch's scores
-    * in one task's memory.
-    */
   /** The r-family's chunk+embed stage: t9's L=50/S=40 token windows, each
     * chunk embedded as a feature-hashed bag-of-words (Weinberger et al.
     * ICML'09 — bucket = hash60(token) mod dim, sign = bit 6 of the same
-    * hash, one md5 per token, engine-portable). Apply AFTER the branch's
-    * doc filter so the predicate reaches the parquet scan. Embedding is
-    * explode → map-side-combinable two-level groupBy → 64-entry dense
-    * assemble per chunk — never a per-token array update.
+    * hash, one md5 per token, engine-portable). Chunk key = doc_id·10⁵ +
+    * chunk index (chunk counts are ≤ tokens/40, far under 10⁵, so keys
+    * are disjoint and doc ranges stay contiguous). Apply AFTER the
+    * branch's doc filter so the predicate reaches the parquet scan.
+    *
+    * Scale shape: explode → map-side-combinable two-level groupBy (bucket
+    * sums carry ONE double per (chunk, bucket)) → 64-entry dense map
+    * assemble per chunk — never a per-token array update, nothing
+    * document-sized in one task's memory.
     */
   private def hashedChunkEmb(df: DataFrame, dim: Int = 64,
                              L: Int = 50, S: Int = 40): DataFrame = {
@@ -1303,6 +1290,13 @@ object Queries {
         j => coalesce(element_at(col("m"), j.cast("long")), lit(0.0))).as("emb"))
   }
 
+  /** R1 — retrieval-corpus build + search composed end to end: the
+    * [[hashedChunkEmb]] corpus served through [[AnnSearch.batchTopK]]
+    * (cosine, k=5) with the first three documents' chunks as the query
+    * batch — the RAG build-and-retrieve loop as ONE driver-checked plan
+    * (the DuckDB oracle replays chunking, hashing, embedding, and the
+    * batched heap order end to end).
+    */
   val r1RetrievalTopK: Q = (s, d) => {
     import s.implicits._
     val docs = Tables.documents(s, d)

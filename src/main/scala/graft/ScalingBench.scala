@@ -158,11 +158,19 @@ object ScalingBench {
     // index is superseded by e4c's prefix caps as the Zipf scale path.
     val names100 = Set("e2_minhash_pairs", "e4c_jaccard_zipf",
       "e8_dedup_cluster", "p3_corpus_recipe")
+    // build the ANN fixtures BEFORE the steal window opens (r13
+    // self-review #2): the emb10000 build writes ~16 GB of parquet, and a
+    // steal count spanning fixture IO can no longer flag a
+    // steal-contaminated MEASUREMENT — the one thing the field is for
+    val annScales = Seq(1, 10, 100, 1000, 10000)
+    annScales.foreach(c =>
+      ensureScaledEmb(spark, sf01, s"target/scaling/emb$c", c))
 
     val steal0 = Bench.stealTicks()
     val queries = om.createObjectNode()
     names10.foreach { n =>
-      val node = keptQuery(n) match {
+      val kept0 = keptQuery(n)
+      val node = kept0 match {
         case Some(o) =>
           println(s"[scaling] $n: 10x kept from existing scaling.json")
           o
@@ -181,7 +189,9 @@ object ScalingBench {
           o
       }
       if (names100.contains(n) && !node.has("sf10_s")) {
-        run(n, sf01) // re-warm: the kept branch arrives with a cold plan
+        // only the kept branch arrives with a cold plan; a fresh
+        // measurement just warmed and timed this query at sf0.1
+        if (kept0.isDefined) run(n, sf01)
         System.gc()
         val t10 = (0 until 2).map(_ => run(n, sf10)).min
         val t01 = node.get("sf01_s").asDouble()
@@ -214,7 +224,7 @@ object ScalingBench {
         // four decades: the last point (20M vectors, ~8 GB) is where scan
         // cost finally clears the local job floor and the scan-vs-probe
         // separation becomes unambiguous
-        Seq(1, 10, 100, 1000, 10000).foreach { c =>
+        annScales.foreach { c =>
           val dir = ensureScaledEmb(spark, sf01, s"target/scaling/emb$c", c)
           val plain = spark.read.parquet(s"$dir/embeddings.parquet")
           val lake = spark.read.parquet(s"$dir/ivf")
@@ -240,7 +250,10 @@ object ScalingBench {
 
     val stealD = Bench.stealTicks() - steal0
     val root = om.createObjectNode()
-    root.put("copies", 10)
+    // per-decade copy counts — one hard-coded "copies" field misdescribed
+    // the sf10/ann entries it sat above (r13 self-review #4)
+    root.put("copies_sf1", 10)
+    root.put("copies_sf10", 100)
     root.put("rows_sf01", spark.read.parquet(s"$sf01/documents.parquet").count())
     root.put("rows_sf1", spark.read.parquet(s"$sf1/documents.parquet").count())
     root.put("rows_sf10", spark.read.parquet(s"$sf10/documents.parquet").count())

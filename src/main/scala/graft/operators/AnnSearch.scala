@@ -101,9 +101,7 @@ object AnnSearch {
   def batchTopK(base: DataFrame, vecCol: String, idCol: String,
                 queries: DataFrame, qidCol: String, qvecCol: String,
                 k: Int, metric: VectorMetric = VectorMetric.Ip): DataFrame = {
-    // the output carries BOTH ids — same name would be ambiguous downstream
-    require(qidCol != idCol,
-      s"batchTopK: qidCol and idCol must differ (both are '$idCol')")
+    requireBatchIds(qidCol, idCol)
     // Minimal disjoint projections BEFORE the crossJoin (ADVICE r12): a
     // column name shared between base and queries (or qidCol/qvecCol
     // colliding with idCol/vecCol) would otherwise make col() resolution
@@ -112,6 +110,18 @@ object AnnSearch {
     val b = base.select(col(idCol).as("__bid"), col(vecCol).as("__bvec"))
     val q = queries.select(col(qidCol).as("__qid"), col(qvecCol).as("__qvec"))
     heapTopK(b.crossJoin(broadcast(q)), base, metric, k, qidCol, idCol)
+  }
+
+  /** The batched searches' output carries the query id, the literal
+    * `rank` column, and the base id — all three names must be distinct or
+    * the final projection is ambiguous; fail up front with a clear
+    * message instead of an AnalysisException deep in the plan.
+    */
+  private def requireBatchIds(qidCol: String, idCol: String): Unit = {
+    require(qidCol != idCol,
+      s"batch top-k: qidCol and idCol must differ (both are '$idCol')")
+    require(qidCol != "rank" && idCol != "rank",
+      "batch top-k: 'rank' is the output rank column — rename the id column")
   }
 
   /** Score the (`__bvec`, `__qvec`) pair under `metric` — exactScore's
@@ -171,25 +181,22 @@ object AnnSearch {
                    queries: DataFrame, qidCol: String, qvecCol: String,
                    k: Int, nprobe: Int,
                    metric: VectorMetric = VectorMetric.Ip): DataFrame = {
-    require(qidCol != idCol,
-      s"batchTopKIvf: qidCol and idCol must differ (both are '$idCol')")
+    requireBatchIds(qidCol, idCol)
     val q0 = queries.select(col(qidCol).as("__qid"), col(qvecCol).as("__qvec"))
-    val dotFn: (Column, Column) => Column =
-      if (queries.sparkSession.catalog.functionExists("fast_dot"))
-        graft.functions.VectorFunctions.fastDot
-      else graft.functions.VectorFunctions.dot
     // rankCentroids' per-metric centroid score, as a column over the
     // centroid LITERAL: IP = c·q; cosine = c·q/max(‖c‖,ε) (query norm is
-    // constant across centroids); L2 ranks by ‖c‖²−2c·q, which orders —
-    // and ties — exactly like ‖c−q‖² (the dropped ‖q‖² is constant)
+    // constant across centroids); L2 = the SAME Σ(c_i−q_i)² sequential
+    // fold the driver runs — not the ‖c‖²−2c·q shortcut, whose different
+    // rounding could rank learned large-norm centroids differently at the
+    // nprobe cut and silently break the documented IvfIndex.search parity
+    // (r13 self-review #1)
     def rankScore(c: Array[Double]): Column = metric match {
-      case VectorMetric.Ip => dotFn(col("__qvec"), typedlit(c.toIndexedSeq))
+      case VectorMetric.Ip => bestDot(queries)(col("__qvec"), typedlit(c.toIndexedSeq))
       case VectorMetric.Cosine =>
-        dotFn(col("__qvec"), typedlit(c.toIndexedSeq)) /
+        bestDot(queries)(col("__qvec"), typedlit(c.toIndexedSeq)) /
           lit(math.max(math.sqrt(c.map(x => x * x).sum), 1e-300))
       case VectorMetric.L2 =>
-        lit(c.map(x => x * x).sum) -
-          lit(2.0) * dotFn(col("__qvec"), typedlit(c.toIndexedSeq))
+        bestL2Sq(queries)(col("__qvec"), typedlit(c.toIndexedSeq))
     }
     // ascending array_sort over (±score, index) = better-first with the
     // stable index tie-break rankCentroids' sortBy gives
