@@ -1257,38 +1257,13 @@ object Queries {
       .orderBy($"doc_id", $"chunk_id")
   }
 
-  /** The r-family's chunk+embed stage: t9's L=50/S=40 token windows, each
-    * chunk embedded as a feature-hashed bag-of-words (Weinberger et al.
-    * ICML'09 — bucket = hash60(token) mod dim, sign = bit 6 of the same
-    * hash, one md5 per token, engine-portable). Chunk key = doc_id·10⁵ +
-    * chunk index (chunk counts are ≤ tokens/40, far under 10⁵, so keys
-    * are disjoint and doc ranges stay contiguous). Apply AFTER the
-    * branch's doc filter so the predicate reaches the parquet scan.
-    *
-    * Scale shape: explode → map-side-combinable two-level groupBy (bucket
-    * sums carry ONE double per (chunk, bucket)) → 64-entry dense map
-    * assemble per chunk — never a per-token array update, nothing
-    * document-sized in one task's memory.
+  /** The r-family's chunk+embed stage — [[graft.operators.ChunkEmbed]]
+    * at its defaults (t9's L=50/S=40 windows, dim=64 feature-hashed
+    * bag-of-words). Apply AFTER the branch's doc filter so the predicate
+    * reaches the parquet scan.
     */
-  private def hashedChunkEmb(df: DataFrame, dim: Int = 64,
-                             L: Int = 50, S: Int = 40): DataFrame = {
-    val toks = tokens(col("text"))
-    val starts = when(size(toks) > 0,
-      sequence(lit(0), size(toks) - 1, lit(S))).otherwise(array())
-    val chunks = df
-      .select(col("doc_id"), toks.as("w"), explode(starts).as("st"))
-      .select((col("doc_id") * 100000 + (col("st") / S)).cast("long").as("cid"),
-        slice(col("w"), col("st") + 1, lit(L)).as("ct"))
-    chunks.select(col("cid"), explode(col("ct")).as("t"))
-      .select(col("cid"), hash60(col("t")).as("h"))
-      .select(col("cid"), (col("h") % dim).as("b"),
-        when(shiftright(col("h"), 6) % 2 === 0, 1.0).otherwise(-1.0).as("sgn"))
-      .groupBy(col("cid"), col("b")).agg(sum(col("sgn")).as("v"))
-      .groupBy(col("cid"))
-      .agg(map_from_entries(collect_list(struct(col("b"), col("v")))).as("m"))
-      .select(col("cid"), transform(sequence(lit(0), lit(dim - 1)),
-        j => coalesce(element_at(col("m"), j.cast("long")), lit(0.0))).as("emb"))
-  }
+  private def hashedChunkEmb(df: DataFrame): DataFrame =
+    graft.operators.ChunkEmbed.embed(df)
 
   /** R1 — retrieval-corpus build + search composed end to end: the
     * [[hashedChunkEmb]] corpus served through [[AnnSearch.batchTopK]]

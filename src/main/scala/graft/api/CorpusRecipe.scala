@@ -274,6 +274,17 @@ final class CorpusRecipe private (
   def packManifest(tokenCol: String, ctxLen: Long): DataFrame =
     SequencePack.packManifest(frame, idCol, tokenCol, ctxLen)
 
+  /** r1/r2's retrieval-corpus build ([[graft.operators.ChunkEmbed]]) — a
+    * TERMINAL step: the curated corpus becomes (cid, emb) chunk
+    * embeddings (L-token windows, stride S, dim-bucket feature-hashed
+    * bag-of-words), ready for [[graft.operators.AnnSearch.batchTopK]] /
+    * `batchTopKIvf` or an [[graft.operators.IvfIndex]] build. Curate
+    * (gate, dedup, scrub) BEFORE chunking — the embedding inherits
+    * whatever text reaches it.
+    */
+  def chunkEmbed(dim: Int = 64, chunkLen: Int = 50, stride: Int = 40): DataFrame =
+    graft.operators.ChunkEmbed.embed(frame, idCol, textCol, dim, chunkLen, stride)
+
   /** x2's doc-intact greedy packing ([[SequencePack.packNoSplit]]) — the
     * TERMINAL twin of [[packManifest]] for runs where documents must not
     * straddle context windows; packs in `shardDocs`-sized md5-draw-order

@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.functions.TextFunctions.{hash60, tokens}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Chunk + embed: the retrieval-corpus build stage (the r-family gate
+  * rows drive it end to end under the DuckDB hash gate, and
+  * [[graft.api.CorpusRecipe.chunkEmbed]] exposes it as a recipe terminal).
+  *
+  * Documents are cut into L-token windows with stride S (t9's chunking),
+  * and each chunk is embedded as a feature-hashed bag-of-words
+  * (Weinberger et al., ICML'09 "Feature Hashing for Large Scale Multitask
+  * Learning"): bucket = hash60(token) mod dim, sign = bit 6 of the same
+  * hash — ONE md5 per token, and every step is arithmetic an external
+  * engine can replay, so the embedding is portable, versionable, and
+  * exactly reproducible at re-index time (the property a hash embedding
+  * is chosen for; semantic embeddings plug into the same pipeline shape
+  * as an opaque Array[Float] column).
+  *
+  * Scale shape: explode → map-side-combinable two-level groupBy (bucket
+  * sums carry ONE double per (chunk, bucket)) → dim-entry dense map
+  * assemble per chunk. No per-token array updates, nothing document-sized
+  * in a single task's memory, and the doc filter of whatever frame is
+  * passed in reaches the parquet scan (apply filters BEFORE embedding —
+  * PlanAuditSpec pins it for the r1 gate row).
+  */
+object ChunkEmbed {
+
+  /** Chunk key = id·keySpan + chunk index. Chunk counts are
+    * ceil(tokens/S); the default span keeps keys disjoint for any
+    * document under S·10⁵ tokens and doc ranges contiguous (so a
+    * doc-range predicate translates to a chunk-key range).
+    */
+  val KeySpan = 100000L
+
+  /** (cid, emb): one row per chunk, `emb` a dense Array[Double] of
+    * integer-valued bucket sums (FP-exact, so cross-engine comparisons
+    * are bit-exact). Requires `idCol` values in [0, Long.MaxValue/keySpan)
+    * — enforced cheaply on the key expression, not with an extra pass.
+    */
+  def embed(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+            dim: Int = 64, chunkLen: Int = 50, stride: Int = 40): DataFrame = {
+    require(dim > 0 && chunkLen > 0 && stride > 0,
+      s"chunk/embed geometry must be positive (dim=$dim, L=$chunkLen, S=$stride)")
+    val toks = tokens(col(textCol))
+    val starts = when(size(toks) > 0,
+      sequence(lit(0), size(toks) - 1, lit(stride))).otherwise(array())
+    val chunks = df
+      .select(col(idCol), toks.as("w"), explode(starts).as("st"))
+      .select((col(idCol) * KeySpan + (col("st") / stride)).cast("long").as("cid"),
+        slice(col("w"), col("st") + 1, lit(chunkLen)).as("ct"))
+    chunks.select(col("cid"), explode(col("ct")).as("t"))
+      .select(col("cid"), hash60(col("t")).as("h"))
+      .select(col("cid"), (col("h") % dim).as("b"),
+        when(shiftright(col("h"), 6) % 2 === 0, 1.0).otherwise(-1.0).as("sgn"))
+      .groupBy(col("cid"), col("b")).agg(sum(col("sgn")).as("v"))
+      .groupBy(col("cid"))
+      .agg(map_from_entries(collect_list(struct(col("b"), col("v")))).as("m"))
+      .select(col("cid"), transform(sequence(lit(0), lit(dim - 1)),
+        j => coalesce(element_at(col("m"), j.cast("long")), lit(0.0))).as("emb"))
+  }
+}

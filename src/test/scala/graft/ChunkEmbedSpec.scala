@@ -1,0 +1,70 @@
+package graft
+
+import graft.api.CorpusRecipe
+import graft.operators.ChunkEmbed
+import org.apache.spark.sql.functions._
+
+/** [[ChunkEmbed]] — the retrieval-corpus build stage behind the r-family
+  * gate rows (which hash-check it against DuckDB end to end; this spec
+  * pins the pieces a hash mismatch would only report wholesale).
+  */
+class ChunkEmbedSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the documented hash, driver-side: first 15 md5 hex chars as a long;
+  // bucket = low 6 bits' residue, sign = bit 6
+  private def h60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.map(b => f"$b%02x").mkString.substring(0, 15), 16)
+  }
+  private def gold(chunkToks: Seq[String], dim: Int): Seq[Double] = {
+    val acc = Array.fill(dim)(0.0)
+    chunkToks.foreach { t =>
+      val h = h60(t)
+      acc((h % dim).toInt) += (if (((h >> 6) & 1) == 0) 1.0 else -1.0)
+    }
+    acc.toSeq
+  }
+
+  test("embed matches a driver-side replay of the documented formula") {
+    val toks = (0 until 100).map(i => s"tok$i")
+    val docs = Seq(
+      (7L, toks.mkString(" ")), // 100 tokens -> chunks at 0, 40, 80
+      (9L, "solo")              // single short chunk
+    ).toDF("doc_id", "text")
+    val got = ChunkEmbed.embed(docs).orderBy($"cid")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq)
+    val want = Seq(
+      700000L -> gold(toks.slice(0, 50), 64),
+      700001L -> gold(toks.slice(40, 90), 64),
+      700002L -> gold(toks.slice(80, 100), 64),
+      900000L -> gold(Seq("solo"), 64))
+    assert(got.toSeq == want, s"got ${got.toSeq}")
+  }
+
+  test("chunk grain: ceil(tokens/stride) chunks per doc on the real table") {
+    val docs = Tables.documents(spark, Sf0001)
+    val wantChunks = docs
+      .select(ceil(size(split($"text", " ")) / 40.0).cast("long")).collect()
+      .map(_.getLong(0)).sum
+    assert(ChunkEmbed.embed(docs).count() == wantChunks)
+  }
+
+  test("embeddings are integer-valued (FP-exact for cross-engine compares)") {
+    val e = ChunkEmbed.embed(Tables.documents(spark, Sf0001))
+    val offenders = e
+      .select(explode($"emb").as("v")).where($"v" =!= rint($"v")).count()
+    assert(offenders == 0)
+  }
+
+  test("recipe terminal delegates to the operator verbatim") {
+    val docs = Tables.documents(spark, Sf0001).limit(20)
+    val viaApi = CorpusRecipe(docs).chunkEmbed()
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    val direct = ChunkEmbed.embed(docs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    assert(viaApi == direct)
+  }
+}
