@@ -100,6 +100,31 @@ class AnnBatchSpec extends SparkSpec {
       "the batched IVF path must never fall back to a cross product")
   }
 
+  test("batchTopKIvf over a partitioned lake: DPP prunes unprobed cluster partitions") {
+    val e = Tables.embeddings(spark, Sf0001)
+    val model = Queries.axisBlockIvfModel(64)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-lake").toString
+    graft.operators.IvfIndex.write(
+      graft.operators.IvfIndex.assign(e.where($"vec_id" >= 3), "embedding", model),
+      dir)
+    val lake = spark.read.parquet(dir)
+    val queries = e.where($"vec_id" < 3).select($"vec_id".as("qid"), $"embedding")
+    val out = AnnSearch.batchTopKIvf(lake, model, "embedding", "vec_id",
+      "cluster_id", queries, "qid", "embedding", 10, nprobe = 3)
+    // results from the partitioned-lake read equal the in-memory assign path
+    val fromAssign = AnnSearch.batchTopKIvf(
+      graft.operators.IvfIndex.assign(e.where($"vec_id" >= 3), "embedding", model),
+      model, "embedding", "vec_id", "cluster_id",
+      queries, "qid", "embedding", 10, nprobe = 3)
+    assert(out.orderBy($"qid", $"rank").collect().toSeq ==
+      fromAssign.orderBy($"qid", $"rank").collect().toSeq)
+    // the scan must carry a dynamic-pruning partition filter on cluster_id:
+    // the lake reads only partitions some query probed
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a DPP filter on the cluster_id partition column:\n$plan")
+  }
+
   test("one scan, one shuffle: plan has a broadcast nested-loop join, no sort") {
     val (base, queries) = fixture
     val plan = AnnSearch
