@@ -1626,6 +1626,38 @@ object Queries {
     * confined to cluster blocks (the SemDeDup point); the duplicate-group
     * closure rides the driver-finished CC.
     */
+  /** SD2 — SemDedup with NO embeddings table: the whole semantic-dedup
+    * loop from raw text. [[graft.operators.ChunkEmbed.docEmbed]] hashes
+    * each document to a 64-d bag-of-words vector, sd1's axis-block argmax
+    * clusters them, within-cluster exact cosine pairs above τ=0.95 (the
+    * measured knee on this corpus: the bulk of the pair-cosine mass sits
+    * at 0.5–0.8 from shared vocabulary, the planted near-dups at ≈1.0)
+    * feed connected components, min-id rep per group. Restricted to
+    * doc_id < 1000: the within-cluster pair volume is Σ cluster² and the
+    * ORACLE pays the same pairs — the operator semantics don't change
+    * with the subset, the oracle budget does.
+    */
+  val sd2SemanticText: Q = (s, d) => {
+    import s.implicits._
+    val emb = graft.operators.ChunkEmbed.docEmbed(
+      Tables.documents(s, d).where($"doc_id" < 1000))
+    val blockSums = array((0 until 8).map { c =>
+      aggregate(slice($"emb", lit(c * 8 + 1), lit(8)), lit(0.0),
+        (acc, x) => acc + x)
+    }: _*)
+    val clustered = emb
+      .select($"doc_id", $"emb", blockSums.as("__s"))
+      .select($"doc_id", $"emb",
+        (array_position($"__s", array_max($"__s")) - 1).cast("int").as("cluster"))
+    val pairs = TextDedup.cosinePairs(clustered, "emb", "doc_id", "cluster", 0.95)
+    val reps = ConnectedComponents
+      .minLabel(clustered.select($"doc_id"), pairs.select($"v1", $"v2"), "v1", "v2")
+      .select($"doc_id", $"cluster".as("rep"))
+    clustered.select($"doc_id", $"cluster").join(reps, "doc_id")
+      .select($"doc_id", $"cluster", $"rep", ($"rep" === $"doc_id").as("kept"))
+      .orderBy($"doc_id")
+  }
+
   val sd1SemanticDedup: Q = (s, d) => {
     import s.implicits._
     // Block sums built ONCE as an array column, argmax via
@@ -3182,6 +3214,40 @@ object Queries {
         |ORDER BY v1, v2""".stripMargin,
     // the oracle recomputes the deterministic block-sum clustering, the
     // within-cluster cosine pairs, and the duplicate-group closure
+    "sd2_semantic_text" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents WHERE doc_id < 1000),
+        |tok AS (SELECT doc_id, unnest(w) AS t FROM toks),
+        |bsg AS (SELECT doc_id, hv % 64 AS b,
+        |  CASE WHEN (hv // 64) % 2 = 0 THEN 1.0 ELSE -1.0 END AS sgn
+        |  FROM (SELECT doc_id, ('0x' || substring(md5(t), 1, 15))::BIGINT AS hv FROM tok)),
+        |sums AS (SELECT doc_id, b, sum(sgn) AS v FROM bsg GROUP BY doc_id, b),
+        |grid AS (SELECT d.doc_id, r.j FROM (SELECT DISTINCT doc_id FROM toks) d
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) r),
+        |emb AS (SELECT g.doc_id, list(coalesce(s.v, 0.0) ORDER BY g.j) AS e
+        |  FROM grid g LEFT JOIN sums s ON s.doc_id = g.doc_id AND s.b = g.j GROUP BY g.doc_id),
+        |bs2 AS (SELECT doc_id, e,
+        |  [list_sum(list_transform(e[1:8], x -> x::DOUBLE)),
+        |   list_sum(list_transform(e[9:16], x -> x::DOUBLE)),
+        |   list_sum(list_transform(e[17:24], x -> x::DOUBLE)),
+        |   list_sum(list_transform(e[25:32], x -> x::DOUBLE)),
+        |   list_sum(list_transform(e[33:40], x -> x::DOUBLE)),
+        |   list_sum(list_transform(e[41:48], x -> x::DOUBLE)),
+        |   list_sum(list_transform(e[49:56], x -> x::DOUBLE)),
+        |   list_sum(list_transform(e[57:64], x -> x::DOUBLE))] AS s FROM emb),
+        |cl AS (SELECT doc_id, e, CAST(list_indexof(s, list_max(s)) - 1 AS INT) AS cluster FROM bs2),
+        |n AS (SELECT doc_id, cluster, e,
+        |  sqrt(list_sum(list_transform(e, x -> x::DOUBLE * x::DOUBLE))::DOUBLE) AS nn FROM cl),
+        |p AS (SELECT a.doc_id AS v1, b.doc_id AS v2 FROM n a JOIN n b
+        |  ON a.cluster = b.cluster AND a.doc_id < b.doc_id
+        |  WHERE list_sum(list_transform(list_zip(a.e, b.e),
+        |    x -> x[1]::DOUBLE * x[2]::DOUBLE))::DOUBLE / (a.nn * b.nn) > 0.95),
+        |edges AS (SELECT v1 AS ea, v2 AS eb FROM p UNION ALL SELECT v2, v1 FROM p),
+        |reach(a, b) AS (SELECT doc_id, doc_id FROM toks UNION
+        |  SELECT r.a, e.eb FROM reach r JOIN edges e ON r.b = e.ea),
+        |rp AS (SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS rep FROM reach GROUP BY a)
+        |SELECT c.doc_id, c.cluster, rp.rep, (rp.rep = c.doc_id) AS kept
+        |FROM cl c JOIN rp ON c.doc_id = rp.doc_id ORDER BY c.doc_id""".stripMargin,
     "sd1_semantic_dedup" ->
       """WITH RECURSIVE bs AS (SELECT vec_id, embedding,
         |  [list_sum(list_transform(embedding[1:8], x -> x::DOUBLE)),
@@ -3842,6 +3908,7 @@ object Queries {
     "e4d_jaccard_zipf_exact" -> e4dJaccardZipfExact,
     "e5_cosine_pairs" -> e5CosinePairs,
     "sd1_semantic_dedup" -> sd1SemanticDedup,
+    "sd2_semantic_text" -> sd2SemanticText,
     "u1_domain_cap" -> u1DomainCap,
     "e10_passage_overlap" -> e10PassageOverlap,
     "e11_passage_scrub" -> e11PassageScrub,

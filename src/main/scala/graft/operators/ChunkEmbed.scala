@@ -34,6 +34,26 @@ object ChunkEmbed {
     */
   val KeySpan = 100000L
 
+  /** (idCol, emb): ONE embedding per document — the same feature-hashed
+    * bag-of-words as [[embed]] but at document grain (no chunking), the
+    * input SemDedup-style semantic dedup wants when no embedding model is
+    * in the loop (sd2 gate row). Null text embeds to no row (split(null)
+    * explodes to nothing); empty text embeds the single empty token.
+    */
+  def docEmbed(df: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text", dim: Int = 64): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    df.select(col(idCol), explode(tokens(col(textCol))).as("t"))
+      .select(col(idCol), hash60(col("t")).as("h"))
+      .select(col(idCol), (col("h") % dim).as("b"),
+        when(shiftright(col("h"), 6) % 2 === 0, 1.0).otherwise(-1.0).as("sgn"))
+      .groupBy(col(idCol), col("b")).agg(sum(col("sgn")).as("v"))
+      .groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("b"), col("v")))).as("m"))
+      .select(col(idCol), transform(sequence(lit(0), lit(dim - 1)),
+        j => coalesce(element_at(col("m"), j.cast("long")), lit(0.0))).as("emb"))
+  }
+
   /** (cid, emb): one row per chunk, `emb` a dense Array[Double] of
     * integer-valued bucket sums (FP-exact, so cross-engine comparisons
     * are bit-exact). Requires `idCol` values in [0, Long.MaxValue/keySpan)

@@ -44,6 +44,14 @@ class ChunkEmbedSpec extends SparkSpec {
     assert(got.toSeq == want, s"got ${got.toSeq}")
   }
 
+  test("docEmbed: one embedding per doc, gold formula over the whole token list") {
+    val toks = (0 until 100).map(i => s"tok$i")
+    val docs = Seq((7L, toks.mkString(" ")), (9L, "solo")).toDF("doc_id", "text")
+    val got = ChunkEmbed.docEmbed(docs).orderBy($"doc_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq)
+    assert(got.toSeq == Seq(7L -> gold(toks, 64), 9L -> gold(Seq("solo"), 64)))
+  }
+
   test("chunk grain: ceil(tokens/stride) chunks per doc on the real table") {
     val docs = Tables.documents(spark, Sf0001)
     val wantChunks = docs
