@@ -1355,6 +1355,27 @@ object Queries {
     * hash-equality proves planning from stats loses no rows;
     * ManifestIndexSpec pins that the file list actually shrinks.
     */
+  /** M3 — corpus snapshot diff ([[graft.operators.SnapshotDiff]]): the
+    * audit between two lake versions. "After" is derived deterministically
+    * from the source — doc_id%17==0 removed, doc_id%13==0 text-amended,
+    * doc_id%19==0 re-added under an offset id — and the diff reports
+    * exactly the added/removed/changed ids. Each side joins as (id,
+    * md5 digest) projected at the scan; the one full-outer shuffle never
+    * carries document bodies.
+    */
+  val m3CorpusDiff: Q = (s, d) => {
+    import s.implicits._
+    val before = Tables.documents(s, d)
+    val after = before.where($"doc_id" % 17 =!= 0)
+      .withColumn("text",
+        when($"doc_id" % 13 === 0, concat($"text", lit(" v2"))).otherwise($"text"))
+      .unionByName(before.where($"doc_id" % 19 === 0)
+        .withColumn("doc_id", $"doc_id" + 1000000))
+    graft.operators.SnapshotDiff
+      .diff(before, after, "doc_id", Seq("text", "source"))
+      .orderBy($"doc_id")
+  }
+
   val m2ManifestRange: Q = (s, d) => {
     import s.implicits._
     val (dir, manifest) = ensureRangedDocs(s, d)
@@ -2920,6 +2941,20 @@ object Queries {
         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
         |  bit_xor(('0x' || substring(md5(text), 1, 15))::BIGINT) AS fp
         |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
+    "m3_corpus_diff" ->
+      """WITH b AS (SELECT doc_id, md5(concat_ws(chr(31), text, source)) AS h FROM documents),
+        |a0 AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text, source
+        |  FROM documents WHERE doc_id % 17 <> 0),
+        |a1 AS (SELECT doc_id + 1000000 AS doc_id, text, source FROM documents WHERE doc_id % 19 = 0),
+        |a AS (SELECT doc_id, md5(concat_ws(chr(31), text, source)) AS h
+        |  FROM (SELECT * FROM a0 UNION ALL SELECT * FROM a1)),
+        |d AS (SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+        |  CASE WHEN a.doc_id IS NULL THEN 'removed'
+        |       WHEN b.doc_id IS NULL THEN 'added'
+        |       WHEN b.h <> a.h THEN 'changed' END AS status
+        |  FROM b FULL OUTER JOIN a ON b.doc_id = a.doc_id)
+        |SELECT doc_id, status FROM d WHERE status IS NOT NULL ORDER BY doc_id""".stripMargin,
     // manifest-planned file skipping loses no rows vs the plain predicate
     "m2_manifest_range" ->
       """SELECT doc_id, lang, n_chars FROM documents
@@ -3885,6 +3920,7 @@ object Queries {
     "q6_null_profile" -> q6NullProfile,
     "m1_shard_manifest" -> m1ShardManifest,
     "m2_manifest_range" -> m2ManifestRange,
+    "m3_corpus_diff" -> m3CorpusDiff,
     "t9_doc_chunks" -> t9DocChunks,
     "r1_retrieval_topk" -> r1RetrievalTopK,
     "r2_retrieval_ivf" -> r2RetrievalIvf,
