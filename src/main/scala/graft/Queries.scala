@@ -1012,7 +1012,14 @@ object Queries {
     */
   val e9cCleanGate: Q = (s, d) => {
     import s.implicits._
-    Tables.documents(s, d).where($"doc_id" % 10 =!= 0)
+    // spread WITH a barrier before the row-local gate: the documents
+    // parquet is one ~600 KB single-row-group file (scan floor: 1 task)
+    // and the interpreted shingle/bloom HOF predicate costs ~0.6 ms/doc;
+    // a plain repartition is silently defeated — Catalyst pushes the
+    // filter back below the exchange — so Spread.barrier pins the gate
+    // above it (measured 3.0 s → sub-second on 32 cores).
+    operators.Spread.barrier(
+        Tables.documents(s, d).where($"doc_id" % 10 =!= 0), Seq($"doc_id"))
       .where(!TextDedup.contaminatedCol($"text", 5, ensureBenchBloom(s, d)))
       .select($"doc_id")
       .orderBy($"doc_id")

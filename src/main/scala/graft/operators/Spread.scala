@@ -23,4 +23,22 @@ private[graft] object Spread {
       .getOrElse(spark.sparkContext.defaultParallelism)
     df.repartition(n, cols: _*)
   }
+
+  /** [[byCols]] plus an OPTIMIZER BARRIER (lazy localCheckpoint at the
+    * exchange output) for the case a plain repartition cannot fix: an
+    * expensive row-local PREDICATE over a small-file table. Catalyst
+    * pushes deterministic filters back through RepartitionByExpression —
+    * inlining them through any defining projection — so the predicate
+    * evaluates at the SCAN, and a single-row-group parquet file caps the
+    * scan at one task regardless of split tuning (row groups are the
+    * split floor). Measured on the e9c gate: a ~0.6 ms/doc bloom-probe
+    * filter over one 600 KB file ran 3.0 s on 2 of 32 cores with the
+    * repartition silently defeated. The lazy checkpoint materializes the
+    * (cheap, pre-filter) rows once at full parallelism and downstream
+    * work runs on all `n` partitions. Use ONLY when the barred subtree is
+    * small-per-row (ids + text): the checkpoint writes those rows to
+    * local store once.
+    */
+  def barrier(df: DataFrame, cols: Seq[Column]): DataFrame =
+    byCols(df, cols).localCheckpoint(eager = false)
 }
