@@ -43,7 +43,8 @@ object ChunkEmbed {
   def docEmbed(df: DataFrame, idCol: String = "doc_id",
                textCol: String = "text", dim: Int = 64): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
-    df.select(col(idCol), explode(tokens(col(textCol))).as("t"))
+    Spread.byCols(df, Seq(col(idCol)))
+      .select(col(idCol), explode(tokens(col(textCol))).as("t"))
       .select(col(idCol), hash60(col("t")).as("h"))
       .select(col(idCol), (col("h") % dim).as("b"),
         when(shiftright(col("h"), 6) % 2 === 0, 1.0).otherwise(-1.0).as("sgn"))
@@ -66,7 +67,12 @@ object ChunkEmbed {
     val toks = tokens(col(textCol))
     val starts = when(size(toks) > 0,
       sequence(lit(0), size(toks) - 1, lit(stride))).otherwise(array())
-    val chunks = df
+    // spread ahead of the compute-amplifying stage (the t5/p3 rule): the
+    // chunk/token explode and the 1-md5-per-token hashing otherwise run on
+    // the scan's split count — one task for a single-row-group gate file.
+    // Generators don't push back through the repartition, so no barrier is
+    // needed here (unlike a predicate — see Spread.barrier).
+    val chunks = Spread.byCols(df, Seq(col(idCol)))
       .select(col(idCol), toks.as("w"), explode(starts).as("st"))
       .select((col(idCol) * KeySpan + (col("st") / stride)).cast("long").as("cid"),
         slice(col("w"), col("st") + 1, lit(chunkLen)).as("ct"))
