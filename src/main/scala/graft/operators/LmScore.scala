@@ -47,7 +47,11 @@ object LmScore {
     * tokenized scan lineage; counts are exact (map-side combined).
     */
   def fit(docs: DataFrame, textCol: String): Model = {
-    val toks = docs.select(tokens(col(textCol)).as("w"))
+    // spread ahead of the explode: the bigram amplification and its
+    // map-side combine otherwise run at the scan's split count (one task
+    // per row group on a small gate file) — the t5/p3 rule
+    val toks = Spread.byCols(docs, Seq(col(textCol)))
+      .select(tokens(col(textCol)).as("w"))
     val uni = toks.select(explode(col("w")).as("w1"))
     val unigrams = uni.groupBy("w1").agg(count(lit(1)).as("c1"))
     val bigrams = toks
@@ -68,7 +72,8 @@ object LmScore {
     * would make the same corpus score differently on different clusters.
     */
   def score(docs: DataFrame, idCol: String, textCol: String, model: Model): DataFrame = {
-    val bg = docs
+    // same spread rule as fit; also pre-aligns the per-doc groupBy
+    val bg = Spread.byCols(docs, Seq(col(idCol)))
       .select(col(idCol), posexplode(bigramPairs(tokens(col(textCol)))))
       .select(col(idCol), col("pos"), col("col.w1").as("w1"), col("col.w2").as("w2"))
     val logp = log(
