@@ -1353,6 +1353,55 @@ object Queries {
       (out, graft.sources.ManifestIndex.build(s, out, "doc_id").localCheckpoint())
     }
 
+  private val zorderDocsStage = new operators.SessionCache[(String, DataFrame)]
+  private def ensureZOrderedDocs(s: SparkSession, d: String): (String, DataFrame) =
+    zorderDocsStage.getOrBuild(
+      s"${operators.SessionCache.token(s)}#$d#${sourceTag(d, "documents.parquet")}") {
+      val pathTag = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val out = graft.sources.TempDirs.register(
+        s"/tmp/graft_zorder_docs_${ProcessHandle.current().pid()}_$pathTag")
+      graft.sources.ZOrder.layout(
+        Tables.documents(s, d), out, "doc_id", "n_chars", bits = 16, nFiles = 8)
+      (out, graft.sources.ZOrder
+        .buildManifest(s, out, "doc_id", "n_chars").localCheckpoint())
+    }
+
+  /** M5 — the Morton curve itself ([[graft.sources.ZOrder.zvalue]]),
+    * value-checked: interleave (doc_id mod 1024, n_chars mod 1024) into a
+    * 20-bit z-value per document. Pure codegen'd bit arithmetic — the
+    * oracle replays the identical shift/mask fold in SQL, so hash equality
+    * proves the curve both engines would lay files along.
+    */
+  val m5Zvalue: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id",
+        graft.sources.ZOrder.zvalue($"doc_id" % 1024, $"n_chars" % 1024,
+          bits = 10).as("z"))
+      .orderBy($"doc_id")
+  }
+
+  /** M6 — z-ordered box read ([[graft.sources.ZOrder.boxRead]]): m2's
+    * manifest-planned file skipping on TWO dimensions at once. The lake is
+    * rewritten clustered along the z-curve of (doc_id, n_chars) — each
+    * file a contiguous curve segment — and a (doc_id, n_chars) box query
+    * plans from the 2-D manifest and scans only intersecting files. The
+    * oracle is the plain two-range predicate over the source, so hash
+    * equality proves curve layout + manifest planning lose no rows;
+    * ZOrderSpec pins that BOTH dimensions actually prune files (the
+    * single-sort lake prunes only one).
+    */
+  val m6ZorderBox: Q = (s, d) => {
+    import s.implicits._
+    val (dir, manifest) = ensureZOrderedDocs(s, d)
+    graft.sources.ZOrder
+      .boxRead(s, dir, manifest, "doc_id", "n_chars",
+        loA = 100L, hiA = 2600L, loB = 200L, hiB = 400L)
+      .select($"doc_id", $"lang", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
   /** M2 manifest-planned range read ([[graft.sources.ManifestIndex]]): a
     * doc_id range query served by consulting a per-file min/max manifest
     * and scanning ONLY the intersecting files of the range-clustered lake
@@ -1380,6 +1429,43 @@ object Queries {
         .withColumn("doc_id", $"doc_id" + 1000000))
     graft.operators.SnapshotDiff
       .diff(before, after, "doc_id", Seq("text", "source"))
+      .orderBy($"doc_id")
+  }
+
+  /** M4 — CDC changelog apply ([[graft.operators.CdcMerge]]): MERGE INTO
+    * against the documents snapshot. Two deterministic batches exercise
+    * every path — seq 1 deletes doc_id%23==0 and amends doc_id%11==0;
+    * seq 2 re-inserts doc_id%46==0 (delete-then-insert lives), deletes
+    * doc_id%33==0 (update-then-delete dies), and inserts brand-new keys
+    * at doc_id%29==0 + 2e6. Within a batch the delete arm wins where arms
+    * overlap, so (key, seq) stays unique and the oracle can replay
+    * last-writer-wins with a plain seq-desc window. Scale shape: the
+    * changelog reduces with a map-side max_by then broadcasts as a LEFT
+    * ANTI join — the snapshot side never shuffles (CdcMergeSpec pins the
+    * plan).
+    */
+  val m4CdcApply: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id", $"text", $"source")
+    val nulls = lit(null).cast("string")
+    val b1 = docs.where($"doc_id" % 23 === 0 || $"doc_id" % 11 === 0)
+      .select($"doc_id", lit(1L).as("seq"),
+        when($"doc_id" % 23 === 0, lit("D")).otherwise(lit("U")).as("op"),
+        when($"doc_id" % 23 === 0, nulls)
+          .otherwise(concat($"text", lit(" u1"))).as("text"),
+        when($"doc_id" % 23 === 0, nulls).otherwise($"source").as("source"))
+    val b2 = docs.where($"doc_id" % 46 === 0 || $"doc_id" % 33 === 0)
+      .select($"doc_id", lit(2L).as("seq"),
+        when($"doc_id" % 46 === 0, lit("I")).otherwise(lit("D")).as("op"),
+        when($"doc_id" % 46 === 0, concat($"text", lit(" back")))
+          .otherwise(nulls).as("text"),
+        when($"doc_id" % 46 === 0, $"source").otherwise(nulls).as("source"))
+    val ins = docs.where($"doc_id" % 29 === 0)
+      .select(($"doc_id" + 2000000L).as("doc_id"), lit(2L).as("seq"),
+        lit("I").as("op"), concat($"text", lit(" new")).as("text"), $"source")
+    graft.operators.CdcMerge
+      .apply(docs, b1.unionByName(b2).unionByName(ins),
+        "doc_id", "seq", "op", Seq("text", "source"))
       .orderBy($"doc_id")
   }
 
@@ -2962,6 +3048,49 @@ object Queries {
         |       WHEN b.h <> a.h THEN 'changed' END AS status
         |  FROM b FULL OUTER JOIN a ON b.doc_id = a.doc_id)
         |SELECT doc_id, status FROM d WHERE status IS NOT NULL ORDER BY doc_id""".stripMargin,
+    // the changelog construction replayed, then last-writer-wins as a
+    // seq-desc window ((key, seq) is unique by the batch arms' priorities),
+    // then anti-join + union — the same merge shape as the engine
+    "m4_cdc_apply" ->
+      """WITH ch AS (
+        |  SELECT doc_id, 1 AS seq, 'D' AS op,
+        |    CAST(NULL AS VARCHAR) AS text, CAST(NULL AS VARCHAR) AS source
+        |  FROM documents WHERE doc_id % 23 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 1, 'U', text || ' u1', source
+        |  FROM documents WHERE doc_id % 11 = 0 AND doc_id % 23 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'I', text || ' back', source
+        |  FROM documents WHERE doc_id % 46 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'D', NULL, NULL
+        |  FROM documents WHERE doc_id % 33 = 0 AND doc_id % 46 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, 2, 'I', text || ' new', source
+        |  FROM documents WHERE doc_id % 29 = 0),
+        |lat AS (SELECT doc_id, op, text, source FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+        |  FROM ch) WHERE rn = 1),
+        |keep AS (SELECT d.doc_id, d.text, d.source FROM documents d
+        |  LEFT JOIN lat ON d.doc_id = lat.doc_id WHERE lat.doc_id IS NULL),
+        |ups AS (SELECT doc_id, text, source FROM lat WHERE op <> 'D')
+        |SELECT doc_id, text, source
+        |FROM (SELECT * FROM keep UNION ALL SELECT * FROM ups)
+        |ORDER BY doc_id""".stripMargin,
+    // the same shift/mask interleave as the engine, folded over the bit
+    // positions; disjoint OR terms sum without carries, so + replays |
+    "m5_zvalue" ->
+      """SELECT doc_id,
+        |  CAST(list_sum(list_transform(generate_series(0, 9), i ->
+        |    ((((doc_id % 1024) >> i) & 1) << (2*i)) +
+        |    ((((n_chars % 1024) >> i) & 1) << (2*i + 1))
+        |  )) AS BIGINT) AS z
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // z-curve layout + 2-D manifest planning lose no rows vs the plain box
+    "m6_zorder_box" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id BETWEEN 100 AND 2600 AND n_chars BETWEEN 200 AND 400
+        |ORDER BY doc_id""".stripMargin,
     // manifest-planned file skipping loses no rows vs the plain predicate
     "m2_manifest_range" ->
       """SELECT doc_id, lang, n_chars FROM documents
@@ -3928,6 +4057,9 @@ object Queries {
     "m1_shard_manifest" -> m1ShardManifest,
     "m2_manifest_range" -> m2ManifestRange,
     "m3_corpus_diff" -> m3CorpusDiff,
+    "m4_cdc_apply" -> m4CdcApply,
+    "m5_zvalue" -> m5Zvalue,
+    "m6_zorder_box" -> m6ZorderBox,
     "t9_doc_chunks" -> t9DocChunks,
     "r1_retrieval_topk" -> r1RetrievalTopK,
     "r2_retrieval_ivf" -> r2RetrievalIvf,

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** CDC changelog apply — MERGE INTO for a plain-parquet lake: fold an
+  * ordered stream of row-level changes (insert / update / delete, each
+  * stamped with a sequence number) into a snapshot, producing the next
+  * snapshot. The inverse of [[SnapshotDiff]]: `diff` tells you what changed
+  * between two lake versions; `CdcMerge.apply` REPLAYS a changelog onto the
+  * older version to rebuild the newer one (CdcMergeSpec pins the roundtrip).
+  *
+  * Semantics: per key, the changelog row with the HIGHEST sequence wins
+  * (last-writer-wins). A winning delete drops the key; any other winning op
+  * upserts its payload (insert vs update need no distinction at apply time —
+  * both mean "the row now looks like this"). Keys the changelog never
+  * touches pass through from the snapshot untouched.
+  *
+  * Scale shape — the asymmetry is the whole design: a daily changelog is
+  * orders of magnitude smaller than a 100 TB snapshot, so the snapshot must
+  * NEVER shuffle. The changelog reduces to one row per key with a map-side-
+  * combinable `max_by` (the only shuffle, changelog-sized), then the
+  * touched-key set broadcasts as a LEFT ANTI hash join against the snapshot
+  * scan — a full-outer join would be the natural phrasing but cannot
+  * broadcast in Spark, so the merge is anti-join + union instead. With
+  * `broadcastDelta = false` (a delta too big for one executor's memory) the
+  * same plan runs as a sort-merge anti join; on a snapshot and delta
+  * bucketed on the key, that form shuffles neither side.
+  */
+object CdcMerge {
+
+  /** Last-writer-wins reduce: one row per key carrying the winning op and
+    * payload. Equal sequence numbers (a malformed feed) break ties
+    * deterministically by the (op, payload) struct order, so the reduce is
+    * stable under partitioning rather than arbitrary.
+    */
+  def latest(changelog: DataFrame, keyCol: String, seqCol: String,
+             opCol: String, payloadCols: Seq[String]): DataFrame = {
+    val carried = opCol +: payloadCols
+    changelog
+      .groupBy(col(keyCol))
+      .agg(max_by(
+        struct(carried.map(col): _*),
+        struct((seqCol +: carried).map(col): _*)).as("__last"))
+      .select(col(keyCol) +: carried.map(c => col(s"__last.$c").as(c)): _*)
+  }
+
+  /** Apply `changelog` to `snapshot`; returns the next snapshot with columns
+    * `keyCol +: payloadCols`. Rows whose winning op equals `deleteOp` are
+    * dropped; all other winning ops upsert their payload.
+    */
+  def apply(snapshot: DataFrame, changelog: DataFrame, keyCol: String,
+            seqCol: String, opCol: String, payloadCols: Seq[String],
+            deleteOp: String = "D", broadcastDelta: Boolean = true): DataFrame = {
+    require(payloadCols.nonEmpty, "merge needs at least one payload column")
+    require(!payloadCols.contains(keyCol), s"payloadCols must not repeat key $keyCol")
+    val lat = latest(changelog, keyCol, seqCol, opCol, payloadCols)
+    // hint only the join input: the upsert branch feeds a union, where a
+    // broadcast hint is meaningless noise
+    val touched0 = lat.select(col(keyCol))
+    val touched = if (broadcastDelta) broadcast(touched0) else touched0
+    val upserts = lat.where(col(opCol) =!= deleteOp)
+      .select(col(keyCol) +: payloadCols.map(col): _*)
+    snapshot.select(col(keyCol) +: payloadCols.map(col): _*)
+      .join(touched, Seq(keyCol), "left_anti")
+      .unionByName(upserts)
+  }
+}

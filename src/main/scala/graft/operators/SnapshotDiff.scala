@@ -40,4 +40,32 @@ object SnapshotDiff {
           .otherwise(lit(null)).as("status"))
       .where(col("status").isNotNull)
   }
+
+  /** [[diff]] with payloads: a [[CdcMerge]]-consumable changelog
+    * `(idCol, seq, op, contentCols…)` — op `I`/`U`/`D` for added / changed /
+    * removed, payload taken from `after` (null on deletes), every row
+    * stamped `seq`. `CdcMerge.apply(before, changelog(before, after))`
+    * rebuilds `after` exactly (CdcMergeSpec) — which makes a diff shippable:
+    * compute it where the snapshots live, replay it where they don't.
+    *
+    * Same scale shape as [[diff]]: digests at the scan decide membership,
+    * but here the after-side payload rides the full-outer shuffle too
+    * (the changelog must carry it); at lake scale emit against a pruned
+    * column subset, not the full document row.
+    */
+  def changelog(before: DataFrame, after: DataFrame, idCol: String,
+                contentCols: Seq[String], seq: Long = 0L): DataFrame = {
+    require(contentCols.nonEmpty, "changelog needs at least one content column")
+    val a = before.select(col(idCol),
+      md5(concat_ws("\u001f", contentCols.map(col): _*)).as("__ha"))
+    val b = after.select(col(idCol) +: contentCols.map(col) :+
+      md5(concat_ws("\u001f", contentCols.map(col): _*)).as("__hb"): _*)
+    a.join(b, Seq(idCol), "full_outer")
+      .select(col(idCol) +: lit(seq).as("seq") +:
+        when(col("__hb").isNull, lit("D"))
+          .when(col("__ha").isNull, lit("I"))
+          .when(col("__ha") =!= col("__hb"), lit("U"))
+          .otherwise(lit(null)).as("op") +: contentCols.map(col): _*)
+      .where(col("op").isNotNull)
+  }
 }

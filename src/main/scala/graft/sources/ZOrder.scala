@@ -1,0 +1,110 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) clustering — multi-dimensional file skipping for
+  * the engine's plain-parquet lakes, the same idea Delta Lake's `OPTIMIZE
+  * ZORDER BY` and Iceberg's sort-order rewrite apply (Morton 1966).
+  *
+  * [[ManifestIndex]]-style pruning is only as good as the layout, and a
+  * lake sorted by ONE key prunes only that key: a query on the other
+  * dimension intersects every file. Sorting by the interleaved-bit
+  * z-value instead clusters BOTH dimensions at once — each file covers a
+  * compact rectangle of (a, b) space, so a predicate on either dimension
+  * (or a box on both) intersects O(selectivity) files. That trades a
+  * little per-dimension locality for pruning on every queried dimension —
+  * at 100 TB the difference between "scan 0.4% of files" and "scan all of
+  * them" for the second-dimension query.
+  *
+  * The z-value is a pure bit shuffle (no data-dependent state), so layout
+  * jobs are one `repartitionByRange(zvalue)` pass and the m5 gate row can
+  * value-check the curve itself against a DuckDB bit-fold replay.
+  */
+object ZOrder {
+
+  /** The Morton interleave: bit i of `a` lands at position 2i, bit i of
+    * `b` at 2i+1, for the low `bits` bits of each. Total order over
+    * [0, 2^bits)² — inputs outside that square (or null) yield null
+    * EXPLICITLY rather than silently aliasing under truncation; callers
+    * bucket or normalize wider domains first. Null z-values sort together
+    * under a layout job and never affect read correctness (reads always
+    * re-apply the real predicate).
+    *
+    * Pure bit arithmetic on longs — whole-stage-codegen-friendly, no UDF:
+    * 2·bits shift/mask terms OR-folded into one expression.
+    */
+  def zvalue(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits $bits outside [1, 31]")
+    val hi = (1L << bits) - 1
+    val (al, bl) = (a.cast("long"), b.cast("long"))
+    val z = (0 until bits).map { i =>
+      shiftleft(shiftrightunsigned(al, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(
+          shiftleft(shiftrightunsigned(bl, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_.bitwiseOR(_))
+    when(al.between(0L, hi) && bl.between(0L, hi), z)
+  }
+
+  /** Layout job: rewrite `df` into `dir` clustered along the z-curve of
+    * (`colA`, `colB`) — range-partitioned into `nFiles` spans of the curve
+    * and sorted within each, so every file holds a contiguous curve
+    * segment (a compact rectangle stack in (a, b) space). The z column is
+    * dropped before writing: it is derivable, and layout keys don't belong
+    * in the data.
+    */
+  def layout(df: DataFrame, dir: String, colA: String, colB: String,
+             bits: Int = 16, nFiles: Int = 8): Unit = {
+    val z = zvalue(col(colA), col(colB), bits).as("__z")
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Two-dimensional file manifest: per file, the [min,max] span of BOTH
+    * columns plus the row count — the same tiny planning table as
+    * [[ManifestIndex.build]], widened to the second dimension.
+    */
+  def buildManifest(spark: SparkSession, dir: String,
+                    colA: String, colB: String): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(colA)).as("min_a"), max(col(colA)).as("max_a"),
+        min(col(colB)).as("min_b"), max(col(colB)).as("max_b"),
+        count(lit(1)).as("rows"))
+
+  /** Planning: files whose (a, b) bounding box intersects the query box.
+    * The manifest is tiny by contract; collect is the planner's job.
+    */
+  def prunedFiles(manifest: DataFrame, loA: Long, hiA: Long,
+                  loB: Long, hiB: Long): Seq[String] =
+    manifest
+      .where(col("max_a") >= loA && col("min_a") <= hiA &&
+        col("max_b") >= loB && col("min_b") <= hiB)
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+
+  /** Manifest-planned box read: scan only intersecting files, re-apply the
+    * residual predicate on both dimensions. Like [[ManifestIndex.rangeRead]]
+    * the lake directory is never listed — schema comes from the pruned
+    * files, or one manifest-listed footer on the empty path. Correctness
+    * never depends on the layout; only the pruned file count does.
+    */
+  def boxRead(spark: SparkSession, dir: String, manifest: DataFrame,
+              colA: String, colB: String, loA: Long, hiA: Long,
+              loB: Long, hiB: Long): DataFrame = {
+    val files = prunedFiles(manifest, loA, hiA, loB, hiB)
+    val base =
+      if (files.nonEmpty) spark.read.parquet(files: _*)
+      else {
+        val any = manifest.select(col("file")).limit(1).collect()
+          .headOption.map(_.getString(0))
+        val schema = any.map(f => spark.read.parquet(f).schema)
+          .getOrElse(spark.read.parquet(dir).schema) // empty manifest: empty lake
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      }
+    base.where(col(colA).between(loA, hiA) && col(colB).between(loB, hiB))
+  }
+}

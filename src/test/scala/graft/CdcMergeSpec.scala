@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.{CdcMerge, SnapshotDiff}
+import org.apache.spark.sql.DataFrame
+
+/** [[CdcMerge]] — the m4 gate row hash-checks a two-batch changelog apply
+  * against DuckDB; this spec pins the merge semantics edges and the plan
+  * shape the 100 TB claim rests on (snapshot never shuffles).
+  */
+class CdcMergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def snap(rows: (Long, String, String)*): DataFrame =
+    rows.toDF("id", "text", "src")
+  private def chg(rows: (Long, Long, String, String, String)*): DataFrame =
+    rows.toDF("id", "seq", "op", "text", "src")
+
+  private def applied(s: DataFrame, c: DataFrame, bcast: Boolean = true) =
+    CdcMerge.apply(s, c, "id", "seq", "op", Seq("text", "src"),
+        broadcastDelta = bcast)
+      .orderBy($"id").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+
+  test("insert, update, delete, and untouched passthrough") {
+    val got = applied(
+      snap((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "z")),
+      chg((2L, 1L, "U", "b2", "y"), (3L, 1L, "D", null, null),
+          (4L, 1L, "I", "d", "w")))
+    assert(got == Seq((1L, "a", "x"), (2L, "b2", "y"), (4L, "d", "w")))
+  }
+
+  test("last writer wins per key: update-then-delete dies, delete-then-insert lives") {
+    val got = applied(
+      snap((1L, "a", "x"), (2L, "b", "y")),
+      chg((1L, 1L, "U", "a2", "x"), (1L, 2L, "D", null, null),
+          (2L, 1L, "D", null, null), (2L, 2L, "I", "b2", "y2")))
+    assert(got == Seq((2L, "b2", "y2")))
+  }
+
+  test("equal-seq ties break on the (op, payload) struct order, not partitioning") {
+    val c = chg((1L, 5L, "U", "hi", "x"), (1L, 5L, "D", null, null))
+    val one = applied(snap((1L, "a", "x")), c)
+    val other = applied(snap((1L, "a", "x")), c.repartition(7))
+    // 'U' > 'D' in the tie struct, so the update deterministically wins
+    assert(one == Seq((1L, "hi", "x")) && other == one)
+  }
+
+  test("roundtrip: apply(before, SnapshotDiff.changelog(before, after)) == after") {
+    val before = snap((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "z"))
+    val after = snap((2L, "b", "y"), (3L, "c2", "z"), (4L, "d", "w"))
+    val log = SnapshotDiff.changelog(before, after, "id", Seq("text", "src"), seq = 7L)
+    val got = applied(before, log)
+    assert(got == Seq((2L, "b", "y"), (3L, "c2", "z"), (4L, "d", "w")))
+    // and the changelog itself is minimal: one row per differing key
+    assert(log.count() == 3)
+  }
+
+  test("broadcastDelta=false gives the same answer") {
+    val s = snap((1L, "a", "x"), (2L, "b", "y"))
+    val c = chg((1L, 1L, "U", "a2", "x"), (3L, 1L, "I", "c", "z"))
+    assert(applied(s, c, bcast = false) == applied(s, c, bcast = true))
+  }
+
+  test("plan: delta broadcasts — the snapshot side of the anti join has no exchange") {
+    val s = snap((1L, "a", "x"), (2L, "b", "y"))
+    val c = chg((1L, 1L, "U", "a2", "x"))
+    val p = CdcMerge.apply(s, c, "id", "seq", "op", Seq("text", "src"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"expected broadcast anti join:\n$p")
+  }
+
+  test("payload must not repeat the key; empty payload rejected") {
+    val s = snap((1L, "a", "x"))
+    intercept[IllegalArgumentException] {
+      CdcMerge.apply(s, s, "id", "seq", "op", Seq("id", "text"))
+    }
+    intercept[IllegalArgumentException] {
+      CdcMerge.apply(s, s, "id", "seq", "op", Seq.empty)
+    }
+  }
+}
