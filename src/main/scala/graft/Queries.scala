@@ -2022,6 +2022,38 @@ object Queries {
       .orderBy($"doc_id")
   }
 
+  /** S6 temperature mixture ([[Sampling.temperatureMix]]): q_s ∝ p_s^0.5
+    * rebalancing toward 3000 documents. The two SFs exercise DIFFERENT
+    * binding branches — at sf0.01 the fr stratum saturates (rate 1.0, the
+    * target scales down to its capacity); at sf0.1 the 3000-doc target
+    * binds. The oracle replays every float step: sqrt weights, the
+    * lang-ordered sequential weight fold, the capacity min, and the
+    * 32-bit draw threshold.
+    */
+  val s6TemperatureMix: Q = (s, d) => {
+    import s.implicits._
+    Sampling.temperatureMix(
+        Tables.documents(s, d).select($"doc_id", $"lang"),
+        "doc_id", "lang", alpha = 0.5, totalDocs = 3000L)
+      .orderBy($"doc_id")
+  }
+
+  /** U2 k-anonymity suppression ([[graft.operators.Anonymize.kSuppress]]):
+    * drop documents whose (lang, source, length-bucket) quasi-identifier
+    * combination has fewer than 5 members — rare joint values are what
+    * re-identify, t6's regex scrub can't see them. Both branches live at
+    * both SFs (58 kept / 442 dropped at sf0.01; 4532 / 468 at sf0.1).
+    * One hash shuffle on the QI key; the group count never buffers rows.
+    */
+  val u2KAnonymity: Q = (s, d) => {
+    import s.implicits._
+    graft.operators.Anonymize
+      .kSuppress(
+        Tables.documents(s, d).select($"doc_id", $"lang", $"source", $"n_chars"),
+        Seq($"lang", $"source", floor($"n_chars" / 100)), k = 5L)
+      .orderBy($"doc_id")
+  }
+
   /** S3 deterministic train/val/test split ([[Sampling.splitLabel]]): the
     * md5 draw cut at 0.9/0.95 — scan-local, engine-reproducible, and
     * STABLE under corpus growth (a doc's split never changes when other
@@ -3642,6 +3674,37 @@ object Queries {
         |    sum(n_tok) OVER (PARTITION BY lang ORDER BY draw, doc_id) AS cum FROM d)
         |SELECT doc_id, lang, n_tok FROM c JOIN b USING (lang)
         |WHERE cum <= budget ORDER BY doc_id""".stripMargin,
+    // every float step of temperatureMix replayed: sqrt weights (IEEE
+    // correctly rounded, unlike pow — why the engine routes alpha=0.5
+    // through sqrt), the lang-ORDERED sequential weight fold, the capacity
+    // min, and the floor(x+0.5) 32-bit draw cut; the rate>=1 arm mirrors
+    // thresholdHex's keep-all short-circuit for the saturated stratum
+    "s6_temperature_mix" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM c),
+        |w AS (SELECT lang, n,
+        |  sqrt(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)) AS w FROM c, tot),
+        |den AS (SELECT list_sum(list(w ORDER BY lang)) AS dn FROM w),
+        |q AS (SELECT lang, n, w / dn AS q FROM w, den),
+        |cap AS (SELECT least(CAST(3000 AS DOUBLE),
+        |  min(CAST(n AS DOUBLE) / q)) AS t FROM q),
+        |r AS (SELECT lang, n,
+        |  least(CAST(1.0 AS DOUBLE), t * q / CAST(n AS DOUBLE)) AS rate FROM q, cap),
+        |thr AS (SELECT lang, rate,
+        |  least(CAST(floor(rate * 4294967296.0 + 0.5) AS BIGINT), 4294967295) AS thr
+        |  FROM r)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN thr USING (lang)
+        |WHERE rate >= 1.0 OR
+        |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < thr
+        |ORDER BY doc_id""".stripMargin,
+    // the window count over the QI key, then the >= k gate
+    "u2_k_anonymity" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    count(*) OVER (PARTITION BY lang, source, n_chars // 100) AS n
+        |  FROM documents)
+        |WHERE n >= 5 ORDER BY doc_id""".stripMargin,
     // thresholds are thresholdHex(0.9)/(0.95): floor-rounded 32-bit cuts of
     // the unit interval, fixed-width lowercase hex => lexicographic compare
     "s3_split_assign" ->
@@ -4102,6 +4165,8 @@ object Queries {
     "s2_token_budget" -> s2TokenBudget,
     "s3_split_assign" -> s3SplitAssign,
     "s4_mixture_budget" -> s4MixtureBudget,
+    "s6_temperature_mix" -> s6TemperatureMix,
+    "u2_k_anonymity" -> u2KAnonymity,
     "s5_leakfree_split" -> s5LeakfreeSplit,
     "v1_label_centroid" -> v1LabelCentroid,
     "x1_pack_manifest" -> x1PackManifest,

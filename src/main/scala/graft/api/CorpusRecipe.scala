@@ -236,6 +236,22 @@ final class CorpusRecipe private (
       totalTokens: Long): CorpusRecipe =
     next(Sampling.mixtureBudget(frame, idCol, stratumCol, tokenCol, shares, totalTokens))
 
+  /** s6's temperature rebalance ([[Sampling.temperatureMix]]): q ∝ p^α
+    * sampling shares realized as deterministic per-stratum keep-rates —
+    * the no-hand-written-shares twin of [[mixTo]].
+    */
+  def rebalance(stratumCol: String, alpha: Double,
+                totalDocs: Long): CorpusRecipe =
+    next(Sampling.temperatureMix(frame, idCol, stratumCol, alpha, totalDocs))
+
+  /** u2's k-anonymity suppression ([[graft.operators.Anonymize
+    * .kSuppress]]): drop rows whose quasi-identifier combination has
+    * fewer than k members — the joint-distribution complement of
+    * [[scrubPii]]'s in-text regexes.
+    */
+  def kAnonymize(qi: Seq[Column], k: Long): CorpusRecipe =
+    next(graft.operators.Anonymize.kSuppress(frame, qi, k))
+
   /** s3's deterministic train/val/test assignment as a column
     * ([[Sampling.splitLabel]]): the md5 draw cut at cumulative fractions —
     * scan-local, engine-portable, and stable under corpus growth. Chain a

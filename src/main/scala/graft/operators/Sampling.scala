@@ -236,6 +236,56 @@ object Sampling {
     tokenBudget(df, idCol, stratumCol, tokenCol, budgets, defaultBudget = 0L)
   }
 
+  /** Temperature-based mixture rebalancing — the multilingual-pretraining
+    * standard (Conneau & Lample, NeurIPS 2019; Devlin et al.'s mBERT
+    * exponentiated smoothing): sampling shares q_s ∝ p_s^α flatten the
+    * corpus's natural stratum distribution p_s toward uniform as α → 0,
+    * up-weighting low-resource strata without hand-written shares (the
+    * difference from [[mixtureBudget]], where the user states the target).
+    *
+    * A document-count target `totalDocs` realizes the shares as
+    * deterministic per-stratum keep-rates `t·q_s / n_s` through
+    * [[stratified]] — scan-local, no shuffle, admitted counts concentrate
+    * on t·q_s. A low-resource stratum saturates (rate 1.0) when asked for
+    * more documents than it has; like mixtureBudget, the target scales
+    * down to the binding stratum `t = min(totalDocs, min_s n_s/q_s)` so
+    * the MIXTURE stays exact and saturation is never silent.
+    *
+    * Every float step is engine-portable for the s6 oracle: the weight
+    * sum folds in stratum-name order, and α = 0.5 routes through sqrt
+    * (IEEE correctly-rounded everywhere, which `pow` is not guaranteed
+    * to be). Null strata are excluded — a mixture rebalance is over the
+    * strata it can see.
+    */
+  def temperatureMix(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      alpha: Double,
+      totalDocs: Long): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha $alpha outside [0, 1]")
+    require(totalDocs > 0, "totalDocs must be positive")
+    val counts: Seq[(String, Long)] = df
+      .where(col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toSeq.sortBy(_._1)
+    require(counts.nonEmpty, s"no non-null $stratumCol strata to mix")
+    val n = counts.map(_._2).sum
+    def powA(p: Double): Double =
+      if (alpha == 0.5) math.sqrt(p) else math.pow(p, alpha)
+    val ws = counts.map { case (k, c) => k -> powA(c.toDouble / n.toDouble) }
+    val denom = ws.map(_._2).sum // left fold in stratum-name order
+    val qs = ws.map { case (k, w) => k -> w / denom }
+    val capacity = qs.zip(counts).map { case ((_, q), (_, c)) => c.toDouble / q }.min
+    val t = math.min(totalDocs.toDouble, capacity)
+    // min(1, ·): the binding stratum's rate is 1 only up to FP round-trip
+    // ((n/q)·q/n can land a hair above one, which thresholdHex rejects)
+    val rates = qs.zip(counts).map { case ((k, q), (_, c)) =>
+      k -> math.min(1.0, t * q / c.toDouble)
+    }.toMap
+    stratified(df, idCol, stratumCol, rates, defaultRate = 0.0)
+  }
+
   /** Token-budget mix IN EXPECTATION: one tiny per-stratum aggregate
     * (#strata rows to the driver) turns each budget into a keep-rate
     * `min(1, budget / stratum_total)`, then the [[stratified]] scan-local

@@ -216,6 +216,22 @@ class CorpusRecipeSpec extends SparkSpec {
     assert(viaApi == direct && viaApi.nonEmpty)
   }
 
+  test("rebalance and kAnonymize delegate to their operators verbatim") {
+    val viaMix = CorpusRecipe(docs).rebalance("lang", 0.5, 40L).frame
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val directMix = graft.operators.Sampling
+      .temperatureMix(docs, "doc_id", "lang", 0.5, 40L)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaMix == directMix && viaMix.nonEmpty)
+
+    val qi = Seq($"lang")
+    val viaK = CorpusRecipe(docs).kAnonymize(qi, 2L).frame
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val directK = graft.operators.Anonymize.kSuppress(docs, qi, 2L)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaK == directK && viaK.nonEmpty)
+  }
+
   test("vocabulary reports the exact top-k within the sketch's exact regime") {
     val got = CorpusRecipe(docs).vocabulary(k = 10, cap = 4096)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq

@@ -142,6 +142,42 @@ class SamplingSpec extends SparkSpec {
     assert(all.count() == 4000L)
   }
 
+  test("temperatureMix: alpha flattens toward uniform; alpha=1 is proportional thinning") {
+    // 8000 en vs 800 de — a 10:1 natural imbalance
+    val df = ((0L until 8000L).map(i => (i, "en")) ++
+      (8000L until 8800L).map(i => (i, "de"))).toDF("id", "stratum")
+    def mixCounts(alpha: Double, total: Long): Map[String, Long] =
+      Sampling.temperatureMix(df, "id", "stratum", alpha, total)
+        .groupBy("stratum").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // alpha = 1: q = p, every stratum thinned at the SAME rate
+    val a1 = mixCounts(1.0, 4400L)
+    assert(math.abs(a1("en").toDouble / a1("de") - 10.0) < 2.0,
+      s"proportional mix should keep the 10:1 ratio: $a1")
+    // alpha = 0: q uniform — de saturates (only 800 docs for a 2200 ask),
+    // so the target scales to de's capacity ~1600 and both land near 800
+    val a0 = mixCounts(0.0, 4400L)
+    assert(math.abs(a0("en").toDouble / a0("de") - 1.0) < 0.2,
+      s"alpha=0 should equalize strata: $a0")
+    assert(a0("de") > 700L, "binding stratum admitted (nearly) whole")
+    // alpha = 0.5 sits between
+    val ah = mixCounts(0.5, 4400L)
+    val ratio = ah("en").toDouble / ah("de")
+    assert(ratio > 1.5 && ratio < 9.0, s"sqrt temperature between the extremes: $ratio")
+    // deterministic: same recipe, same rows
+    val once = Sampling.temperatureMix(df, "id", "stratum", 0.5, 4400L)
+      .agg(sum("id")).head().getLong(0)
+    val twice = Sampling.temperatureMix(df, "id", "stratum", 0.5, 4400L)
+      .agg(sum("id")).head().getLong(0)
+    assert(once == twice)
+    // no rate ever exceeds 1 (would throw in thresholdHex) even when the
+    // ask dwarfs the corpus
+    assert(mixCounts(0.0, 1000000L).values.sum <= 8800L)
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMix(df, "id", "stratum", 1.5, 10L)
+    }
+  }
+
   test("repetition signals: hand-computed goldens (Gopher Table A1 semantics)") {
     val df = Seq(
       (1L, "a a b"),       // dup 1/3; 2-grams [a a, a b] → top 1/2
