@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** CDC changelog apply — MERGE INTO for a plain-parquet lake: fold an
@@ -65,4 +65,54 @@ object CdcMerge {
       .join(touched, Seq(keyCol), "left_anti")
       .unionByName(upserts)
   }
+
+  private def hasParquet(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val f = it.next()
+        found = f.isFile && f.getPath.getName.endsWith(".parquet")
+      }
+      found
+    }
+  }
+
+  /** Merge-on-read: the live view of a base snapshot plus an append-only
+    * changelog lake — the Hudi/Iceberg MOR idea on plain parquet. Writers
+    * (a stream's exactly-once parquet sink, a daily batch append) only
+    * ever APPEND to `logDir`; readers fold the whole log into the base at
+    * query time with [[apply]]. No row-level rewrites anywhere, so there
+    * is nothing to coordinate: the log is the single source of change
+    * truth and seq ordering resolves races. An empty or absent log reads
+    * as the base unchanged.
+    *
+    * Read cost grows with the log, which is the MOR trade — [[compact]]
+    * is the periodic rewrite that resets it.
+    */
+  def readMerged(spark: SparkSession, baseDir: String, logDir: String,
+                 keyCol: String, seqCol: String, opCol: String,
+                 payloadCols: Seq[String], deleteOp: String = "D",
+                 broadcastDelta: Boolean = true): DataFrame = {
+    val base = spark.read.parquet(baseDir)
+    if (!hasParquet(spark, logDir))
+      base.select(col(keyCol) +: payloadCols.map(col): _*)
+    else
+      apply(base, spark.read.parquet(logDir), keyCol, seqCol, opCol,
+        payloadCols, deleteOp, broadcastDelta)
+  }
+
+  /** Merge-on-write compaction: fold the accumulated log into a NEW base
+    * version at `outDir` (never in place — readers of the old version are
+    * unaffected, the version flip is the caller's pointer swap). After the
+    * flip the old log is dead; a fresh log dir starts empty.
+    */
+  def compact(spark: SparkSession, baseDir: String, logDir: String,
+              outDir: String, keyCol: String, seqCol: String, opCol: String,
+              payloadCols: Seq[String], deleteOp: String = "D"): Unit =
+    readMerged(spark, baseDir, logDir, keyCol, seqCol, opCol, payloadCols,
+        deleteOp)
+      .write.mode("overwrite").parquet(outDir)
 }

@@ -70,6 +70,51 @@ class CdcMergeSpec extends SparkSpec {
       s"expected broadcast anti join:\n$p")
   }
 
+  test("merge-on-read: a streamed changelog lake folds into the base; compact resets it") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val pid = ProcessHandle.current().pid()
+    val baseDir = graft.sources.TempDirs.register(s"/tmp/graft_cdc_base_$pid")
+    val logDir = graft.sources.TempDirs.register(s"/tmp/graft_cdc_log_$pid")
+    val ckpt = graft.sources.TempDirs.register(s"/tmp/graft_cdc_ckpt_$pid")
+    val v2Dir = graft.sources.TempDirs.register(s"/tmp/graft_cdc_v2_$pid")
+    snap((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "z"))
+      .write.mode("overwrite").parquet(baseDir)
+
+    def view(base: String, log: String) =
+      CdcMerge.readMerged(spark, base, log, "id", "seq", "op", Seq("text", "src"))
+        .orderBy($"id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+
+    // empty log: the view IS the base
+    assert(view(baseDir, logDir) == Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "z")))
+
+    // stream two micro-batches of changes into the log (exactly-once sink)
+    val input = MemoryStream[(Long, Long, String, String, String)]
+    val q = input.toDF().toDF("id", "seq", "op", "text", "src")
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt)
+      .option("path", logDir)
+      .outputMode("append").start()
+    try {
+      input.addData((2L, 1L, "U", "b2", "y"), (4L, 1L, "I", "d", "w"))
+      q.processAllAvailable()
+      input.addData((1L, 2L, "D", null, null), (2L, 2L, "U", "b3", "y"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val live = view(baseDir, logDir)
+    assert(live == Seq((2L, "b3", "y"), (3L, "c", "z"), (4L, "d", "w")),
+      s"MOR view must fold both batches last-writer-wins: $live")
+
+    // compaction: the folded view becomes the next base version; the view
+    // over (v2, fresh empty log) is unchanged
+    CdcMerge.compact(spark, baseDir, logDir, v2Dir,
+      "id", "seq", "op", Seq("text", "src"))
+    val emptyLog = graft.sources.TempDirs.register(s"/tmp/graft_cdc_log2_$pid")
+    assert(view(v2Dir, emptyLog) == live)
+  }
+
   test("payload must not repeat the key; empty payload rejected") {
     val s = snap((1L, "a", "x"))
     intercept[IllegalArgumentException] {

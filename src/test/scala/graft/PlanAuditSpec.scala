@@ -320,6 +320,35 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("m4: the snapshot streams into the broadcast anti join with zero exchanges") {
+    // The CdcMerge 100 TB claim: only the (small) changelog shuffles for
+    // its max_by reduce; the snapshot side is scan -> anti join, no
+    // exchange. AQE off so the executed plan carries concrete nodes.
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("m4_cdc_apply")(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan
+      val antis = plan.collect {
+        case b: BroadcastHashJoinExec if b.joinType == LeftAnti => b
+      }
+      assert(antis.nonEmpty,
+        s"touched keys must broadcast into an anti join:\n${plan.treeString.take(800)}")
+      antis.foreach { b =>
+        val streamed = b.buildSide match {
+          case BuildLeft => b.right
+          case BuildRight => b.left
+        }
+        assert(streamed.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+          s"the snapshot side must never shuffle:\n${streamed.treeString.take(800)}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("r1: both branch doc filters reach the parquet scans; queries broadcast") {
     val p = plan("r1_retrieval_topk")
     // the query branch must never embed the whole corpus to keep three
