@@ -148,8 +148,12 @@ object ScalingBench {
     // e4d's full index pays the head-token O(df²) (measured 51× at 10×),
     // the prefix-filter caps are the scale path — the pair is the measured
     // form of SURVEY's capped-vs-uncapped contrast
+    // m4/u2 joined in round 14: the CDC merge's claim is that only the
+    // changelog shuffles (wall should track the snapshot scan ≈ linearly);
+    // u2's is one hash shuffle on the QI key
     val names10 = Seq("e2_minhash_pairs", "e4_jaccard_pairs", "e4c_jaccard_zipf",
-      "e4d_jaccard_zipf_exact", "e8_dedup_cluster", "p3_corpus_recipe")
+      "e4d_jaccard_zipf_exact", "e8_dedup_cluster", "p3_corpus_recipe",
+      "m4_cdc_apply", "u2_k_anonymity")
     // second decade, CAPPED rows only: these are the designated 100 TB
     // plans, and two decades turn one ratio into a growth exponent.
     // e4/e4d stay at one decade on purpose — e4d is the documented
@@ -157,7 +161,7 @@ object ScalingBench {
     // a plan SURVEY already calls unscalable), and e4's uncapped-df salted
     // index is superseded by e4c's prefix caps as the Zipf scale path.
     val names100 = Set("e2_minhash_pairs", "e4c_jaccard_zipf",
-      "e8_dedup_cluster", "p3_corpus_recipe")
+      "e8_dedup_cluster", "p3_corpus_recipe", "m4_cdc_apply", "u2_k_anonymity")
     // build the ANN fixtures BEFORE the steal window opens (r13
     // self-review #2): the emb10000 build writes ~16 GB of parquet, and a
     // steal count spanning fixture IO can no longer flag a
