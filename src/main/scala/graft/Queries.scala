@@ -1505,6 +1505,35 @@ object Queries {
       .orderBy(col("doc_id"))
 
   /** E4 exact token-set Jaccard near-dup pairs (lang-blocked, τ=0.9). */
+  /** F1 — edit-distance fuzzy join ([[graft.operators.FuzzyJoin]]): every
+    * distinct source name matched against deterministically-typo'd
+    * variants (per doc: drop / substitute / append at a doc_id-keyed
+    * position) within levenshtein distance 1, via positional q-gram
+    * blocking + length-band fallback — never a cross product (the
+    * dropped-char variants of 4-char sources fall below the q-gram
+    * guarantee and exercise the short path). The oracle IS the brute
+    * force the blocking must reproduce exactly.
+    */
+  val f1FuzzyJoin: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val leftT = docs.select($"source").distinct()
+      .select($"source".as("src"), $"source".as("lstr"))
+    val rightT = docs.select($"doc_id",
+      when($"doc_id" % 3 === 0, expr(
+        "substring(source, 1, pmod(doc_id, length(source))) || " +
+          "substring(source, pmod(doc_id, length(source)) + 2)"))
+        .when($"doc_id" % 3 === 1, expr(
+          "substring(source, 1, pmod(doc_id, length(source))) || 'x' || " +
+            "substring(source, pmod(doc_id, length(source)) + 2)"))
+        .otherwise(concat($"source", lit("q"))).as("cand"))
+    graft.operators.FuzzyJoin
+      .byEditDistance(leftT, rightT, "src", "lstr", "doc_id", "cand",
+        maxDist = 1, q = 2)
+      .select($"src", $"doc_id", $"cand", $"dist".cast("long").as("dist"))
+      .orderBy($"doc_id", $"src")
+  }
+
   val e4JaccardPairs: Q = (s, d) =>
     TextDedup.jaccardPairs(Tables.documents(s, d), "text", "doc_id", "lang", 0.9)
       .orderBy(col("d1"), col("d2"))
@@ -3374,6 +3403,23 @@ object Queries {
         |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         |ORDER BY d1, d2""".stripMargin,
+    // the brute force the q-gram blocking must reproduce exactly — DuckDB's
+    // levenshtein is the same unit-cost edit distance as Spark's
+    "f1_fuzzy_join" ->
+      """WITH L AS (SELECT DISTINCT source AS src FROM documents),
+        |R AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN
+        |    substring(source, 1, (doc_id % len(source))) ||
+        |    substring(source, (doc_id % len(source)) + 2)
+        |  WHEN doc_id % 3 = 1 THEN
+        |    substring(source, 1, (doc_id % len(source))) || 'x' ||
+        |    substring(source, (doc_id % len(source)) + 2)
+        |  ELSE source || 'q' END AS cand
+        |  FROM documents)
+        |SELECT l.src, r.doc_id, r.cand,
+        |  CAST(levenshtein(l.src, r.cand) AS BIGINT) AS dist
+        |FROM L l JOIN R r ON levenshtein(l.src, r.cand) <= 1
+        |ORDER BY doc_id, src""".stripMargin,
     "e4_jaccard_pairs" ->
       """WITH tok AS (SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS t FROM documents),
         |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
@@ -4142,6 +4188,7 @@ object Queries {
     "e8_dedup_cluster" -> e8DedupCluster,
     "e8b_cluster_star" -> e8bClusterStar,
     "e4_jaccard_pairs" -> e4JaccardPairs,
+    "f1_fuzzy_join" -> f1FuzzyJoin,
     "e4c_jaccard_zipf" -> e4cJaccardZipf,
     "e4d_jaccard_zipf_exact" -> e4dJaccardZipfExact,
     "e5_cosine_pairs" -> e5CosinePairs,

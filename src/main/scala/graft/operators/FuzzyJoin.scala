@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Edit-distance similarity join — entity resolution for the string keys a
+  * training corpus dedups on (titles, source names, URLs that differ by a
+  * typo): all pairs with `levenshtein(l, r) <= maxDist`, WITHOUT a
+  * cartesian product.
+  *
+  * Candidate generation is positional q-gram blocking (Gravano et al.,
+  * VLDB 2001): an edit touches at most q of a string's overlapping
+  * q-grams, so strings with more than `maxDist·q` grams (length ≥
+  * q·(maxDist+1)) that are within distance d still share at least one
+  * UNTOUCHED gram, at positions differing by at most d. Those pairs fall
+  * out of an equi-join on the gram with |Δpos| ≤ d and |Δlen| ≤ d
+  * residuals — a hash join keyed on gram text, never a cross product.
+  * Strings too short for the guarantee (< q·(maxDist+1) chars — at the
+  * default q=2, d=1 that is ≤ 3 chars) join through a length-band path
+  * instead: at most 2d+1 length buckets each, and the short class is a
+  * bounded dictionary in practice. Every candidate is then VERIFIED with
+  * Spark's codegen'd `levenshtein` — blocking only ever adds candidates,
+  * so the result is exactly the brute-force join (the f1 oracle is that
+  * brute force in DuckDB).
+  *
+  * Scale shape: gram DF drives the candidate volume exactly like e4's
+  * token inverted index; the published refinement for skewed gram
+  * frequencies is count filtering (keep pairs sharing ≥ maxLen−q+1−d·q
+  * grams) with rarest-prefix indexing, which this operator documents as
+  * its e4c-style extension rather than silently capping (a dropped gram
+  * here would LOSE pairs, unlike e4's sound prefix caps).
+  */
+object FuzzyJoin {
+
+  /** All (idL, strL, idR, strR, dist) with dist ≤ maxDist. Null strings
+    * never match. Output column names: (idL, strL, idR, strR, "dist") —
+    * callers project/rename; the operator requires the four names to be
+    * pairwise distinct.
+    */
+  def byEditDistance(left: DataFrame, right: DataFrame,
+                     idL: String, strL: String, idR: String, strR: String,
+                     maxDist: Int, q: Int = 2): DataFrame = {
+    require(maxDist >= 0, s"maxDist $maxDist must be >= 0")
+    require(q >= 1, s"q $q must be >= 1")
+    require(Seq(idL, strL, idR, strR).distinct.size == 4,
+      s"output columns must be distinct names: $idL, $strL, $idR, $strR")
+    val minLong = q * (maxDist + 1)
+    val l = left.select(col(idL), col(strL)).where(col(strL).isNotNull)
+    val r = right.select(col(idR), col(strR)).where(col(strR).isNotNull)
+
+    // positional q-grams: (id, s, pos, gram) for the guaranteed class
+    def grams(df: DataFrame, s: String, pos: String, g: String): DataFrame =
+      df.where(length(col(s)) >= minLong)
+        .select(df.columns.toIndexedSeq.map(col) :+
+          explode(expr(
+            s"transform(sequence(1, length(`$s`) - ${q - 1}), " +
+              s"i -> struct(i AS p, substring(`$s`, i, $q) AS g))")).as("__pg"): _*)
+        .select(df.columns.toIndexedSeq.map(col) :+ col("__pg.p").as(pos) :+
+          col("__pg.g").as(g): _*)
+
+    val lg = grams(l, strL, "__lp", "__lg")
+    val rg = grams(r, strR, "__rp", "__rg")
+    val longPairs = lg.join(rg,
+        lg("__lg") === rg("__rg") &&
+          abs(lg("__lp") - rg("__rp")) <= maxDist &&
+          abs(length(col(strL)) - length(col(strR))) <= maxDist)
+      .select(col(idL), col(strL), col(idR), col(strR))
+
+    // short-string fallback: length-band blocking (2d+1 buckets per row)
+    def shortSide(df: DataFrame, s: String) = df.where(length(col(s)) < minLong)
+    val shortL = shortSide(l, strL)
+      .withColumn("__k", explode(sequence(
+        length(col(strL)) - maxDist, length(col(strL)) + maxDist)))
+      .join(r.withColumn("__k", length(col(strR))), "__k")
+      .select(col(idL), col(strL), col(idR), col(strR))
+    val shortR = shortSide(r, strR)
+      .withColumn("__k", explode(sequence(
+        length(col(strR)) - maxDist, length(col(strR)) + maxDist)))
+      .join(l.withColumn("__k", length(col(strL))), "__k")
+      .select(col(idL), col(strL), col(idR), col(strR))
+
+    longPairs.unionByName(shortL).unionByName(shortR)
+      .distinct()
+      .withColumn("dist", levenshtein(col(strL), col(strR)))
+      .where(col("dist") <= maxDist)
+  }
+}
