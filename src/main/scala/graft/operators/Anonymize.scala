@@ -25,12 +25,17 @@ object Anonymize {
     count(lit(1)).over(Window.partitionBy(qi: _*))
   }
 
+  private def requireFree(df: DataFrame): Unit =
+    require(!df.columns.contains("__qi_n"),
+      "input already has a __qi_n column — rename it before kSuppress/kMask")
+
   /** Suppression: drop every row whose QI group has fewer than k members.
     * Nulls in QI columns group together (SQL GROUP BY semantics) — an
     * all-null combination is itself a quasi-identifier.
     */
   def kSuppress(df: DataFrame, qi: Seq[Column], k: Long): DataFrame = {
     require(k >= 1, s"k $k must be >= 1")
+    requireFree(df)
     df.withColumn("__qi_n", groupSize(qi))
       .where(col("__qi_n") >= k)
       .drop("__qi_n")
@@ -45,6 +50,7 @@ object Anonymize {
             maskCols: Seq[String]): DataFrame = {
     require(k >= 1, s"k $k must be >= 1")
     require(maskCols.nonEmpty, "kMask needs at least one column to mask")
+    requireFree(df)
     val masked = df.columns.map { c =>
       if (maskCols.contains(c))
         when(col("__qi_n") >= k, col(c)).otherwise(lit(null)).as(c)

@@ -34,6 +34,23 @@ object ChunkEmbed {
     */
   val KeySpan = 100000L
 
+  /** Shared embedding tail: (keyCol, t=token) rows → (keyCol, emb). One
+    * md5 per token; bucket = hash60 mod dim, sign = bit 6; two-level
+    * groupBy keeps one double per (key, bucket) on the map side; the
+    * final assemble is a dim-entry dense map lookup. Both [[docEmbed]]
+    * and [[embed]] go through here so the formula cannot diverge between
+    * the sd2 and r-family gate rows.
+    */
+  private def bagOfWords(tok: DataFrame, keyCol: String, dim: Int): DataFrame =
+    tok.select(col(keyCol), hash60(col("t")).as("h"))
+      .select(col(keyCol), (col("h") % dim).as("b"),
+        when(shiftright(col("h"), 6) % 2 === 0, 1.0).otherwise(-1.0).as("sgn"))
+      .groupBy(col(keyCol), col("b")).agg(sum(col("sgn")).as("v"))
+      .groupBy(col(keyCol))
+      .agg(map_from_entries(collect_list(struct(col("b"), col("v")))).as("m"))
+      .select(col(keyCol), transform(sequence(lit(0), lit(dim - 1)),
+        j => coalesce(element_at(col("m"), j.cast("long")), lit(0.0))).as("emb"))
+
   /** (idCol, emb): ONE embedding per document — the same feature-hashed
     * bag-of-words as [[embed]] but at document grain (no chunking), the
     * input SemDedup-style semantic dedup wants when no embedding model is
@@ -43,16 +60,10 @@ object ChunkEmbed {
   def docEmbed(df: DataFrame, idCol: String = "doc_id",
                textCol: String = "text", dim: Int = 64): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
-    Spread.byCols(df, Seq(col(idCol)))
-      .select(col(idCol), explode(tokens(col(textCol))).as("t"))
-      .select(col(idCol), hash60(col("t")).as("h"))
-      .select(col(idCol), (col("h") % dim).as("b"),
-        when(shiftright(col("h"), 6) % 2 === 0, 1.0).otherwise(-1.0).as("sgn"))
-      .groupBy(col(idCol), col("b")).agg(sum(col("sgn")).as("v"))
-      .groupBy(col(idCol))
-      .agg(map_from_entries(collect_list(struct(col("b"), col("v")))).as("m"))
-      .select(col(idCol), transform(sequence(lit(0), lit(dim - 1)),
-        j => coalesce(element_at(col("m"), j.cast("long")), lit(0.0))).as("emb"))
+    bagOfWords(
+      Spread.byCols(df, Seq(col(idCol)))
+        .select(col(idCol), explode(tokens(col(textCol))).as("t")),
+      idCol, dim)
   }
 
   /** (cid, emb): one row per chunk, `emb` a dense Array[Double] of
@@ -76,14 +87,6 @@ object ChunkEmbed {
       .select(col(idCol), toks.as("w"), explode(starts).as("st"))
       .select((col(idCol) * KeySpan + (col("st") / stride)).cast("long").as("cid"),
         slice(col("w"), col("st") + 1, lit(chunkLen)).as("ct"))
-    chunks.select(col("cid"), explode(col("ct")).as("t"))
-      .select(col("cid"), hash60(col("t")).as("h"))
-      .select(col("cid"), (col("h") % dim).as("b"),
-        when(shiftright(col("h"), 6) % 2 === 0, 1.0).otherwise(-1.0).as("sgn"))
-      .groupBy(col("cid"), col("b")).agg(sum(col("sgn")).as("v"))
-      .groupBy(col("cid"))
-      .agg(map_from_entries(collect_list(struct(col("b"), col("v")))).as("m"))
-      .select(col("cid"), transform(sequence(lit(0), lit(dim - 1)),
-        j => coalesce(element_at(col("m"), j.cast("long")), lit(0.0))).as("emb"))
+    bagOfWords(chunks.select(col("cid"), explode(col("ct")).as("t")), "cid", dim)
   }
 }

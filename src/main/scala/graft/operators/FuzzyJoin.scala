@@ -73,10 +73,14 @@ object FuzzyJoin {
         length(col(strL)) - maxDist, length(col(strL)) + maxDist)))
       .join(r.withColumn("__k", length(col(strR))), "__k")
       .select(col(idL), col(strL), col(idR), col(strR))
+    // probe long lefts only: every short-left pair is already produced by
+    // shortL, so restricting here generates each short-short pair once
+    // instead of relying on the distinct() to discard the double.
     val shortR = shortSide(r, strR)
       .withColumn("__k", explode(sequence(
         length(col(strR)) - maxDist, length(col(strR)) + maxDist)))
-      .join(l.withColumn("__k", length(col(strL))), "__k")
+      .join(l.where(length(col(strL)) >= minLong)
+        .withColumn("__k", length(col(strL))), "__k")
       .select(col(idL), col(strL), col(idR), col(strR))
 
     longPairs.unionByName(shortL).unionByName(shortR)

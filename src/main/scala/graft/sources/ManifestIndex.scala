@@ -40,12 +40,45 @@ object ManifestIndex {
     * `partCol=...` directory.
     */
   private def stats(df: DataFrame, keyCol: String,
-                    partCol: Option[String]): DataFrame = {
-    val aggs = Seq(
-      min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key")) ++
+                    partCol: Option[String]): DataFrame =
+    spanStats(df, Seq(keyCol -> "key"), partCol)
+
+  /** The N-column generalization of [[stats]] — each (column, alias) pair
+    * contributes a (min_alias, max_alias) span. [[ZOrder.buildManifest]]'s
+    * two-dimensional manifest goes through here too, so the manifest row
+    * shape has exactly one definition regardless of dimension count.
+    */
+  private[sources] def spanStats(df: DataFrame, keys: Seq[(String, String)],
+                                 partCol: Option[String]): DataFrame = {
+    require(keys.nonEmpty, "need at least one (column, alias) span")
+    val aggs = keys.flatMap { case (c, a) =>
+      Seq(min(col(c)).as(s"min_$a"), max(col(c)).as(s"max_$a")) } ++
       partCol.map(p => first(col(p)).as(p)) ++
       Seq(count(lit(1)).as("rows"))
     df.groupBy(input_file_name().as("file")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The shared manifest-planned read: scan ONLY `files`, never listing
+    * the lake (a directory listing + footer pass is the exact metadata
+    * cost this class exists to remove). The empty-list path takes the
+    * schema from ONE manifest-listed file's footer — with `basePath` set
+    * (partitioned lakes) the path-derived partition column survives on
+    * both branches. Falls back to listing only when the manifest itself
+    * is empty (an empty lake).
+    */
+  private[sources] def readPruned(
+      spark: SparkSession, dir: String, manifest: DataFrame,
+      files: Seq[String], basePath: Boolean = false): DataFrame = {
+    def reader = if (basePath) spark.read.option("basePath", dir) else spark.read
+    if (files.nonEmpty) reader.parquet(files: _*)
+    else {
+      val any = manifest.select(col("file")).limit(1).collect()
+        .headOption.map(_.getString(0))
+      val schema = any.map(f => reader.parquet(f).schema)
+        .getOrElse(spark.read.parquet(dir).schema) // empty manifest: empty lake
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
   }
 
   /** One row per parquet file: (file, min_key, max_key, rows). Small by
@@ -125,16 +158,9 @@ object ManifestIndex {
       keyCol: String, partCol: String, parts: Seq[Int],
       lo: Long, hi: Long): DataFrame = {
     val files = prunedClusterRangeFiles(manifest, partCol, parts, lo, hi)
-    val base =
-      if (files.nonEmpty)
-        spark.read.option("basePath", dir).parquet(files: _*)
-      else {
-        val schema = spark.read.parquet(dir).schema // cold path: rare
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      }
-    base.where(col(partCol).isin(parts: _*) &&
-      col(keyCol) >= lo && col(keyCol) <= hi)
+    readPruned(spark, dir, manifest, files, basePath = true)
+      .where(col(partCol).isin(parts: _*) &&
+        col(keyCol) >= lo && col(keyCol) <= hi)
   }
 
   /** The pruned files for an inclusive [lo, hi] range — the planning step.
@@ -155,20 +181,7 @@ object ManifestIndex {
       spark: SparkSession, dir: String, manifest: DataFrame,
       keyCol: String, lo: Long, hi: Long): DataFrame = {
     val files = prunedFiles(manifest, lo, hi)
-    // never list `dir`: a full directory listing + footer pass is the
-    // exact metadata cost this class exists to remove. Non-empty reads
-    // infer schema from the pruned files alone; the empty-result path
-    // takes the schema from ONE manifest-listed file's footer.
-    val base =
-      if (files.nonEmpty) spark.read.parquet(files: _*)
-      else {
-        val any = manifest.select(col("file")).limit(1).collect()
-          .headOption.map(_.getString(0))
-        val schema = any.map(f => spark.read.parquet(f).schema)
-          .getOrElse(spark.read.parquet(dir).schema) // empty manifest: empty lake
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      }
-    base.where(col(keyCol) >= lo && col(keyCol) <= hi)
+    readPruned(spark, dir, manifest, files)
+      .where(col(keyCol) >= lo && col(keyCol) <= hi)
   }
 }

@@ -64,16 +64,13 @@ object ZOrder {
   }
 
   /** Two-dimensional file manifest: per file, the [min,max] span of BOTH
-    * columns plus the row count — the same tiny planning table as
-    * [[ManifestIndex.build]], widened to the second dimension.
+    * columns plus the row count — [[ManifestIndex.spanStats]] widened to
+    * the second dimension (one shared definition of the row shape).
     */
   def buildManifest(spark: SparkSession, dir: String,
                     colA: String, colB: String): DataFrame =
-    spark.read.parquet(dir)
-      .groupBy(input_file_name().as("file"))
-      .agg(min(col(colA)).as("min_a"), max(col(colA)).as("max_a"),
-        min(col(colB)).as("min_b"), max(col(colB)).as("max_b"),
-        count(lit(1)).as("rows"))
+    ManifestIndex.spanStats(
+      spark.read.parquet(dir), Seq(colA -> "a", colB -> "b"), None)
 
   /** Planning: files whose (a, b) bounding box intersects the query box.
     * The manifest is tiny by contract; collect is the planner's job.
@@ -85,26 +82,16 @@ object ZOrder {
         col("max_b") >= loB && col("min_b") <= hiB)
       .select(col("file")).collect().map(_.getString(0)).toSeq
 
-  /** Manifest-planned box read: scan only intersecting files, re-apply the
-    * residual predicate on both dimensions. Like [[ManifestIndex.rangeRead]]
-    * the lake directory is never listed — schema comes from the pruned
-    * files, or one manifest-listed footer on the empty path. Correctness
+  /** Manifest-planned box read: scan only intersecting files
+    * ([[ManifestIndex.readPruned]] — the lake directory is never listed),
+    * re-apply the residual predicate on both dimensions. Correctness
     * never depends on the layout; only the pruned file count does.
     */
   def boxRead(spark: SparkSession, dir: String, manifest: DataFrame,
               colA: String, colB: String, loA: Long, hiA: Long,
               loB: Long, hiB: Long): DataFrame = {
     val files = prunedFiles(manifest, loA, hiA, loB, hiB)
-    val base =
-      if (files.nonEmpty) spark.read.parquet(files: _*)
-      else {
-        val any = manifest.select(col("file")).limit(1).collect()
-          .headOption.map(_.getString(0))
-        val schema = any.map(f => spark.read.parquet(f).schema)
-          .getOrElse(spark.read.parquet(dir).schema) // empty manifest: empty lake
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      }
-    base.where(col(colA).between(loA, hiA) && col(colB).between(loB, hiB))
+    ManifestIndex.readPruned(spark, dir, manifest, files)
+      .where(col(colA).between(loA, hiA) && col(colB).between(loB, hiB))
   }
 }

@@ -49,6 +49,16 @@ class AnonymizeSpec extends SparkSpec {
     assert(bucketed.count() >= 2)
   }
 
+  test("a caller column named __qi_n is rejected, not silently clobbered") {
+    val clash = df.withColumn("__qi_n", lit(99L))
+    intercept[IllegalArgumentException] {
+      Anonymize.kSuppress(clash, Seq($"lang"), 2L)
+    }
+    intercept[IllegalArgumentException] {
+      Anonymize.kMask(clash, Seq($"lang"), 2L, Seq("src"))
+    }
+  }
+
   test("plan: one exchange, window partition spec is the QI key (never empty)") {
     val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
     val plan = Anonymize.kSuppress(docs, Seq(col("lang"), col("source")), 5L)
