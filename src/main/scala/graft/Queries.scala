@@ -1311,6 +1311,46 @@ object Queries {
       queries, "qid", "emb", 5, nprobe = 3, VectorMetric.Cosine)
   }
 
+  /** R3 — BM25 keyword retrieval ([[graft.operators.Bm25.topK]]): the
+    * sparse half of the retrieval surface beside r1/r2's dense path. The
+    * first three documents query the rest of the corpus; top-10 by the
+    * full BM25 formula (k1=1.2, b=0.75, Lucene idf), scored through the
+    * inverted-index equi-join and the term-ordered sequential fold, so
+    * the oracle replays every step including the 1e-6 rounding grain and
+    * the (score DESC, id) tie-break.
+    */
+  val r3Bm25TopK: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val corpus = docs.where($"doc_id" >= 3).select($"doc_id", $"text")
+    val q = docs.where($"doc_id" < 3).select($"doc_id".as("qid"), $"text")
+    graft.operators.Bm25.topK(corpus, "doc_id", "text", q, "qid", "text", 10)
+      .orderBy($"qid", $"rank")
+  }
+
+  /** R4 — hybrid retrieval: [[r3Bm25TopK]]'s sparse ranks fused with the
+    * dense hashed-embedding ranks (document-grain [[graft.operators
+    * .ChunkEmbed.docEmbed]] served through `batchTopK` cosine) by
+    * reciprocal-rank fusion ([[graft.operators.Bm25.rrf]], c=60) — the
+    * production retrieval shape: keyword match and embedding similarity
+    * each contribute 1/(60+rank+1) and the fused top-10 is what serves.
+    * Both rankers' top-20 lists and the fusion replay exactly in SQL.
+    */
+  val r4HybridRrf: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val corpus = docs.where($"doc_id" >= 3).select($"doc_id", $"text")
+    val q = docs.where($"doc_id" < 3).select($"doc_id".as("qid"), $"text")
+    val sparse = graft.operators.Bm25
+      .topK(corpus, "doc_id", "text", q, "qid", "text", 20)
+    val dense = AnnSearch.batchTopK(
+      graft.operators.ChunkEmbed.docEmbed(corpus), "emb", "doc_id",
+      graft.operators.ChunkEmbed.docEmbed(q, idCol = "qid"), "qid", "emb",
+      20, VectorMetric.Cosine)
+    graft.operators.Bm25.rrf(Seq(sparse, dense), "qid", "doc_id", "rank", 10)
+      .orderBy($"qid", $"rank")
+  }
+
   /** M1 export-shard manifest — the artifact a training job consumes: a
     * deterministic md5-draw shard assignment (engine-portable, like the
     * [[Sampling]] draws) plus per-shard document count, token mass, and an
@@ -1444,9 +1484,12 @@ object Queries {
     * ANTI join — the snapshot side never shuffles (CdcMergeSpec pins the
     * plan).
     */
-  val m4CdcApply: Q = (s, d) => {
-    import s.implicits._
-    val docs = Tables.documents(s, d).select($"doc_id", $"text", $"source")
+  /** The m4/m7 two-batch changelog, derived from the snapshot itself so
+    * the oracle replays the construction: batch 1 deletes %23, updates
+    * %11; batch 2 re-inserts %46, deletes %33, inserts new keys %29+2e6.
+    */
+  private def cdcFixtureLog(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val nulls = lit(null).cast("string")
     val b1 = docs.where($"doc_id" % 23 === 0 || $"doc_id" % 11 === 0)
       .select($"doc_id", lit(1L).as("seq"),
@@ -1463,8 +1506,29 @@ object Queries {
     val ins = docs.where($"doc_id" % 29 === 0)
       .select(($"doc_id" + 2000000L).as("doc_id"), lit(2L).as("seq"),
         lit("I").as("op"), concat($"text", lit(" new")).as("text"), $"source")
+    b1.unionByName(b2).unionByName(ins)
+  }
+
+  val m4CdcApply: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id", $"text", $"source")
     graft.operators.CdcMerge
-      .apply(docs, b1.unionByName(b2).unionByName(ins),
+      .apply(docs, cdcFixtureLog(docs), "doc_id", "seq", "op",
+        Seq("text", "source"))
+      .orderBy($"doc_id")
+  }
+
+  /** M7 time travel — the lake "as of" sequence 1: [[m4CdcApply]]'s merge
+    * with the log truncated to the first batch (`CdcMerge.readMerged`'s
+    * `asOfSeq` plan — the cutoff filters the changelog scan, the snapshot
+    * side is untouched). Batch 2's re-inserts, deletes, and new keys must
+    * all be invisible; the oracle replays the seq≤1 state independently.
+    */
+  val m7TimeTravel: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id", $"text", $"source")
+    graft.operators.CdcMerge
+      .apply(docs, cdcFixtureLog(docs).where($"seq" <= 1L),
         "doc_id", "seq", "op", Seq("text", "source"))
       .orderBy($"doc_id")
   }
@@ -3138,6 +3202,22 @@ object Queries {
         |SELECT doc_id, text, source
         |FROM (SELECT * FROM keep UNION ALL SELECT * FROM ups)
         |ORDER BY doc_id""".stripMargin,
+    // the seq<=1 prefix of m4's changelog: batch 1 is one row per key, so
+    // last-writer-wins is the batch itself — batch 2 must be invisible
+    "m7_time_travel" ->
+      """WITH lat AS (
+        |  SELECT doc_id, 'D' AS op,
+        |    CAST(NULL AS VARCHAR) AS text, CAST(NULL AS VARCHAR) AS source
+        |  FROM documents WHERE doc_id % 23 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'U', text || ' u1', source
+        |  FROM documents WHERE doc_id % 11 = 0 AND doc_id % 23 <> 0),
+        |keep AS (SELECT d.doc_id, d.text, d.source FROM documents d
+        |  LEFT JOIN lat ON d.doc_id = lat.doc_id WHERE lat.doc_id IS NULL),
+        |ups AS (SELECT doc_id, text, source FROM lat WHERE op <> 'D')
+        |SELECT doc_id, text, source
+        |FROM (SELECT * FROM keep UNION ALL SELECT * FROM ups)
+        |ORDER BY doc_id""".stripMargin,
     // the same shift/mask interleave as the engine, folded over the bit
     // positions; disjoint OR terms sum without carries, so + replays |
     "m5_zvalue" ->
@@ -3250,6 +3330,80 @@ object Queries {
         |r AS (SELECT qid, cid, CAST(row_number() OVER (
         |    PARTITION BY qid ORDER BY score DESC, cid) - 1 AS BIGINT) AS rank FROM sc)
         |SELECT qid, rank, cid FROM r WHERE rank < 5 ORDER BY qid, rank""".stripMargin,
+    // BM25 replayed step by step: postings/df/length stats, Lucene idf,
+    // the (1.2+1.0) sum left unfolded so both engines round it identically,
+    // the tfn quotient parenthesized exactly like the engine's column tree,
+    // term-ordered sequential fold, 1e-6 rounding, (score DESC, id) window
+    "r3_bm25_topk" ->
+      """WITH corpus AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id >= 3),
+        |q AS (SELECT doc_id AS qid, string_split(text, ' ') AS w FROM documents WHERE doc_id < 3),
+        |post AS (SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(w) AS t FROM corpus) GROUP BY doc_id, t),
+        |dl AS (SELECT doc_id, len(w) AS dl FROM corpus),
+        |dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
+        |st AS (SELECT count(*)::DOUBLE AS n, sum(len(w))::DOUBLE / count(*) AS avgdl FROM corpus),
+        |qt AS (SELECT DISTINCT qid, term FROM (SELECT qid, unnest(w) AS term FROM q)),
+        |cand AS (SELECT qt.qid, p.doc_id, p.term,
+        |  ln(1.0 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) *
+        |    ((p.tf * (1.2 + 1.0)) / (p.tf + 1.2 * (0.25 + (0.75 * dl.dl) / st.avgdl))) AS c
+        |  FROM qt JOIN post p ON qt.term = p.term
+        |  JOIN dfs ON p.term = dfs.term
+        |  JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN st),
+        |sc AS (SELECT qid, doc_id, round(list_sum(list(c ORDER BY term)), 6) AS score
+        |  FROM cand GROUP BY qid, doc_id),
+        |r AS (SELECT qid, doc_id, score, CAST(row_number() OVER (
+        |    PARTITION BY qid ORDER BY score DESC, doc_id) - 1 AS BIGINT) AS rank FROM sc)
+        |SELECT qid, rank, doc_id, score FROM r WHERE rank < 10 ORDER BY qid, rank""".stripMargin,
+    // r3's sparse CTEs (top-20) + the sd2-style doc-grain embedding CTEs
+    // under r1's cosine/heap-order window (top-20), fused by RRF: each
+    // ranker contributes 1/(60+rank+1), summed in ranker order
+    "r4_hybrid_rrf" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |corpus AS (SELECT doc_id, w FROM toks WHERE doc_id >= 3),
+        |q AS (SELECT doc_id AS qid, w FROM toks WHERE doc_id < 3),
+        |post AS (SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(w) AS t FROM corpus) GROUP BY doc_id, t),
+        |dl AS (SELECT doc_id, len(w) AS dl FROM corpus),
+        |dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
+        |st AS (SELECT count(*)::DOUBLE AS n, sum(len(w))::DOUBLE / count(*) AS avgdl FROM corpus),
+        |qt AS (SELECT DISTINCT qid, term FROM (SELECT qid, unnest(w) AS term FROM q)),
+        |cand AS (SELECT qt.qid, p.doc_id, p.term,
+        |  ln(1.0 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) *
+        |    ((p.tf * (1.2 + 1.0)) / (p.tf + 1.2 * (0.25 + (0.75 * dl.dl) / st.avgdl))) AS c
+        |  FROM qt JOIN post p ON qt.term = p.term
+        |  JOIN dfs ON p.term = dfs.term
+        |  JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN st),
+        |ssc AS (SELECT qid, doc_id, round(list_sum(list(c ORDER BY term)), 6) AS score
+        |  FROM cand GROUP BY qid, doc_id),
+        |sr AS (SELECT qid, doc_id, CAST(row_number() OVER (
+        |    PARTITION BY qid ORDER BY score DESC, doc_id) - 1 AS BIGINT) AS rank FROM ssc),
+        |tok AS (SELECT doc_id, unnest(w) AS t FROM toks),
+        |bsg AS (SELECT doc_id, hv % 64 AS b,
+        |  CASE WHEN (hv // 64) % 2 = 0 THEN 1.0 ELSE -1.0 END AS sgn
+        |  FROM (SELECT doc_id, ('0x' || substring(md5(t), 1, 15))::BIGINT AS hv FROM tok)),
+        |sums AS (SELECT doc_id, b, sum(sgn) AS v FROM bsg GROUP BY doc_id, b),
+        |grid AS (SELECT d.doc_id, r.j FROM (SELECT DISTINCT doc_id FROM toks) d
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) r),
+        |emb AS (SELECT g.doc_id, list(coalesce(s.v, 0.0) ORDER BY g.j) AS e
+        |  FROM grid g LEFT JOIN sums s ON s.doc_id = g.doc_id AND s.b = g.j GROUP BY g.doc_id),
+        |en AS (SELECT doc_id, e,
+        |  sqrt(list_sum(list_transform(e, x -> x::DOUBLE * x::DOUBLE))::DOUBLE) AS nrm FROM emb),
+        |dsc AS (SELECT qv.doc_id AS qid, b.doc_id,
+        |  CASE WHEN b.nrm > 0 AND qv.nrm > 0 THEN
+        |    list_sum(list_transform(list_zip(b.e, qv.e),
+        |      x -> x[1]::DOUBLE * x[2]::DOUBLE))::DOUBLE / (b.nrm * qv.nrm)
+        |  ELSE 0.0 END AS score
+        |  FROM (SELECT * FROM en WHERE doc_id >= 3) b
+        |  CROSS JOIN (SELECT * FROM en WHERE doc_id < 3) qv),
+        |dr AS (SELECT qid, doc_id, CAST(row_number() OVER (
+        |    PARTITION BY qid ORDER BY score DESC, doc_id) - 1 AS BIGINT) AS rank FROM dsc),
+        |u AS (SELECT qid, doc_id, 0 AS src, 1.0 / (60 + rank + 1.0) AS c FROM sr WHERE rank < 20
+        |  UNION ALL
+        |  SELECT qid, doc_id, 1, 1.0 / (60 + rank + 1.0) FROM dr WHERE rank < 20),
+        |f AS (SELECT qid, doc_id, list_sum(list(c ORDER BY src)) AS rrf FROM u GROUP BY qid, doc_id),
+        |r AS (SELECT qid, doc_id, rrf, CAST(row_number() OVER (
+        |    PARTITION BY qid ORDER BY rrf DESC, doc_id) - 1 AS BIGINT) AS rank FROM f)
+        |SELECT qid, rank, doc_id, rrf FROM r WHERE rank < 10 ORDER BY qid, rank""".stripMargin,
     "b5_positional_zip" ->
       """WITH o AS (SELECT * FROM (SELECT o_orderkey, CAST(row_number() OVER (ORDER BY o_orderkey) AS INT) AS pos FROM orders) t WHERE pos <= 20),
         |p AS (SELECT * FROM (SELECT p_partkey, CAST(row_number() OVER (ORDER BY p_partkey) AS INT) AS pos FROM part) t WHERE pos <= 20)
@@ -4169,8 +4323,11 @@ object Queries {
     "m4_cdc_apply" -> m4CdcApply,
     "m5_zvalue" -> m5Zvalue,
     "m6_zorder_box" -> m6ZorderBox,
+    "m7_time_travel" -> m7TimeTravel,
     "t9_doc_chunks" -> t9DocChunks,
     "r1_retrieval_topk" -> r1RetrievalTopK,
+    "r3_bm25_topk" -> r3Bm25TopK,
+    "r4_hybrid_rrf" -> r4HybridRrf,
     "r2_retrieval_ivf" -> r2RetrievalIvf,
     "q3_profile" -> q3Profile,
     "c7_ivf_cluster" -> c7IvfCluster,

@@ -95,13 +95,21 @@ object CdcMerge {
   def readMerged(spark: SparkSession, baseDir: String, logDir: String,
                  keyCol: String, seqCol: String, opCol: String,
                  payloadCols: Seq[String], deleteOp: String = "D",
-                 broadcastDelta: Boolean = true): DataFrame = {
+                 broadcastDelta: Boolean = true,
+                 asOfSeq: Option[Long] = None): DataFrame = {
     val base = spark.read.parquet(baseDir)
     if (!hasParquet(spark, logDir))
       base.select(col(keyCol) +: payloadCols.map(col): _*)
-    else
-      apply(base, spark.read.parquet(logDir), keyCol, seqCol, opCol,
+    else {
+      // time travel: the lake "as of" a sequence number is the base plus
+      // the log PREFIX — drop later changes before the merge. The filter
+      // sits on the changelog scan (the small side); the snapshot plan is
+      // unchanged. asOfSeq below every logged seq reads as the bare base.
+      val log = asOfSeq.foldLeft(spark.read.parquet(logDir))(
+        (l, v) => l.where(col(seqCol) <= v))
+      apply(base, log, keyCol, seqCol, opCol,
         payloadCols, deleteOp, broadcastDelta)
+    }
   }
 
   /** Merge-on-write compaction: fold the accumulated log into a NEW base

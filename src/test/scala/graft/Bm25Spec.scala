@@ -1,0 +1,107 @@
+package graft
+
+import graft.operators.Bm25
+import org.apache.spark.sql.functions._
+
+/** [[Bm25]] — the r3/r4 gate rows hash-check the full pipeline against
+  * DuckDB; this spec pins the formula against a driver-side brute force,
+  * the deterministic tie-break, the inverted-index candidate contract
+  * (no shared term → no candidate), the guards, and RRF's arithmetic.
+  */
+class Bm25Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (10L, "apple banana apple"),
+    (11L, "banana cherry"),
+    (12L, "cherry cherry cherry date"),
+    (13L, "apple date elderberry fig grape"),
+    (14L, "unrelated tokens only here")
+  ).toDF("doc_id", "text")
+
+  private val queries = Seq(
+    (0L, "apple cherry"),
+    (1L, "zebra")
+  ).toDF("qid", "text")
+
+  /** The same formula, computed driver-side from first principles. */
+  private def brute(k1: Double = 1.2, b: Double = 0.75): Map[(Long, Long), Double] = {
+    val docs = Map(
+      10L -> Seq("apple", "banana", "apple"),
+      11L -> Seq("banana", "cherry"),
+      12L -> Seq("cherry", "cherry", "cherry", "date"),
+      13L -> Seq("apple", "date", "elderberry", "fig", "grape"),
+      14L -> Seq("unrelated", "tokens", "only", "here"))
+    val n = docs.size.toDouble
+    val avgdl = docs.values.map(_.size.toLong).sum.toDouble / docs.size
+    val dfm = docs.values.flatMap(_.distinct).groupBy(identity).map { case (t, xs) => t -> xs.size }
+    val qs = Map(0L -> Seq("apple", "cherry"), 1L -> Seq("zebra"))
+    (for {
+      (qid, qts) <- qs.toSeq
+      (did, toks) <- docs.toSeq
+      contribs = qts.sorted.flatMap { t =>
+        val tf = toks.count(_ == t).toLong
+        if (tf == 0 || !dfm.contains(t)) None
+        else {
+          val df = dfm(t).toLong
+          val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+          Some(idf * ((tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + (b * toks.size) / avgdl))))
+        }
+      }
+      if contribs.nonEmpty
+    } yield (qid, did) -> BigDecimal(contribs.foldLeft(0.0)(_ + _))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+  }
+
+  test("topK matches the driver-side brute force, docs sharing no term are absent") {
+    val out = Bm25.topK(corpus, "doc_id", "text", queries, "qid", "text", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val exp = brute()
+    assert(out.keySet == exp.keySet,
+      s"candidate sets differ: ${out.keySet} vs ${exp.keySet}")
+    assert(exp.keySet.forall(_._1 == 0L), "the zebra query matches nothing")
+    assert(!out.keySet.exists(_._2 == 14L), "doc 14 shares no query term")
+    out.foreach { case (k, v) => assert(v == exp(k), s"$k: $v vs ${exp(k)}") }
+  }
+
+  test("ranking: higher score first, equal scores tie-break by id ascending") {
+    val dup = Seq((20L, "apple"), (21L, "apple"), (22L, "apple banana"))
+      .toDF("doc_id", "text")
+    val q = Seq((0L, "apple")).toDF("qid", "text")
+    val out = Bm25.topK(dup, "doc_id", "text", q, "qid", "text", 3)
+      .orderBy($"rank").collect().map(r => (r.getLong(1), r.getLong(2)))
+    // docs 20/21 are identical (same tf, same dl) — rank by id; 22 is
+    // longer, so its tf-normalization is smaller
+    assert(out.toSeq == Seq((0L, 20L), (1L, 21L), (2L, 22L)), out.toSeq)
+  }
+
+  test("k truncates per query; guards reject bad column names") {
+    val out = Bm25.topK(corpus, "doc_id", "text", queries, "qid", "text", 2)
+    assert(out.collect().length == 2, "4 candidates for q0, truncated to 2")
+    intercept[IllegalArgumentException] {
+      Bm25.topK(corpus, "doc_id", "text", queries, "doc_id", "text", 2)
+    }
+    intercept[IllegalArgumentException] {
+      Bm25.topK(corpus, "term", "text", queries, "qid", "text", 2)
+    }
+  }
+
+  test("rrf: fused score is the exact sum of reciprocal ranks, missing ranks add nothing") {
+    val a = Seq((0L, 100L, 0L), (0L, 101L, 1L)).toDF("qid", "doc_id", "rank")
+    val b = Seq((0L, 101L, 0L), (0L, 102L, 1L)).toDF("qid", "doc_id", "rank")
+    val out = Bm25.rrf(Seq(a, b), "qid", "doc_id", "rank", 10)
+      .collect().map(r => r.getLong(2) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(out(101L)._2 == 1.0 / 62.0 + 1.0 / 61.0, "in both rankers")
+    assert(out(100L)._2 == 1.0 / 61.0, "rank 0 in one ranker only")
+    assert(out(102L)._2 == 1.0 / 62.0)
+    // 101 fuses highest; 100 (1/61) beats 102 (1/62)
+    assert(out(101L)._1 == 0L && out(100L)._1 == 1L && out(102L)._1 == 2L)
+  }
+
+  test("rrf: equal fused scores tie-break by id; k truncates") {
+    val a = Seq((0L, 200L, 3L), (0L, 199L, 3L), (0L, 198L, 1L)).toDF("qid", "doc_id", "rank")
+    val out = Bm25.rrf(Seq(a), "qid", "doc_id", "rank", 2)
+      .orderBy($"rank").collect().map(_.getLong(2)).toSeq
+    assert(out == Seq(198L, 199L), s"198 first, then the id tie: $out")
+  }
+}

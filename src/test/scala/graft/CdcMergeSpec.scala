@@ -107,6 +107,19 @@ class CdcMergeSpec extends SparkSpec {
     assert(live == Seq((2L, "b3", "y"), (3L, "c", "z"), (4L, "d", "w")),
       s"MOR view must fold both batches last-writer-wins: $live")
 
+    // time travel: asOfSeq truncates the log prefix — seq 1 shows batch 1
+    // only, a cutoff below every logged seq shows the bare base
+    def asOf(v: Long) =
+      CdcMerge.readMerged(spark, baseDir, logDir, "id", "seq", "op",
+          Seq("text", "src"), asOfSeq = Some(v))
+        .orderBy($"id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(asOf(1L) ==
+      Seq((1L, "a", "x"), (2L, "b2", "y"), (3L, "c", "z"), (4L, "d", "w")),
+      "batch 2's delete of 1 and update of 2 must be invisible as of seq 1")
+    assert(asOf(0L) == Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "z")))
+    assert(asOf(2L) == live, "a cutoff at the head equals the live view")
+
     // compaction: the folded view becomes the next base version; the view
     // over (v2, fresh empty log) is unchanged
     CdcMerge.compact(spark, baseDir, logDir, v2Dir,

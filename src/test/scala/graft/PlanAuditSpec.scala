@@ -366,4 +366,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       "the scored cross product must not shuffle")
   }
+
+  test("r3: BM25 is inverted-index shaped — term equi-joins, query terms broadcast, no cartesian") {
+    val p = plan("r3_bm25_topk")
+    // candidates come from hash joins on the term key; the only broadcast
+    // nested loop is the 1-row stats frame
+    assert(p.contains("BroadcastHashJoin"), "query terms must broadcast-equi-join")
+    assert(!p.contains("CartesianProduct"),
+      "BM25 must never plan a query x corpus cartesian")
+    assert(p.contains("LessThan(doc_id,3)") &&
+      p.contains("GreaterThanOrEqual(doc_id,3)"),
+      "both branch doc filters must reach the parquet scans")
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.nonEmpty && reads.forall(r =>
+      r.contains("doc_id") && r.contains("text") && !r.contains("source")),
+      s"scans must prune to (doc_id, text): $reads")
+  }
 }
