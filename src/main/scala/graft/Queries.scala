@@ -1324,7 +1324,8 @@ object Queries {
     val docs = Tables.documents(s, d)
     val corpus = docs.where($"doc_id" >= 3).select($"doc_id", $"text")
     val q = docs.where($"doc_id" < 3).select($"doc_id".as("qid"), $"text")
-    graft.operators.Bm25.topK(corpus, "doc_id", "text", q, "qid", "text", 10)
+    graft.api.CorpusRecipe(corpus)
+      .bm25TopK(q, "qid", "text", 10)
       .orderBy($"qid", $"rank")
   }
 
@@ -1341,13 +1342,8 @@ object Queries {
     val docs = Tables.documents(s, d)
     val corpus = docs.where($"doc_id" >= 3).select($"doc_id", $"text")
     val q = docs.where($"doc_id" < 3).select($"doc_id".as("qid"), $"text")
-    val sparse = graft.operators.Bm25
-      .topK(corpus, "doc_id", "text", q, "qid", "text", 20)
-    val dense = AnnSearch.batchTopK(
-      graft.operators.ChunkEmbed.docEmbed(corpus), "emb", "doc_id",
-      graft.operators.ChunkEmbed.docEmbed(q, idCol = "qid"), "qid", "emb",
-      20, VectorMetric.Cosine)
-    graft.operators.Bm25.rrf(Seq(sparse, dense), "qid", "doc_id", "rank", 10)
+    graft.api.CorpusRecipe(corpus)
+      .hybridTopK(q, "qid", "text", k = 10, fetchK = 20)
       .orderBy($"qid", $"rank")
   }
 

@@ -150,10 +150,13 @@ object ScalingBench {
     // form of SURVEY's capped-vs-uncapped contrast
     // m4/u2 joined in round 14: the CDC merge's claim is that only the
     // changelog shuffles (wall should track the snapshot scan ≈ linearly);
-    // u2's is one hash shuffle on the QI key
+    // u2's is one hash shuffle on the QI key. r3: the BM25 index build
+    // (postings + df groupBys) is the linear part; the copies are
+    // token-disjoint so the copy-0 queries probe a CONSTANT posting set —
+    // wall tracking the build, not the corpus×query product, is the claim
     val names10 = Seq("e2_minhash_pairs", "e4_jaccard_pairs", "e4c_jaccard_zipf",
       "e4d_jaccard_zipf_exact", "e8_dedup_cluster", "p3_corpus_recipe",
-      "m4_cdc_apply", "u2_k_anonymity")
+      "m4_cdc_apply", "u2_k_anonymity", "r3_bm25_topk")
     // second decade, CAPPED rows only: these are the designated 100 TB
     // plans, and two decades turn one ratio into a growth exponent.
     // e4/e4d stay at one decade on purpose — e4d is the documented
@@ -161,7 +164,8 @@ object ScalingBench {
     // a plan SURVEY already calls unscalable), and e4's uncapped-df salted
     // index is superseded by e4c's prefix caps as the Zipf scale path.
     val names100 = Set("e2_minhash_pairs", "e4c_jaccard_zipf",
-      "e8_dedup_cluster", "p3_corpus_recipe", "m4_cdc_apply", "u2_k_anonymity")
+      "e8_dedup_cluster", "p3_corpus_recipe", "m4_cdc_apply", "u2_k_anonymity",
+      "r3_bm25_topk")
     // build the ANN fixtures BEFORE the steal window opens (r13
     // self-review #2): the emb10000 build writes ~16 GB of parquet, and a
     // steal count spanning fixture IO can no longer flag a

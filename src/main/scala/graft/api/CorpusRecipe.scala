@@ -301,6 +301,33 @@ final class CorpusRecipe private (
   def chunkEmbed(dim: Int = 64, chunkLen: Int = 50, stride: Int = 40): DataFrame =
     graft.operators.ChunkEmbed.embed(frame, idCol, textCol, dim, chunkLen, stride)
 
+  /** BM25 top-k over the curated corpus ([[graft.operators.Bm25.topK]]) —
+    * the sparse TERMINAL beside [[chunkEmbed]]'s dense one: the recipe's
+    * gates/dedup/scrub decide what is searchable, then the query batch
+    * retrieves through the inverted-index equi-join (r3's shape).
+    */
+  def bm25TopK(queries: DataFrame, qidCol: String, qtextCol: String,
+               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    graft.operators.Bm25.topK(frame, idCol, textCol,
+      queries, qidCol, qtextCol, k, k1, b)
+
+  /** Hybrid retrieval TERMINAL (r4's shape): [[bm25TopK]]'s sparse ranks
+    * fused with dense doc-grain hashed-embedding cosine ranks by
+    * reciprocal-rank fusion — each ranker's top-`fetchK` lists fuse to a
+    * final top-`k`. The fusion sees only the truncated lists; nothing
+    * corpus-sized leaves the rankers.
+    */
+  def hybridTopK(queries: DataFrame, qidCol: String, qtextCol: String,
+                 k: Int, fetchK: Int = 20, dim: Int = 64): DataFrame = {
+    val sparse = bm25TopK(queries, qidCol, qtextCol, fetchK)
+    val dense = graft.operators.AnnSearch.batchTopK(
+      graft.operators.ChunkEmbed.docEmbed(frame, idCol, textCol, dim),
+      "emb", idCol,
+      graft.operators.ChunkEmbed.docEmbed(queries, qidCol, qtextCol, dim),
+      qidCol, "emb", fetchK, graft.operators.VectorMetric.Cosine)
+    graft.operators.Bm25.rrf(Seq(sparse, dense), qidCol, idCol, "rank", k)
+  }
+
   /** x2's doc-intact greedy packing ([[SequencePack.packNoSplit]]) — the
     * TERMINAL twin of [[packManifest]] for runs where documents must not
     * straddle context windows; packs in `shardDocs`-sized md5-draw-order

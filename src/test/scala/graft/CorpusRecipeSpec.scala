@@ -255,6 +255,27 @@ class CorpusRecipeSpec extends SparkSpec {
     assert(viaApi == direct && viaApi.nonEmpty)
   }
 
+  test("bm25TopK and hybridTopK delegate to their operators verbatim") {
+    val q = Seq((0L, "quick brown dog")).toDF("qid", "text")
+    val viaApi = CorpusRecipe(docs).bm25TopK(q, "qid", "text", 3)
+      .collect().map(_.toSeq).toSet
+    val direct = graft.operators.Bm25
+      .topK(docs, "doc_id", "text", q, "qid", "text", 3)
+      .collect().map(_.toSeq).toSet
+    assert(viaApi == direct && viaApi.nonEmpty)
+    val hApi = CorpusRecipe(docs).hybridTopK(q, "qid", "text", k = 3, fetchK = 4)
+      .collect().map(_.toSeq).toSet
+    val hDirect = graft.operators.Bm25.rrf(Seq(
+        graft.operators.Bm25.topK(docs, "doc_id", "text", q, "qid", "text", 4),
+        graft.operators.AnnSearch.batchTopK(
+          graft.operators.ChunkEmbed.docEmbed(docs), "emb", "doc_id",
+          graft.operators.ChunkEmbed.docEmbed(q, idCol = "qid"), "qid", "emb",
+          4, graft.operators.VectorMetric.Cosine)),
+      "qid", "doc_id", "rank", 3)
+      .collect().map(_.toSeq).toSet
+    assert(hApi == hDirect && hApi.nonEmpty)
+  }
+
   test("approx twins: tokenBudget(approx) lands near the budget; vocabulary twins agree") {
     val corpus = Tables.documents(spark, Sf0001)
       .select($"doc_id", $"text", $"lang",
