@@ -2127,6 +2127,21 @@ object Queries {
       .orderBy($"doc_id")
   }
 
+  /** S7 epoch upsampling ([[Sampling.upsample]] through the recipe
+    * terminal): the data-recipe weights {src0→2.5, src1→3.0, src2→0.25,
+    * src3→0} — scarce sources run extra epochs, src3 is dropped, the
+    * fractional copies fall to the deterministic "epoch|id" draw. Output
+    * grain is (doc_id, epoch); the oracle replays floor/threshold and the
+    * per-row copy explode exactly.
+    */
+  val s7EpochMix: Q = (s, d) => {
+    import s.implicits._
+    graft.api.CorpusRecipe(Tables.documents(s, d).select($"doc_id", $"source"))
+      .upsample(Map("src0" -> 2.5, "src1" -> 3.0, "src2" -> 0.25,
+        "src3" -> 0.0))
+      .orderBy($"doc_id", $"epoch")
+  }
+
   /** U2 k-anonymity suppression ([[graft.operators.Anonymize.kSuppress]]):
     * drop documents whose (lang, source, length-bucket) quasi-identifier
     * combination has fewer than 5 members — rare joint values are what
@@ -3870,6 +3885,21 @@ object Queries {
         |    sum(n_tok) OVER (PARTITION BY lang ORDER BY draw, doc_id) AS cum FROM d)
         |SELECT doc_id, lang, n_tok FROM c JOIN b USING (lang)
         |WHERE cum <= budget ORDER BY doc_id""".stripMargin,
+    // upsample replayed: per-source (floor, frac-threshold) literals —
+    // thresholdHex(0.5)=80000000, (0.25)=40000000, integer/zero fracs
+    // never draw — the seeded "epoch|id" md5 cut, and the copy explode
+    "s7_epoch_mix" ->
+      """WITH c AS (SELECT doc_id, source,
+        |  (CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 3
+        |     WHEN 'src2' THEN 0 WHEN 'src3' THEN 0 ELSE 1 END)
+        |  + (CASE WHEN substring(md5('epoch|' || CAST(doc_id AS VARCHAR)), 1, 8) <
+        |       (CASE source WHEN 'src0' THEN '80000000'
+        |          WHEN 'src2' THEN '40000000' ELSE '00000000' END)
+        |     THEN 1 ELSE 0 END) AS copies
+        |  FROM documents)
+        |SELECT doc_id, source,
+        |  CAST(unnest(generate_series(1, copies)) AS BIGINT) AS epoch
+        |FROM c WHERE copies > 0 ORDER BY doc_id, epoch""".stripMargin,
     // every float step of temperatureMix replayed: sqrt weights (IEEE
     // correctly rounded, unlike pow — why the engine routes alpha=0.5
     // through sqrt), the lang-ORDERED sequential weight fold, the capacity
@@ -4366,6 +4396,7 @@ object Queries {
     "s3_split_assign" -> s3SplitAssign,
     "s4_mixture_budget" -> s4MixtureBudget,
     "s6_temperature_mix" -> s6TemperatureMix,
+    "s7_epoch_mix" -> s7EpochMix,
     "u2_k_anonymity" -> u2KAnonymity,
     "s5_leakfree_split" -> s5LeakfreeSplit,
     "v1_label_centroid" -> v1LabelCentroid,

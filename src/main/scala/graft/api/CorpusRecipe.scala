@@ -244,6 +244,16 @@ final class CorpusRecipe private (
                 totalDocs: Long): CorpusRecipe =
     next(Sampling.temperatureMix(frame, idCol, stratumCol, alpha, totalDocs))
 
+  /** s7's epoch-style upsampling ([[Sampling.upsample]]) — the mixture
+    * knob that samples UP: weight w replicates a stratum's rows floor(w)
+    * times plus a deterministic-draw fractional copy. A TERMINAL — the
+    * output grain is (id, epoch), no longer one row per document, so it
+    * ends the recipe like the pack/profile steps do.
+    */
+  def upsample(weights: Map[String, Double], stratumCol: String = "source",
+               defaultWeight: Double = 1.0): DataFrame =
+    Sampling.upsample(frame, idCol, stratumCol, weights, defaultWeight)
+
   /** u2's k-anonymity suppression ([[graft.operators.Anonymize
     * .kSuppress]]): drop rows whose quasi-identifier combination has
     * fewer than k members — the joint-distribution complement of

@@ -286,6 +286,49 @@ object Sampling {
     stratified(df, idCol, stratumCol, rates, defaultRate = 0.0)
   }
 
+  /** Epoch-style upsampling — the data-recipe knob the mixture family
+    * lacked: [[temperatureMix]]/[[mixtureBudget]] can only sample DOWN,
+    * but pretraining recipes run scarce high-quality sources for MORE
+    * than one epoch (weights like {wiki → 3.0, books → 1.4, web → 0.6}).
+    * A weight w replicates each row floor(w) times plus one more with
+    * probability frac(w) — the extra copy decided by the deterministic
+    * md5 draw (seeded "epoch|id", decorrelated from [[keep]]'s draw on
+    * the bare id), so a stratum's realized mass is exactly
+    * floor(w)·n + |{draws < frac}| and any engine recomputes the same
+    * corpus. Output: every input column plus a 1-based `epoch` index —
+    * (id, epoch) is the new unique key, so downstream packing/sharding
+    * keeps its grain. Weight 0 drops the stratum; null strata take
+    * `defaultWeight`.
+    *
+    * Scale shape: scan-local — a when-chain of literals picks
+    * (floor, frac-threshold), one md5 per row, and the copy explode is a
+    * generator (no shuffle, no state; output partition sizes grow by at
+    * most ceil(max weight)×).
+    */
+  def upsample(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      weights: Map[String, Double],
+      defaultWeight: Double = 1.0): DataFrame = {
+    (defaultWeight +: weights.values.toSeq).foreach(w =>
+      require(w >= 0.0 && w <= 1000.0, s"weight $w outside [0, 1000]"))
+    require(!df.columns.contains("epoch"),
+      "input already has an epoch column — rename it before upsample")
+    def whenChain(f: Double => Column, default: Double): Column =
+      weights.toSeq.sortBy(_._1).foldLeft(f(default)) {
+        case (acc, (k, v)) => when(col(stratumCol) === k, f(v)).otherwise(acc)
+      }
+    val floorW = whenChain(v => lit(math.floor(v).toLong), defaultWeight)
+    val thr = whenChain(v => lit(thresholdHex(v - math.floor(v))), defaultWeight)
+    val draw = drawHex(concat_ws("|", lit("epoch"), col(idCol).cast("string")))
+    val copies = floorW + when(draw < thr, lit(1L)).otherwise(lit(0L))
+    df.withColumn("__copies", copies)
+      .where(col("__copies") > 0)
+      .select(df.columns.toIndexedSeq.map(col) :+
+        explode(sequence(lit(1L), col("__copies"))).as("epoch"): _*)
+  }
+
   /** Token-budget mix IN EXPECTATION: one tiny per-stratum aggregate
     * (#strata rows to the driver) turns each budget into a keep-rate
     * `min(1, budget / stratum_total)`, then the [[stratified]] scan-local

@@ -7,6 +7,35 @@ import org.apache.spark.sql.functions._
 class SamplingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("upsample: integer weights copy exactly, fracs draw, zero drops, (id, epoch) unique") {
+    val df = (0L until 4000L).map(i => (i, s"src${i % 4}")).toDF("id", "stratum")
+    val w = Map("src0" -> 2.0, "src1" -> 0.0, "src2" -> 1.5)
+    val out = Sampling.upsample(df, "id", "stratum", w).cache()
+    val byStratum = out.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStratum("src0") == 2000L, "integer weight 2.0 is exactly 2 copies each")
+    assert(!byStratum.contains("src1"), "weight 0 drops the stratum")
+    assert(byStratum("src3") == 1000L, "unmapped stratum takes defaultWeight 1.0")
+    // 1.5: one guaranteed copy + ~half draw the second
+    assert(byStratum("src2") >= 1000L && byStratum("src2") <= 2000L)
+    assert(math.abs(byStratum("src2") - 1500L) < 150, byStratum.toString)
+    assert(out.select("id", "epoch").distinct().count() == out.count(),
+      "(id, epoch) is the output key")
+    val epochs = out.where($"stratum" === "src0").groupBy($"id")
+      .agg(sort_array(collect_list($"epoch")).as("es"))
+      .select($"es").distinct().collect().map(_.getSeq[Long](0))
+    assert(epochs.length == 1 && epochs.head == Seq(1L, 2L),
+      s"epoch indices are 1..copies: ${epochs.toSeq}")
+    // pure function of the id: repartitioning changes nothing
+    val again = Sampling.upsample(df.repartition(13), "id", "stratum", w)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(again == out.collect().map(r => (r.getLong(0), r.getLong(2))).toSet)
+    out.unpersist()
+    intercept[IllegalArgumentException] {
+      Sampling.upsample(df.withColumn("epoch", lit(1L)), "id", "stratum", w)
+    }
+  }
+
   test("stratified: deterministic, rate-faithful, and a scan-local filter") {
     val df = (0L until 10000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
       .toDF("id", "stratum")
