@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.{CdcMerge, SnapshotDiff}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.lit
 
 /** [[CdcMerge]] — the m4 gate row hash-checks a two-batch changelog apply
   * against DuckDB; this spec pins the merge semantics edges and the plan
@@ -126,6 +127,42 @@ class CdcMergeSpec extends SparkSpec {
       "id", "seq", "op", Seq("text", "src"))
     val emptyLog = graft.sources.TempDirs.register(s"/tmp/graft_cdc_log2_$pid")
     assert(view(v2Dir, emptyLog) == live)
+  }
+
+  test("CDC maintains a served ANN index: deletes vanish from top-k, assigned inserts surface") {
+    import graft.operators.{IvfIndex, VectorMetric}
+    val e = Tables.embeddings(spark, Sf0001)
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+    val (indexed0, model) = IvfIndex.build(e, "embedding", nlist = 4)
+    val indexed = indexed0.select($"vec_id", $"embedding", $"cluster_id")
+    val q = e.where($"vec_id" === 7L).head.getSeq[Double](1)
+
+    def topIds(ix: DataFrame) =
+      IvfIndex.search(ix, model, "embedding", "vec_id", q, 5,
+          nprobe = 4, VectorMetric.Cosine)
+        .collect().map(_.getLong(0)).toSeq
+
+    assert(topIds(indexed).head == 7L, "a vector's own embedding is its cosine top-1")
+
+    // the maintenance loop: deletes arrive as bare keys; inserts are
+    // ASSIGNED to their cluster first (the real ingest path), then both
+    // merge into the index lake like any other CDC batch — no rebuild
+    val del = Seq(7L, 11L).toDF("vec_id")
+      .select($"vec_id", lit(1L).as("seq"), lit("D").as("op"),
+        lit(null).cast("array<double>").as("embedding"),
+        lit(null).cast("int").as("cluster_id"))
+    val ins = IvfIndex.assign(Seq((9001L, q)).toDF("vec_id", "embedding"),
+        "embedding", model)
+      .select($"vec_id", lit(2L).as("seq"), lit("I").as("op"),
+        $"embedding", $"cluster_id")
+    val merged = CdcMerge.apply(indexed, del.unionByName(ins),
+      "vec_id", "seq", "op", Seq("embedding", "cluster_id"))
+
+    val top = topIds(merged)
+    assert(top.head == 9001L, s"the re-added twin of q must serve: $top")
+    assert(!top.contains(7L) && !top.contains(11L),
+      s"deleted vectors must never surface: $top")
+    assert(merged.count() == indexed.count() - 2 + 1)
   }
 
   test("payload must not repeat the key; empty payload rejected") {

@@ -367,6 +367,23 @@ class PlanAuditSpec extends SparkSpec {
       "the scored cross product must not shuffle")
   }
 
+  test("s7: upsample is scan-local — the only exchange is the final presentation sort") {
+    val p = plan("s7_epoch_mix")
+    assert(exchanges(p) <= 1, s"expected at most the orderBy exchange:\n${p.take(600)}")
+    assert(!p.contains("Window"), "no window, no state — literal when-chains only")
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.forall(r => !r.contains("text")),
+      s"text must never be scanned for an id/source replication: $reads")
+  }
+
+  test("r4: hybrid fusion never plans an unbroadcast product; both rankers' shapes survive") {
+    val p = plan("r4_hybrid_rrf")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "sparse candidates hash-join, the dense product broadcasts")
+    assert(p.contains("BroadcastHashJoin"), "BM25 term join must broadcast")
+    assert(p.contains("BroadcastNestedLoopJoin"), "dense query batch must broadcast")
+  }
+
   test("r3: BM25 is inverted-index shaped — term equi-joins, query terms broadcast, no cartesian") {
     val p = plan("r3_bm25_topk")
     // candidates come from hash joins on the term key; the only broadcast
