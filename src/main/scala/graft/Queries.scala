@@ -1329,6 +1329,28 @@ object Queries {
       .orderBy($"qid", $"rank")
   }
 
+  /** R5 — incremental BM25 index maintenance under r3's oracle: the
+    * corpus splits into a "yesterday" lake (fit) and a "today" delta
+    * (append — delta-sized postings work, a dictionary-sized df merge,
+    * two long adds for the stats), and the search over the MERGED index
+    * must hash-match the full-recompute oracle. df/dl/n are integer-
+    * exact, so the merged index is bit-identical to fit-over-union —
+    * this row is the e2i of the retrieval family.
+    */
+  val r5Bm25Incremental: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val old = docs.where($"doc_id" >= 3 && $"doc_id" % 5 =!= 0)
+      .select($"doc_id", $"text")
+    val delta = docs.where($"doc_id" >= 3 && $"doc_id" % 5 === 0)
+      .select($"doc_id", $"text")
+    val q = docs.where($"doc_id" < 3).select($"doc_id".as("qid"), $"text")
+    val ix = graft.operators.Bm25.append(
+      graft.operators.Bm25.fit(old, "doc_id", "text"), delta, "text")
+    graft.operators.Bm25.searchIndex(ix, q, "qid", "text", 10)
+      .orderBy($"qid", $"rank")
+  }
+
   /** R4 — hybrid retrieval: [[r3Bm25TopK]]'s sparse ranks fused with the
     * dense hashed-embedding ranks (document-grain [[graft.operators
     * .ChunkEmbed.docEmbed]] served through `batchTopK` cosine) by
@@ -3365,6 +3387,29 @@ object Queries {
         |r AS (SELECT qid, doc_id, score, CAST(row_number() OVER (
         |    PARTITION BY qid ORDER BY score DESC, doc_id) - 1 AS BIGINT) AS rank FROM sc)
         |SELECT qid, rank, doc_id, score FROM r WHERE rank < 10 ORDER BY qid, rank""".stripMargin,
+    // r3's oracle VERBATIM: the engine path is fit(yesterday) +
+    // append(today) + searchIndex, and the merged index must answer
+    // exactly like the full recompute this SQL performs
+    "r5_bm25_incremental" ->
+      """WITH corpus AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id >= 3),
+        |q AS (SELECT doc_id AS qid, string_split(text, ' ') AS w FROM documents WHERE doc_id < 3),
+        |post AS (SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(w) AS t FROM corpus) GROUP BY doc_id, t),
+        |dl AS (SELECT doc_id, len(w) AS dl FROM corpus),
+        |dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
+        |st AS (SELECT count(*)::DOUBLE AS n, sum(len(w))::DOUBLE / count(*) AS avgdl FROM corpus),
+        |qt AS (SELECT DISTINCT qid, term FROM (SELECT qid, unnest(w) AS term FROM q)),
+        |cand AS (SELECT qt.qid, p.doc_id, p.term,
+        |  ln(1.0 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) *
+        |    ((p.tf * (1.2 + 1.0)) / (p.tf + 1.2 * (0.25 + (0.75 * dl.dl) / st.avgdl))) AS c
+        |  FROM qt JOIN post p ON qt.term = p.term
+        |  JOIN dfs ON p.term = dfs.term
+        |  JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN st),
+        |sc AS (SELECT qid, doc_id, round(list_sum(list(c ORDER BY term)), 6) AS score
+        |  FROM cand GROUP BY qid, doc_id),
+        |r AS (SELECT qid, doc_id, score, CAST(row_number() OVER (
+        |    PARTITION BY qid ORDER BY score DESC, doc_id) - 1 AS BIGINT) AS rank FROM sc)
+        |SELECT qid, rank, doc_id, score FROM r WHERE rank < 10 ORDER BY qid, rank""".stripMargin,
     // r3's sparse CTEs (top-20) + the sd2-style doc-grain embedding CTEs
     // under r1's cosine/heap-order window (top-20), fused by RRF: each
     // ranker contributes 1/(60+rank+1), summed in ranker order
@@ -4354,6 +4399,7 @@ object Queries {
     "r1_retrieval_topk" -> r1RetrievalTopK,
     "r3_bm25_topk" -> r3Bm25TopK,
     "r4_hybrid_rrf" -> r4HybridRrf,
+    "r5_bm25_incremental" -> r5Bm25Incremental,
     "r2_retrieval_ivf" -> r2RetrievalIvf,
     "q3_profile" -> q3Profile,
     "c7_ivf_cluster" -> c7IvfCluster,

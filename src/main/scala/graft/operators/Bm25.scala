@@ -28,6 +28,9 @@ import org.apache.spark.sql.functions._
   */
 object Bm25 {
 
+  /** Column names the index/search plumbing claims internally. */
+  private val Reserved = Set("term", "tf", "dl", "df", "n", "avgdl", "score")
+
   /** Postings with document length: one row per (id, term) — (id, term,
     * tf, dl). The one docs-grain shuffle of the index build.
     */
@@ -38,36 +41,69 @@ object Bm25 {
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
 
-  /** Top-k docs per query under BM25. `queries` is the serving batch
-    * (small by contract — it broadcasts); docs is the corpus. Output:
-    * (qidCol, rank, idCol, score) with rank 0-based, score rounded to 6.
-    * Documents sharing no term with a query are never candidates (their
-    * BM25 score is 0); a query whose terms miss the corpus entirely
-    * returns no rows.
+  /** A built index: the three artifacts a persisted BM25 corpus keeps —
+    * postings (id, term, tf, dl), per-term document frequencies
+    * (term, df), and the 1-row corpus stats (n_docs, sum_dl). All three
+    * are integer-exact, so [[append]]'s merged index is BIT-identical to
+    * a full [[fit]] over the union (the r5 gate row proves it against
+    * r3's oracle). Persist `postings` bucketed by term and the search
+    * probe pushes an `In(term)` scan filter, e2i-style.
     */
-  def topK(docs: DataFrame, idCol: String, textCol: String,
-           queries: DataFrame, qidCol: String, qtextCol: String,
-           k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(k >= 1, s"k $k must be >= 1")
-    require(qidCol != idCol && qidCol != "rank" && idCol != "rank",
-      s"qidCol/$idCol must differ from each other and from 'rank'")
-    val reserved = Set("term", "tf", "dl", "df", "n", "avgdl", "score")
-    require(!reserved(qidCol) && !reserved(idCol),
-      s"id columns must avoid the internal names ${reserved.mkString(", ")}")
+  final case class Index(idCol: String, postings: DataFrame,
+                         dfs: DataFrame, docStats: DataFrame)
+
+  /** Build the index artifacts from a corpus — the periodic job. */
+  def fit(docs: DataFrame, idCol: String, textCol: String): Index = {
+    require(!Reserved(idCol) && idCol != "rank",
+      s"idCol must avoid 'rank' and the internal names ${Reserved.mkString(", ")}")
     val post = postings(docs, idCol, textCol)
-    val dfs = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // corpus stats: two scalars from one docs scan — broadcast as a 1-row
-    // frame (token-length sums are exact longs, the division deterministic)
-    val stats = docs.agg(
-      count(lit(1)).cast("double").as("n"),
-      (sum(size(tokens(col(textCol))).cast("long")).cast("double") /
-        count(lit(1))).as("avgdl"))
+    Index(idCol, post,
+      post.groupBy(col("term")).agg(count(lit(1)).as("df")),
+      docs.agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col(textCol))).cast("long")).as("sum_dl")))
+  }
+
+  /** Incremental maintenance — the daily-append shape: new documents'
+    * postings UNION in (delta-sized work, the lake is untouched), the
+    * term dictionary merges with a full-outer long-sum (dictionary-sized,
+    * never postings-sized), and the corpus stats add as two longs. New
+    * ids must be genuinely new — an id present in both sides would
+    * double-count df and dl exactly like appending the same file to any
+    * lake twice; dedup upstream (e1/e2) owns that.
+    */
+  def append(ix: Index, docs: DataFrame, textCol: String): Index = {
+    val delta = fit(docs, ix.idCol, textCol)
+    val dfs = ix.dfs.as("a").join(delta.dfs.as("b"), Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("a.df"), lit(0L)) + coalesce(col("b.df"), lit(0L))).as("df"))
+    val stats = ix.docStats.unionByName(delta.docStats)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    Index(ix.idCol, ix.postings.unionByName(delta.postings), dfs, stats)
+  }
+
+  /** Top-k per query over a built [[Index]] — [[topK]]'s search half,
+    * identical arithmetic (the two are fit ∘ search by construction).
+    */
+  def searchIndex(ix: Index, queries: DataFrame, qidCol: String,
+                  qtextCol: String, k: Int,
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k $k must be >= 1")
+    require(qidCol != ix.idCol && qidCol != "rank" && ix.idCol != "rank",
+      s"qidCol/${ix.idCol} must differ from each other and from 'rank'")
+    require(!Reserved(qidCol) && !Reserved(ix.idCol),
+      s"id columns must avoid the internal names ${Reserved.mkString(", ")}")
+    val idCol = ix.idCol
+    // the same double the inline stats aggregate produces: long sums cast
+    // at the point of division
+    val stats = ix.docStats.select(
+      col("n_docs").cast("double").as("n"),
+      (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
     val qterms = queries.select(
       col(qidCol), explode(array_distinct(tokens(col(qtextCol)))).as("term"))
     val idf = log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val tfn = col("tf") * (lit(k1) + 1.0) /
       (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
-    post.join(dfs, "term")
+    ix.postings.join(ix.dfs, "term")
       .join(broadcast(qterms), "term")
       .crossJoin(broadcast(stats))
       .select(col(qidCol), col(idCol), col("term"), (idf * tfn).as("c"))
@@ -83,6 +119,18 @@ object Bm25 {
       .where(col("rank") < k)
       .select(col(qidCol), col("rank"), col(idCol), col("score"))
   }
+
+  /** Top-k docs per query under BM25. `queries` is the serving batch
+    * (small by contract — it broadcasts); docs is the corpus. Output:
+    * (qidCol, rank, idCol, score) with rank 0-based, score rounded to 6.
+    * Documents sharing no term with a query are never candidates (their
+    * BM25 score is 0); a query whose terms miss the corpus entirely
+    * returns no rows.
+    */
+  def topK(docs: DataFrame, idCol: String, textCol: String,
+           queries: DataFrame, qidCol: String, qtextCol: String,
+           k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    searchIndex(fit(docs, idCol, textCol), queries, qidCol, qtextCol, k, k1, b)
 
   /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009): fused score =
     * Σ_rankers 1/(c + rank + 1) over each ranker's 0-based rank of the

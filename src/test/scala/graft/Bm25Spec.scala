@@ -86,6 +86,24 @@ class Bm25Spec extends SparkSpec {
     }
   }
 
+  test("append: fit(old) + delta is bit-identical to fit(old ∪ delta), artifact by artifact") {
+    val old = corpus.where($"doc_id" <= 12)
+    val delta = corpus.where($"doc_id" > 12)
+    val merged = Bm25.append(Bm25.fit(old, "doc_id", "text"), delta, "text")
+    val full = Bm25.fit(corpus, "doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(rows(merged.postings) == rows(full.postings))
+    assert(rows(merged.dfs) == rows(full.dfs),
+      "the full-outer df merge must equal the recomputed dictionary")
+    assert(rows(merged.docStats) == rows(full.docStats))
+    // and the search over the merged index answers exactly like topK
+    val viaIx = Bm25.searchIndex(merged, queries, "qid", "text", 10)
+      .collect().map(_.toSeq).toSet
+    val direct = Bm25.topK(corpus, "doc_id", "text", queries, "qid", "text", 10)
+      .collect().map(_.toSeq).toSet
+    assert(viaIx == direct && viaIx.nonEmpty)
+  }
+
   test("rrf: fused score is the exact sum of reciprocal ranks, missing ranks add nothing") {
     val a = Seq((0L, 100L, 0L), (0L, 101L, 1L)).toDF("qid", "doc_id", "rank")
     val b = Seq((0L, 101L, 0L), (0L, 102L, 1L)).toDF("qid", "doc_id", "rank")
