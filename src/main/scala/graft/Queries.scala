@@ -3438,7 +3438,7 @@ object Queries {
         |  CASE WHEN (hv // 64) % 2 = 0 THEN 1.0 ELSE -1.0 END AS sgn
         |  FROM (SELECT doc_id, ('0x' || substring(md5(t), 1, 15))::BIGINT AS hv FROM tok)),
         |sums AS (SELECT doc_id, b, sum(sgn) AS v FROM bsg GROUP BY doc_id, b),
-        |grid AS (SELECT d.doc_id, r.j FROM (SELECT DISTINCT doc_id FROM toks) d
+        |grid AS (SELECT d.doc_id, r.j FROM (SELECT DISTINCT doc_id FROM tok) d
         |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) r),
         |emb AS (SELECT g.doc_id, list(coalesce(s.v, 0.0) ORDER BY g.j) AS e
         |  FROM grid g LEFT JOIN sums s ON s.doc_id = g.doc_id AND s.b = g.j GROUP BY g.doc_id),
@@ -3681,7 +3681,9 @@ object Queries {
         |  CASE WHEN (hv // 64) % 2 = 0 THEN 1.0 ELSE -1.0 END AS sgn
         |  FROM (SELECT doc_id, ('0x' || substring(md5(t), 1, 15))::BIGINT AS hv FROM tok)),
         |sums AS (SELECT doc_id, b, sum(sgn) AS v FROM bsg GROUP BY doc_id, b),
-        |grid AS (SELECT d.doc_id, r.j FROM (SELECT DISTINCT doc_id FROM toks) d
+        |-- grid keys come from tok (post-unnest), not toks: a null-text doc
+        |-- has no tokens and docEmbed emits NO row for it, not a zero vector
+        |grid AS (SELECT d.doc_id, r.j FROM (SELECT DISTINCT doc_id FROM tok) d
         |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) r),
         |emb AS (SELECT g.doc_id, list(coalesce(s.v, 0.0) ORDER BY g.j) AS e
         |  FROM grid g LEFT JOIN sums s ON s.doc_id = g.doc_id AND s.b = g.j GROUP BY g.doc_id),

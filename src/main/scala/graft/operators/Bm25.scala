@@ -150,6 +150,10 @@ object Bm25 {
           rankCol: String, k: Int, c: Int = 60): DataFrame = {
     require(rankings.nonEmpty, "rrf needs at least one ranking")
     require(k >= 1, s"k $k must be >= 1")
+    require(qidCol != idCol, s"qidCol and idCol must differ (both '$idCol')")
+    Seq(qidCol, idCol).foreach(n =>
+      require(n != "rank" && n != "rrf",
+        s"'$n' collides with rrf's output columns (rank, rrf) — rename it"))
     val tagged = rankings.zipWithIndex.map { case (r, i) =>
       r.select(col(qidCol), col(idCol), lit(i).as("__r"),
         (lit(1.0) / (lit(c) + col(rankCol) + lit(1.0))).as("__c"))

@@ -313,8 +313,9 @@ object Sampling {
       defaultWeight: Double = 1.0): DataFrame = {
     (defaultWeight +: weights.values.toSeq).foreach(w =>
       require(w >= 0.0 && w <= 1000.0, s"weight $w outside [0, 1000]"))
-    require(!df.columns.contains("epoch"),
-      "input already has an epoch column — rename it before upsample")
+    Seq("epoch", "__copies").foreach(n =>
+      require(!df.columns.contains(n),
+        s"input already has a $n column — rename it before upsample"))
     def whenChain(f: Double => Column, default: Double): Column =
       weights.toSeq.sortBy(_._1).foldLeft(f(default)) {
         case (acc, (k, v)) => when(col(stratumCol) === k, f(v)).otherwise(acc)
