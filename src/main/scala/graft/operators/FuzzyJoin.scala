@@ -24,11 +24,14 @@ import org.apache.spark.sql.functions._
   * brute force in DuckDB).
   *
   * Scale shape: gram DF drives the candidate volume exactly like e4's
-  * token inverted index; the published refinement for skewed gram
-  * frequencies is count filtering (keep pairs sharing ≥ maxLen−q+1−d·q
-  * grams) with rarest-prefix indexing, which this operator documents as
-  * its e4c-style extension rather than silently capping (a dropped gram
-  * here would LOSE pairs, unlike e4's sound prefix caps).
+  * token inverted index. Gravano's count filter IS applied — long-class
+  * candidates must match ≥ max(len)−q+1−d·q join rows before any
+  * levenshtein runs, which collapses the frequent-gram blowup at the
+  * verify stage. The remaining published refinement, rarest-prefix
+  * indexing (index only each string's lowest-DF grams), stays documented
+  * rather than applied: unlike e4's sound prefix caps it needs a DF
+  * side-table to stay lossless, and the count filter already bounds the
+  * verify input.
   */
 object FuzzyJoin {
 
@@ -60,10 +63,25 @@ object FuzzyJoin {
 
     val lg = grams(l, strL, "__lp", "__lg")
     val rg = grams(r, strR, "__rp", "__rg")
+    // count filtering (Gravano et al. §4.2): a pair within distance d
+    // shares at least max(len)−q+1−d·q untouched gram occurrences, so
+    // candidates matching fewer join rows can be dropped BEFORE the
+    // levenshtein verify. The join-row count only over-counts the 1-1
+    // occurrence matching (one left gram can match several right
+    // positions inside ±d), so the filter is sound — it can only keep
+    // extra candidates, never lose a true pair; the brute-force parity
+    // spec and the f1 gate row pin that. The groupBy also dedups the
+    // long class, shrinking the verify input on skewed gram frequencies
+    // where a shared frequent gram would otherwise emit one candidate
+    // row per co-occurrence.
     val longPairs = lg.join(rg,
         lg("__lg") === rg("__rg") &&
           abs(lg("__lp") - rg("__rp")) <= maxDist &&
           abs(length(col(strL)) - length(col(strR))) <= maxDist)
+      .groupBy(col(idL), col(strL), col(idR), col(strR))
+      .agg(count(lit(1)).as("__m"))
+      .where(col("__m") >=
+        greatest(length(col(strL)), length(col(strR))) - lit(q - 1) - lit(maxDist * q))
       .select(col(idL), col(strL), col(idR), col(strR))
 
     // short-string fallback: length-band blocking (2d+1 buckets per row)
