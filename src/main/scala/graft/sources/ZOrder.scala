@@ -34,16 +34,28 @@ object ZOrder {
     * Pure bit arithmetic on longs — whole-stage-codegen-friendly, no UDF:
     * 2·bits shift/mask terms OR-folded into one expression.
     */
-  def zvalue(a: Column, b: Column, bits: Int = 16): Column = {
-    require(bits >= 1 && bits <= 31, s"bits $bits outside [1, 31]")
+  def zvalue(a: Column, b: Column, bits: Int = 16): Column =
+    zvalueN(Seq(a, b), bits)
+
+  /** The N-dimensional interleave (Delta's `ZORDER BY (a, b, c)` shape):
+    * bit i of column j lands at position N·i + j, so [[zvalue]] is the
+    * N=2 special case bit for bit. N·bits must fit a signed long's 63
+    * value bits; the same out-of-domain → null contract applies across
+    * every column.
+    */
+  def zvalueN(cols: Seq[Column], bits: Int = 16): Column = {
+    val n = cols.size
+    require(n >= 2, s"z-ordering needs at least 2 columns, got $n")
+    require(bits >= 1 && n * bits <= 63,
+      s"$n columns x $bits bits = ${n * bits} interleaved bits; must be in [$n, 63]")
     val hi = (1L << bits) - 1
-    val (al, bl) = (a.cast("long"), b.cast("long"))
-    val z = (0 until bits).map { i =>
-      shiftleft(shiftrightunsigned(al, i).bitwiseAND(lit(1L)), 2 * i)
-        .bitwiseOR(
-          shiftleft(shiftrightunsigned(bl, i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }.reduce(_.bitwiseOR(_))
-    when(al.between(0L, hi) && bl.between(0L, hi), z)
+    val ls = cols.map(_.cast("long"))
+    val z = (for {
+      i <- 0 until bits
+      (c, j) <- ls.zipWithIndex
+    } yield shiftleft(shiftrightunsigned(c, i).bitwiseAND(lit(1L)), n * i + j))
+      .reduce(_.bitwiseOR(_))
+    when(ls.map(_.between(0L, hi)).reduce(_ && _), z)
   }
 
   /** Layout job: rewrite `df` into `dir` clustered along the z-curve of

@@ -40,6 +40,32 @@ class ZOrderSpec extends SparkSpec {
     intercept[IllegalArgumentException] { ZOrder.zvalue($"a", $"b", 32) }
   }
 
+  test("zvalueN: 3-column interleave replays bit for bit; 2-column case is zvalue exactly") {
+    def z3(a: Long, b: Long, c: Long, bits: Int): Long = {
+      var z = 0L
+      var i = 0
+      while (i < bits) {
+        z |= ((a >> i) & 1L) << (3 * i)
+        z |= ((b >> i) & 1L) << (3 * i + 1)
+        z |= ((c >> i) & 1L) << (3 * i + 2)
+        i += 1
+      }
+      z
+    }
+    val rows = Seq((0L, 0L, 0L), (1L, 2L, 4L), (7L, 0L, 7L), (255L, 255L, 255L))
+    val got = rows.toDF("a", "b", "c")
+      .select($"a", $"b", $"c",
+        ZOrder.zvalueN(Seq($"a", $"b", $"c"), bits = 8).as("z")).collect()
+    got.foreach(r =>
+      assert(r.getLong(3) == z3(r.getLong(0), r.getLong(1), r.getLong(2), 8)))
+    val two = Seq((5L, 9L)).toDF("a", "b")
+      .select(ZOrder.zvalue($"a", $"b", 10).as("z1"),
+        ZOrder.zvalueN(Seq($"a", $"b"), 10).as("z2")).head
+    assert(two.getLong(0) == two.getLong(1))
+    intercept[IllegalArgumentException] { ZOrder.zvalueN(Seq($"a"), 8) }
+    intercept[IllegalArgumentException] { ZOrder.zvalueN(Seq($"a", $"b", $"c"), 22) }
+  }
+
   test("z-curve locality: a curve-contiguous run spans a bounded box, not a stripe") {
     // walk one 32-value z segment; its (a, b) bounding box must stay small
     // (the property that makes file spans compact rectangles)
