@@ -66,9 +66,13 @@ object ZOrder {
     * in the data.
     */
   def layout(df: DataFrame, dir: String, colA: String, colB: String,
-             bits: Int = 16, nFiles: Int = 8): Unit = {
-    val z = zvalue(col(colA), col(colB), bits).as("__z")
-    df.withColumn("__z", z)
+             bits: Int = 16, nFiles: Int = 8): Unit =
+    layoutN(df, dir, Seq(colA, colB), bits, nFiles)
+
+  /** [[layout]] along the N-dimensional curve ([[zvalueN]]). */
+  def layoutN(df: DataFrame, dir: String, cols: Seq[String],
+              bits: Int = 16, nFiles: Int = 8): Unit = {
+    df.withColumn("__z", zvalueN(cols.map(col), bits))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
@@ -76,23 +80,39 @@ object ZOrder {
   }
 
   /** Two-dimensional file manifest: per file, the [min,max] span of BOTH
-    * columns plus the row count — [[ManifestIndex.spanStats]] widened to
-    * the second dimension (one shared definition of the row shape).
+    * columns plus the row count — [[buildManifestN]] at N=2 with the m5/m6
+    * aliases (a, b).
     */
   def buildManifest(spark: SparkSession, dir: String,
                     colA: String, colB: String): DataFrame =
-    ManifestIndex.spanStats(
-      spark.read.parquet(dir), Seq(colA -> "a", colB -> "b"), None)
+    buildManifestN(spark, dir, Seq(colA -> "a", colB -> "b"))
+
+  /** N-dimensional file manifest: one (min_alias, max_alias) span per
+    * (column, alias) pair plus the row count — [[ManifestIndex.spanStats]]
+    * owns the row shape, so every dimensionality shares one definition.
+    */
+  def buildManifestN(spark: SparkSession, dir: String,
+                     keys: Seq[(String, String)]): DataFrame =
+    ManifestIndex.spanStats(spark.read.parquet(dir), keys, None)
 
   /** Planning: files whose (a, b) bounding box intersects the query box.
     * The manifest is tiny by contract; collect is the planner's job.
     */
   def prunedFiles(manifest: DataFrame, loA: Long, hiA: Long,
                   loB: Long, hiB: Long): Seq[String] =
+    prunedFilesN(manifest, Seq(("a", loA, hiA), ("b", loB, hiB)))
+
+  /** The N-dimensional prune: every aliased span must intersect its query
+    * interval — the per-dimension selectivities MULTIPLY on a z-laid lake.
+    */
+  def prunedFilesN(manifest: DataFrame,
+                   boxes: Seq[(String, Long, Long)]): Seq[String] = {
+    require(boxes.nonEmpty, "need at least one (alias, lo, hi) box side")
     manifest
-      .where(col("max_a") >= loA && col("min_a") <= hiA &&
-        col("max_b") >= loB && col("min_b") <= hiB)
+      .where(boxes.map { case (a, lo, hi) =>
+        col(s"max_$a") >= lo && col(s"min_$a") <= hi }.reduce(_ && _))
       .select(col("file")).collect().map(_.getString(0)).toSeq
+  }
 
   /** Manifest-planned box read: scan only intersecting files
     * ([[ManifestIndex.readPruned]] — the lake directory is never listed),
@@ -101,9 +121,21 @@ object ZOrder {
     */
   def boxRead(spark: SparkSession, dir: String, manifest: DataFrame,
               colA: String, colB: String, loA: Long, hiA: Long,
-              loB: Long, hiB: Long): DataFrame = {
-    val files = prunedFiles(manifest, loA, hiA, loB, hiB)
+              loB: Long, hiB: Long): DataFrame =
+    boxReadN(spark, dir, manifest,
+      Seq((colA, "a", loA, hiA), (colB, "b", loB, hiB)))
+
+  /** The N-dimensional planned read: prune on every aliased span, scan
+    * the surviving files, re-apply the full residual box. `boxes` rows
+    * are (column, alias, lo, hi) with aliases matching the manifest's.
+    */
+  def boxReadN(spark: SparkSession, dir: String, manifest: DataFrame,
+               boxes: Seq[(String, String, Long, Long)]): DataFrame = {
+    require(boxes.nonEmpty, "need at least one (column, alias, lo, hi) side")
+    val files = prunedFilesN(manifest,
+      boxes.map { case (_, a, lo, hi) => (a, lo, hi) })
     ManifestIndex.readPruned(spark, dir, manifest, files)
-      .where(col(colA).between(loA, hiA) && col(colB).between(loB, hiB))
+      .where(boxes.map { case (c, _, lo, hi) => col(c).between(lo, hi) }
+        .reduce(_ && _))
   }
 }

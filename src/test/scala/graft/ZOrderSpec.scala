@@ -115,6 +115,32 @@ class ZOrderSpec extends SparkSpec {
     assert(ZOrder.boxRead(spark, aDir, aMan, "a", "b", 3, 12, 5, 20).count() == want)
   }
 
+  test("3-D: layoutN + buildManifestN + boxReadN prune on every dimension, lose no rows") {
+    val pid = ProcessHandle.current().pid()
+    val dir = TempDirs.register(s"/tmp/graft_zspec_3d_$pid")
+    // 16x16x16 uniform grid
+    val df = spark.range(0, 4096).select(
+      (col("id") % 16).as("a"), ((col("id") / 16) % 16).as("b"),
+      (col("id") / 256).as("c"))
+    ZOrder.layoutN(df, dir, Seq("a", "b", "c"), bits = 4, nFiles = 16)
+    val man = ZOrder.buildManifestN(spark, dir,
+      Seq("a" -> "a", "b" -> "b", "c" -> "c")).localCheckpoint()
+    val total = man.count()
+    assert(total >= 8, s"expected a multi-file lake, got $total")
+    // a narrow band on EACH dimension prunes — no stripe-blind axis
+    Seq("a", "b", "c").foreach { d =>
+      val boxes = Seq("a", "b", "c").map(x =>
+        if (x == d) (x, 0L, 1L) else (x, 0L, 15L))
+      assert(ZOrder.prunedFilesN(man, boxes).size < total,
+        s"dimension $d must prune on a 3-D z lake")
+    }
+    // the 3-D box read is exactly the plain predicate
+    val boxes = Seq(("a", "a", 2L, 9L), ("b", "b", 1L, 6L), ("c", "c", 4L, 12L))
+    val want = df.where(col("a").between(2, 9) && col("b").between(1, 6) &&
+      col("c").between(4, 12)).count()
+    assert(ZOrder.boxReadN(spark, dir, man, boxes).count() == want && want > 0)
+  }
+
   test("empty intersection keeps the schema without listing the lake") {
     val pid = ProcessHandle.current().pid()
     val dir = TempDirs.register(s"/tmp/graft_zspec_e_$pid")
