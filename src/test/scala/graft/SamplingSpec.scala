@@ -31,6 +31,13 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(again == out.collect().map(r => (r.getLong(0), r.getLong(2))).toSet)
     out.unpersist()
+    // null strata take defaultWeight (the === comparison is null-safe-false)
+    val withNull = Seq((1L, Option.empty[String]), (2L, Some("src0")))
+      .toDF("id", "stratum")
+    val nulled = Sampling.upsample(withNull, "id", "stratum",
+      Map("src0" -> 2.0), defaultWeight = 3.0)
+      .groupBy($"id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nulled(1L) == 3L && nulled(2L) == 2L, nulled.toString)
     intercept[IllegalArgumentException] {
       Sampling.upsample(df.withColumn("epoch", lit(1L)), "id", "stratum", w)
     }
