@@ -3193,12 +3193,16 @@ object Queries {
         |  bit_xor(('0x' || substring(md5(text), 1, 15))::BIGINT) AS fp
         |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
     "m3_corpus_diff" ->
-      """WITH b AS (SELECT doc_id, md5(concat_ws(chr(31), text, source)) AS h FROM documents),
+      """WITH b AS (SELECT doc_id, md5(concat_ws(chr(31),
+        |    CASE WHEN text IS NULL THEN '0' ELSE '1' || text END,
+        |    CASE WHEN source IS NULL THEN '0' ELSE '1' || source END)) AS h FROM documents),
         |a0 AS (SELECT doc_id,
         |  CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text, source
         |  FROM documents WHERE doc_id % 17 <> 0),
         |a1 AS (SELECT doc_id + 1000000 AS doc_id, text, source FROM documents WHERE doc_id % 19 = 0),
-        |a AS (SELECT doc_id, md5(concat_ws(chr(31), text, source)) AS h
+        |a AS (SELECT doc_id, md5(concat_ws(chr(31),
+        |    CASE WHEN text IS NULL THEN '0' ELSE '1' || text END,
+        |    CASE WHEN source IS NULL THEN '0' ELSE '1' || source END)) AS h
         |  FROM (SELECT * FROM a0 UNION ALL SELECT * FROM a1)),
         |d AS (SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
         |  CASE WHEN a.doc_id IS NULL THEN 'removed'

@@ -182,6 +182,10 @@ object AnnSearch {
                    k: Int, nprobe: Int,
                    metric: VectorMetric = VectorMetric.Ip): DataFrame = {
     requireBatchIds(qidCol, idCol)
+    // a non-positive nprobe would slice() an empty probe set and return
+    // zero rows silently — fail loud like Bm25's k guard (ADVICE r13)
+    require(k >= 1, s"k $k must be >= 1")
+    require(nprobe >= 1, s"nprobe $nprobe must be >= 1")
     val q0 = queries.select(col(qidCol).as("__qid"), col(qvecCol).as("__qvec"))
     // rankCentroids' per-metric centroid score, as a column over the
     // centroid LITERAL: IP = c·q; cosine = c·q/max(‖c‖,ε) (query norm is

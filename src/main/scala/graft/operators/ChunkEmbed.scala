@@ -69,7 +69,10 @@ object ChunkEmbed {
   /** (cid, emb): one row per chunk, `emb` a dense Array[Double] of
     * integer-valued bucket sums (FP-exact, so cross-engine comparisons
     * are bit-exact). Requires `idCol` values in [0, Long.MaxValue/keySpan)
-    * — enforced cheaply on the key expression, not with an extra pass.
+    * and fewer than keySpan chunks per document — enforced on the key
+    * expression itself (a per-row when/raise_error inside codegen, no
+    * extra pass); an out-of-domain row fails the job loudly instead of
+    * silently aliasing cid keys across documents.
     */
   def embed(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
             dim: Int = 64, chunkLen: Int = 50, stride: Int = 40): DataFrame = {
@@ -83,9 +86,24 @@ object ChunkEmbed {
     // the scan's split count — one task for a single-row-group gate file.
     // Generators don't push back through the repartition, so no barrier is
     // needed here (unlike a predicate — see Spread.barrier).
+    // the key-domain guard the composite key needs (ADVICE r13): a
+    // negative id, an id >= Long.MaxValue/KeySpan, or a document with
+    // >= KeySpan chunks would silently alias cid across documents and
+    // corrupt retrieval — raise_error per offending ROW, evaluated on the
+    // key expression itself (no extra pass, stays inside codegen)
+    val maxId = Long.MaxValue / KeySpan
+    val id = col(idCol).cast("long")
+    val chunkIdx = (col("st") / stride).cast("long")
+    val cid = when(id >= 0L && id < maxId && chunkIdx < KeySpan,
+        (col(idCol) * KeySpan + (col("st") / stride)).cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"ChunkEmbed.embed: $idCol="), col(idCol).cast("string"),
+        lit(s" chunk "), chunkIdx.cast("string"),
+        lit(s" outside id in [0, $maxId) x chunk < $KeySpan — " +
+          "cid keys would alias across documents"))))
     val chunks = Spread.byCols(df, Seq(col(idCol)))
       .select(col(idCol), toks.as("w"), explode(starts).as("st"))
-      .select((col(idCol) * KeySpan + (col("st") / stride)).cast("long").as("cid"),
+      .select(cid.as("cid"),
         slice(col("w"), col("st") + 1, lit(chunkLen)).as("ct"))
     bagOfWords(chunks.select(col("cid"), explode(col("ct")).as("t")), "cid", dim)
   }

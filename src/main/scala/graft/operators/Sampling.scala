@@ -222,7 +222,11 @@ object Sampling {
       .groupBy(col(stratumCol))
       .agg(sum(col(tokenCol).cast("long")).as("__tot"))
       .collect()
-      .map(r => r.getString(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      // r.get(0).toString, not getString: non-string strata (an int lang
+      // id) must behave like temperatureMix's, not ClassCastException
+      // (ADVICE r13) — the stratified() when-chain compares against the
+      // same string form
+      .map(r => r.get(0).toString -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
       .toMap
     // double division + truncation, the exact arithmetic the SQL oracle
     // replays (floor == truncate for non-negatives). A share stratum
@@ -351,7 +355,10 @@ object Sampling {
     val totals: Map[Option[String], Long] = df.groupBy(col(stratumCol))
       .agg(sum(col(tokenCol).cast("long")).as("__tot"))
       .collect()
-      .map(r => Option(r.getString(0)) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      // Option(get).map(toString) mirrors temperatureMix / mixtureBudget:
+      // one string-form contract across the mixture APIs (ADVICE r13)
+      .map(r => Option(r.get(0)).map(_.toString) ->
+        (if (r.isNullAt(1)) 0L else r.getLong(1)))
       .toMap
     def rateFor(k: Option[String], tot: Long): Double = {
       val budget = k.map(budgets.getOrElse(_, defaultBudget)).getOrElse(defaultBudget)

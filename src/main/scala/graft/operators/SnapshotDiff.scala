@@ -18,18 +18,27 @@ import org.apache.spark.sql.functions._
   */
 object SnapshotDiff {
 
-  /** Diff `before` → `after` on `idCol`, content = `contentCols` joined
-    * with the unit separator (U+001F) (unambiguous for text not containing
-    * it — a plain concat would alias ("ab","c") with ("a","bc")). Null
-    * content columns hash as absent via concat_ws's null-dropping, which is
-    * deterministic on both engines.
+  /** Per-column null-distinct encoding for the content digest: null → "0",
+    * value v → "1" + v, columns joined with the unit separator (U+001F).
+    * The presence prefix keeps null a value of its own — concat_ws's
+    * null-DROPPING would alias (x='a', y=NULL) with (x=NULL, y='a'), so a
+    * value MOVING between content columns would diff as unchanged (ADVICE
+    * r13); the separator keeps ("ab","c") distinct from ("a","bc"). Both
+    * rules are plain CASE/|| arithmetic an external engine replays.
+    */
+  private def digest(contentCols: Seq[String]) =
+    md5(concat_ws("\u001f", contentCols.map(c =>
+      when(col(c).isNull, lit("0"))
+        .otherwise(concat(lit("1"), col(c).cast("string")))): _*))
+
+  /** Diff `before` → `after` on `idCol`, content compared via the
+    * null-distinct [[digest]] of `contentCols`.
     */
   def diff(before: DataFrame, after: DataFrame, idCol: String,
            contentCols: Seq[String]): DataFrame = {
     require(contentCols.nonEmpty, "diff needs at least one content column")
     def digestOf(df: DataFrame) =
-      df.select(col(idCol),
-        md5(concat_ws("\u001f", contentCols.map(col): _*)).as("__h"))
+      df.select(col(idCol), digest(contentCols).as("__h"))
     val a = digestOf(before).withColumnRenamed("__h", "__ha")
     val b = digestOf(after).withColumnRenamed("__h", "__hb")
     a.join(b, Seq(idCol), "full_outer")
@@ -56,10 +65,9 @@ object SnapshotDiff {
   def changelog(before: DataFrame, after: DataFrame, idCol: String,
                 contentCols: Seq[String], seq: Long = 0L): DataFrame = {
     require(contentCols.nonEmpty, "changelog needs at least one content column")
-    val a = before.select(col(idCol),
-      md5(concat_ws("\u001f", contentCols.map(col): _*)).as("__ha"))
+    val a = before.select(col(idCol), digest(contentCols).as("__ha"))
     val b = after.select(col(idCol) +: contentCols.map(col) :+
-      md5(concat_ws("\u001f", contentCols.map(col): _*)).as("__hb"): _*)
+      digest(contentCols).as("__hb"): _*)
     a.join(b, Seq(idCol), "full_outer")
       .select(col(idCol) +: lit(seq).as("seq") +:
         when(col("__hb").isNull, lit("D"))

@@ -72,6 +72,11 @@ object ZOrder {
   /** [[layout]] along the N-dimensional curve ([[zvalueN]]). */
   def layoutN(df: DataFrame, dir: String, cols: Seq[String],
               bits: Int = 16, nFiles: Int = 8): Unit = {
+    // withColumn would silently REPLACE a pre-existing __z and the drop
+    // below would lose it from the rewritten lake (ADVICE r13) — same
+    // temp-name guard convention as upsample's epoch / kSuppress's __qi_n
+    require(!df.columns.contains("__z"),
+      "layoutN claims the temp column name __z — rename that input column")
     df.withColumn("__z", zvalueN(cols.map(col), bits))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))

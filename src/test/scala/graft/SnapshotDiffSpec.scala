@@ -27,9 +27,20 @@ class SnapshotDiffSpec extends SparkSpec {
       Seq(1L -> "changed"))
   }
 
-  test("null vs empty content is a change (concat_ws drops nulls)") {
+  test("null vs empty content is a change (null-distinct encoding)") {
     val before = Seq((1L, Option.empty[String], "x")).toDF("doc_id", "text", "source")
     val after = d(Seq((1L, "", "x")))
+    val got = SnapshotDiff.diff(before, after, "doc_id", Seq("text", "source"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq(1L -> "changed"))
+  }
+
+  test("a value moving between columns is a change (ADVICE r13: " +
+      "concat_ws's null-dropping would alias (a, NULL) with (NULL, a))") {
+    val before = Seq((1L, Option("a"), Option.empty[String]))
+      .toDF("doc_id", "text", "source")
+    val after = Seq((1L, Option.empty[String], Option("a")))
+      .toDF("doc_id", "text", "source")
     val got = SnapshotDiff.diff(before, after, "doc_id", Seq("text", "source"))
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(got == Seq(1L -> "changed"))
