@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the index build is ONE groupBy per grain — postings
   * (id, term, tf) with the doc length carried alongside, df per term —
-  * the periodic job a 100 TB corpus pays once per refresh (persist the
-  * postings lake bucketed by term and the probe below pushes an
-  * `In(term)` scan filter, e2i-style). Search is the INVERTED-INDEX
+  * the periodic job a 100 TB corpus pays once per refresh ([[save]]
+  * persists the postings lake term-partitioned/term-sorted; [[load]] +
+  * [[searchIndex]] push the query batch's `In(term)` into the lake scan,
+  * e2i-style; [[appendStore]] is the delta-sized daily append). Search
+  * is the INVERTED-INDEX
   * shape: the query batch explodes to distinct terms and broadcast-
   * equi-joins the postings on term, so candidate volume is Σ_t df(t)
   * over the query's terms — never |docs|·|queries|. The per-candidate
@@ -46,8 +48,9 @@ object Bm25 {
     * (term, df), and the 1-row corpus stats (n_docs, sum_dl). All three
     * are integer-exact, so [[append]]'s merged index is BIT-identical to
     * a full [[fit]] over the union (the r5 gate row proves it against
-    * r3's oracle). Persist `postings` bucketed by term and the search
-    * probe pushes an `In(term)` scan filter, e2i-style.
+    * r3's oracle). [[save]]/[[load]] give the artifact durable form; on a
+    * loaded index the search probe's `In(term)` reaches the parquet scan
+    * as a pushed filter (PlanAuditSpec pins it).
     */
   final case class Index(idCol: String, postings: DataFrame,
                          dfs: DataFrame, docStats: DataFrame)
@@ -73,20 +76,118 @@ object Bm25 {
     */
   def append(ix: Index, docs: DataFrame, textCol: String): Index = {
     val delta = fit(docs, ix.idCol, textCol)
-    val dfs = ix.dfs.as("a").join(delta.dfs.as("b"), Seq("term"), "full_outer")
+    Index(ix.idCol, ix.postings.unionByName(delta.postings),
+      mergedDfs(ix, delta), mergedStats(ix, delta))
+  }
+
+  // the integer-exact dictionary/stats merges [[append]] and [[appendStore]]
+  // share — one definition so the in-memory and persisted paths cannot
+  // diverge
+  private def mergedDfs(ix: Index, delta: Index): DataFrame =
+    ix.dfs.as("a").join(delta.dfs.as("b"), Seq("term"), "full_outer")
       .select(col("term"),
         (coalesce(col("a.df"), lit(0L)) + coalesce(col("b.df"), lit(0L))).as("df"))
-    val stats = ix.docStats.unionByName(delta.docStats)
+
+  private def mergedStats(ix: Index, delta: Index): DataFrame =
+    ix.docStats.unionByName(delta.docStats)
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
-    Index(ix.idCol, ix.postings.unionByName(delta.postings), dfs, stats)
+
+  // one posting-lake file layout for [[save]] and [[appendStore]]: term-
+  // partitioned + term-sorted within partitions, so row-group min/max term
+  // stats are tight and the probe's pushed In(term) skips row groups
+  private def writePostings(post: DataFrame, dir: String, numFiles: Int,
+                            mode: String): Unit =
+    post.repartition(numFiles, col("term")).sortWithinPartitions("term")
+      .write.mode(mode).parquet(s"$dir/postings")
+
+  /** Persist an [[Index]] as a durable artifact directory — the form a
+    * 100 TB corpus actually keeps its index in (the periodic fit job
+    * writes it; every serving JVM [[load]]s it; nothing survives a JVM in
+    * the live-DataFrame [[Index]]). Layout: `postings/` term-partitioned
+    * parquet, `sortWithinPartitions(term)` at rest so the search probe's
+    * pushed `In(term)` filter ([[searchIndex]]) lands on tight row-group
+    * term ranges; `dfs/` the (term, df) dictionary, same layout; `stats/`
+    * the 1-row corpus stats carrying `id_col` so the artifact is
+    * self-describing. All three are integer-exact, so a save → load
+    * round-trip is bit-identical.
+    */
+  def save(ix: Index, dir: String, numFiles: Int = 8): Unit = {
+    require(numFiles >= 1, s"numFiles $numFiles must be >= 1")
+    writePostings(ix.postings, dir, numFiles, "overwrite")
+    ix.dfs.repartition(numFiles, col("term")).sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$dir/dfs")
+    ix.docStats.withColumn("id_col", lit(ix.idCol))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Load a [[save]]d index. The stats read is one driver-sized row (the
+    * C9 collection-load shape); postings and dfs stay lazy parquet scans
+    * so [[searchIndex]]'s term prune reaches them as pushed filters.
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): Index = {
+    val statsRaw = spark.read.parquet(s"$dir/stats")
+    val head = statsRaw.select(col("id_col"), col("n_docs")).collect()
+    require(head.length == 1, s"index at $dir: stats must be exactly 1 row")
+    Index(head(0).getString(0),
+      spark.read.parquet(s"$dir/postings"),
+      spark.read.parquet(s"$dir/dfs"),
+      statsRaw.select(col("n_docs"), col("sum_dl")))
+  }
+
+  /** [[append]] against a [[save]]d artifact — the daily job a persisted
+    * corpus runs. The postings lake gets a delta-sized parquet APPEND
+    * (the existing files are untouched — no lake-sized rewrite, no
+    * compounding in-memory union chain); the (dictionary-sized) df merge
+    * and the 1-row stats are swap-rewritten via [[graft.sources.LakeLayout
+    * .swapDir]] because their rewrites read the directories they replace.
+    * Same new-ids-only contract as [[append]]. Returns the re-[[load]]ed
+    * merged index. Crash-safe against data loss, not writer-concurrent —
+    * run from the single maintenance owner.
+    */
+  def appendStore(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  docs: DataFrame, textCol: String,
+                  numFiles: Int = 8): Index = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    require(numFiles >= 1, s"numFiles $numFiles must be >= 1")
+    val ix = load(spark, dir)
+    val delta = fit(docs, ix.idCol, textCol)
+    writePostings(delta.postings, dir, numFiles, "append")
+    val fs = new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    mergedDfs(ix, delta)
+      .repartition(numFiles, col("term")).sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$dir/dfs.tmp")
+    graft.sources.LakeLayout.swapDir(fs,
+      new HPath(s"$dir/dfs.tmp"), new HPath(s"$dir/dfs"))
+    mergedStats(ix, delta).withColumn("id_col", lit(ix.idCol))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats.tmp")
+    graft.sources.LakeLayout.swapDir(fs,
+      new HPath(s"$dir/stats.tmp"), new HPath(s"$dir/stats"))
+    load(spark, dir)
   }
 
   /** Top-k per query over a built [[Index]] — [[topK]]'s search half,
     * identical arithmetic (the two are fit ∘ search by construction).
+    *
+    * SCAN pruning (`termPruneMax`, the [[IncrementalDedup.deltaPairs]]
+    * pattern): a candidate posting can only survive by equi-joining a
+    * query term, so filtering the postings (and dfs) scans by the batch's
+    * distinct term set is a sound superset filter — and it reaches parquet
+    * as a pushed `In(term)`, so a [[save]]d lake (term-partitioned,
+    * sortWithinPartitions(term) at rest → tight row-group term ranges)
+    * skips the overwhelming share of its IO instead of reading every row
+    * group and discarding executor-side after the broadcast join. The term
+    * set is query-batch-sized by contract; if a batch somehow exceeds
+    * `termPruneMax` distinct terms the filter is skipped (identical
+    * results, just no skipping). 0 disables. The collect is eager at
+    * plan-build time. With the prune in place the per-term df dictionary
+    * shrinks to the query's terms, so it broadcasts; the pruned postings
+    * join `broadcast(qterms)` FIRST, so nothing dictionary-sized ever
+    * pre-joins the postings.
     */
   def searchIndex(ix: Index, queries: DataFrame, qidCol: String,
                   qtextCol: String, k: Int,
-                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                  k1: Double = 1.2, b: Double = 0.75,
+                  termPruneMax: Int = 1 << 16): DataFrame = {
     require(k >= 1, s"k $k must be >= 1")
     require(qidCol != ix.idCol && qidCol != "rank" && ix.idCol != "rank",
       s"qidCol/${ix.idCol} must differ from each other and from 'rank'")
@@ -100,11 +201,22 @@ object Bm25 {
       (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
     val qterms = queries.select(
       col(qidCol), explode(array_distinct(tokens(col(qtextCol)))).as("term"))
+    val (post, dfsSide) =
+      if (termPruneMax <= 0) (ix.postings, ix.dfs)
+      else {
+        val keys = qterms.select(col("term")).distinct()
+          .limit(termPruneMax + 1).collect().map(_.getString(0))
+        if (keys.length > termPruneMax) (ix.postings, ix.dfs)
+        else (ix.postings.where(col("term").isin(keys.toIndexedSeq: _*)),
+          // restricted to the batch's terms the dictionary is broadcast-
+          // sized no matter how large the corpus vocabulary is
+          broadcast(ix.dfs.where(col("term").isin(keys.toIndexedSeq: _*))))
+      }
     val idf = log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val tfn = col("tf") * (lit(k1) + 1.0) /
       (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
-    ix.postings.join(ix.dfs, "term")
-      .join(broadcast(qterms), "term")
+    post.join(broadcast(qterms), "term")
+      .join(dfsSide, "term")
       .crossJoin(broadcast(stats))
       .select(col(qidCol), col(idCol), col("term"), (idf * tfn).as("c"))
       .groupBy(col(qidCol), col(idCol))

@@ -93,9 +93,17 @@ object ChunkEmbed {
     // key expression itself (no extra pass, stays inside codegen)
     val maxId = Long.MaxValue / KeySpan
     val id = col(idCol).cast("long")
+    // st is a token offset (int-ranged, a multiple of stride by
+    // construction), so the double division is exact and the cast-back is
+    // the true chunk index
     val chunkIdx = (col("st") / stride).cast("long")
+    // pure LONG arithmetic end to end: long*long + long never leaves
+    // LongType, so the key is exact over the guard's whole admitted domain
+    // [0, Long.MaxValue/KeySpan). (The previous form recomputed the
+    // division uncast, promoting the product to double and silently
+    // rounding chunk indices away above id ~ 2^53/KeySpan.)
     val cid = when(id >= 0L && id < maxId && chunkIdx < KeySpan,
-        (col(idCol) * KeySpan + (col("st") / stride)).cast("long"))
+        id * KeySpan + chunkIdx)
       .otherwise(raise_error(concat(
         lit(s"ChunkEmbed.embed: $idCol="), col(idCol).cast("string"),
         lit(s" chunk "), chunkIdx.cast("string"),

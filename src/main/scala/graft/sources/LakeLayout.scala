@@ -43,6 +43,26 @@ object LakeLayout {
 
   case class CompactionStats(filesBefore: Long, filesAfter: Long, rows: Long)
 
+  /** Promote a freshly-committed `tmp` directory over `dest` by rename —
+    * the crash-safe-against-data-loss (but not writer-concurrent) swap
+    * [[compactParquet]] uses, shared with every maintenance job whose
+    * rewrite READS the directory it replaces (a direct
+    * `mode("overwrite")` there would delete its own input mid-scan).
+    * `dest` need not exist yet (first write).
+    */
+  def swapDir(fs: FileSystem, tmp: HPath, dest: HPath): Unit = {
+    val bak = new HPath(dest.toString + ".swap.bak")
+    fs.delete(bak, true)
+    val hadDest = fs.exists(dest)
+    if (hadDest && !fs.rename(dest, bak))
+      sys.error(s"swapDir: cannot move $dest aside")
+    if (!fs.rename(tmp, dest)) {
+      if (hadDest) fs.rename(bak, dest) // restore — the original is intact
+      sys.error(s"swapDir: cannot promote $tmp")
+    }
+    fs.delete(bak, true)
+  }
+
   /** Small-file compaction for streaming-appended parquet directories — the
     * engine's analog of the reference loader's daily flush cron
     * (`loader.js:388-398`): every micro-batch of [[graft.streaming
@@ -84,14 +104,7 @@ object LakeLayout {
       .write.mode("overwrite")
     (if (partitionCols.isEmpty) writer else writer.partitionBy(partitionCols: _*))
       .parquet(tmp.toString)
-    val bak = new HPath(path + ".compact.bak")
-    fs.delete(bak, true)
-    if (!fs.rename(hpath, bak)) sys.error(s"compaction: cannot move $path aside")
-    if (!fs.rename(tmp, hpath)) {
-      fs.rename(bak, hpath) // restore — the original is still intact
-      sys.error(s"compaction: cannot promote $tmp")
-    }
-    fs.delete(bak, true)
+    swapDir(fs, tmp, hpath)
     val after = fs.listFiles(hpath, true)
     var filesAfter = 0L
     while (after.hasNext) {

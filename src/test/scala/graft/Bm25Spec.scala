@@ -104,6 +104,58 @@ class Bm25Spec extends SparkSpec {
     assert(viaIx == direct && viaIx.nonEmpty)
   }
 
+  private def tmp(tag: String) = graft.sources.TempDirs.register(
+    s"/tmp/graft_bm25store_${ProcessHandle.current().pid()}_$tag")
+
+  test("save -> load round-trips every artifact exactly; loaded index searches identically") {
+    val ix = Bm25.fit(corpus, "doc_id", "text")
+    val dir = tmp("roundtrip")
+    Bm25.save(ix, dir)
+    val loaded = Bm25.load(spark, dir)
+    assert(loaded.idCol == "doc_id", "the stats artifact carries id_col")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(rows(loaded.postings) == rows(ix.postings))
+    assert(rows(loaded.dfs) == rows(ix.dfs))
+    assert(rows(loaded.docStats) == rows(ix.docStats))
+    val got = Bm25.searchIndex(loaded, queries, "qid", "text", 10)
+      .collect().map(_.toSeq).toSet
+    val want = Bm25.searchIndex(ix, queries, "qid", "text", 10)
+      .collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("appendStore: delta parquet append + swap-rewritten dfs/stats equals fit-over-union") {
+    val dir = tmp("appendstore")
+    Bm25.save(Bm25.fit(corpus.where($"doc_id" <= 12), "doc_id", "text"), dir)
+    val merged = Bm25.appendStore(spark, dir, corpus.where($"doc_id" > 12), "text")
+    val full = Bm25.fit(corpus, "doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(rows(merged.postings) == rows(full.postings),
+      "the postings lake after the delta append must equal the recomputed lake")
+    assert(rows(merged.dfs) == rows(full.dfs))
+    assert(rows(merged.docStats) == rows(full.docStats))
+    // and a FRESH load (the serving JVM's view) answers exactly like topK
+    val got = Bm25.searchIndex(Bm25.load(spark, dir), queries, "qid", "text", 10)
+      .collect().map(_.toSeq).toSet
+    val want = Bm25.topK(corpus, "doc_id", "text", queries, "qid", "text", 10)
+      .collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+    // no stale swap debris left behind
+    val leftovers = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(leftovers == Set("postings", "dfs", "stats"), leftovers.toString)
+  }
+
+  test("term prune: capped-out and disabled paths answer identically to the pruned path") {
+    val ix = Bm25.fit(corpus, "doc_id", "text")
+    val pruned = Bm25.searchIndex(ix, queries, "qid", "text", 10)
+      .collect().map(_.toSeq).toSet
+    val disabled = Bm25.searchIndex(ix, queries, "qid", "text", 10,
+      termPruneMax = 0).collect().map(_.toSeq).toSet
+    val capped = Bm25.searchIndex(ix, queries, "qid", "text", 10,
+      termPruneMax = 1).collect().map(_.toSeq).toSet // 3 distinct terms > 1
+    assert(pruned == disabled && pruned == capped && pruned.nonEmpty)
+  }
+
   test("rrf: fused score is the exact sum of reciprocal ranks, missing ranks add nothing") {
     val a = Seq((0L, 100L, 0L), (0L, 101L, 1L)).toDF("qid", "doc_id", "rank")
     val b = Seq((0L, 101L, 0L), (0L, 102L, 1L)).toDF("qid", "doc_id", "rank")

@@ -44,6 +44,20 @@ class ChunkEmbedSpec extends SparkSpec {
     assert(got.toSeq == want, s"got ${got.toSeq}")
   }
 
+  test("cid stays exact above 2^53/KeySpan (pure long arithmetic)") {
+    // id*KeySpan = 9.1e15 > 2^53: under the old double-promoted key
+    // expression the ULP here is 2, so adjacent chunk indices rounded onto
+    // one cid and chunks silently merged. The guard admits this id
+    // (maxId ~ 9.2e13), so only exact long arithmetic keeps keys distinct.
+    val id = 91_000_000_000L
+    val toks = (0 until 100).map(i => s"tok$i")
+    val docs = Seq((id, toks.mkString(" "))).toDF("doc_id", "text")
+    val cids = ChunkEmbed.embed(docs).orderBy($"cid")
+      .collect().map(_.getLong(0)).toSeq
+    assert(cids == Seq(0L, 1L, 2L).map(id * ChunkEmbed.KeySpan + _),
+      s"got $cids — adjacent chunks aliased onto one cid")
+  }
+
   test("docEmbed: one embedding per doc, gold formula over the whole token list") {
     val toks = (0 until 100).map(i => s"tok$i")
     val docs = Seq((7L, toks.mkString(" ")), (9L, "solo")).toDF("doc_id", "text")

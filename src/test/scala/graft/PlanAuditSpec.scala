@@ -320,6 +320,39 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("r5: the BM25 probe pushes In(term) into the persisted postings lake scan") {
+    // The Bm25.searchIndex 100 TB claim: a serving batch's candidate
+    // postings can only match the batch's terms, so the term set must
+    // reach parquet as a pushed In — the saved lake is term-sorted within
+    // partitions, so row-group term stats skip the rest of the lake's IO.
+    // The dfs dictionary scan gets the same prune (and, restricted to the
+    // batch's terms, broadcasts instead of shuffling the vocabulary).
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // AQE's AdaptiveSparkPlanExec hides the real tree from collect() —
+    // same workaround as the e2i audit
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("r5_bm25_incremental")(
+        spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan
+      def scansUnder(tag: String) = plan.collect {
+        case f: FileSourceScanExec if f.relation.location.rootPaths
+          .exists(p => p.toString.contains("graft_bm25_store") &&
+            p.toString.contains(tag)) => f
+      }
+      val postings = scansUnder("postings")
+      assert(postings.nonEmpty, "the probe must scan the persisted postings lake")
+      assert(postings.forall(
+        _.metadata.getOrElse("PushedFilters", "").contains("In(term")),
+        "the query batch's terms must be pushed into the postings scan")
+      val dfs = scansUnder("dfs")
+      assert(dfs.nonEmpty && dfs.forall(
+        _.metadata.getOrElse("PushedFilters", "").contains("In(term")),
+        "the dictionary scan must carry the same pushed term prune")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("m4: the snapshot streams into the broadcast anti join with zero exchanges") {
     // The CdcMerge 100 TB claim: only the (small) changelog shuffles for
     // its max_by reduce; the snapshot side is scan -> anti join, no
