@@ -154,9 +154,18 @@ object ScalingBench {
     // (postings + df groupBys) is the linear part; the copies are
     // token-disjoint so the copy-0 queries probe a CONSTANT posting set —
     // wall tracking the build, not the corpus×query product, is the claim
+    // f1/r2 joined in round 15 (VERDICT r14 #3): f1's claim is q-gram
+    // blocking + the Gravano count filter keep candidates linear in the
+    // probe (doc-grain) side — `source` repeats verbatim across copies so
+    // the build side stays CONSTANT while candidates grow with the corpus;
+    // r2's is the dense-retrieval pipeline (chunk → hash-embed → IVF
+    // assign → pruned probe) is scan-shaped end to end — the copy-0 query
+    // chunks probe a constant nprobe fraction, so wall tracks the
+    // embed+assign, never corpus×queries
     val names10 = Seq("e2_minhash_pairs", "e4_jaccard_pairs", "e4c_jaccard_zipf",
       "e4d_jaccard_zipf_exact", "e8_dedup_cluster", "p3_corpus_recipe",
-      "m4_cdc_apply", "u2_k_anonymity", "r3_bm25_topk")
+      "m4_cdc_apply", "u2_k_anonymity", "r3_bm25_topk",
+      "f1_fuzzy_join", "r2_retrieval_ivf")
     // second decade, CAPPED rows only: these are the designated 100 TB
     // plans, and two decades turn one ratio into a growth exponent.
     // e4/e4d stay at one decade on purpose — e4d is the documented
@@ -165,7 +174,7 @@ object ScalingBench {
     // index is superseded by e4c's prefix caps as the Zipf scale path.
     val names100 = Set("e2_minhash_pairs", "e4c_jaccard_zipf",
       "e8_dedup_cluster", "p3_corpus_recipe", "m4_cdc_apply", "u2_k_anonymity",
-      "r3_bm25_topk")
+      "r3_bm25_topk", "f1_fuzzy_join", "r2_retrieval_ivf")
     // build the ANN fixtures BEFORE the steal window opens (r13
     // self-review #2): the emb10000 build writes ~16 GB of parquet, and a
     // steal count spanning fixture IO can no longer flag a

@@ -165,12 +165,22 @@ object AnnSearch {
     * same arithmetic [[IvfIndex.rankCentroids]] runs on the driver for one
     * query), explodes to its `nprobe` probe clusters, and the probe set
     * broadcast-EQUI-joins the indexed lake on `clusterCol`: the lake
-    * streams through a hash join keyed on its partition column (dynamic
-    * partition pruning can skip unprobed partitions entirely), each base
+    * streams through a hash join keyed on its partition column, each base
     * row is scored only against the queries that probed its cluster, and
     * the per-query O(k) heaps bound the shuffle exactly like [[batchTopK]].
     * Candidate volume is Σ_q (probed fraction) of the lake instead of
     * |queries|·|lake|.
+    *
+    * PARTITION pruning (`clusterPruneMax`): a lake row can only survive
+    * the equi-join if some query probed its cluster, so the batch's
+    * distinct probed-cluster set — at most min(|q|·nprobe, nlist) ids, so
+    * always driver-sized — is a sound superset filter on `clusterCol`.
+    * Injected as an `isin`, it reaches a `partitionBy(cluster_id)` lake
+    * ([[IvfIndex.write]]) as a STATIC PartitionFilter: unprobed partitions
+    * are never listed, never opened — no reliance on DPP's cost heuristics
+    * (PlanAuditSpec pins the filter on the scan). Costs one queries-sized
+    * centroid-ranking job at plan-build; 0 disables (results identical —
+    * the equi-join already enforces membership executor-side).
     *
     * Per-query results equal `IvfIndex.search` with the same model/nprobe
     * (AnnBatchSpec pins parity): centroid ranking uses the identical
@@ -180,7 +190,8 @@ object AnnSearch {
                    vecCol: String, idCol: String, clusterCol: String,
                    queries: DataFrame, qidCol: String, qvecCol: String,
                    k: Int, nprobe: Int,
-                   metric: VectorMetric = VectorMetric.Ip): DataFrame = {
+                   metric: VectorMetric = VectorMetric.Ip,
+                   clusterPruneMax: Int = 1 << 16): DataFrame = {
     requireBatchIds(qidCol, idCol)
     // a non-positive nprobe would slice() an empty probe set and return
     // zero rows silently — fail loud like Bm25's k guard (ADVICE r13)
@@ -211,8 +222,16 @@ object AnnSearch {
     val probes = q0.select(col("__qid"), col("__qvec"),
       explode(transform(slice(array_sort(ranked), 1, nprobe), p => p.getField("j")))
         .as("__pc"))
-    val b = indexed.select(col(idCol).as("__bid"), col(vecCol).as("__bvec"),
+    val b0 = indexed.select(col(idCol).as("__bid"), col(vecCol).as("__bvec"),
       col(clusterCol).as("__bc"))
+    val b =
+      if (clusterPruneMax <= 0) b0
+      else {
+        val ids = probes.select(col("__pc")).distinct()
+          .limit(clusterPruneMax + 1).collect().map(_.getInt(0))
+        if (ids.length > clusterPruneMax) b0
+        else b0.where(col("__bc").isin(ids.toIndexedSeq: _*))
+      }
     // equi-join, probe side broadcast: each base row meets only the
     // queries that probed its cluster
     heapTopK(b.join(broadcast(probes), col("__bc") === col("__pc")),

@@ -353,6 +353,52 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("ivf: batchTopKIvf's probe set statically prunes the partitioned lake scan") {
+    // The batchTopKIvf 100 TB claim: unprobed cluster partitions are never
+    // listed or opened. The probe set is injected as an isin on the
+    // partition column, so it must surface as a PartitionFilter on the
+    // scan and the scan must select strictly fewer partitions than the
+    // lake holds — static pruning, not DPP's cost-model-gated variant.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions._
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val emb = Tables.embeddings(spark, Sf0001)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("emb"))
+      val dim = emb.select(size(col("emb"))).head.getInt(0)
+      val model = Queries.axisBlockIvfModel(dim)
+      val dir = graft.sources.TempDirs.register(
+        s"/tmp/graft_ivflake_audit_${ProcessHandle.current().pid()}")
+      graft.operators.IvfIndex.write(
+        graft.operators.IvfIndex.assign(emb.where(col("vec_id") >= 3), "emb", model), dir)
+      val lake = spark.read.parquet(dir)
+      val queries = emb.where(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("emb"))
+      val out = graft.operators.AnnSearch.batchTopKIvf(
+        lake, model, "emb", "vec_id", "cluster_id",
+        queries, "qid", "emb", k = 5, nprobe = 2)
+      val plan = out.queryExecution.executedPlan
+      val scans = plan.collect {
+        case f: FileSourceScanExec if f.relation.location.rootPaths
+          .exists(_.toString.contains("graft_ivflake_audit")) => f
+      }
+      assert(scans.nonEmpty, "the probe must scan the partitioned lake")
+      scans.foreach { f =>
+        val pf = f.metadata.getOrElse("PartitionFilters", "")
+        assert(pf.contains("cluster_id") && pf.contains("IN"),
+          s"probed clusters must be a static PartitionFilter, got: $pf")
+        val total = new java.io.File(dir).listFiles()
+          .count(_.getName.startsWith("cluster_id="))
+        // 3 queries × nprobe 2 → at most 6 probed clusters
+        val selected = f.selectedPartitions.partitionCount
+        assert(selected <= 6 && selected < total,
+          s"scan must open only probed partitions: $selected of $total")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("m4: the snapshot streams into the broadcast anti join with zero exchanges") {
     // The CdcMerge 100 TB claim: only the (small) changelog shuffles for
     // its max_by reduce; the snapshot side is scan -> anti join, no
