@@ -555,20 +555,41 @@ object Queries {
     * so reentry fails fast instead.
     */
   private val streamGateActive = new java.util.concurrent.atomic.AtomicBoolean(false)
+  // State-store provider for the streaming gates. Measured head-to-head
+  // at sf0.1 (scaling.json "stream_state", quiet host, steal 111): a wash
+  // at this state size — RocksDB 8.77 s vs HDFS-map 9.29 s summed over
+  // the four gates, i.e. the floor is micro-batch machinery, not the
+  // provider. RocksDB is pinned because it costs nothing here AND is the
+  // provider that survives a 100 TB keyspace (state lives off-heap, the
+  // in-heap map OOMs once per-partition state outgrows the executor);
+  // ScalingBench overrides this to measure both.
+  private[graft] val streamStateProvider =
+    new java.util.concurrent.atomic.AtomicReference[String](
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
   private def runStreamGate(
       s: SparkSession, df: org.apache.spark.sql.Dataset[_], name: String): DataFrame = {
     require(streamGateActive.compareAndSet(false, true),
       "stream gate helper is not reentrant (it pins session-global shuffle.partitions)")
     try {
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProv = s.conf.getOption(provKey)
       s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set(provKey, streamStateProvider.get)
       try {
         val q = df.writeStream
           .format("memory").queryName(name).outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        prevProv match {
+          case Some(p) => s.conf.set(provKey, p)
+          case None    => s.conf.unset(provKey)
+        }
+      }
     } finally streamGateActive.set(false)
     s.table(name)
   }

@@ -265,6 +265,38 @@ object ScalingBench {
         o
       }
 
+    // Stream state-store floor experiment (VERDICT r13 #5): the four
+    // streaming gates, measured under BOTH providers at sf0.1 — the
+    // HDFS-backed in-heap map vs RocksDB (off-heap, the 100 TB-keyspace
+    // provider). The gates' state is tiny, so this measures the per-store
+    // per-micro-batch FLOOR each provider charges; the winner is pinned as
+    // Queries.streamStateProvider's default. Kept verbatim like every
+    // other section — delete scaling.json to re-measure.
+    val streamState = prior.flatMap(p => Option(p.get("stream_state")))
+      .collect { case o: ObjectNode => o.deepCopy() }
+      .getOrElse {
+        val rows = Seq("w1s_stream_window", "w2s_stream_session",
+          "w3s_stream_sliding", "e2s_stream_pairs")
+        val providers = Seq(
+          "hdfs" -> ("org.apache.spark.sql.execution.streaming.state." +
+            "HDFSBackedStateStoreProvider"),
+          "rocksdb" -> ("org.apache.spark.sql.execution.streaming.state." +
+            "RocksDBStateStoreProvider"))
+        val o = om.createObjectNode()
+        val prev = Queries.streamStateProvider.get
+        try providers.foreach { case (tag, cls) =>
+          Queries.streamStateProvider.set(cls)
+          val po = o.putObject(tag)
+          rows.foreach { n =>
+            run(n, sf01) // warm: provider classes load, codegen compiles
+            val t = (0 until 2).map(_ => run(n, sf01)).min
+            println(f"[scaling] stream_state $tag $n: ${t}%.2f s")
+            po.put(n, r2(t))
+          }
+        } finally Queries.streamStateProvider.set(prev)
+        o
+      }
+
     val stealD = Bench.stealTicks() - steal0
     val root = om.createObjectNode()
     // per-decade copy counts — one hard-coded "copies" field misdescribed
@@ -279,6 +311,7 @@ object ScalingBench {
       "token-disjoint copies (doc_id offset + per-copy token suffix); sf10 = 100 copies")
     root.set[ObjectNode]("queries", queries)
     root.set[ObjectNode]("ann", ann)
+    root.set[ObjectNode]("stream_state", streamState)
     val json = om.writeValueAsString(root)
     java.nio.file.Files.write(
       java.nio.file.Paths.get("scaling.json"), json.getBytes("UTF-8"))
