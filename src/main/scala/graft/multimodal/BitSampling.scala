@@ -70,4 +70,77 @@ object BitSampling {
     */
   def hexCodes(desc: Array[Float], seed: Long = DefaultSeed): String =
     hashes(desc, seed).map(Integer.toHexString).mkString(" ")
+
+  // ---------------------------------------------------------------------
+  // LIRE seed-file parity (SURVEY §7.4 risk 6): a corpus hashed by the
+  // reference's `lire.jar` (`hasher.js:121` shells into LIRE's indexer,
+  // whose hash functions load from the `LshBitSampling.obj` resource) can
+  // only be hash-verified cross-system if the engine can consume the SAME
+  // published seed-file format and reproduce the SAME codes. Format and
+  // semantics were pinned empirically against the jar itself (see
+  // BitSamplingSpec): gzip-wrapped Java serialization stream carrying
+  // int bits, int dimensions, int numFunctionBundles, then
+  // bundles×bits×dimensions float projection weights (widened to double);
+  // a code's bit j (LSB-first) is set iff the feature's dot product with
+  // weight row (bundle, j) — summed over the FEATURE's length, which may
+  // be shorter than `dimensions` — is >= 0. Despite the class name this
+  // is random-projection LSH (Charikar STOC'02 hyperplane signs), not
+  // positional bit sampling; [[hashes]] above remains the engine-native
+  // self-consistent scheme, this entry point exists for migration parity.
+  // ---------------------------------------------------------------------
+
+  /** A loaded LIRE hash-function bundle set. */
+  final case class LireFunctions(
+      bits: Int, dimensions: Int,
+      weights: Array[Array[Array[Double]]]) {
+    def numFunctionBundles: Int = weights.length
+  }
+
+  /** Parse a LIRE `LshBitSampling.obj`-format seed file. The caller owns
+    * the stream; the whole table (bundles×bits×dimensions doubles,
+    * ~6 MB at LIRE's shipped 100×12×640) is driver-sized and broadcast-
+    * friendly, the same shape as an IVF centroid model.
+    */
+  def loadLireFunctions(in: java.io.InputStream): LireFunctions = {
+    val ois = new java.io.ObjectInputStream(
+      new java.util.zip.GZIPInputStream(in))
+    val bits = ois.readInt()
+    val dims = ois.readInt()
+    val bundles = ois.readInt()
+    require(bits > 0 && bits <= 30,
+      s"LIRE seed file: bits $bits outside (0, 30] — not a seed file?")
+    require(dims > 0 && dims <= (1 << 20) && bundles > 0 && bundles <= (1 << 16),
+      s"LIRE seed file: implausible geometry ($bundles bundles × $bits bits × $dims dims)")
+    val w = Array.fill(bundles, bits, dims)(ois.readFloat().toDouble)
+    LireFunctions(bits, dims, w)
+  }
+
+  /** LIRE-parity codes for a feature histogram under loaded [[LireFunctions]]
+    * — bit-for-bit what `BitSampling.generateHashes` in the reference's
+    * jar produces for the same inputs (spec-pinned via the jar when
+    * present). The histogram may be shorter than the table's dimension
+    * (LIRE features vary in length); it must not be longer.
+    */
+  def lireHashes(histogram: Array[Double], fns: LireFunctions): Array[Int] = {
+    require(histogram.length <= fns.dimensions,
+      s"histogram length ${histogram.length} exceeds seed-file dimensions ${fns.dimensions}")
+    val out = new Array[Int](fns.numFunctionBundles)
+    var i = 0
+    while (i < out.length) {
+      val bundle = fns.weights(i)
+      var code = 0
+      var j = 0
+      while (j < fns.bits) {
+        val row = bundle(j)
+        var p = 0.0
+        var k = 0
+        while (k < histogram.length) { p += histogram(k) * row(k); k += 1 }
+        if (p >= 0) code |= 1 << j
+        j += 1
+      }
+      out(i) = code
+      i += 1
+    }
+    out
+  }
 }
