@@ -32,6 +32,20 @@ import org.apache.spark.sql.functions._
   * rather than applied: unlike e4's sound prefix caps it needs a DF
   * side-table to stay lossless, and the count filter already bounds the
   * verify input.
+  *
+  * SKEW (`saltGramDf`): the count filter bounds the verify INPUT, but the
+  * gram equi-join itself hash-partitions every occurrence of one gram
+  * into ONE task — a gram shared by the whole corpus ("th" in English
+  * titles) serializes the join however many executors exist. With
+  * `saltGramDf > 0`, right-side grams whose document frequency exceeds it
+  * are salted across ceil(df/saltCap) cells (right rows hash into one
+  * cell, left rows replicate to every cell — each (left,right) row pair
+  * still meets exactly ONCE, so the count filter's arithmetic is
+  * untouched and results are bit-identical; FuzzyJoinSpec pins parity on
+  * a one-gram-shared-by-all corpus). The hot-gram table is broadcast-
+  * sized by construction: at most (total gram occurrences)/saltGramDf
+  * entries. Off by default — at gate SF the skew doesn't bite, and the
+  * unsalted plan is the one the f1 oracle hashes.
   */
 object FuzzyJoin {
 
@@ -42,9 +56,11 @@ object FuzzyJoin {
     */
   def byEditDistance(left: DataFrame, right: DataFrame,
                      idL: String, strL: String, idR: String, strR: String,
-                     maxDist: Int, q: Int = 2): DataFrame = {
+                     maxDist: Int, q: Int = 2,
+                     saltGramDf: Long = 0L, saltCap: Int = 4096): DataFrame = {
     require(maxDist >= 0, s"maxDist $maxDist must be >= 0")
     require(q >= 1, s"q $q must be >= 1")
+    require(saltCap >= 1, s"saltCap $saltCap must be >= 1")
     require(Seq(idL, strL, idR, strR).distinct.size == 4,
       s"output columns must be distinct names: $idL, $strL, $idR, $strR")
     val minLong = q * (maxDist + 1)
@@ -61,8 +77,29 @@ object FuzzyJoin {
         .select(df.columns.toIndexedSeq.map(col) :+ col("__pg.p").as(pos) :+
           col("__pg.g").as(g): _*)
 
-    val lg = grams(l, strL, "__lp", "__lg")
-    val rg = grams(r, strR, "__rp", "__rg")
+    val lg0 = grams(l, strL, "__lp", "__lg")
+    val rg0 = grams(r, strR, "__rp", "__rg")
+    // hot-gram salting (scaladoc SKEW): right rows of a hot gram hash into
+    // one of its __ns cells, left rows replicate to all of them, and the
+    // salt joins as an extra equi-key — the hot gram's work spreads over
+    // __ns tasks while every (left,right) row pair still meets exactly once
+    val (lg, rg, saltKey) =
+      if (saltGramDf <= 0) (lg0, rg0, lit(true))
+      else {
+        val hot = rg0.groupBy(col("__rg")).agg(count(lit(1)).as("__df"))
+          .where(col("__df") > saltGramDf)
+          .select(col("__rg").as("__hg"),
+            ceil(col("__df") / lit(saltCap.toDouble)).cast("int").as("__ns"))
+        val rgS = rg0.join(broadcast(hot), rg0("__rg") === col("__hg"), "left")
+          .withColumn("__rsalt", when(col("__ns").isNull, lit(0)).otherwise(
+            pmod(xxhash64(col(idR), col("__rp")), col("__ns")).cast("int")))
+          .drop("__hg", "__ns")
+        val lgS = lg0.join(broadcast(hot), lg0("__lg") === col("__hg"), "left")
+          .withColumn("__lsalt", explode(when(col("__ns").isNull, array(lit(0)))
+            .otherwise(expr("transform(sequence(0, __ns - 1), x -> cast(x as int))"))))
+          .drop("__hg", "__ns")
+        (lgS, rgS, col("__lsalt") === col("__rsalt"))
+      }
     // count filtering (Gravano et al. §4.2): a pair within distance d
     // shares at least max(len)−q+1−d·q untouched gram occurrences, so
     // candidates matching fewer join rows can be dropped BEFORE the
@@ -75,7 +112,7 @@ object FuzzyJoin {
     // where a shared frequent gram would otherwise emit one candidate
     // row per co-occurrence.
     val longPairs = lg.join(rg,
-        lg("__lg") === rg("__rg") &&
+        lg("__lg") === rg("__rg") && saltKey &&
           abs(lg("__lp") - rg("__rp")) <= maxDist &&
           abs(length(col(strL)) - length(col(strR))) <= maxDist)
       .groupBy(col(idL), col(strL), col(idR), col(strR))

@@ -66,6 +66,29 @@ class FuzzyJoinSpec extends SparkSpec {
     }
   }
 
+  test("salted path: bit-identical results on a one-gram-shared-by-all corpus") {
+    // adversarial skew: every string starts with "zz", so the gram "zz"
+    // is shared by the ENTIRE corpus — unsalted, all its join work lands
+    // in one task. saltGramDf=10/saltCap=8 forces real salting (ns up to
+    // ceil(120/8)=15 cells) and must not change a single output row: left
+    // rows replicate to every cell, right rows land in exactly one, so
+    // the count filter sees the same match counts.
+    val rnd = new scala.util.Random(7)
+    def word() = "zz" + (0 until (2 + rnd.nextInt(4))).map(_ => "abc"(rnd.nextInt(3))).mkString
+    val ls = (1L to 120L).map(i => i -> word())
+    val rs = (200L to 320L).map(i => i -> word())
+    val want = brute(ls, rs, 1)
+    def salted(q: Int) = FuzzyJoin.byEditDistance(
+        ls.toDF("lid", "ls"), rs.toDF("rid", "rs"),
+        "lid", "ls", "rid", "rs", maxDist = 1, q = q,
+        saltGramDf = 10L, saltCap = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(4))).toSet
+    for (q <- Seq(2, 3)) {
+      assert(salted(q) == want, s"salted divergence at q=$q")
+      assert(salted(q) == engine(ls, rs, 1, q), s"flag on/off divergence at q=$q")
+    }
+  }
+
   test("plan: candidates come from hash joins — no cartesian, no nested loop") {
     val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
     val l = docs.select($"source".as("src"), $"source".as("lstr")).distinct()
