@@ -1361,8 +1361,13 @@ object Queries {
       import s.implicits._
       val pathTag = java.security.MessageDigest.getInstance("MD5")
         .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      // the directory carries the SESSION token, not just (pid, path):
+      // the cache key is per-session, so two sessions in one JVM (or a
+      // re-keyed rebuild after fixture regeneration) must not write/read
+      // the same store concurrently
       val dir = graft.sources.TempDirs.register(
-        s"/tmp/graft_bm25_store_${ProcessHandle.current().pid()}_$pathTag")
+        s"/tmp/graft_bm25_store_${ProcessHandle.current().pid()}_" +
+          s"${operators.SessionCache.token(s).take(8)}_$pathTag")
       val docs = Tables.documents(s, d)
       val old = docs.where($"doc_id" >= 3 && $"doc_id" % 5 =!= 0)
         .select($"doc_id", $"text")

@@ -178,9 +178,13 @@ object AnnSearch {
     * Injected as an `isin`, it reaches a `partitionBy(cluster_id)` lake
     * ([[IvfIndex.write]]) as a STATIC PartitionFilter: unprobed partitions
     * are never listed, never opened — no reliance on DPP's cost heuristics
-    * (PlanAuditSpec pins the filter on the scan). Costs one queries-sized
-    * centroid-ranking job at plan-build; 0 disables (results identical —
-    * the equi-join already enforces membership executor-side).
+    * (PlanAuditSpec pins the filter on the scan). The probe batch is
+    * computed ONCE at plan-build and localized — it is driver-sized by
+    * contract, it broadcasts anyway — and both the prune set and the
+    * broadcast join side derive from that one result, so the queries'
+    * upstream pipeline (e.g. a chunk+embed lineage) never executes twice.
+    * 0 disables both the collect and the prune (results identical — the
+    * equi-join already enforces membership executor-side).
     *
     * Per-query results equal `IvfIndex.search` with the same model/nprobe
     * (AnnBatchSpec pins parity): centroid ranking uses the identical
@@ -219,18 +223,22 @@ object AnnSearch {
       val s = rankScore(c)
       struct((if (metric.descending) -s else s).as("s"), lit(j).as("j"))
     }.toIndexedSeq: _*)
-    val probes = q0.select(col("__qid"), col("__qvec"),
+    val probes0 = q0.select(col("__qid"), col("__qvec"),
       explode(transform(slice(array_sort(ranked), 1, nprobe), p => p.getField("j")))
         .as("__pc"))
     val b0 = indexed.select(col(idCol).as("__bid"), col(vecCol).as("__bvec"),
       col(clusterCol).as("__bc"))
-    val b =
-      if (clusterPruneMax <= 0) b0
+    val (probes, b) =
+      if (clusterPruneMax <= 0) (probes0, b0)
       else {
-        val ids = probes.select(col("__pc")).distinct()
-          .limit(clusterPruneMax + 1).collect().map(_.getInt(0))
-        if (ids.length > clusterPruneMax) b0
-        else b0.where(col("__bc").isin(ids.toIndexedSeq: _*))
+        val batch = probes0.collect() // driver-sized by contract: it broadcasts
+        val local = queries.sparkSession.createDataFrame(
+          java.util.Arrays.asList(batch: _*), probes0.schema)
+        val ci = probes0.schema.fieldIndex("__pc")
+        val ids = batch.map(_.getInt(ci)).distinct.toIndexedSeq
+        (local,
+          if (ids.length > clusterPruneMax) b0
+          else b0.where(col("__bc").isin(ids: _*)))
       }
     // equi-join, probe side broadcast: each base row meets only the
     // queries that probed its cluster

@@ -95,10 +95,10 @@ object Bm25 {
   // one posting-lake file layout for [[save]] and [[appendStore]]: term-
   // partitioned + term-sorted within partitions, so row-group min/max term
   // stats are tight and the probe's pushed In(term) skips row groups
-  private def writePostings(post: DataFrame, dir: String, numFiles: Int,
-                            mode: String): Unit =
+  private def writePostings(post: DataFrame, path: String,
+                            numFiles: Int): Unit =
     post.repartition(numFiles, col("term")).sortWithinPartitions("term")
-      .write.mode(mode).parquet(s"$dir/postings")
+      .write.mode("overwrite").parquet(path)
 
   /** Persist an [[Index]] as a durable artifact directory — the form a
     * 100 TB corpus actually keeps its index in (the periodic fit job
@@ -113,7 +113,7 @@ object Bm25 {
     */
   def save(ix: Index, dir: String, numFiles: Int = 8): Unit = {
     require(numFiles >= 1, s"numFiles $numFiles must be >= 1")
-    writePostings(ix.postings, dir, numFiles, "overwrite")
+    writePostings(ix.postings, s"$dir/postings", numFiles)
     ix.dfs.repartition(numFiles, col("term")).sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"$dir/dfs")
     ix.docStats.withColumn("id_col", lit(ix.idCol))
@@ -141,27 +141,60 @@ object Bm25 {
     * and the 1-row stats are swap-rewritten via [[graft.sources.LakeLayout
     * .swapDir]] because their rewrites read the directories they replace.
     * Same new-ids-only contract as [[append]]. Returns the re-[[load]]ed
-    * merged index. Crash-safe against data loss, not writer-concurrent —
-    * run from the single maintenance owner.
+    * merged index.
+    *
+    * Failure posture: all three artifacts are STAGED to `*.tmp` paths
+    * first — a failure anywhere in the (delta-sized, minutes-long) compute
+    * leaves the live store byte-identical and the job plainly retryable.
+    * Only then does the promote phase run: a `_append_inprogress` marker,
+    * a handful of file renames, marker removed. A crash inside that
+    * sub-second window leaves the marker behind, and the next appendStore
+    * REFUSES to run rather than silently double-append the same delta —
+    * the operator inspects/restores (the staged dirs are still on disk)
+    * instead of the store drifting corrupt. Not writer-concurrent — run
+    * from the single maintenance owner, like [[graft.sources.LakeLayout
+    * .compactParquet]].
     */
   def appendStore(spark: org.apache.spark.sql.SparkSession, dir: String,
                   docs: DataFrame, textCol: String,
                   numFiles: Int = 8): Index = {
     import org.apache.hadoop.fs.{Path => HPath}
     require(numFiles >= 1, s"numFiles $numFiles must be >= 1")
+    val fs = new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new HPath(s"$dir/_append_inprogress")
+    require(!fs.exists(marker),
+      s"appendStore at $dir: a previous append died mid-promote (marker " +
+        s"$marker present) — inspect the store and staged dirs, then remove " +
+        "the marker to retry")
     val ix = load(spark, dir)
     val delta = fit(docs, ix.idCol, textCol)
-    writePostings(delta.postings, dir, numFiles, "append")
-    val fs = new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    mergedDfs(ix, delta)
-      .repartition(numFiles, col("term")).sortWithinPartitions("term")
-      .write.mode("overwrite").parquet(s"$dir/dfs.tmp")
-    graft.sources.LakeLayout.swapDir(fs,
-      new HPath(s"$dir/dfs.tmp"), new HPath(s"$dir/dfs"))
-    mergedStats(ix, delta).withColumn("id_col", lit(ix.idCol))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats.tmp")
-    graft.sources.LakeLayout.swapDir(fs,
-      new HPath(s"$dir/stats.tmp"), new HPath(s"$dir/stats"))
+    // one tokenize+groupBy over the delta docs feeds all three staged
+    // writes (delta.dfs derives from the same cached postings plan)
+    delta.postings.persist()
+    try {
+      // STAGE: the live store is untouched until everything is committed
+      val stage = new HPath(s"$dir/postings.stage.tmp")
+      writePostings(delta.postings, stage.toString, numFiles)
+      mergedDfs(ix, delta)
+        .repartition(numFiles, col("term")).sortWithinPartitions("term")
+        .write.mode("overwrite").parquet(s"$dir/dfs.tmp")
+      mergedStats(ix, delta).withColumn("id_col", lit(ix.idCol))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats.tmp")
+      // PROMOTE: renames only, bounded by the marker
+      fs.create(marker).close()
+      fs.listStatus(stage).foreach { st =>
+        // part file names carry a per-job UUID — no collision with the lake
+        if (st.isFile && st.getPath.getName.startsWith("part-") &&
+            !fs.rename(st.getPath, new HPath(s"$dir/postings/${st.getPath.getName}")))
+          sys.error(s"appendStore: cannot promote ${st.getPath}")
+      }
+      fs.delete(stage, true)
+      graft.sources.LakeLayout.swapDir(fs,
+        new HPath(s"$dir/dfs.tmp"), new HPath(s"$dir/dfs"))
+      graft.sources.LakeLayout.swapDir(fs,
+        new HPath(s"$dir/stats.tmp"), new HPath(s"$dir/stats"))
+      fs.delete(marker, false)
+    } finally delta.postings.unpersist()
     load(spark, dir)
   }
 
@@ -175,14 +208,18 @@ object Bm25 {
     * as a pushed `In(term)`, so a [[save]]d lake (term-partitioned,
     * sortWithinPartitions(term) at rest → tight row-group term ranges)
     * skips the overwhelming share of its IO instead of reading every row
-    * group and discarding executor-side after the broadcast join. The term
-    * set is query-batch-sized by contract; if a batch somehow exceeds
-    * `termPruneMax` distinct terms the filter is skipped (identical
-    * results, just no skipping). 0 disables. The collect is eager at
-    * plan-build time. With the prune in place the per-term df dictionary
-    * shrinks to the query's terms, so it broadcasts; the pruned postings
-    * join `broadcast(qterms)` FIRST, so nothing dictionary-sized ever
-    * pre-joins the postings.
+    * group and discarding executor-side after the broadcast join. The
+    * (qid, term) batch is computed ONCE at plan-build and localized — it
+    * is driver-sized by contract, it broadcasts anyway — and BOTH the
+    * prune key set and the broadcast join side derive from that one
+    * result, so the queries' upstream lineage (which may be a whole
+    * embedding/tokenize pipeline) never executes twice. If the batch
+    * somehow exceeds `termPruneMax` distinct terms the scan filter is
+    * skipped (identical results, just no skipping). 0 disables both the
+    * collect and the prune — the fully lazy single-plan path. With the
+    * prune in place the per-term df dictionary shrinks to the query's
+    * terms, so it broadcasts; the pruned postings join `broadcast(qterms)`
+    * FIRST, so nothing dictionary-sized ever pre-joins the postings.
     */
   def searchIndex(ix: Index, queries: DataFrame, qidCol: String,
                   qtextCol: String, k: Int,
@@ -199,18 +236,22 @@ object Bm25 {
     val stats = ix.docStats.select(
       col("n_docs").cast("double").as("n"),
       (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
-    val qterms = queries.select(
+    val qterms0 = queries.select(
       col(qidCol), explode(array_distinct(tokens(col(qtextCol)))).as("term"))
-    val (post, dfsSide) =
-      if (termPruneMax <= 0) (ix.postings, ix.dfs)
+    val (qterms, post, dfsSide) =
+      if (termPruneMax <= 0) (qterms0, ix.postings, ix.dfs)
       else {
-        val keys = qterms.select(col("term")).distinct()
-          .limit(termPruneMax + 1).collect().map(_.getString(0))
-        if (keys.length > termPruneMax) (ix.postings, ix.dfs)
-        else (ix.postings.where(col("term").isin(keys.toIndexedSeq: _*)),
+        val batch = qterms0.collect() // driver-sized by contract: it broadcasts
+        val local = queries.sparkSession.createDataFrame(
+          java.util.Arrays.asList(batch: _*), qterms0.schema)
+        val ti = qterms0.schema.fieldIndex("term")
+        val keys = batch.map(_.getString(ti)).distinct.toIndexedSeq
+        if (keys.length > termPruneMax) (local, ix.postings, ix.dfs)
+        else (local,
+          ix.postings.where(col("term").isin(keys: _*)),
           // restricted to the batch's terms the dictionary is broadcast-
           // sized no matter how large the corpus vocabulary is
-          broadcast(ix.dfs.where(col("term").isin(keys.toIndexedSeq: _*))))
+          broadcast(ix.dfs.where(col("term").isin(keys: _*))))
       }
     val idf = log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val tfn = col("tf") * (lit(k1) + 1.0) /

@@ -37,8 +37,10 @@ import org.apache.spark.sql.functions._
   * gram equi-join itself hash-partitions every occurrence of one gram
   * into ONE task — a gram shared by the whole corpus ("th" in English
   * titles) serializes the join however many executors exist. With
-  * `saltGramDf > 0`, right-side grams whose document frequency exceeds it
-  * are salted across ceil(df/saltCap) cells (right rows hash into one
+  * `saltGramDf > 0`, right-side grams whose OCCURRENCE count exceeds it
+  * (one count per position per string — a gram repeated inside one string
+  * counts every occurrence, so this is a finer threshold than document
+  * frequency) are salted across ceil(count/saltCap) cells (right rows hash into one
   * cell, left rows replicate to every cell — each (left,right) row pair
   * still meets exactly ONCE, so the count filter's arithmetic is
   * untouched and results are bit-identical; FuzzyJoinSpec pins parity on

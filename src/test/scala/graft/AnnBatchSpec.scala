@@ -100,7 +100,7 @@ class AnnBatchSpec extends SparkSpec {
       "the batched IVF path must never fall back to a cross product")
   }
 
-  test("batchTopKIvf over a partitioned lake: DPP prunes unprobed cluster partitions") {
+  test("batchTopKIvf over a partitioned lake: probe set statically prunes cluster partitions") {
     val e = Tables.embeddings(spark, Sf0001)
     val model = Queries.axisBlockIvfModel(64)
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-lake").toString
@@ -118,11 +118,15 @@ class AnnBatchSpec extends SparkSpec {
       queries, "qid", "embedding", 10, nprobe = 3)
     assert(out.orderBy($"qid", $"rank").collect().toSeq ==
       fromAssign.orderBy($"qid", $"rank").collect().toSeq)
-    // the scan must carry a dynamic-pruning partition filter on cluster_id:
-    // the lake reads only partitions some query probed
-    val plan = out.queryExecution.executedPlan.toString
-    assert(plan.toLowerCase.contains("dynamicpruning"),
-      s"expected a DPP filter on the cluster_id partition column:\n$plan")
+    // the scan must carry a STATIC partition filter on cluster_id (the
+    // collected probe set's isin — stronger than DPP, which only fires
+    // when its cost model approves): the lake reads only partitions some
+    // query probed. PlanAuditSpec additionally pins the selected-partition
+    // count.
+    val plan = out.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("partitionfilters") && plan.contains("cluster_id") &&
+      plan.contains(" in ("),
+      s"expected a static cluster_id IN partition filter:\n$plan")
   }
 
   test("one scan, one shuffle: plan has a broadcast nested-loop join, no sort") {

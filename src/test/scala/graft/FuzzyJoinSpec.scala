@@ -69,8 +69,9 @@ class FuzzyJoinSpec extends SparkSpec {
   test("salted path: bit-identical results on a one-gram-shared-by-all corpus") {
     // adversarial skew: every string starts with "zz", so the gram "zz"
     // is shared by the ENTIRE corpus — unsalted, all its join work lands
-    // in one task. saltGramDf=10/saltCap=8 forces real salting (ns up to
-    // ceil(120/8)=15 cells) and must not change a single output row: left
+    // in one task. saltGramDf=10/saltCap=8 forces real salting (121 right
+    // rows -> ns = ceil(121/8) = 16 cells for "zz") and must not change a
+    // single output row: left
     // rows replicate to every cell, right rows land in exactly one, so
     // the count filter sees the same match counts.
     val rnd = new scala.util.Random(7)

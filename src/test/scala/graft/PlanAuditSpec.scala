@@ -470,9 +470,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "query terms must broadcast-equi-join")
     assert(!p.contains("CartesianProduct"),
       "BM25 must never plan a query x corpus cartesian")
-    assert(p.contains("LessThan(doc_id,3)") &&
-      p.contains("GreaterThanOrEqual(doc_id,3)"),
-      "both branch doc filters must reach the parquet scans")
+    // the queries branch (doc_id < 3) is evaluated ONCE at plan-build —
+    // driver-sized by contract — and joins as a localized batch, so only
+    // the corpus branch's filter appears in the serving plan
+    assert(p.contains("GreaterThanOrEqual(doc_id,3)"),
+      "the corpus doc filter must reach the parquet scans")
+    assert(p.contains("LocalTableScan") && !p.contains("LessThan(doc_id,3)"),
+      "the query batch must join as the one localized plan-build result, " +
+        "not re-execute its lineage inside the serving plan")
     val reads = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
     assert(reads.nonEmpty && reads.forall(r =>
       r.contains("doc_id") && r.contains("text") && !r.contains("source")),
