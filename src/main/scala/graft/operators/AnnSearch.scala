@@ -335,6 +335,10 @@ object IvfIndex {
     */
   def rankCentroids(model: Model, query: Seq[Double],
                     metric: VectorMetric, nprobe: Int): Array[Int] = {
+    // same loud edge as batchTopKIvf (ADVICE r14): a non-positive nprobe
+    // would take() an empty probe set and the search would return zero
+    // rows silently
+    require(nprobe >= 1, s"nprobe $nprobe must be >= 1")
     val q = query.toArray
     def ip(c: Array[Double]): Double = {
       var acc = 0.0; var i = 0
@@ -373,6 +377,7 @@ object IvfIndex {
       k: Int,
       nprobe: Int,
       metric: VectorMetric = VectorMetric.Ip): DataFrame = {
+    require(k >= 1, s"k $k must be >= 1") // batchTopKIvf parity (ADVICE r14)
     val probed = rankCentroids(model, query, metric, nprobe)
     AnnSearch.exactTopK(
       indexed.where(col("cluster_id").isin(probed.toIndexedSeq: _*)),

@@ -59,6 +59,25 @@ class AnnBatchSpec extends SparkSpec {
     assert(ex.getMessage.contains("qidCol"))
   }
 
+  test("single-query search/rankCentroids reject k < 1 and nprobe < 1 like the batch path") {
+    // ADVICE r14: batchTopKIvf throws on these edges but search() silently
+    // returned zero rows — the documented parity now extends to the guards
+    val e = Tables.embeddings(spark, Sf0001)
+    val dim = e.select(size($"embedding")).head().getInt(0)
+    val model = Queries.axisBlockIvfModel(dim)
+    val indexed = graft.operators.IvfIndex.assign(e, "embedding", model)
+    val q = Seq.fill(dim)(0.1)
+    intercept[IllegalArgumentException] {
+      graft.operators.IvfIndex.search(indexed, model, "embedding", "vec_id", q, 0, 2)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.IvfIndex.search(indexed, model, "embedding", "vec_id", q, 5, 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.IvfIndex.rankCentroids(model, q, VectorMetric.Ip, 0)
+    }
+  }
+
   test("batchTopKIvf == per-query IvfIndex.search, every metric") {
     val e = Tables.embeddings(spark, Sf0001)
     val dim = e.select(size($"embedding")).head().getInt(0)
