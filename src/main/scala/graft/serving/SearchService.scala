@@ -98,6 +98,11 @@ class SearchService(
     // better-is direction (L2 scores are squared distances, ascending).
     metric: String = "ip") {
 
+  // fail at construction, not as a 501 on the first request (the same
+  // loud-edge contract IvfIndex.search/rankCentroids now enforce)
+  require(topK >= 1, s"topK $topK must be >= 1")
+  require(nlist >= 1 && nprobe >= 1,
+    s"nlist $nlist and nprobe $nprobe must be >= 1")
   require(outputFields.forall(table.columns.contains),
     s"outputFields must exist in the table: ${outputFields.mkString(", ")}")
   ImageOps.requireAlgo(algo) // ad=ACCID gets the explicit documented rejection
