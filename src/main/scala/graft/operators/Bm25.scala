@@ -198,6 +198,34 @@ object Bm25 {
     load(spark, dir)
   }
 
+  /** Periodic maintenance for an [[appendStore]]-grown store: every daily
+    * append adds `numFiles` files whose term ranges overlap the lake's —
+    * a year of appends is ~365·numFiles files whose per-file open/footer
+    * cost grows linearly and whose overlapping term ranges erode the
+    * row-group skipping the probe's pushed `In(term)` relies on. Rewrites
+    * the postings lake term-partitioned/term-sorted (stage + one
+    * [[graft.sources.LakeLayout.swapDir]]; a crash before the swap leaves
+    * the store byte-identical); dfs/stats are untouched — appends rewrite
+    * them whole already. Same single-maintenance-owner contract as
+    * [[appendStore]]; refuses to run over a store with a dangling
+    * `_append_inprogress` marker.
+    */
+  def compactStore(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   numFiles: Int = 8): Index = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    require(numFiles >= 1, s"numFiles $numFiles must be >= 1")
+    val fs = new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new HPath(s"$dir/_append_inprogress")
+    require(!fs.exists(marker),
+      s"compactStore at $dir: an append died mid-promote (marker present) — " +
+        "resolve it first")
+    writePostings(spark.read.parquet(s"$dir/postings"),
+      s"$dir/postings.compact.tmp", numFiles)
+    graft.sources.LakeLayout.swapDir(fs,
+      new HPath(s"$dir/postings.compact.tmp"), new HPath(s"$dir/postings"))
+    load(spark, dir)
+  }
+
   /** Top-k per query over a built [[Index]] — [[topK]]'s search half,
     * identical arithmetic (the two are fit ∘ search by construction).
     *

@@ -145,6 +145,31 @@ class Bm25Spec extends SparkSpec {
     assert(leftovers == Set("postings", "dfs", "stats"), leftovers.toString)
   }
 
+  test("compactStore: fewer postings files, identical index and search results") {
+    val dir = tmp("compact")
+    val thirds = Seq(
+      corpus.where($"doc_id" % 3 === 0), corpus.where($"doc_id" % 3 === 1),
+      corpus.where($"doc_id" % 3 === 2))
+    Bm25.save(Bm25.fit(thirds.head, "doc_id", "text"), dir, numFiles = 4)
+    thirds.tail.foreach(d => Bm25.appendStore(spark, dir, d, "text", numFiles = 4))
+    def postingsFiles() = new java.io.File(s"$dir/postings").listFiles()
+      .count(_.getName.startsWith("part-"))
+    val before = postingsFiles()
+    assert(before >= 8, s"two appends over 4-file writes should pile up files, got $before")
+    val preRows = Bm25.load(spark, dir).postings.collect().map(_.toSeq).toSet
+    val compacted = Bm25.compactStore(spark, dir, numFiles = 2)
+    assert(postingsFiles() <= 2, "compaction must rewrite to the target file count")
+    assert(compacted.postings.collect().map(_.toSeq).toSet == preRows,
+      "compaction must not change a single posting")
+    val got = Bm25.searchIndex(compacted, queries, "qid", "text", 10)
+      .collect().map(_.toSeq).toSet
+    val want = Bm25.topK(corpus, "doc_id", "text", queries, "qid", "text", 10)
+      .collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+    assert(new java.io.File(dir).listFiles().map(_.getName).toSet ==
+      Set("postings", "dfs", "stats"), "no compaction debris")
+  }
+
   test("term prune: capped-out and disabled paths answer identically to the pruned path") {
     val ix = Bm25.fit(corpus, "doc_id", "text")
     val pruned = Bm25.searchIndex(ix, queries, "qid", "text", 10)
