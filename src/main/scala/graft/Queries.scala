@@ -1376,6 +1376,10 @@ object Queries {
       graft.operators.Bm25.save(
         graft.operators.Bm25.fit(old, "doc_id", "text"), dir)
       graft.operators.Bm25.appendStore(s, dir, delta, "text")
+      // the post-append maintenance job runs too, so the gate row probes
+      // the COMPACTED lake — save → append → compact → load → search all
+      // under r3's oracle verbatim (the e2i trick, zero new oracle risk)
+      graft.operators.Bm25.compactStore(s, dir)
       dir
     }
 

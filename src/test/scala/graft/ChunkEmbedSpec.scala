@@ -58,6 +58,24 @@ class ChunkEmbedSpec extends SparkSpec {
       s"got $cids — adjacent chunks aliased onto one cid")
   }
 
+  test("key-domain guard: an out-of-range doc_id fails the job loudly") {
+    // the r14 guard itself was never spec'd — a negative id (or one at or
+    // above Long.MaxValue/KeySpan) must raise, not silently alias cids
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString("\n")
+    val neg = intercept[Throwable] {
+      ChunkEmbed.embed(Seq((-1L, "a b c")).toDF("doc_id", "text")).collect()
+    }
+    assert(messages(neg).contains("ChunkEmbed.embed"), messages(neg).take(400))
+    val huge = intercept[Throwable] {
+      ChunkEmbed.embed(
+        Seq((Long.MaxValue / ChunkEmbed.KeySpan, "a b c")).toDF("doc_id", "text"))
+        .collect()
+    }
+    assert(messages(huge).contains("ChunkEmbed.embed"), messages(huge).take(400))
+  }
+
   test("docEmbed: one embedding per doc, gold formula over the whole token list") {
     val toks = (0 until 100).map(i => s"tok$i")
     val docs = Seq((7L, toks.mkString(" ")), (9L, "solo")).toDF("doc_id", "text")
