@@ -1074,24 +1074,42 @@ object ImageOps {
   /** Contract note (SURVEY §7.4 delta): the reference's whitelist
     * additionally accepts `ad` = ACCID (`hasher.js:28-49`). ACCID's
     * publication is not reproducible from public sources, so this engine
-    * EXPLICITLY rejects it rather than shipping a descriptor that silently
-    * disagrees with every other ACCID index; the rejection message names
-    * the delta. Pinned by ImageOpsSpec's registry-contract test.
+    * does not reimplement it: a from-scratch "ACCID" would silently
+    * disagree with every other ACCID index. Two honest postures instead:
+    * with a user-supplied LIRE jar configured ([[LireBridge]]), `ad`
+    * routes through the user's own jar (bit-identical features by
+    * construction); without one, `ad` is EXPLICITLY rejected and the
+    * message names both the delta and the bridge route. Pinned by
+    * ImageOpsSpec's registry-contract test + LireBridgeSpec.
     */
   def requireAlgo(algo: String): Unit =
-    require(descriptors.contains(algo),
+    require(descriptors.contains(algo) ||
+      (algo == "ad" && LireBridge.configuredJar.isDefined),
       s"unsupported descriptor algo '$algo' (have: ${descriptors.keys.toSeq.sorted.mkString(", ")})" +
         (if (algo == "ad")
-           "; the reference accepts ad=ACCID, excluded here — not reproducible from public sources (SURVEY §7.4)"
+           "; the reference accepts ad=ACCID, not reimplemented here — not reproducible " +
+             "from public sources (SURVEY §7.4). To run ad, supply a LIRE jar via the " +
+             "SPARK_GRAFT_LIRE_JAR env var or the graft.lire.jar system property (LireBridge)"
          else ""))
 
-  /** [[describeImages]] resolved through the [[descriptors]] registry —
+  /** One `algo` string → one row function, for BOTH ingest and serving:
+    * the in-engine [[descriptors]] registry first, then the `ad` route
+    * through the configured LIRE jar ([[LireBridge]]). The jar path is
+    * resolved HERE, on the driver, so the returned closure captures a
+    * concrete path string rather than re-reading executor-side config.
+    */
+  def resolve(algo: String): Array[Byte] => Array[Float] = {
+    requireAlgo(algo)
+    descriptors.getOrElse(algo,
+      LireBridge.extractor(LireBridge.configuredJar.get))
+  }
+
+  /** [[describeImages]] resolved through [[resolve]] —
     * one `algo` string selects the same descriptor at ingest and serving.
     */
   def describeImagesWith(df: DataFrame, idCol: String, bytesCol: String,
                          algo: String): DataFrame = {
-    requireAlgo(algo)
-    val fn = descriptors(algo)
+    val fn = resolve(algo)
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(bytesCol))

@@ -118,7 +118,7 @@ class SearchService(
   // searched with an intensity query would silently return noise).
   private val describe: Array[Byte] => Array[Float] =
     if (algo == "in") ImageOps.intensityDescriptor(_, grid)
-    else ImageOps.descriptors(algo)
+    else ImageOps.resolve(algo) // incl. ad via a configured LIRE jar (LireBridge)
 
   // ---- collection load (C9). Exact mode caches the raw table; quantized
   // modes build the IVF index (+ codec) here, once — the serving analog of

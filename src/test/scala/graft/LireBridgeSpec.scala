@@ -1,0 +1,110 @@
+package graft
+
+import graft.multimodal.{ImageOps, LireBridge}
+
+/** The ad=ACCID bridge: without a user-supplied LIRE jar the loud
+  * documented rejection stands; with one (gated on the reference snapshot's
+  * own jar), `ad` routes through the jar and the features are pinned
+  * against an independent driver-side replay through a FRESH classloader —
+  * the same empirical-parity posture as BitSamplingSpec's reflection fuzz.
+  */
+class LireBridgeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val LireJar = "/root/reference/jar/lire.jar"
+
+  private def withJar[A](body: => A): A = {
+    val prev = sys.props.get("graft.lire.jar")
+    sys.props("graft.lire.jar") = LireJar
+    try body
+    finally prev match {
+      case Some(v) => sys.props("graft.lire.jar") = v
+      case None    => sys.props.remove("graft.lire.jar")
+    }
+  }
+
+  /** Render a w×h PNG via a per-pixel RGB function. */
+  private def png(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, f(x, y))
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    buf.toByteArray
+  }
+
+  private def imgA = png(64, 48)((x, y) => ((x * 4) << 16) | ((y * 5) << 8) | ((x + y) & 0xff))
+  private def imgB = png(64, 48)((x, y) => (((x ^ y) * 3 & 0xff) << 16) | 0x4080)
+
+  test("without a configured jar, ad stays a loud rejection naming the bridge route") {
+    val prev = sys.props.get("graft.lire.jar")
+    sys.props.remove("graft.lire.jar")
+    try {
+      assume(!sys.env.contains("SPARK_GRAFT_LIRE_JAR"),
+        "env configures a jar — unconfigured posture not testable here")
+      val e = intercept[IllegalArgumentException] {
+        ImageOps.resolve("ad")
+      }
+      assert(e.getMessage.contains("ad=ACCID"), e.getMessage)
+      assert(e.getMessage.contains("SPARK_GRAFT_LIRE_JAR"), e.getMessage)
+    } finally prev.foreach(v => sys.props("graft.lire.jar") = v)
+  }
+
+  test("a configured but missing jar fails the row function loudly, never nulls the scan") {
+    val e = intercept[IllegalArgumentException] {
+      LireBridge.extractor("/no/such/lire.jar")(imgA)
+    }
+    assert(e.getMessage.contains("/no/such/lire.jar"), e.getMessage)
+  }
+
+  test("ad via the jar: 120-dim features, deterministic, junk rows survive (gated)") {
+    assume(new java.io.File(LireJar).isFile, "reference lire.jar not present — skipping")
+    withJar {
+      val df = Seq((1L, imgA), (2L, imgB), (3L, "not an image".getBytes))
+        .toDF("id", "content")
+      val run1 = ImageOps.describeImagesWith(df, "id", "content", "ad")
+        .collect().map(r => r.getLong(0) ->
+          (r.getBoolean(3), Option(r.getSeq[Float](4)).map(_.toVector))).toMap
+      assert(run1(1)._1 && run1(2)._1 && !run1(3)._1)
+      assert(run1(3)._2.isEmpty, "junk row must carry a null descriptor")
+      assert(run1(1)._2.get.length == 120, s"ACCID dims ${run1(1)._2.get.length}")
+      assert(run1(1)._2 != run1(2)._2, "distinct images must not collide")
+      val run2 = ImageOps.describeImagesWith(df, "id", "content", "ad")
+        .collect().map(r => r.getLong(0) ->
+          Option(r.getSeq[Float](4)).map(_.toVector)).toMap
+      assert(run1.view.mapValues(_._2).toMap == run2, "non-deterministic bridge")
+    }
+  }
+
+  test("bridge features match an independent replay through a fresh classloader (gated)") {
+    assume(new java.io.File(LireJar).isFile, "reference lire.jar not present — skipping")
+    val viaBridge = withJar {
+      ImageOps.resolve("ad")(imgA).toVector
+    }
+    val cl = new java.net.URLClassLoader(
+      Array(new java.io.File(LireJar).toURI.toURL), getClass.getClassLoader)
+    val cls = Class.forName(LireBridge.AccidClass, true, cl)
+    val inst = cls.getDeclaredConstructor().newInstance().asInstanceOf[AnyRef]
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(imgA))
+    cls.getMethod("extract", classOf[java.awt.image.BufferedImage]).invoke(inst, img)
+    val gold = cls.getMethod("getFeatureVector").invoke(inst)
+      .asInstanceOf[Array[Double]].map(_.toFloat).toVector
+    assert(viaBridge == gold, "bridge must reproduce the jar's own ACCID bit-for-bit")
+  }
+
+  test("serving end-to-end: ingest under ad, search returns the query image itself (gated)") {
+    assume(new java.io.File(LireJar).isFile, "reference lire.jar not present — skipping")
+    withJar {
+      val imgs = Seq((1L, imgA), (2L, imgB),
+        (3L, png(64, 48)((x, y) => ((y * 3) << 16) | ((x * 2) << 8))))
+        .toDF("id", "content")
+      val vecs = ImageOps.describeImagesWith(imgs, "id", "content", "ad")
+        .where("ok").selectExpr("id", "descriptor AS vec")
+      val svc = new graft.serving.SearchService(
+        vecs, "vec", "id", algo = "ad", metric = "l2", topK = 3)
+      val hits = svc.search(imgB).get
+      assert(hits.head.getLong(hits.head.fieldIndex("id")) == 2L,
+        s"self-match under l2 must rank first: ${hits.map(_.toString)}")
+    }
+  }
+}
