@@ -80,11 +80,13 @@ object LireBridge {
     */
   def extractor(jar: String, fqcn: String = AccidClass): Array[Byte] => Array[Float] =
     (bytes: Array[Byte]) => {
-      val api = apiFor(jar, fqcn) // config errors escape the row try
-      try {
-        val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
-        if (img == null) null
-        else {
+      val api = apiFor(jar, fqcn) // jar/class config errors escape the row path
+      val img =
+        try javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+        catch { case _: Exception => null } // bad row: undecodable bytes
+      if (img == null) null
+      else
+        try {
           val inst = api.ctor.newInstance().asInstanceOf[AnyRef]
           api.extract.invoke(inst, img)
           val d = api.featureVector.invoke(inst).asInstanceOf[Array[Double]]
@@ -92,7 +94,21 @@ object LireBridge {
           var i = 0
           while (i < d.length) { out(i) = d(i).toFloat; i += 1 }
           out
+        } catch {
+          // Method.invoke wraps everything the jar throws in
+          // InvocationTargetException — an Exception — so a blanket catch
+          // here would also swallow LinkageErrors from a slim/partial jar
+          // (class resolved, its dependencies absent) and null out EVERY
+          // row of the scan. Unwrap: linkage failures are config, rethrow
+          // loudly; anything else the jar threw is a per-image blow-up and
+          // nulls just that row.
+          case e: java.lang.reflect.InvocationTargetException =>
+            e.getCause match {
+              case le: LinkageError => throw new IllegalStateException(
+                s"LireBridge: '$fqcn' from jar '$jar' failed to link ($le) — " +
+                  "the jar is missing classes it needs; refusing to null the scan", le)
+              case _ => null
+            }
         }
-      } catch { case _: Exception => null }
     }
 }

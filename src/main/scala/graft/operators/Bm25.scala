@@ -208,7 +208,12 @@ object Bm25 {
     * the store byte-identical); dfs/stats are untouched — appends rewrite
     * them whole already. Same single-maintenance-owner contract as
     * [[appendStore]]; refuses to run over a store with a dangling
-    * `_append_inprogress` marker.
+    * `_append_inprogress` marker, and brackets its own swap in the SAME
+    * marker, so a crash inside swapDir's sub-second rename window makes
+    * the next maintenance job refuse loudly (the data then sits intact in
+    * `postings` or `postings.swap.bak` — swapDir never deletes the
+    * original before the promote lands) instead of dying in load() with a
+    * bare missing-path error.
     */
   def compactStore(spark: org.apache.spark.sql.SparkSession, dir: String,
                    numFiles: Int = 8): Index = {
@@ -217,12 +222,15 @@ object Bm25 {
     val fs = new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new HPath(s"$dir/_append_inprogress")
     require(!fs.exists(marker),
-      s"compactStore at $dir: an append died mid-promote (marker present) — " +
-        "resolve it first")
+      s"compactStore at $dir: a maintenance job died mid-promote (marker " +
+        "present) — inspect postings/ and postings.swap.bak, then remove " +
+        "the marker to retry")
     writePostings(spark.read.parquet(s"$dir/postings"),
       s"$dir/postings.compact.tmp", numFiles)
+    fs.create(marker).close()
     graft.sources.LakeLayout.swapDir(fs,
       new HPath(s"$dir/postings.compact.tmp"), new HPath(s"$dir/postings"))
+    fs.delete(marker, false)
     load(spark, dir)
   }
 

@@ -168,6 +168,16 @@ class Bm25Spec extends SparkSpec {
     assert(got == want && got.nonEmpty)
     assert(new java.io.File(dir).listFiles().map(_.getName).toSet ==
       Set("postings", "dfs", "stats"), "no compaction debris")
+    // a dangling promote marker (appendStore's OR compactStore's own —
+    // compaction brackets its swap in the same one) makes the next
+    // maintenance job refuse loudly instead of compounding the damage
+    val marker = new java.io.File(dir, "_append_inprogress")
+    assert(marker.createNewFile())
+    val refuse = intercept[IllegalArgumentException] {
+      Bm25.compactStore(spark, dir, numFiles = 2)
+    }
+    assert(refuse.getMessage.contains("mid-promote"), refuse.getMessage)
+    assert(marker.delete())
   }
 
   test("term prune: capped-out and disabled paths answer identically to the pruned path") {

@@ -310,24 +310,33 @@ class ImageOpsSpec extends SparkSpec {
 
   test("ad=ACCID contract: explicit documented rejection at ingest and serving (SURVEY §7.4 delta)") {
     // The reference whitelist accepts ad (hasher.js:28-49); this engine
-    // excludes it — ACCID is not reproducible from public sources. The
-    // exclusion is a CONTRACT: a loud, documented rejection, never a
-    // silent fallback to some other descriptor.
-    assert(!ImageOps.descriptors.contains("ad"))
-    val df = Seq((1L, Array[Byte](1, 2, 3))).toDF("id", "content")
-    val ingest = intercept[IllegalArgumentException] {
-      ImageOps.describeImagesWith(df, "id", "content", "ad")
-    }
-    assert(ingest.getMessage.contains("ad=ACCID"), ingest.getMessage)
-    assert(ingest.getMessage.contains("not reproducible"), ingest.getMessage)
-    val serve = intercept[IllegalArgumentException] {
-      new graft.serving.SearchService(
-        Seq((1L, Array(1.0f))).toDF("id", "vec"), "vec", "id", algo = "ad")
-    }
-    assert(serve.getMessage.contains("ad=ACCID"), serve.getMessage)
-    // every OTHER reference whitelist code resolves
-    Seq("cl", "eh", "sc", "oh", "ac", "ph", "fc", "fo", "ce", "jc", "jh", "in")
-      .foreach(a => ImageOps.requireAlgo(a))
+    // does not reimplement it — ACCID is not reproducible from public
+    // sources. Without a user-supplied LIRE jar (LireBridge) the exclusion
+    // is a CONTRACT: a loud, documented rejection, never a silent fallback
+    // to some other descriptor. This test pins the UNCONFIGURED posture,
+    // so it clears the bridge config for its duration (the configured
+    // posture is LireBridgeSpec's).
+    assume(!sys.env.contains("SPARK_GRAFT_LIRE_JAR"),
+      "env configures a LIRE jar — unconfigured posture not testable here")
+    val prev = sys.props.get("graft.lire.jar")
+    sys.props.remove("graft.lire.jar")
+    try {
+      assert(!ImageOps.descriptors.contains("ad"))
+      val df = Seq((1L, Array[Byte](1, 2, 3))).toDF("id", "content")
+      val ingest = intercept[IllegalArgumentException] {
+        ImageOps.describeImagesWith(df, "id", "content", "ad")
+      }
+      assert(ingest.getMessage.contains("ad=ACCID"), ingest.getMessage)
+      assert(ingest.getMessage.contains("not reproducible"), ingest.getMessage)
+      val serve = intercept[IllegalArgumentException] {
+        new graft.serving.SearchService(
+          Seq((1L, Array(1.0f))).toDF("id", "vec"), "vec", "id", algo = "ad")
+      }
+      assert(serve.getMessage.contains("ad=ACCID"), serve.getMessage)
+      // every OTHER reference whitelist code resolves
+      Seq("cl", "eh", "sc", "oh", "ac", "ph", "fc", "fo", "ce", "jc", "jh", "in")
+        .foreach(a => ImageOps.requireAlgo(a))
+    } finally prev.foreach(v => sys.props("graft.lire.jar") = v)
   }
 
   test("thumbnails: aspect-preserving downscale to maxDim, pass-through for small, junk survives") {

@@ -57,6 +57,43 @@ class LireBridgeSpec extends SparkSpec {
     assert(e.getMessage.contains("/no/such/lire.jar"), e.getMessage)
   }
 
+  test("a slim jar that fails to link fails the scan loudly; per-image blow-ups null only their row") {
+    // build a descriptor jar at test time whose extract() needs a class
+    // the jar does NOT ship — the exact slim-jar misconfiguration that a
+    // blanket row-level catch would silently turn into an all-null scan
+    val tmp = java.nio.file.Files.createTempDirectory("lirebridge").toFile
+    def write(name: String, body: String): java.io.File = {
+      val f = new java.io.File(tmp, name)
+      java.nio.file.Files.write(f.toPath, body.getBytes("UTF-8"))
+      f
+    }
+    val desc = write("FakeDesc.java",
+      """public class FakeDesc {
+        |  public void extract(java.awt.image.BufferedImage b) {
+        |    if (b.getWidth() > 32) FakeHelper.poke(); // class missing from the jar
+        |    throw new RuntimeException("per-image blow-up");
+        |  }
+        |  public double[] getFeatureVector() { return new double[] {1.0}; }
+        |}""".stripMargin)
+    val helper = write("FakeHelper.java",
+      "public class FakeHelper { static void poke() {} }")
+    val jc = javax.tools.ToolProvider.getSystemJavaCompiler
+    assert(jc.run(null, null, null, desc.getPath, helper.getPath) == 0, "javac failed")
+    val jarF = new java.io.File(tmp, "fake.jar")
+    val jos = new java.util.jar.JarOutputStream(new java.io.FileOutputStream(jarF))
+    jos.putNextEntry(new java.util.zip.ZipEntry("FakeDesc.class")) // FakeHelper withheld
+    jos.write(java.nio.file.Files.readAllBytes(
+      new java.io.File(tmp, "FakeDesc.class").toPath))
+    jos.closeEntry()
+    jos.close()
+    val fn = LireBridge.extractor(jarF.getPath, "FakeDesc")
+    // small image: extract throws a plain RuntimeException → that row nulls
+    assert(fn(png(16, 16)((_, _) => 0)) == null)
+    // wide image: NoClassDefFoundError inside extract → loud config failure
+    val e = intercept[IllegalStateException] { fn(imgA) }
+    assert(e.getMessage.contains("failed to link"), e.getMessage)
+  }
+
   test("ad via the jar: 120-dim features, deterministic, junk rows survive (gated)") {
     assume(new java.io.File(LireJar).isFile, "reference lire.jar not present — skipping")
     withJar {
