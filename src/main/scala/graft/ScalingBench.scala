@@ -74,6 +74,39 @@ object ScalingBench {
     outDir
   }
 
+  /** [[ensureScaled]] for LARGE copy counts: identical row semantics
+    * (offset ids, `_r{i}` token suffixes, copy 0 verbatim) built with
+    * `crossJoin(range(copies))` — a 1000-way union would blow the
+    * analyzer, the crossJoin keeps the plan one node wide (lesson from
+    * the embeddings fixture below).
+    */
+  private[graft] def ensureScaledX(
+      spark: org.apache.spark.sql.SparkSession,
+      srcDir: String, outDir: String, copies: Int): String = {
+    val root = java.nio.file.Paths.get(outDir)
+    if (!java.nio.file.Files.exists(root.resolve("_done"))) {
+      deleteDir(root)
+      java.nio.file.Files.createDirectories(root)
+      val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+      val bounds = docs.agg(
+        min(col("doc_id")).cast("long"), max(col("doc_id")).cast("long")).head
+      require(!bounds.isNullAt(1) && bounds.getLong(1) < Offset && bounds.getLong(0) >= 0L,
+        s"ensureScaledX needs doc_id in [0, $Offset) for disjoint copies; " +
+          s"source has [${bounds.get(0)}, ${bounds.get(1)}]")
+      docs.crossJoin(spark.range(copies.toLong).select(col("id").as("__copy")))
+        .select(
+          (col("doc_id") + col("__copy") * lit(Offset)).as("doc_id"),
+          when(col("__copy") === 0, col("text")).otherwise(
+            array_join(transform(split(col("text"), " "),
+              w => concat(w, lit("_r"), col("__copy").cast("string"))), " "))
+            .as("text"))
+        .repartition(128)
+        .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+      java.nio.file.Files.createFile(root.resolve("_done"))
+    }
+    outDir
+  }
+
   /** Materialize `copies`× the embeddings table under `outDir`, in BOTH
     * the plain lake layout (`embeddings.parquet`) and the IVF layout
     * (`ivf/`, partitioned by `cluster_id` under the deterministic
@@ -297,6 +330,68 @@ object ScalingBench {
         o
       }
 
+    // BM25 probe decades (the r13→r15 standing `weak`, closed this
+    // round): the `In(term)` scan prune's claim is probe IO ∝ the query
+    // batch's terms, not the lake. Token-disjoint copies grow the
+    // PERSISTED postings lake while the copy-0 query batch's 31 terms
+    // stay a constant sliver of its vocabulary, so the pruned probe
+    // should hold ~flat while the unpruned plan (termPruneMax=0 — the
+    // broadcast-join-only shape the pre-r15 code ran) reads the lake.
+    // The skipping mechanism is parquet's per-row-group dictionary/stat
+    // filtering against the pushed In: each term-hash file holds a small
+    // sorted term subset, so a file whose dictionary misses every query
+    // term is never decoded. That granularity is numFiles — at 8 files
+    // every file holds query terms and nothing skips (the first
+    // measurement of this section, kept honest here), so numFiles grows
+    // with the lake exactly as a real deployment's would (a 100 TB lake
+    // is tens of thousands of row groups). The 1000× decade plays the
+    // role of ANN's 20 M-row point: the lake size where scan cost clears
+    // the local job floor and the separation is unambiguous. Store build
+    // (fit + save, the periodic job) is paid at fixture-build time; the
+    // timed quantity is load + searchIndex only.
+    val bm25Probe = prior.flatMap(p => Option(p.get("bm25_probe")))
+      .collect { case o: ObjectNode => o.deepCopy() }
+      .getOrElse {
+        import graft.operators.Bm25
+        val o = om.createObjectNode()
+        val pts = o.putArray("points")
+        val sf1000 = ensureScaledX(spark, sf01, "target/scaling/sf1000", 1000)
+        val storeFiles = Map(1 -> 8, 10 -> 16, 100 -> 64, 1000 -> 256)
+        Seq((1, sf01), (10, sf1), (100, sf10), (1000, sf1000)).foreach {
+          case (c, dir) =>
+          val store = s"target/scaling/bm25store$c"
+          val done = java.nio.file.Paths.get(s"$store/_bench_done")
+          if (!java.nio.file.Files.exists(done)) {
+            deleteDir(java.nio.file.Paths.get(store))
+            val docs = spark.read.parquet(s"$dir/documents.parquet")
+            Bm25.save(Bm25.fit(
+              docs.where(col("doc_id") >= 3), "doc_id", "text"), store,
+              numFiles = storeFiles(c))
+            java.nio.file.Files.createFile(done)
+          }
+          val ix = Bm25.load(spark, store)
+          val q = spark.read.parquet(s"$dir/documents.parquet")
+            .where(col("doc_id") < 3) // the gate rows' own query batch
+            .select(col("doc_id").as("qid"), col("text"))
+          def time(df: => org.apache.spark.sql.DataFrame): Double = {
+            val t0 = System.nanoTime()
+            Bench.materialize(df)
+            (System.nanoTime() - t0) / 1e9
+          }
+          def pruned() = Bm25.searchIndex(ix, q, "qid", "text", 10)
+          def full() = Bm25.searchIndex(ix, q, "qid", "text", 10,
+            termPruneMax = 0)
+          time(pruned()); val tp = (0 until 2).map(_ => time(pruned())).min
+          time(full()); val tf = (0 until 2).map(_ => time(full())).min
+          val rows = ix.postings.count()
+          println(f"[scaling] bm25_probe x$c: postings=$rows pruned ${tp}%.3f s full ${tf}%.3f s")
+          val pt = pts.addObject()
+          pt.put("scale", c); pt.put("postings_rows", rows)
+          pt.put("pruned_s", r3(tp)); pt.put("full_s", r3(tf))
+        }
+        o
+      }
+
     val stealD = Bench.stealTicks() - steal0
     val root = om.createObjectNode()
     // per-decade copy counts — one hard-coded "copies" field misdescribed
@@ -311,6 +406,7 @@ object ScalingBench {
       "token-disjoint copies (doc_id offset + per-copy token suffix); sf10 = 100 copies")
     root.set[ObjectNode]("queries", queries)
     root.set[ObjectNode]("ann", ann)
+    root.set[ObjectNode]("bm25_probe", bm25Probe)
     root.set[ObjectNode]("stream_state", streamState)
     val json = om.writeValueAsString(root)
     java.nio.file.Files.write(
