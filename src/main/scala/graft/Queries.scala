@@ -2097,6 +2097,41 @@ object Queries {
       .orderBy($"doc_id")
   }
 
+  /** T12 BPE tokenizer training's per-iteration workhorse, gated
+    * exactly: weighted adjacent-pair counts of the initial character
+    * segmentation over the corpus VOCABULARY (the corpus collapses to
+    * (word, freq) first — the scale move that makes 100 TB tokenizer
+    * training tractable), top-20 by (count desc, pair). The full merge
+    * loop is this computation iterated with a driver argmax and a greedy
+    * fold between rounds — SQL cannot express the loop, so its one
+    * gate-able iteration is hash-checked here and the loop itself is t13
+    * + BpeTrainSpec's independent replay.
+    */
+  val t12BpePairs: Q = (s, d) =>
+    operators.BpeTrain.pairCounts(
+      operators.BpeTrain.initialSeg(
+        operators.BpeTrain.wordFreq(Tables.documents(s, d), "text")))
+      .orderBy(col("pair_count").desc, col("left_sym"), col("right_sym"))
+      .limit(20)
+
+  /** T13 the learned tokenizer itself: 8 merges trained on the corpus
+    * vocabulary, emitted as (merge_rank, left_sym, right_sym). The
+    * training loop's per-iteration argmax is not SQL-expressible, so the
+    * driver records rows only; the exact merge list is spec-pinned
+    * (BpeTrainSpec replays the published algorithm independently) and
+    * t12 is the loop body's deterministic hash-green twin.
+    */
+  val t13BpeMerges: Q = (s, d) => {
+    val session = s
+    import session.implicits._
+    operators.BpeTrain.fit(
+      operators.BpeTrain.wordFreq(Tables.documents(s, d), "text"), 8)
+      .zipWithIndex
+      .map { case ((l, r), i) => (i.toLong, l, r) }
+      .toDF("merge_rank", "left_sym", "right_sym")
+      .orderBy("merge_rank")
+  }
+
   /** T3 token counting: whitespace tokens + regex (BPE-ish) tokens. */
   val t3TokenStats: Q = (s, d) => {
     import s.implicits._
@@ -4096,6 +4131,18 @@ object Queries {
         |SELECT token, CAST(count(*) AS BIGINT) AS n
         |FROM tok WHERE len(token) > 0
         |GROUP BY token ORDER BY n DESC, token LIMIT 200""".stripMargin,
+    // BPE training's gate-able iteration: vocabulary-weighted adjacent
+    // char-pair counts, top-20 fully ordered (count desc, left, right)
+    "t12_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+        |  FROM w WHERE len(word) > 0 GROUP BY word),
+        |s AS (SELECT freq, string_split(word, '') AS cs FROM wf WHERE len(word) >= 2),
+        |p AS (SELECT cs[i] AS left_sym, cs[i + 1] AS right_sym, freq
+        |  FROM s, unnest(generate_series(1, len(cs) - 1)) AS t(i))
+        |SELECT left_sym, right_sym, CAST(sum(freq) AS BIGINT) AS pair_count
+        |FROM p GROUP BY 1, 2
+        |ORDER BY pair_count DESC, left_sym, right_sym LIMIT 20""".stripMargin,
     // exact-regime sketch ≡ the exact count — same oracle text as t10
     "t10a_vocab_sketch" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
@@ -4509,6 +4556,8 @@ object Queries {
     "q7_value_quantiles" -> q7ValueQuantiles,
     "t10_vocab_topk" -> t10VocabTopk,
     "t10a_vocab_sketch" -> t10aVocabSketch,
+    "t12_bpe_pairs" -> t12BpePairs,
+    "t13_bpe_merges" -> t13BpeMerges,
     "p3_corpus_recipe" -> p3CorpusRecipe,
     "p4_curation_recipe" -> p4CurationRecipe,
     "p5_scrub_recipe" -> p5ScrubRecipe,

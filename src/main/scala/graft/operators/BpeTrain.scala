@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer TRAINING over a corpus — the "train the
+  * tokenizer" stage of a large-scale training-data pipeline (Sennrich,
+  * Haddow & Birch, ACL 2016, "Neural Machine Translation of Rare Words
+  * with Subword Units": learn a merge list by repeatedly merging the
+  * corpus's most frequent adjacent symbol pair).
+  *
+  * Scale shape — why BPE training is tractable at 100 TB:
+  *   1. ONE pass over the corpus builds the (word, freq) table
+  *      ([[wordFreq]]) — a map-side-combined groupBy that collapses the
+  *      corpus to its vocabulary (millions of rows, not billions). This
+  *      is the only stage whose cost scales with the corpus.
+  *   2. Every training iteration ([[fit]]: pair-count → global argmax →
+  *      merge apply) runs over that vocabulary table alone: one
+  *      explode+groupBy shuffle of vocabulary-sized data and ONE
+  *      driver-fetched argmax row per iteration, independent of corpus
+  *      size. `localCheckpoint` truncates the per-iteration lineage so K
+  *      merges cost K shallow jobs, not one K-deep plan.
+  *   3. Applying the learned tokenizer to a corpus ([[tokenCounts]])
+  *      segments DISTINCT words once and joins the result back — apply
+  *      cost ∝ vocabulary + one corpus-side join, never corpus × merges.
+  *
+  * Merge semantics: greedy left-to-right within a word, implemented as an
+  * `aggregate` higher-order-function fold over the symbol array — a
+  * merged symbol never re-merges as the LEFT member of the same pair in
+  * the same pass (its value is `left+right`, never `left`), which is
+  * exactly the reference implementation's zero-width-boundary regex
+  * substitution semantics. Pinned by BpeTrainSpec against an independent
+  * driver-side replay. Ties in the argmax break by (count DESC, left,
+  * right) so training is deterministic.
+  */
+object BpeTrain {
+
+  /** The corpus-collapsing pass: whitespace words with occurrence counts.
+    * Tokenization mirrors [[graft.functions.TextFunctions.tokens]] (split
+    * on a single space, empties dropped) so BPE rows share the suite's
+    * token discipline.
+    */
+  def wordFreq(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(col(textCol), " ")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word")
+      .agg(count(lit(1)).cast("long").as("freq"))
+
+  /** Character-level starting segmentation for a (word, freq) table:
+    * (word, freq, syms).
+    */
+  def initialSeg(words: DataFrame): DataFrame =
+    words.select(col("word"), col("freq").cast("long").as("freq"),
+      split(col("word"), "").as("syms"))
+
+  /** Weighted adjacent-pair counts of the CURRENT segmentation — the
+    * per-iteration workhorse: (left_sym, right_sym, pair_count). One
+    * explode bounded by Σ freq-weighted word lengths of the VOCABULARY,
+    * one map-side-combined groupBy.
+    */
+  def pairCounts(seg: DataFrame): DataFrame =
+    seg.where(size(col("syms")) >= 2)
+      .select(col("freq"), explode(transform(
+        sequence(lit(0), size(col("syms")) - 2),
+        i => struct(get(col("syms"), i).as("left_sym"),
+          get(col("syms"), i + 1).as("right_sym")))).as("p"))
+      .select(col("p.left_sym").as("left_sym"),
+        col("p.right_sym").as("right_sym"), col("freq"))
+      .groupBy("left_sym", "right_sym")
+      .agg(sum("freq").as("pair_count"))
+
+  /** One greedy left-to-right merge of (left, right) applied to a symbol
+    * array column — the fold keeps the running result as the accumulator
+    * and merges when its last element is `left` and the next symbol is
+    * `right`.
+    */
+  private[operators] def mergeCol(syms: Column, left: String, right: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) => when(
+        size(acc) > 0 && element_at(acc, -1) === lit(left) && x === lit(right),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(left + right))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Learn `numMerges` merges from a (word, freq) table. Returns the
+    * ordered merge list — the tokenizer model. Stops early when no
+    * adjacent pair remains (every word fused to one symbol).
+    */
+  def fit(words: DataFrame, numMerges: Int): Seq[(String, String)] = {
+    require(numMerges >= 0, s"numMerges $numMerges must be >= 0")
+    var seg = initialSeg(words).localCheckpoint()
+    val out = Seq.newBuilder[(String, String)]
+    var i = 0
+    var exhausted = false
+    while (i < numMerges && !exhausted) {
+      val top = pairCounts(seg)
+        .orderBy(col("pair_count").desc, col("left_sym"), col("right_sym"))
+        .limit(1).collect() // ONE row — the global argmax, driver-sized
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r) = (top(0).getString(0), top(0).getString(1))
+        out += ((l, r))
+        seg = seg.withColumn("syms", mergeCol(col("syms"), l, r))
+          .localCheckpoint()
+        i += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Apply a learned merge list to a words table: (word, tokens). Cost ∝
+    * vocabulary × merges — run this on DISTINCT words and join back to
+    * the corpus (see [[tokenCounts]]), never on the corpus directly.
+    */
+  def segmentWords(words: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    words.select(col("word"),
+      merges.foldLeft(split(col("word"), "")) {
+        case (c, (l, r)) => mergeCol(c, l, r)
+      }.as("tokens"))
+
+  /** Per-document token count under a learned tokenizer — the budget
+    * input for [[Sampling]]'s token-budget draws. Distinct words are
+    * segmented once (vocabulary-sized), then one equi-join back to the
+    * corpus's exploded words and a per-doc sum.
+    */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String,
+                  merges: Seq[(String, String)]): DataFrame = {
+    val corpusWords = df
+      .select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .where(length(col("word")) > 0)
+    val perWord = segmentWords(corpusWords.select("word").distinct(), merges)
+      .select(col("word"), size(col("tokens")).cast("long").as("n"))
+    corpusWords.join(perWord, "word")
+      .groupBy(idCol)
+      .agg(sum("n").as("bpe_tokens"))
+  }
+}
