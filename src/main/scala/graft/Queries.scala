@@ -2243,6 +2243,26 @@ object Queries {
     * grain is (doc_id, epoch); the oracle replays floor/threshold and the
     * per-row copy explode exactly.
     */
+  /** S8 seeded training-order shuffle: the deterministic global
+    * permutation every training run ends with. The order key is
+    * md5(seed ++ id) — the same engine-portable draw the s1/s3 sampling
+    * rows use, so any engine recomputes the identical order — and the
+    * rank is [[GlobalRank.withGlobalIndex]]'s two-pass range-shuffle +
+    * per-partition zipWithIndex: no single-partition window at any
+    * corpus size. A new epoch's order is a new seed, not a new
+    * algorithm; doc_id tie-breaks the 8-hex key so collisions stay
+    * deterministic.
+    */
+  val s8ShuffleOrder: Q = (s, d) => {
+    val keyed = Tables.documents(s, d).select(col("doc_id"),
+      substring(md5(concat(lit("ep1-"), col("doc_id").cast("string"))), 1, 8)
+        .as("shuffle_key"))
+    operators.GlobalRank.withGlobalIndex(
+        keyed, Seq(col("shuffle_key"), col("doc_id")), "shuffle_rank")
+      .select(col("shuffle_rank"), col("doc_id"), col("shuffle_key"))
+      .orderBy("shuffle_rank")
+  }
+
   val s7EpochMix: Q = (s, d) => {
     import s.implicits._
     graft.api.CorpusRecipe(Tables.documents(s, d).select($"doc_id", $"source"))
@@ -4062,6 +4082,15 @@ object Queries {
         |WHERE rate >= 1.0 OR
         |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < thr
         |ORDER BY doc_id""".stripMargin,
+    // the same md5 order key, ranked by one window (the oracle runs at
+    // oracle scale; the engine's rank is the two-pass GlobalRank)
+    "s8_shuffle_order" ->
+      """WITH k AS (SELECT doc_id,
+        |  substring(md5('ep1-' || CAST(doc_id AS VARCHAR)), 1, 8) AS shuffle_key
+        |  FROM documents)
+        |SELECT CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS BIGINT)
+        |    AS shuffle_rank, doc_id, shuffle_key
+        |FROM k ORDER BY shuffle_rank""".stripMargin,
     // the window count over the QI key, then the >= k gate
     "u2_k_anonymity" ->
       """SELECT doc_id, lang, source, n_chars FROM (
@@ -4550,6 +4579,7 @@ object Queries {
     "s7_epoch_mix" -> s7EpochMix,
     "u2_k_anonymity" -> u2KAnonymity,
     "s5_leakfree_split" -> s5LeakfreeSplit,
+    "s8_shuffle_order" -> s8ShuffleOrder,
     "v1_label_centroid" -> v1LabelCentroid,
     "x1_pack_manifest" -> x1PackManifest,
     "x2_pack_nosplit" -> x2PackNosplit,
