@@ -198,7 +198,7 @@ object ScalingBench {
     val names10 = Seq("e2_minhash_pairs", "e4_jaccard_pairs", "e4c_jaccard_zipf",
       "e4d_jaccard_zipf_exact", "e8_dedup_cluster", "p3_corpus_recipe",
       "m4_cdc_apply", "u2_k_anonymity", "r3_bm25_topk",
-      "f1_fuzzy_join", "r2_retrieval_ivf")
+      "f1_fuzzy_join", "r2_retrieval_ivf", "t12_bpe_pairs")
     // second decade, CAPPED rows only: these are the designated 100 TB
     // plans, and two decades turn one ratio into a growth exponent.
     // e4/e4d stay at one decade on purpose — e4d is the documented
@@ -207,7 +207,7 @@ object ScalingBench {
     // index is superseded by e4c's prefix caps as the Zipf scale path.
     val names100 = Set("e2_minhash_pairs", "e4c_jaccard_zipf",
       "e8_dedup_cluster", "p3_corpus_recipe", "m4_cdc_apply", "u2_k_anonymity",
-      "r3_bm25_topk", "f1_fuzzy_join", "r2_retrieval_ivf")
+      "r3_bm25_topk", "f1_fuzzy_join", "r2_retrieval_ivf", "t12_bpe_pairs")
     // build the ANN fixtures BEFORE the steal window opens (r13
     // self-review #2): the emb10000 build writes ~16 GB of parquet, and a
     // steal count spanning fixture IO can no longer flag a
