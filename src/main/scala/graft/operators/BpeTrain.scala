@@ -110,6 +110,19 @@ object BpeTrain {
   /** Apply a learned merge list to a words table: (word, tokens). Cost ∝
     * vocabulary × merges — run this on DISTINCT words and join back to
     * the corpus (see [[tokenCounts]]), never on the corpus directly.
+    *
+    * Semantics note: merges apply IN LIST ORDER, each exhaustively —
+    * which is, by construction, exactly the training state after [[fit]]
+    * (training applies each merge once, when it is learned). Production
+    * tokenizers usually apply by rank priority (repeatedly merge the
+    * lowest-rank pair present) — equivalent on learned lists except for
+    * a pathological corner (a later merge re-forming an earlier merge's
+    * symbol string, re-creating a pair the earlier pass already
+    * consumed); training itself produces the in-order state, so this is
+    * the semantics the learned list means. At production merge counts
+    * (tens of thousands) the K-chained fold below should give way to a
+    * rank-map `mapPartitions` applier; at the list sizes the fold's
+    * expression tree tolerates (hundreds), the declarative form wins.
     */
   def segmentWords(words: DataFrame, merges: Seq[(String, String)]): DataFrame =
     words.select(col("word"),
