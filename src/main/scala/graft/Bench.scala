@@ -221,6 +221,46 @@ object Bench {
     (n, wall, spark.sparkContext.defaultParallelism)
   }
 
+  /** BPE apply-at-production-K sidecar: [[graft.operators.BpeTrain
+    * .segmentWordsScalable]] under a deterministic synthetic
+    * 10,000-merge list — a merge count the declarative fold cannot hold
+    * (its expression tree deepens with K). The gate corpus's template
+    * text has a 31-word vocabulary at every SF, so the sidecar builds
+    * the vocabulary a real 100 TB corpus presents: 100k distinct words
+    * (base-26 ids mapped onto a–z, tripled to 9–12 chars so merges
+    * fire), spark.range-generated, no fixture IO. Training 10k merges
+    * is a periodic driver-loop job, not a bench concern; the timed
+    * claim is that APPLY stays one cheap narrow pass because the
+    * rank-skip applier's per-word cost is independent of K.
+    * bench_detail only.
+    */
+  private[graft] def bpeApply(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): String = try {
+    import spark.implicits._
+    val n = 100000L
+    val vocab = spark.range(n).as[Long].map { i =>
+      val s = java.lang.Long.toString(i, 26).map { c =>
+        if (c <= '9') ('a' + (c - '0')).toChar else ('k' + (c - 'a')).toChar
+      }
+      s * 3
+    }.toDF("word").localCheckpoint()
+    val syms = scala.collection.mutable.ArrayBuffer[String](
+      "abcdefghijklmnopqrstuvwxyz".map(_.toString): _*)
+    val merges = (0 until 10000).map { i =>
+      val l = syms((i * 7) % syms.length); val r = syms((i * 13 + 5) % syms.length)
+      if (i % 11 == 0 && (l + r).length <= 12) syms += (l + r)
+      (l, r)
+    }
+    val run = () => {
+      val t0 = System.nanoTime()
+      materialize(graft.operators.BpeTrain.segmentWordsScalable(vocab, merges))
+      (System.nanoTime() - t0) / 1e9
+    }
+    run(); val w = (0 until 2).map(_ => run()).min
+    vocab.unpersist()
+    s"""{"merges":10000,"vocab_rows":$n,"wall_s":${"%.3f".formatLocal(java.util.Locale.ROOT, w)}}"""
+  } catch { case _: Throwable => "{}" }
+
   private def ingestThroughput(
       spark: org.apache.spark.sql.SparkSession): String = try {
     val (frames, wall, cores) = ingestFps(spark, nVids = 32, nFrames = 96,
@@ -406,6 +446,7 @@ object Bench {
         s""","serving_rps":${servingRps(spark, sfDir)}""" +
         s""","nprobe_curve":${nprobeCurve(spark, sfDir)}""" +
         scaling +
+        s""","bpe_apply":${bpeApply(spark, sfDir)}""" +
         s""","ingest_fps_per_core":${ingestThroughput(spark)}}"""
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_detail.json"), detail.getBytes("UTF-8"))

@@ -120,9 +120,10 @@ object BpeTrain {
     * symbol string, re-creating a pair the earlier pass already
     * consumed); training itself produces the in-order state, so this is
     * the semantics the learned list means. At production merge counts
-    * (tens of thousands) the K-chained fold below should give way to a
-    * rank-map `mapPartitions` applier; at the list sizes the fold's
-    * expression tree tolerates (hundreds), the declarative form wins.
+    * (tens of thousands) the K-chained fold below gives way to
+    * [[segmentWordsScalable]] — same semantics, one `mapPartitions`
+    * pass; at the list sizes the fold's expression tree tolerates
+    * (hundreds), the declarative form wins.
     */
   def segmentWords(words: DataFrame, merges: Seq[(String, String)]): DataFrame =
     words.select(col("word"),
@@ -130,17 +131,106 @@ object BpeTrain {
         case (c, (l, r)) => mergeCol(c, l, r)
       }.as("tokens"))
 
+  /** [[segmentWords]] at production merge counts: the SAME in-list-order
+    * exhaustive semantics (spec-pinned equal), applied per row in one
+    * `mapPartitions` pass instead of a K-deep expression tree. The
+    * per-word loop never scans the merge list: a pair→sorted-ranks index
+    * (built once per task from the broadcast list) lets each step jump
+    * straight to the NEXT merge whose pair is currently present in the
+    * word — per-word cost is O(firing merges × word length), independent
+    * of K, so tens of thousands of merges over a 10M-word vocabulary is
+    * one cheap narrow pass.
+    */
+  def segmentWordsScalable(words: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val session = words.sparkSession
+    import session.implicits._
+    val bc = session.sparkContext.broadcast(merges.toArray)
+    words.select(col("word").cast("string")).as[String]
+      .mapPartitions { it =>
+        val ms = bc.value
+        val ranks = mergeRanks(ms)
+        // null word -> null tokens, the fold path's split(null) behavior
+        it.map(w => (w, if (w == null) null else applyMergesInOrder(w, ms, ranks)))
+      }
+      .toDF("word", "tokens")
+  }
+
+  /** pair → ascending ranks at which the merge list contains that pair
+    * (a pair may recur; each occurrence fires independently in order).
+    */
+  private[operators] def mergeRanks(
+      merges: Array[(String, String)]): Map[(String, String), Array[Int]] =
+    merges.zipWithIndex.groupBy(_._1)
+      .map { case (p, a) => p -> a.map(_._2).sorted }
+
+  /** Task-side twin of the [[mergeCol]] fold chain: apply each merge in
+    * list order, exhaustively left-to-right. Equivalent formulation that
+    * skips non-firing merges: repeatedly find the smallest rank ≥ k whose
+    * pair is adjacent in the word right now (present-pair min over binary
+    * searches in `ranks`), fire it, continue from the next rank — between
+    * two firing ranks the word does not change, so no skipped merge could
+    * have fired.
+    */
+  private[operators] def applyMergesInOrder(
+      word: String, merges: Array[(String, String)],
+      ranks: Map[(String, String), Array[Int]]): Array[String] = {
+    var syms: Array[String] = word.split("")
+    var k = 0
+    def firstAtLeast(p: (String, String)): Int = ranks.get(p) match {
+      case None => Int.MaxValue
+      case Some(a) =>
+        var lo = 0; var hi = a.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (a(mid) < k) lo = mid + 1 else hi = mid
+        }
+        if (lo < a.length) a(lo) else Int.MaxValue
+    }
+    while (syms.length >= 2 && k < merges.length) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = firstAtLeast((syms(i), syms(i + 1)))
+        if (r < best) best = r
+        i += 1
+      }
+      if (best == Int.MaxValue) return syms
+      val (l, r) = merges(best)
+      val out = Array.newBuilder[String]
+      var j = 0
+      while (j < syms.length) {
+        if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+          out += (l + r); j += 2
+        } else { out += syms(j); j += 1 }
+      }
+      syms = out.result()
+      k = best + 1
+    }
+    syms
+  }
+
+  /** Above this merge count [[tokenCounts]] switches from the
+    * declarative fold to [[segmentWordsScalable]] — the fold's
+    * expression tree deepens linearly with K and analysis cost follows.
+    */
+  val FoldMergeMax = 128
+
   /** Per-document token count under a learned tokenizer — the budget
     * input for [[Sampling]]'s token-budget draws. Distinct words are
     * segmented once (vocabulary-sized), then one equi-join back to the
-    * corpus's exploded words and a per-doc sum.
+    * corpus's exploded words and a per-doc sum. Merge lists longer than
+    * [[FoldMergeMax]] segment via [[segmentWordsScalable]] (identical
+    * semantics, spec-pinned).
     */
   def tokenCounts(df: DataFrame, idCol: String, textCol: String,
                   merges: Seq[(String, String)]): DataFrame = {
     val corpusWords = df
       .select(col(idCol), explode(split(col(textCol), " ")).as("word"))
       .where(length(col("word")) > 0)
-    val perWord = segmentWords(corpusWords.select("word").distinct(), merges)
+    val segment: DataFrame => DataFrame =
+      if (merges.size > FoldMergeMax) segmentWordsScalable(_, merges)
+      else segmentWords(_, merges)
+    val perWord = segment(corpusWords.select("word").distinct())
       .select(col("word"), size(col("tokens")).cast("long").as("n"))
     corpusWords.join(perWord, "word")
       .groupBy(idCol)

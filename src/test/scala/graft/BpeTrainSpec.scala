@@ -90,6 +90,59 @@ class BpeTrainSpec extends SparkSpec {
     assert(got == Map(1L -> 4L, 2L -> 2L))
   }
 
+  test("segmentWordsScalable == segmentWords on the real vocabulary (learned merges)") {
+    val words = corpusWords
+    val wordsDf = words.toSeq.toDF("word", "freq")
+    val merges = BpeTrain.fit(wordsDf, 10)
+    val fold = BpeTrain.segmentWords(wordsDf, merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    val fast = BpeTrain.segmentWordsScalable(wordsDf, merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(fast == fold)
+  }
+
+  test("segmentWordsScalable holds at 1000 merges — far past the fold's tree budget") {
+    // deterministic synthetic list over a 4-letter alphabet: mostly
+    // non-firing merges (the O(1)-skip path) with firing ones sprinkled
+    // in; gold = the spec's own in-order exhaustive driver replay.
+    val alpha = Vector("a", "b", "c", "d")
+    val syms = scala.collection.mutable.ArrayBuffer[String](alpha: _*)
+    val merges = (0 until 1000).map { i =>
+      val l = syms((i * 7) % syms.length); val r = syms((i * 13 + 5) % syms.length)
+      if (i % 37 == 0 && (l + r).length <= 8) syms += (l + r)
+      (l, r)
+    }
+    val words = Seq("abcd", "aabbccdd", "abab", "dcba", "aaaa", "a",
+      "abcdabcdabcd", "bbbb").map((_, 1L))
+    val gold = words.map { case (w, _) =>
+      w -> merges.foldLeft(w.split("").toList)((s, p) => greedyMerge(s, p))
+    }.toMap
+    val got = BpeTrain.segmentWordsScalable(words.toDF("word", "freq"), merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(got == gold)
+    assert(got.values.exists(_.exists(_.length > 1)), "fixture fired no merges")
+  }
+
+  test("tokenCounts above FoldMergeMax routes through the scalable applier, same counts") {
+    val docs = Seq((1L, "ab ab cd"), (2L, "cd")).toDF("doc_id", "text")
+    // pad a firing merge list past the threshold with never-firing pairs
+    val merges = ("a", "b") +: (0 to BpeTrain.FoldMergeMax).map(i => (s"z$i", "q"))
+    val got = BpeTrain.tokenCounts(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 4L, 2L -> 2L))
+  }
+
+  test("segmentWordsScalable: null word yields null tokens, the fold path's behavior") {
+    val words = Seq("ab", null: String).toDF("word")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => Option(r.getString(0)) ->
+        (if (r.isNullAt(1)) null else r.getSeq[String](1).toList)).toMap
+    val fold = norm(BpeTrain.segmentWords(words, Seq(("a", "b"))))
+    val fast = norm(BpeTrain.segmentWordsScalable(words, Seq(("a", "b"))))
+    assert(fold == Map(Some("ab") -> List("ab"), None -> null))
+    assert(fast == fold)
+  }
+
   test("wordFreq drops empty tokens (runs of spaces, trailing space)") {
     val docs = Seq((1L, "a  bb "), (2L, "bb")).toDF("doc_id", "text")
     val got = BpeTrain.wordFreq(docs, "text")
