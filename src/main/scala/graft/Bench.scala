@@ -235,7 +235,7 @@ object Bench {
     * bench_detail only.
     */
   private[graft] def bpeApply(
-      spark: org.apache.spark.sql.SparkSession, sfDir: String): String = try {
+      spark: org.apache.spark.sql.SparkSession): String = try {
     import spark.implicits._
     val n = 100000L
     val vocab = spark.range(n).as[Long].map { i =>
@@ -244,21 +244,22 @@ object Bench {
       }
       s * 3
     }.toDF("word").localCheckpoint()
-    val syms = scala.collection.mutable.ArrayBuffer[String](
-      "abcdefghijklmnopqrstuvwxyz".map(_.toString): _*)
-    val merges = (0 until 10000).map { i =>
-      val l = syms((i * 7) % syms.length); val r = syms((i * 13 + 5) % syms.length)
-      if (i % 11 == 0 && (l + r).length <= 12) syms += (l + r)
-      (l, r)
-    }
-    val run = () => {
-      val t0 = System.nanoTime()
-      materialize(graft.operators.BpeTrain.segmentWordsScalable(vocab, merges))
-      (System.nanoTime() - t0) / 1e9
-    }
-    run(); val w = (0 until 2).map(_ => run()).min
-    vocab.unpersist()
-    s"""{"merges":10000,"vocab_rows":$n,"wall_s":${"%.3f".formatLocal(java.util.Locale.ROOT, w)}}"""
+    try {
+      val syms = scala.collection.mutable.ArrayBuffer[String](
+        "abcdefghijklmnopqrstuvwxyz".map(_.toString): _*)
+      val merges = (0 until 10000).map { i =>
+        val l = syms((i * 7) % syms.length); val r = syms((i * 13 + 5) % syms.length)
+        if (i % 11 == 0 && (l + r).length <= 12) syms += (l + r)
+        (l, r)
+      }
+      val run = () => {
+        val t0 = System.nanoTime()
+        materialize(graft.operators.BpeTrain.segmentWordsScalable(vocab, merges))
+        (System.nanoTime() - t0) / 1e9
+      }
+      run(); val w = (0 until 2).map(_ => run()).min
+      s"""{"merges":10000,"vocab_rows":$n,"wall_s":${"%.3f".formatLocal(java.util.Locale.ROOT, w)}}"""
+    } finally vocab.unpersist()
   } catch { case _: Throwable => "{}" }
 
   private def ingestThroughput(
@@ -446,7 +447,7 @@ object Bench {
         s""","serving_rps":${servingRps(spark, sfDir)}""" +
         s""","nprobe_curve":${nprobeCurve(spark, sfDir)}""" +
         scaling +
-        s""","bpe_apply":${bpeApply(spark, sfDir)}""" +
+        s""","bpe_apply":${bpeApply(spark)}""" +
         s""","ingest_fps_per_core":${ingestThroughput(spark)}}"""
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_detail.json"), detail.getBytes("UTF-8"))

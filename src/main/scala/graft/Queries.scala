@@ -2236,13 +2236,6 @@ object Queries {
       .orderBy($"doc_id")
   }
 
-  /** S7 epoch upsampling ([[Sampling.upsample]] through the recipe
-    * terminal): the data-recipe weights {src0→2.5, src1→3.0, src2→0.25,
-    * src3→0} — scarce sources run extra epochs, src3 is dropped, the
-    * fractional copies fall to the deterministic "epoch|id" draw. Output
-    * grain is (doc_id, epoch); the oracle replays floor/threshold and the
-    * per-row copy explode exactly.
-    */
   /** S8 seeded training-order shuffle: the deterministic global
     * permutation every training run ends with. The order key is
     * md5(seed ++ id) — the same engine-portable draw the s1/s3 sampling
@@ -2263,6 +2256,13 @@ object Queries {
       .orderBy("shuffle_rank")
   }
 
+  /** S7 epoch upsampling ([[Sampling.upsample]] through the recipe
+    * terminal): the data-recipe weights {src0→2.5, src1→3.0, src2→0.25,
+    * src3→0} — scarce sources run extra epochs, src3 is dropped, the
+    * fractional copies fall to the deterministic "epoch|id" draw. Output
+    * grain is (doc_id, epoch); the oracle replays floor/threshold and the
+    * per-row copy explode exactly.
+    */
   val s7EpochMix: Q = (s, d) => {
     import s.implicits._
     graft.api.CorpusRecipe(Tables.documents(s, d).select($"doc_id", $"source"))

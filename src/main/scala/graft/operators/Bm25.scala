@@ -92,12 +92,13 @@ object Bm25 {
     ix.docStats.unionByName(delta.docStats)
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
 
-  // one posting-lake file layout for [[save]] and [[appendStore]]: term-
-  // partitioned + term-sorted within partitions, so row-group min/max term
-  // stats are tight and the probe's pushed In(term) skips row groups
-  private def writePostings(post: DataFrame, path: String,
-                            numFiles: Int): Unit =
-    post.repartition(numFiles, col("term")).sortWithinPartitions("term")
+  // THE term-keyed artifact file layout — postings and dfs, [[save]] and
+  // [[appendStore]]: term-partitioned + term-sorted within partitions, so
+  // row-group min/max term stats are tight and the probe's pushed
+  // In(term) skips row groups. One helper so the paths cannot drift.
+  private def writeTermSorted(df: DataFrame, path: String,
+                              numFiles: Int): Unit =
+    df.repartition(numFiles, col("term")).sortWithinPartitions("term")
       .write.mode("overwrite").parquet(path)
 
   /** Persist an [[Index]] as a durable artifact directory — the form a
@@ -113,9 +114,8 @@ object Bm25 {
     */
   def save(ix: Index, dir: String, numFiles: Int = 8): Unit = {
     require(numFiles >= 1, s"numFiles $numFiles must be >= 1")
-    writePostings(ix.postings, s"$dir/postings", numFiles)
-    ix.dfs.repartition(numFiles, col("term")).sortWithinPartitions("term")
-      .write.mode("overwrite").parquet(s"$dir/dfs")
+    writeTermSorted(ix.postings, s"$dir/postings", numFiles)
+    writeTermSorted(ix.dfs, s"$dir/dfs", numFiles)
     ix.docStats.withColumn("id_col", lit(ix.idCol))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
   }
@@ -174,10 +174,8 @@ object Bm25 {
     try {
       // STAGE: the live store is untouched until everything is committed
       val stage = new HPath(s"$dir/postings.stage.tmp")
-      writePostings(delta.postings, stage.toString, numFiles)
-      mergedDfs(ix, delta)
-        .repartition(numFiles, col("term")).sortWithinPartitions("term")
-        .write.mode("overwrite").parquet(s"$dir/dfs.tmp")
+      writeTermSorted(delta.postings, stage.toString, numFiles)
+      writeTermSorted(mergedDfs(ix, delta), s"$dir/dfs.tmp", numFiles)
       mergedStats(ix, delta).withColumn("id_col", lit(ix.idCol))
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats.tmp")
       // PROMOTE: renames only, bounded by the marker
@@ -225,7 +223,7 @@ object Bm25 {
       s"compactStore at $dir: a maintenance job died mid-promote (marker " +
         "present) — inspect postings/ and postings.swap.bak, then remove " +
         "the marker to retry")
-    writePostings(spark.read.parquet(s"$dir/postings"),
+    writeTermSorted(spark.read.parquet(s"$dir/postings"),
       s"$dir/postings.compact.tmp", numFiles)
     fs.create(marker).close()
     graft.sources.LakeLayout.swapDir(fs,
