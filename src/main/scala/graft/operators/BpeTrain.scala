@@ -107,6 +107,137 @@ object BpeTrain {
     out.result()
   }
 
+  /** [[fit]] at production merge counts — the shape a 100 TB training
+    * run actually wants. [[wordFreq]] is the only corpus-scaled stage
+    * and its output is VOCABULARY-sized (millions of rows at web scale,
+    * driver-memory-sized by orders of magnitude), so the K-merge loop
+    * collects it once and trains at memory speed: pair counts maintained
+    * INCREMENTALLY (only words containing the merged pair are touched,
+    * via a pair→word-indices index) and the argmax served by a
+    * stale-entry max-heap — versus the distributed [[fit]]'s one
+    * scheduled job per merge (~hours of job overhead at the tens of
+    * thousands of merges production tokenizers use; minutes here).
+    * Same greedy semantics, same argmax tie-break — (count DESC, left,
+    * right) under UTF-8 byte order, exactly Spark's string sort — so
+    * the learned list is spec-pinned merge-for-merge equal to [[fit]]'s.
+    * `maxVocab` guards the collect; above it fall back to [[fit]].
+    */
+  def fitLocal(words: DataFrame, numMerges: Int,
+               maxVocab: Long = 50000000L): Seq[(String, String)] = {
+    require(numMerges >= 0, s"numMerges $numMerges must be >= 0")
+    val n = words.count()
+    require(n <= maxVocab,
+      s"vocabulary $n exceeds maxVocab $maxVocab — use the distributed fit")
+    val rows = words
+      .select(col("word").cast("string"), col("freq").cast("long")).collect()
+    val syms: Array[Array[String]] = rows.map(_.getString(0).split(""))
+    val freq: Array[Long] = rows.map(_.getLong(1))
+
+    // Spark's UTF8String sort is unsigned UTF-8 byte order — tie-breaks
+    // must match it exactly or fitLocal and fit diverge on non-ASCII
+    def u8(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    def u8cmp(a: String, b: String): Int = {
+      val x = u8(a); val y = u8(b)
+      var i = 0
+      val m = math.min(x.length, y.length)
+      while (i < m) {
+        val d = (x(i) & 0xff) - (y(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      x.length - y.length
+    }
+    // max count first; among ties the SMALLEST (left, right)
+    val ord: Ordering[(Long, String, String)] =
+      (a: (Long, String, String), b: (Long, String, String)) => {
+        if (a._1 != b._1) java.lang.Long.compare(a._1, b._1)
+        else {
+          val dl = u8cmp(a._2, b._2)
+          val d = if (dl != 0) dl else u8cmp(a._3, b._3)
+          -d
+        }
+      }
+
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val where = scala.collection.mutable
+      .HashMap.empty[(String, String), scala.collection.mutable.Set[Int]]
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Long, String, String)](ord)
+    val touched = scala.collection.mutable.HashSet.empty[(String, String)]
+    def wordPairs(w: Int, sign: Long): Unit = {
+      val s = syms(w); var i = 0
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1))
+        val nv = counts.getOrElse(p, 0L) + sign * freq(w)
+        if (nv == 0L) counts.remove(p) else counts(p) = nv
+        if (sign > 0) where.getOrElseUpdate(
+          p, scala.collection.mutable.HashSet.empty[Int]) += w
+        touched += p
+        i += 1
+      }
+      if (sign < 0) { // drop membership once, after all occurrences
+        var j = 0
+        while (j < s.length - 1) {
+          where.get((s(j), s(j + 1))).foreach { ws =>
+            ws -= w; if (ws.isEmpty) where.remove((s(j), s(j + 1)))
+          }
+          j += 1
+        }
+      }
+    }
+    var w = 0
+    while (w < syms.length) { wordPairs(w, 1L); w += 1 }
+    counts.foreach { case (p, c) => heap.enqueue((c, p._1, p._2)) }
+
+    val out = Seq.newBuilder[(String, String)]
+    var k = 0
+    var exhausted = false
+    while (k < numMerges && !exhausted) {
+      var top: (Long, String, String) = null
+      while (top == null && heap.nonEmpty) {
+        val t = heap.dequeue()
+        // an entry is live only if it still states the CURRENT count —
+        // every count change pushes a fresh entry, so stale ones drop
+        if (counts.getOrElse((t._2, t._3), 0L) == t._1) top = t
+      }
+      if (top == null) exhausted = true
+      else {
+        val (l, r) = (top._2, top._3)
+        out += ((l, r))
+        val affected = where.getOrElse((l, r), Set.empty[Int]).toArray
+        touched.clear()
+        var a = 0
+        while (a < affected.length) {
+          val wi = affected(a)
+          wordPairs(wi, -1L)
+          syms(wi) = greedyOnce(syms(wi), l, r)
+          wordPairs(wi, 1L)
+          a += 1
+        }
+        touched.foreach { p =>
+          counts.get(p).foreach(c => heap.enqueue((c, p._1, p._2)))
+        }
+        k += 1
+      }
+    }
+    out.result()
+  }
+
+  /** One exhaustive greedy left-to-right pass of merge (l, r) over a
+    * symbol array — the task-side unit [[applyMergesInOrder]] and
+    * [[fitLocal]] share.
+    */
+  private[operators] def greedyOnce(
+      syms: Array[String], l: String, r: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var j = 0
+    while (j < syms.length) {
+      if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+        out += (l + r); j += 2
+      } else { out += syms(j); j += 1 }
+    }
+    out.result()
+  }
+
   /** Apply a learned merge list to a words table: (word, tokens). Cost ∝
     * vocabulary × merges — run this on DISTINCT words and join back to
     * the corpus (see [[tokenCounts]]), never on the corpus directly.
@@ -196,14 +327,7 @@ object BpeTrain {
       }
       if (best == Int.MaxValue) return syms
       val (l, r) = merges(best)
-      val out = Array.newBuilder[String]
-      var j = 0
-      while (j < syms.length) {
-        if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
-          out += (l + r); j += 2
-        } else { out += syms(j); j += 1 }
-      }
-      syms = out.result()
+      syms = greedyOnce(syms, l, r)
       k = best + 1
     }
     syms

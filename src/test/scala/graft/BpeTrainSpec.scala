@@ -90,6 +90,38 @@ class BpeTrainSpec extends SparkSpec {
     assert(got == Map(1L -> 4L, 2L -> 2L))
   }
 
+  test("fitLocal == fit merge-for-merge on the real table") {
+    val wordsDf = corpusWords.toSeq.toDF("word", "freq")
+    assert(BpeTrain.fitLocal(wordsDf, 10) == BpeTrain.fit(wordsDf, 10))
+  }
+
+  test("fitLocal at 200 merges matches the independent replay (incremental counts + heap)") {
+    // synthetic vocabulary with enough pair structure to sustain 200
+    // merges: base-26 ids over a-z, tripled — the bpe_apply shape
+    val words = (0 until 400).map { i =>
+      val s = java.lang.Long.toString(i.toLong, 26).map { c =>
+        if (c <= '9') ('a' + (c - '0')).toChar else ('k' + (c - 'a')).toChar
+      }.mkString
+      (s * 3, (i % 7 + 1).toLong)
+    }
+    val (goldMerges, _) = replayFit(words.toMap, 200)
+    val got = BpeTrain.fitLocal(words.toDF("word", "freq"), 200)
+    assert(got.length == goldMerges.length)
+    assert(got == goldMerges,
+      got.zip(goldMerges).zipWithIndex.collectFirst {
+        case ((g, w), i) if g != w => s"first divergence at merge $i: got $g want $w"
+      }.getOrElse(""))
+  }
+
+  test("fitLocal stops early on exhaustion and enforces maxVocab") {
+    val words = Seq(("ab", 3L)).toDF("word", "freq")
+    assert(BpeTrain.fitLocal(words, 5) == Seq(("a", "b")))
+    val e = intercept[IllegalArgumentException] {
+      BpeTrain.fitLocal(words, 1, maxVocab = 0L)
+    }
+    assert(e.getMessage.contains("maxVocab"))
+  }
+
   test("segmentWordsScalable == segmentWords on the real vocabulary (learned merges)") {
     val words = corpusWords
     val wordsDf = words.toSeq.toDF("word", "freq")
