@@ -392,6 +392,39 @@ object ScalingBench {
         o
       }
 
+    // Driver-local BPE training decades: fitLocal's claim is that the
+    // K-merge loop over the COLLECTED vocabulary runs at memory speed
+    // with incremental pair maintenance — so wall should grow with the
+    // vocabulary (the init pass + touched-word rewrites), not with
+    // K × job-scheduling overhead like the distributed fit (t12's
+    // measured per-iteration cost × K). Synthetic vocabulary in the
+    // bpe_apply shape (base-26 ids over a-z, tripled), freq = id%7+1,
+    // 2000 merges — production-order K the Column-fold could never hold.
+    val bpeTrain = prior.flatMap(p => Option(p.get("bpe_train")))
+      .collect { case o: ObjectNode => o.deepCopy() }
+      .getOrElse {
+        val o = om.createObjectNode()
+        val pts = o.putArray("points")
+        Seq(100000, 1000000).foreach { v =>
+          import spark.implicits._
+          val vocab = spark.range(v.toLong).as[Long].map { i =>
+            val s = java.lang.Long.toString(i, 26).map { c =>
+              if (c <= '9') ('a' + (c - '0')).toChar else ('k' + (c - 'a')).toChar
+            }
+            (s * 3, i % 7 + 1)
+          }.toDF("word", "freq").localCheckpoint()
+          val t0 = System.nanoTime()
+          val merges = graft.operators.BpeTrain.fitLocal(vocab, 2000)
+          val w = (System.nanoTime() - t0) / 1e9
+          vocab.unpersist()
+          println(f"[scaling] bpe_train vocab=$v merges=${merges.length} wall ${w}%.2f s")
+          val pt = pts.addObject()
+          pt.put("vocab_rows", v); pt.put("merges_learned", merges.length)
+          pt.put("wall_s", r2(w))
+        }
+        o
+      }
+
     val stealD = Bench.stealTicks() - steal0
     val root = om.createObjectNode()
     // per-decade copy counts — one hard-coded "copies" field misdescribed
@@ -407,6 +440,7 @@ object ScalingBench {
     root.set[ObjectNode]("queries", queries)
     root.set[ObjectNode]("ann", ann)
     root.set[ObjectNode]("bm25_probe", bm25Probe)
+    root.set[ObjectNode]("bpe_train", bpeTrain)
     root.set[ObjectNode]("stream_state", streamState)
     val json = om.writeValueAsString(root)
     java.nio.file.Files.write(
