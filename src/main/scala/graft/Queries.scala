@@ -2132,6 +2132,44 @@ object Queries {
       .orderBy("merge_rank")
   }
 
+  /** The FIXED merge list t14/t15 apply — data-independent so the oracle
+    * SQL can replay it verbatim at any SF (a learned list would differ
+    * between SFs with the corpus's word frequencies). Exercises the
+    * apply semantics corners: a composite LEFT symbol ((th,e) only fires
+    * after (t,h)), a repeated-letter run ((g,g) on "agg" must merge
+    * greedily left-to-right), and a plain common pair.
+    */
+  private val BpeFixedMerges =
+    Seq(("t", "h"), ("th", "e"), ("g", "g"), ("a", "r"))
+
+  /** T14 BPE segmentation under the fixed merge list, one scalar row per
+    * (word, pos, token) — the hash gate for the APPLY leg of the
+    * tokenizer story (t12 gates pair counts, t13 the learned list). The
+    * oracle replays the greedy in-order merge chain as delimiter-tracked
+    * `replace`es: with every symbol terminated by chr(31), one global
+    * left-to-right non-overlapping replace of "l␟r␟"→"lr␟" IS
+    * [[operators.BpeTrain.greedyOnce]].
+    */
+  val t14BpeSegment: Q = (s, d) =>
+    operators.BpeTrain.segmentWords(
+        operators.BpeTrain.wordFreq(Tables.documents(s, d), "text")
+          .select(col("word")),
+        BpeFixedMerges)
+      .select(col("word"), posexplode(col("tokens")))
+      .select(col("word"), col("pos").cast("long").as("pos"),
+        col("col").as("token"))
+      .orderBy("word", "pos")
+
+  /** T15 per-document token counts under the fixed merge list — the
+    * budget input [[operators.BpeTrain.tokenCounts]] feeds to the
+    * sampling rows, gated end to end (distinct-word segmentation joined
+    * back to the exploded corpus, per-doc sum).
+    */
+  val t15BpeTokenCounts: Q = (s, d) =>
+    operators.BpeTrain.tokenCounts(
+      Tables.documents(s, d), "doc_id", "text", BpeFixedMerges)
+      .orderBy("doc_id")
+
   /** T3 token counting: whitespace tokens + regex (BPE-ish) tokens. */
   val t3TokenStats: Q = (s, d) => {
     import s.implicits._
@@ -4172,6 +4210,45 @@ object Queries {
         |SELECT left_sym, right_sym, CAST(sum(freq) AS BIGINT) AS pair_count
         |FROM p GROUP BY 1, 2
         |ORDER BY pair_count DESC, left_sym, right_sym LIMIT 20""".stripMargin,
+    // greedy in-order merge chain as delimiter-tracked replaces: every
+    // symbol ends with chr(31), so replacing "l<us>r<us>" with "lr<us>"
+    // left-to-right non-overlapping is exactly one greedyOnce pass; the
+    // chain applies the fixed list in order, then splits on the delimiter
+    "t14_bpe_segment" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |wf AS (SELECT DISTINCT word FROM w WHERE len(word) > 0),
+        |seg AS (SELECT word,
+        |  replace(replace(replace(replace(
+        |    regexp_replace(word, '(.)', '\1' || chr(31), 'g'),
+        |    't' || chr(31) || 'h' || chr(31), 'th' || chr(31)),
+        |    'th' || chr(31) || 'e' || chr(31), 'the' || chr(31)),
+        |    'g' || chr(31) || 'g' || chr(31), 'gg' || chr(31)),
+        |    'a' || chr(31) || 'r' || chr(31), 'ar' || chr(31)) AS s
+        |  FROM wf),
+        |tok AS (SELECT word, string_split(rtrim(s, chr(31)), chr(31)) AS toks FROM seg)
+        |SELECT word, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS token
+        |FROM tok, unnest(generate_series(1, len(toks))) AS t(i)
+        |ORDER BY word, pos""".stripMargin,
+    // same replace chain, folded to per-word token counts and joined
+    // back to the exploded corpus — t15 = tokenCounts end to end
+    "t15_bpe_token_counts" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |cw AS (SELECT doc_id, word FROM w WHERE len(word) > 0),
+        |wf AS (SELECT DISTINCT word FROM cw),
+        |seg AS (SELECT word,
+        |  replace(replace(replace(replace(
+        |    regexp_replace(word, '(.)', '\1' || chr(31), 'g'),
+        |    't' || chr(31) || 'h' || chr(31), 'th' || chr(31)),
+        |    'th' || chr(31) || 'e' || chr(31), 'the' || chr(31)),
+        |    'g' || chr(31) || 'g' || chr(31), 'gg' || chr(31)),
+        |    'a' || chr(31) || 'r' || chr(31), 'ar' || chr(31)) AS s
+        |  FROM wf),
+        |n AS (SELECT word,
+        |  CAST(len(string_split(rtrim(s, chr(31)), chr(31))) AS BIGINT) AS n
+        |  FROM seg)
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS bpe_tokens
+        |FROM cw JOIN n USING (word)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // exact-regime sketch ≡ the exact count — same oracle text as t10
     "t10a_vocab_sketch" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
@@ -4588,6 +4665,8 @@ object Queries {
     "t10a_vocab_sketch" -> t10aVocabSketch,
     "t12_bpe_pairs" -> t12BpePairs,
     "t13_bpe_merges" -> t13BpeMerges,
+    "t14_bpe_segment" -> t14BpeSegment,
+    "t15_bpe_token_counts" -> t15BpeTokenCounts,
     "p3_corpus_recipe" -> p3CorpusRecipe,
     "p4_curation_recipe" -> p4CurationRecipe,
     "p5_scrub_recipe" -> p5ScrubRecipe,
