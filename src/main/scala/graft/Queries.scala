@@ -2160,6 +2160,22 @@ object Queries {
         col("col").as("token"))
       .orderBy("word", "pos")
 
+  /** T14a the SAME segmentation through [[operators.BpeTrain
+    * .segmentWordsScalable]] — the production-K rank-skip applier gated
+    * under t14's oracle SQL verbatim (the e2i/r5 trick: one oracle text,
+    * two engine plans), so fold and mapPartitions appliers are
+    * hash-pinned equal by the driver, not just by spec.
+    */
+  val t14aBpeSegmentScalable: Q = (s, d) =>
+    operators.BpeTrain.segmentWordsScalable(
+        operators.BpeTrain.wordFreq(Tables.documents(s, d), "text")
+          .select(col("word")),
+        BpeFixedMerges)
+      .select(col("word"), posexplode(col("tokens")))
+      .select(col("word"), col("pos").cast("long").as("pos"),
+        col("col").as("token"))
+      .orderBy("word", "pos")
+
   /** T15 per-document token counts under the fixed merge list — the
     * budget input [[operators.BpeTrain.tokenCounts]] feeds to the
     * sampling rows, gated end to end (distinct-word segmentation joined
@@ -4229,6 +4245,23 @@ object Queries {
         |SELECT word, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS token
         |FROM tok, unnest(generate_series(1, len(toks))) AS t(i)
         |ORDER BY word, pos""".stripMargin,
+    // the rank-skip applier under the SAME oracle text as t14 — one
+    // oracle, two engine plans (the e2i/r5 verbatim-reuse precedent)
+    "t14a_bpe_segment_scalable" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |wf AS (SELECT DISTINCT word FROM w WHERE len(word) > 0),
+        |seg AS (SELECT word,
+        |  replace(replace(replace(replace(
+        |    regexp_replace(word, '(.)', '\1' || chr(31), 'g'),
+        |    't' || chr(31) || 'h' || chr(31), 'th' || chr(31)),
+        |    'th' || chr(31) || 'e' || chr(31), 'the' || chr(31)),
+        |    'g' || chr(31) || 'g' || chr(31), 'gg' || chr(31)),
+        |    'a' || chr(31) || 'r' || chr(31), 'ar' || chr(31)) AS s
+        |  FROM wf),
+        |tok AS (SELECT word, string_split(rtrim(s, chr(31)), chr(31)) AS toks FROM seg)
+        |SELECT word, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS token
+        |FROM tok, unnest(generate_series(1, len(toks))) AS t(i)
+        |ORDER BY word, pos""".stripMargin,
     // same replace chain, folded to per-word token counts and joined
     // back to the exploded corpus — t15 = tokenCounts end to end
     "t15_bpe_token_counts" ->
@@ -4666,6 +4699,7 @@ object Queries {
     "t12_bpe_pairs" -> t12BpePairs,
     "t13_bpe_merges" -> t13BpeMerges,
     "t14_bpe_segment" -> t14BpeSegment,
+    "t14a_bpe_segment_scalable" -> t14aBpeSegmentScalable,
     "t15_bpe_token_counts" -> t15BpeTokenCounts,
     "p3_corpus_recipe" -> p3CorpusRecipe,
     "p4_curation_recipe" -> p4CurationRecipe,
