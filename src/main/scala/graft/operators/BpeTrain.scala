@@ -289,7 +289,7 @@ object BpeTrain {
   /** pair → ascending ranks at which the merge list contains that pair
     * (a pair may recur; each occurrence fires independently in order).
     */
-  private[operators] def mergeRanks(
+  private[graft] def mergeRanks(
       merges: Array[(String, String)]): Map[(String, String), Array[Int]] =
     merges.zipWithIndex.groupBy(_._1)
       .map { case (p, a) => p -> a.map(_._2).sorted }
@@ -302,7 +302,7 @@ object BpeTrain {
     * two firing ranks the word does not change, so no skipped merge could
     * have fired.
     */
-  private[operators] def applyMergesInOrder(
+  private[graft] def applyMergesInOrder(
       word: String, merges: Array[(String, String)],
       ranks: Map[(String, String), Array[Int]]): Array[String] = {
     var syms: Array[String] = word.split("")

@@ -113,6 +113,21 @@ class BpeTrainSpec extends SparkSpec {
       }.getOrElse(""))
   }
 
+  test("fitLocal matches the replay on randomized run-heavy vocabularies") {
+    // two-letter alphabet maximizes repeated-letter runs (aaa, ababab) —
+    // the shapes that stress the incremental pair-count multiplicity
+    // accounting and the stale-heap bookkeeping
+    val rnd = new scala.util.Random(4242)
+    (0 until 5).foreach { c =>
+      val words = (0 until 60).map { _ =>
+        (1 to 1 + rnd.nextInt(8)).map(_ => "ab" (rnd.nextInt(2))).mkString
+      }.distinct.map(w => (w, (rnd.nextInt(9) + 1).toLong))
+      val (gold, _) = replayFit(words.toMap, 25)
+      val got = BpeTrain.fitLocal(words.toDF("word", "freq"), 25)
+      assert(got == gold, s"case $c: got $got want $gold")
+    }
+  }
+
   test("fitLocal stops early on exhaustion and enforces maxVocab") {
     val words = Seq(("ab", 3L)).toDF("word", "freq")
     assert(BpeTrain.fitLocal(words, 5) == Seq(("a", "b")))
