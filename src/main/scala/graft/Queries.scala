@@ -2155,6 +2155,12 @@ object Queries {
         operators.BpeTrain.wordFreq(Tables.documents(s, d), "text")
           .select(col("word")),
         BpeFixedMerges)
+      // planner-pathology barrier, measured: posexplode over the inlined
+      // nested-HOF fold costs ~5 s of OPTIMIZER time per fresh plan
+      // (execution is 0.06 s; t15's size() over the same fold plans
+      // fine) — checkpointing the vocabulary-sized segmentation lets the
+      // Generate plan over a materialized relation (p5 precedent)
+      .localCheckpoint()
       .select(col("word"), posexplode(col("tokens")))
       .select(col("word"), col("pos").cast("long").as("pos"),
         col("col").as("token"))
@@ -2236,6 +2242,16 @@ object Queries {
   val s1StratifiedSample: Q = (s, d) =>
     Sampling.stratified(Tables.documents(s, d), "doc_id", "lang",
         Map("en" -> 0.5, "zh" -> 0.3), defaultRate = 0.1)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
+  /** S9 fixed-k per-stratum draw ([[Sampling.fixedKPerStratum]]): exactly
+    * 5 docs per language by the engine-portable md5 draw — the balanced
+    * eval-set / count-capped mixing primitive s1's RATE form cannot
+    * express. The oracle replays the ranked window verbatim.
+    */
+  val s9FixedKSample: Q = (s, d) =>
+    Sampling.fixedKPerStratum(Tables.documents(s, d), "doc_id", "lang", 5)
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy(col("doc_id"))
 
@@ -4068,6 +4084,15 @@ object Queries {
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
         |  CASE lang WHEN 'en' THEN '80000000' WHEN 'zh' THEN '4ccccccd' ELSE '1999999a' END
         |ORDER BY doc_id""".stripMargin,
+    // the ranked-window replay of the fixed-k draw: same md5 order key,
+    // same doc_id tie-break, rank <= k per language stratum
+    "s9_fixed_k_sample" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 5 ORDER BY doc_id""".stripMargin,
     "s2_token_budget" ->
       """WITH d AS (SELECT doc_id, lang,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
@@ -4690,6 +4715,7 @@ object Queries {
     "u2_k_anonymity" -> u2KAnonymity,
     "s5_leakfree_split" -> s5LeakfreeSplit,
     "s8_shuffle_order" -> s8ShuffleOrder,
+    "s9_fixed_k_sample" -> s9FixedKSample,
     "v1_label_centroid" -> v1LabelCentroid,
     "x1_pack_manifest" -> x1PackManifest,
     "x2_pack_nosplit" -> x2PackNosplit,

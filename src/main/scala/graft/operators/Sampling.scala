@@ -83,6 +83,31 @@ object Sampling {
     df.where(drawHex(col(idCol)) < thr)
   }
 
+  /** Deterministic fixed-k per-stratum draw — "exactly k rows per group"
+    * (balanced eval sets, per-domain caps by COUNT where [[stratified]]
+    * caps by rate): rank each stratum's rows by the same engine-portable
+    * md5 draw the rate rows use (id tie-break keeps hash collisions
+    * deterministic) and keep rank ≤ k; a stratum with fewer than k rows
+    * keeps them all. One window partitioned BY THE STRATUM — never a
+    * single-partition window, and unlike a rate there is no distribution
+    * assumption: the draw order is uniform whatever the id density.
+    * Strata are assumed many-rowed but bounded in count (the usual
+    * lang/source shape); a single whole-corpus stratum degrades to one
+    * window partition — use [[tokenBudget]]'s two-pass pattern there.
+    */
+  def fixedKPerStratum(df: DataFrame, idCol: String, stratumCol: String,
+                       k: Int): DataFrame = {
+    require(k >= 1, s"k $k must be >= 1")
+    require(!df.columns.contains("__rk"),
+      "fixedKPerStratum uses a temp column __rk; input already has one")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(drawHex(col(idCol)), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   /** EXACT token-budget mix: per stratum, admit documents in draw order
     * (the md5 draw again, so the admitted set is reproducible anywhere)
     * while the running token total stays ≤ the stratum's budget. Tokens

@@ -66,6 +66,36 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
   }
 
+  test("fixedKPerStratum: exactly k per stratum, short strata whole, null its own group") {
+    val df = ((0L until 300L).map(i => (i, s"g${i % 3}")) ++
+      Seq((300L, null: String), (301L, null: String), (302L, "tiny")))
+      .toDF("id", "stratum")
+    val out = Sampling.fixedKPerStratum(df, "id", "stratum", 7).cache()
+    val byStratum = out.groupBy("stratum").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(byStratum == Map(Some("g0") -> 7L, Some("g1") -> 7L,
+      Some("g2") -> 7L, None -> 2L, Some("tiny") -> 1L))
+    // deterministic: the kept set is a pure function of (id, stratum, k) —
+    // identical under a different physical partitioning
+    val again = Sampling.fixedKPerStratum(df.repartition(13), "id", "stratum", 7)
+    assert(again.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      out.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+    // kept rows are each stratum's k smallest by the md5 draw
+    def hex8(i: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(i.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    val g0Kept = out.where($"stratum" === "g0")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val g0Want = (0L until 300L).filter(_ % 3 == 0)
+      .sortBy(i => (hex8(i), i)).take(7).toSet
+    assert(g0Kept == g0Want)
+    out.unpersist()
+    intercept[IllegalArgumentException](
+      Sampling.fixedKPerStratum(df, "id", "stratum", 0))
+    intercept[IllegalArgumentException](Sampling.fixedKPerStratum(
+      df.withColumn("__rk", lit(1)), "id", "stratum", 1))
+  }
+
   test("tokenBudget: greedy draw-order prefix per stratum, budget respected exactly") {
     val df = (0L until 400L).map(i => (i, if (i % 2 == 0) "en" else "de", 10L + i % 7))
       .toDF("id", "stratum", "n_tok")
