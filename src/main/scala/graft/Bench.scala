@@ -238,12 +238,16 @@ object Bench {
       spark: org.apache.spark.sql.SparkSession): String = try {
     import spark.implicits._
     val n = 100000L
+    // persist + count (not localCheckpoint: unpersist would be a no-op on
+    // a checkpointed Dataset — CacheManager never sees it) so vocabulary
+    // generation is excluded from the timed applies AND the blocks free
     val vocab = spark.range(n).as[Long].map { i =>
       val s = java.lang.Long.toString(i, 26).map { c =>
         if (c <= '9') ('a' + (c - '0')).toChar else ('k' + (c - 'a')).toChar
       }
       s * 3
-    }.toDF("word").localCheckpoint()
+    }.toDF("word").persist()
+    vocab.count()
     try {
       val syms = scala.collection.mutable.ArrayBuffer[String](
         "abcdefghijklmnopqrstuvwxyz".map(_.toString): _*)

@@ -407,16 +407,18 @@ object ScalingBench {
         val pts = o.putArray("points")
         Seq(100000, 1000000).foreach { v =>
           import spark.implicits._
+          // no call-site materialization needed: fitLocal persists its
+          // projection internally, so guard-count and collect share one
+          // run of this cheap spark.range plan
           val vocab = spark.range(v.toLong).as[Long].map { i =>
             val s = java.lang.Long.toString(i, 26).map { c =>
               if (c <= '9') ('a' + (c - '0')).toChar else ('k' + (c - 'a')).toChar
             }
             (s * 3, i % 7 + 1)
-          }.toDF("word", "freq").localCheckpoint()
+          }.toDF("word", "freq")
           val t0 = System.nanoTime()
           val merges = graft.operators.BpeTrain.fitLocal(vocab, 2000)
           val w = (System.nanoTime() - t0) / 1e9
-          vocab.unpersist()
           println(f"[scaling] bpe_train vocab=$v merges=${merges.length} wall ${w}%.2f s")
           val pt = pts.addObject()
           pt.put("vocab_rows", v); pt.put("merges_learned", merges.length)

@@ -125,27 +125,33 @@ object BpeTrain {
   def fitLocal(words: DataFrame, numMerges: Int,
                maxVocab: Long = 50000000L): Seq[(String, String)] = {
     require(numMerges >= 0, s"numMerges $numMerges must be >= 0")
-    val n = words.count()
-    require(n <= maxVocab,
-      s"vocabulary $n exceeds maxVocab $maxVocab — use the distributed fit")
-    val rows = words
-      .select(col("word").cast("string"), col("freq").cast("long")).collect()
-    val syms: Array[Array[String]] = rows.map(_.getString(0).split(""))
+    // one materialization serves both the guard's count and the collect —
+    // upstream is typically wordFreq(corpus), the one corpus-scaled scan
+    val proj = words
+      .select(col("word").cast("string"), col("freq").cast("long")).persist()
+    val rows = try {
+      val n = proj.count()
+      require(n <= maxVocab,
+        s"vocabulary $n exceeds maxVocab $maxVocab — use the distributed fit")
+      proj.collect()
+    } finally proj.unpersist()
+    val syms: Array[Array[String]] = rows.map(r => codePointSyms(r.getString(0)))
     val freq: Array[Long] = rows.map(_.getLong(1))
 
-    // Spark's UTF8String sort is unsigned UTF-8 byte order — tie-breaks
-    // must match it exactly or fitLocal and fit diverge on non-ASCII
-    def u8(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    // Spark's UTF8String sort is unsigned UTF-8 byte order, which equals
+    // CODE-POINT order (UTF-8 is order-preserving) — so walk code points,
+    // no per-comparison byte-array allocation in the heap's hot path.
+    // Java String.compareTo would differ exactly where a supplementary
+    // char (U+10000+) ties against U+E000–U+FFFF: UTF-16 surrogates sort
+    // below, code points above.
     def u8cmp(a: String, b: String): Int = {
-      val x = u8(a); val y = u8(b)
-      var i = 0
-      val m = math.min(x.length, y.length)
-      while (i < m) {
-        val d = (x(i) & 0xff) - (y(i) & 0xff)
-        if (d != 0) return d
-        i += 1
+      var i = 0; var j = 0
+      while (i < a.length && j < b.length) {
+        val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+        if (ca != cb) return Integer.compare(ca, cb)
+        i += Character.charCount(ca); j += Character.charCount(cb)
       }
-      x.length - y.length
+      (a.length - i) - (b.length - j)
     }
     // max count first; among ties the SMALLEST (left, right)
     val ord: Ordering[(Long, String, String)] =
@@ -286,6 +292,25 @@ object BpeTrain {
       .toDF("word", "tokens")
   }
 
+  /** Code-point initial segmentation — MUST match Spark's
+    * `split(word, "")`, which splits by code point (probed: U+10000
+    * stays one symbol). Java's `String.split("")` splits by UTF-16 code
+    * UNIT, leaving lone surrogates that form phantom pairs sorting
+    * BELOW U+FFFF — a task-side splitter using it diverges from the
+    * distributed plans on any text with emoji/astral characters.
+    */
+  private[graft] def codePointSyms(w: String): Array[String] = {
+    if (w.isEmpty) return Array("") // Spark: split('', '') = [""], size 1
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
   /** pair → ascending ranks at which the merge list contains that pair
     * (a pair may recur; each occurrence fires independently in order).
     */
@@ -305,7 +330,7 @@ object BpeTrain {
   private[graft] def applyMergesInOrder(
       word: String, merges: Array[(String, String)],
       ranks: Map[(String, String), Array[Int]]): Array[String] = {
-    var syms: Array[String] = word.split("")
+    var syms: Array[String] = codePointSyms(word)
     var k = 0
     def firstAtLeast(p: (String, String)): Int = ranks.get(p) match {
       case None => Int.MaxValue

@@ -66,7 +66,9 @@ class BpeApplyPropertySpec extends AnyFunSuite {
       val merges = sample(genMerges(1 + i % 40), 2000L + i).toArray
       val ranks = BpeTrain.mergeRanks(merges)
       val got = BpeTrain.applyMergesInOrder(word, merges, ranks).toList
-      val want = merges.foldLeft(word.split("").toList)(greedyReplay)
+      // replay seeds from the engine's code-point segmentation contract
+      // (Spark split: empty word -> [""], astral chars stay one symbol)
+      val want = merges.foldLeft(BpeTrain.codePointSyms(word).toList)(greedyReplay)
       assert(got == want, s"case $i word=$word merges=${merges.toList}")
       assert(got.mkString == word,
         s"case $i: tokens must re-concatenate to the word")

@@ -128,6 +128,31 @@ class BpeTrainSpec extends SparkSpec {
     }
   }
 
+  test("supplementary chars: fitLocal and scalable apply match the Spark plans exactly") {
+    // Spark's split(word, "") segments by CODE POINT (U+10000 stays one
+    // symbol); Java's String.split("") segments by UTF-16 code UNIT,
+    // leaving lone surrogates that form phantom pairs sorting BELOW
+    // U+FFFF — this test originally FAILED on a Java-split fitLocal,
+    // which learned (\uD800, \uDC00). codePointSyms exists for this.
+    val hi = new String(Character.toChars(0x10000))
+    assert((hi + "x").split("").length == 3) // the Java trap, pinned
+    assert(BpeTrain.codePointSyms(hi + "x").toSeq == Seq(hi, "x"))
+    // U+FFFF vs U+10000 at equal counts: code-point/UTF-8 order (Spark's
+    // sort) puts U+FFFF first; UTF-16 compareTo would invert it
+    val words = Seq(("￿" + "x", 2L), (hi + "x", 2L)).toDF("word", "freq")
+    val gotFit = BpeTrain.fit(words, 1)
+    assert(gotFit == Seq(("￿", "x")))
+    assert(BpeTrain.fitLocal(words, 1) == gotFit)
+    // and the two appliers agree with each other on astral words
+    val fold = BpeTrain.segmentWords(words, gotFit)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    val fast = BpeTrain.segmentWordsScalable(words, gotFit)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(fold == fast)
+    assert(fold("￿x") == List("￿x"))
+    assert(fold(hi + "x") == List(hi, "x"))
+  }
+
   test("fitLocal stops early on exhaustion and enforces maxVocab") {
     val words = Seq(("ab", 3L)).toDF("word", "freq")
     assert(BpeTrain.fitLocal(words, 5) == Seq(("a", "b")))
