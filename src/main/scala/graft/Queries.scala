@@ -1403,6 +1403,49 @@ object Queries {
       .orderBy($"qid", $"rank")
   }
 
+  // Tombstoned-store fixture: the FULL corpus fit+saved (the nightly
+  // job), then every doc_id ≡ 3 (mod 7) deleted via tombstoneStore (the
+  // correction job) — postings lake untouched, dfs/stats decremented,
+  // ids in tombstones/. Built once per (session, sf, source version).
+  private val bm25DeleteStage = new operators.SessionCache[String]
+  private def ensureBm25DeleteStore(s: SparkSession, d: String): String =
+    bm25DeleteStage.getOrBuild(
+      s"${operators.SessionCache.token(s)}#$d#${sourceTag(d, "documents.parquet")}") {
+      import s.implicits._
+      val pathTag = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val dir = graft.sources.TempDirs.register(
+        s"/tmp/graft_bm25_del_${ProcessHandle.current().pid()}_" +
+          s"${operators.SessionCache.token(s).take(8)}_$pathTag")
+      val docs = Tables.documents(s, d)
+      graft.operators.Bm25.save(
+        graft.operators.Bm25.fit(
+          docs.where($"doc_id" >= 3).select($"doc_id", $"text"),
+          "doc_id", "text"), dir)
+      graft.operators.Bm25.tombstoneStore(s, dir,
+        docs.where($"doc_id" >= 3 && $"doc_id" % 7 === 3).select($"doc_id"))
+      dir
+    }
+
+  /** R6 — BM25 document DELETION under the corrected-corpus oracle: the
+    * store was fit over the FULL corpus, then [[graft.operators.Bm25
+    * .tombstoneStore]] removed every doc_id ≡ 3 (mod 7) — a delta-sized
+    * correction (dictionary/stats decrement + a tombstone set; the
+    * postings lake is untouched until compaction) — and the probe over
+    * the loaded store must hash-match a full refit on the corpus WITHOUT
+    * those documents (r3's oracle with the deletion folded into its
+    * corpus filter). This is the path a 100 TB corpus takes for
+    * takedowns/corrections instead of a week-long refit.
+    */
+  val r6Bm25Delete: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val q = docs.where($"doc_id" < 3).select($"doc_id".as("qid"), $"text")
+    val ix = graft.operators.Bm25.load(s, ensureBm25DeleteStore(s, d))
+    graft.operators.Bm25.searchIndex(ix, q, "qid", "text", 10)
+      .orderBy($"qid", $"rank")
+  }
+
   /** R4 — hybrid retrieval: [[r3Bm25TopK]]'s sparse ranks fused with the
     * dense hashed-embedding ranks (document-grain [[graft.operators
     * .ChunkEmbed.docEmbed]] served through `batchTopK` cosine) by
@@ -2139,8 +2182,38 @@ object Queries {
     * after (t,h)), a repeated-letter run ((g,g) on "agg" must merge
     * greedily left-to-right), and a plain common pair.
     */
-  private val BpeFixedMerges =
-    Seq(("t", "h"), ("th", "e"), ("g", "g"), ("a", "r"))
+  private val BpeFixedMerges = assertBpeOracleReplayable(
+    Seq(("t", "h"), ("th", "e"), ("g", "g"), ("a", "r")))
+
+  /** The DuckDB replay of a merge chain (one `replace` of "l␟r␟"→"lr␟"
+    * per merge, every symbol TERMINATED by chr(31)) anchors only the
+    * RIGHT boundary of each symbol: the pattern "l␟r␟" also matches when
+    * a preceding composite symbol merely ENDS with l (e.g. with merges
+    * [(t,h),(h,e)] the string "th␟e␟" would fuse to "the␟" in SQL while
+    * the engine keeps [th, e] — `h` is not a whole symbol there). The
+    * replay is therefore exact iff no merge's LEFT symbol is a proper
+    * SUFFIX of any composite symbol an earlier merge can have created.
+    * (A left-anchored replace is NOT the fix: consuming the left
+    * delimiter breaks non-overlapping adjacency — "abab" under (a,b)
+    * must fire twice, but the second occurrence's left ␟ is part of the
+    * first replacement and a left-anchored scan skips it.) Enforced
+    * loudly here so a future edit to the fixed list cannot silently
+    * diverge oracle from engine; QueriesSpec pins the guard itself.
+    */
+  private[graft] def assertBpeOracleReplayable(
+      merges: Seq[(String, String)]): Seq[(String, String)] = {
+    merges.zipWithIndex.foreach { case ((l, _), i) =>
+      val earlier = merges.take(i).map { case (a, b) => a + b }
+      val clash = earlier.find(c => c != l && c.endsWith(l))
+      require(clash.isEmpty,
+        s"BPE fixed merge #$i left symbol '$l' is a proper suffix of the " +
+          s"earlier composite '${clash.get}' — the DuckDB replace-chain " +
+          "oracle (right-boundary-only delimiters) would fuse across that " +
+          "composite's tail where the engine does not; choose symbols so " +
+          "no merge's left is a proper suffix of an earlier composite")
+    }
+    merges
+  }
 
   /** T14 BPE segmentation under the fixed merge list, one scalar row per
     * (word, pos, token) — the hash gate for the APPLY leg of the
@@ -2191,6 +2264,85 @@ object Queries {
     operators.BpeTrain.tokenCounts(
       Tables.documents(s, d), "doc_id", "text", BpeFixedMerges)
       .orderBy("doc_id")
+
+  // Persisted tokenizer artifacts, written once per session (the model is
+  // data-independent — BpeFixedMerges under each discipline): the t14b/
+  // t15b/t17 rows then LOAD them per pass, so the gate exercises the
+  // artifact boot path (parquet meta + ordered merge read) the way a
+  // serving job would, while the save stays a fixture cost.
+  private val bpeModelStage = new operators.SessionCache[String]
+  private def ensureBpeModels(s: SparkSession): String =
+    bpeModelStage.getOrBuild(operators.SessionCache.token(s)) {
+      val dir = graft.sources.TempDirs.register(
+        s"/tmp/graft_bpe_model_${ProcessHandle.current().pid()}_" +
+          operators.SessionCache.token(s).take(8))
+      graft.sources.ModelStore.saveBpe(s,
+        operators.BpeTrain.BpeModel(operators.SpacePreTok, BpeFixedMerges),
+        s"$dir/space")
+      graft.sources.ModelStore.saveBpe(s,
+        operators.BpeTrain.BpeModel(
+          operators.RegexPreTok(operators.RegexPreTok.Gpt2ish), BpeFixedMerges),
+        s"$dir/gpt2")
+      dir
+    }
+
+  /** T14b — [[t14BpeSegment]] re-driven through a LOADED tokenizer
+    * artifact under t14's oracle SQL verbatim (the e2i/r5 one-oracle-two-
+    * plans trick): [[graft.sources.ModelStore.saveBpe]] wrote the fixed
+    * list once (session fixture), this row boots `loadBpe` and segments
+    * with the loaded merges — so "a tokenizer that survives the JVM" is
+    * hash-pinned equal to the in-memory list, not just spec-claimed.
+    */
+  val t14bBpeSegmentLoaded: Q = (s, d) => {
+    val model = graft.sources.ModelStore.loadBpe(s, s"${ensureBpeModels(s)}/space")
+    operators.BpeTrain.segmentWords(
+        operators.BpeTrain.wordFreq(Tables.documents(s, d), "text")
+          .select(col("word")),
+        model.merges)
+      .localCheckpoint() // same planner-pathology barrier as t14
+      .select(col("word"), posexplode(col("tokens")))
+      .select(col("word"), col("pos").cast("long").as("pos"),
+        col("col").as("token"))
+      .orderBy("word", "pos")
+  }
+
+  /** T15b — [[t15BpeTokenCounts]] through the loaded artifact (t15's
+    * oracle verbatim): the model's own discipline + merges drive
+    * [[operators.BpeTrain.tokenCounts]], the serving shape a training
+    * pipeline boots daily.
+    */
+  val t15bBpeCountsLoaded: Q = (s, d) => {
+    val model = graft.sources.ModelStore.loadBpe(s, s"${ensureBpeModels(s)}/space")
+    operators.BpeTrain.tokenCounts(Tables.documents(s, d), "doc_id", "text", model)
+      .orderBy("doc_id")
+  }
+
+  /** T16 — GPT-2-style REGEX pre-tokenization ([[operators.RegexPreTok
+    * .Gpt2ish]]): letter/digit/punctuation runs each absorbing one
+    * preceding space, so " spark" and "spark" are distinct vocabulary
+    * entries — the discipline real corpora train BPE under (space-split
+    * is the suite's gate discipline, not a production one). The oracle
+    * replays the SAME pattern through DuckDB's RE2 `regexp_extract_all`
+    * — the pattern is written lookahead-free with an explicit
+    * whitespace class precisely so Java regex and RE2 agree on it
+    * (BpeTrainSpec pins the engine split against a driver replay on
+    * punctuation/unicode fixtures the synthetic corpus lacks).
+    */
+  val t16BpePretokenize: Q = (s, d) =>
+    operators.BpeTrain.wordFreq(Tables.documents(s, d), "text",
+      operators.RegexPreTok(operators.RegexPreTok.Gpt2ish))
+      .orderBy("word")
+
+  /** T17 — the loaded GPT-2-style tokenizer END TO END: `loadBpe` boots
+    * the regex-discipline artifact and [[operators.BpeTrain.tokenCounts]]
+    * splits, segments and counts under it — pre-tokenization, merge
+    * apply and the corpus join all hash-gated in one composed row.
+    */
+  val t17BpePretokCounts: Q = (s, d) => {
+    val model = graft.sources.ModelStore.loadBpe(s, s"${ensureBpeModels(s)}/gpt2")
+    operators.BpeTrain.tokenCounts(Tables.documents(s, d), "doc_id", "text", model)
+      .orderBy("doc_id")
+  }
 
   /** T3 token counting: whitespace tokens + regex (BPE-ish) tokens. */
   val t3TokenStats: Q = (s, d) => {
@@ -3568,6 +3720,31 @@ object Queries {
         |r AS (SELECT qid, doc_id, score, CAST(row_number() OVER (
         |    PARTITION BY qid ORDER BY score DESC, doc_id) - 1 AS BIGINT) AS rank FROM sc)
         |SELECT qid, rank, doc_id, score FROM r WHERE rank < 10 ORDER BY qid, rank""".stripMargin,
+    // r3's oracle with the deletion folded into the corpus filter: the
+    // engine path is fit(full) + tombstoneStore(doc_id ≡ 3 mod 7) +
+    // searchIndex over the loaded store, and the tombstoned store must
+    // answer exactly like a full refit on the corrected corpus
+    "r6_bm25_delete" ->
+      """WITH corpus AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE doc_id >= 3 AND doc_id % 7 <> 3),
+        |q AS (SELECT doc_id AS qid, string_split(text, ' ') AS w FROM documents WHERE doc_id < 3),
+        |post AS (SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(w) AS t FROM corpus) GROUP BY doc_id, t),
+        |dl AS (SELECT doc_id, len(w) AS dl FROM corpus),
+        |dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
+        |st AS (SELECT count(*)::DOUBLE AS n, sum(len(w))::DOUBLE / count(*) AS avgdl FROM corpus),
+        |qt AS (SELECT DISTINCT qid, term FROM (SELECT qid, unnest(w) AS term FROM q)),
+        |cand AS (SELECT qt.qid, p.doc_id, p.term,
+        |  ln(1.0 + (st.n - dfs.df + 0.5) / (dfs.df + 0.5)) *
+        |    ((p.tf * (1.2 + 1.0)) / (p.tf + 1.2 * (0.25 + (0.75 * dl.dl) / st.avgdl))) AS c
+        |  FROM qt JOIN post p ON qt.term = p.term
+        |  JOIN dfs ON p.term = dfs.term
+        |  JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN st),
+        |sc AS (SELECT qid, doc_id, round(list_sum(list(c ORDER BY term)), 6) AS score
+        |  FROM cand GROUP BY qid, doc_id),
+        |r AS (SELECT qid, doc_id, score, CAST(row_number() OVER (
+        |    PARTITION BY qid ORDER BY score DESC, doc_id) - 1 AS BIGINT) AS rank FROM sc)
+        |SELECT qid, rank, doc_id, score FROM r WHERE rank < 10 ORDER BY qid, rank""".stripMargin,
     // r3's oracle VERBATIM: the engine path is fit(yesterday) +
     // append(today) + searchIndex, and the merged index must answer
     // exactly like the full recompute this SQL performs
@@ -4307,6 +4484,72 @@ object Queries {
         |SELECT doc_id, CAST(sum(n) AS BIGINT) AS bpe_tokens
         |FROM cw JOIN n USING (word)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the LOADED-artifact rows reuse their in-memory rows' oracle text
+    // VERBATIM (the e2i/r5 one-oracle-two-plans trick): save -> loadBpe ->
+    // apply must answer exactly like the in-memory merge list
+    "t14b_bpe_segment_loaded" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |wf AS (SELECT DISTINCT word FROM w WHERE len(word) > 0),
+        |seg AS (SELECT word,
+        |  replace(replace(replace(replace(
+        |    regexp_replace(word, '(.)', '\1' || chr(31), 'g'),
+        |    't' || chr(31) || 'h' || chr(31), 'th' || chr(31)),
+        |    'th' || chr(31) || 'e' || chr(31), 'the' || chr(31)),
+        |    'g' || chr(31) || 'g' || chr(31), 'gg' || chr(31)),
+        |    'a' || chr(31) || 'r' || chr(31), 'ar' || chr(31)) AS s
+        |  FROM wf),
+        |tok AS (SELECT word, string_split(rtrim(s, chr(31)), chr(31)) AS toks FROM seg)
+        |SELECT word, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS token
+        |FROM tok, unnest(generate_series(1, len(toks))) AS t(i)
+        |ORDER BY word, pos""".stripMargin,
+    "t15b_bpe_counts_loaded" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |cw AS (SELECT doc_id, word FROM w WHERE len(word) > 0),
+        |wf AS (SELECT DISTINCT word FROM cw),
+        |seg AS (SELECT word,
+        |  replace(replace(replace(replace(
+        |    regexp_replace(word, '(.)', '\1' || chr(31), 'g'),
+        |    't' || chr(31) || 'h' || chr(31), 'th' || chr(31)),
+        |    'th' || chr(31) || 'e' || chr(31), 'the' || chr(31)),
+        |    'g' || chr(31) || 'g' || chr(31), 'gg' || chr(31)),
+        |    'a' || chr(31) || 'r' || chr(31), 'ar' || chr(31)) AS s
+        |  FROM wf),
+        |n AS (SELECT word,
+        |  CAST(len(string_split(rtrim(s, chr(31)), chr(31))) AS BIGINT) AS n
+        |  FROM seg)
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS bpe_tokens
+        |FROM cw JOIN n USING (word)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the GPT-2-ish regex replayed through DuckDB's RE2 — the pattern is
+    // lookahead-free with an explicit whitespace class so both engines
+    // read it identically (single-quoted SQL: backslashes are literal)
+    "t16_bpe_pretokenize" ->
+      """WITH w AS (SELECT unnest(regexp_extract_all(text,
+        |    ' ?\p{L}+| ?\p{N}+| ?[^ \t\n\r\f\p{L}\p{N}]+')) AS word FROM documents)
+        |SELECT word, CAST(count(*) AS BIGINT) AS freq
+        |FROM w WHERE len(word) > 0
+        |GROUP BY word ORDER BY word""".stripMargin,
+    // t15's count pipeline under the regex discipline: same replace-chain
+    // replay, corpus words now regex spans (leading-space tokens included)
+    "t17_bpe_pretok_counts" ->
+      """WITH w AS (SELECT doc_id, unnest(regexp_extract_all(text,
+        |    ' ?\p{L}+| ?\p{N}+| ?[^ \t\n\r\f\p{L}\p{N}]+')) AS word FROM documents),
+        |cw AS (SELECT doc_id, word FROM w WHERE len(word) > 0),
+        |wf AS (SELECT DISTINCT word FROM cw),
+        |seg AS (SELECT word,
+        |  replace(replace(replace(replace(
+        |    regexp_replace(word, '(.)', '\1' || chr(31), 'g'),
+        |    't' || chr(31) || 'h' || chr(31), 'th' || chr(31)),
+        |    'th' || chr(31) || 'e' || chr(31), 'the' || chr(31)),
+        |    'g' || chr(31) || 'g' || chr(31), 'gg' || chr(31)),
+        |    'a' || chr(31) || 'r' || chr(31), 'ar' || chr(31)) AS s
+        |  FROM wf),
+        |n AS (SELECT word,
+        |  CAST(len(string_split(rtrim(s, chr(31)), chr(31))) AS BIGINT) AS n
+        |  FROM seg)
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS bpe_tokens
+        |FROM cw JOIN n USING (word)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // exact-regime sketch ≡ the exact count — same oracle text as t10
     "t10a_vocab_sketch" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
@@ -4669,6 +4912,7 @@ object Queries {
     "r3_bm25_topk" -> r3Bm25TopK,
     "r4_hybrid_rrf" -> r4HybridRrf,
     "r5_bm25_incremental" -> r5Bm25Incremental,
+    "r6_bm25_delete" -> r6Bm25Delete,
     "r2_retrieval_ivf" -> r2RetrievalIvf,
     "q3_profile" -> q3Profile,
     "c7_ivf_cluster" -> c7IvfCluster,
@@ -4725,6 +4969,10 @@ object Queries {
     "t12_bpe_pairs" -> t12BpePairs,
     "t13_bpe_merges" -> t13BpeMerges,
     "t14_bpe_segment" -> t14BpeSegment,
+    "t14b_bpe_segment_loaded" -> t14bBpeSegmentLoaded,
+    "t15b_bpe_counts_loaded" -> t15bBpeCountsLoaded,
+    "t16_bpe_pretokenize" -> t16BpePretokenize,
+    "t17_bpe_pretok_counts" -> t17BpePretokCounts,
     "t14a_bpe_segment_scalable" -> t14aBpeSegmentScalable,
     "t15_bpe_token_counts" -> t15BpeTokenCounts,
     "p3_corpus_recipe" -> p3CorpusRecipe,

@@ -189,6 +189,13 @@ object AnnSearch {
     * Per-query results equal `IvfIndex.search` with the same model/nprobe
     * (AnnBatchSpec pins parity): centroid ranking uses the identical
     * score and the identical stable index tie-break.
+    *
+    * SNAPSHOT-AT-CALL-TIME: with `clusterPruneMax > 0` (the default),
+    * CONSTRUCTING the returned DataFrame executes the queries' upstream
+    * lineage once and freezes the probe batch — re-executing the plan
+    * after the queries table changes serves the batch as of this call.
+    * Pass `clusterPruneMax = 0` for the fully lazy single-plan path
+    * (identical results, no static cluster prune).
     */
   def batchTopKIvf(indexed: DataFrame, model: IvfIndex.Model,
                    vecCol: String, idCol: String, clusterCol: String,

@@ -50,7 +50,11 @@ object Bm25 {
     * a full [[fit]] over the union (the r5 gate row proves it against
     * r3's oracle). [[save]]/[[load]] give the artifact durable form; on a
     * loaded index the search probe's `In(term)` reaches the parquet scan
-    * as a pushed filter (PlanAuditSpec pins it).
+    * as a pushed filter (PlanAuditSpec pins it). A persisted store may
+    * carry a fourth, transient artifact — `tombstones/` of deleted ids
+    * ([[tombstoneStore]]) — which [[load]] folds into the postings scan
+    * and [[compactStore]] retires, so the in-memory Index never needs a
+    * tombstone field.
     */
   final case class Index(idCol: String, postings: DataFrame,
                          dfs: DataFrame, docStats: DataFrame)
@@ -123,13 +127,40 @@ object Bm25 {
   /** Load a [[save]]d index. The stats read is one driver-sized row (the
     * C9 collection-load shape); postings and dfs stay lazy parquet scans
     * so [[searchIndex]]'s term prune reaches them as pushed filters.
+    *
+    * Refuses to load a store with a dangling `_append_inprogress` marker:
+    * the marker means a maintenance job died inside its rename window, so
+    * some artifacts may carry the delta while others don't — a reader
+    * would silently compute wrong idf/avgdl from the torn store. The same
+    * inspect-then-remove-the-marker remediation as [[appendStore]].
+    *
+    * A store with live tombstones ([[tombstoneStore]]) loads with the
+    * tombstoned ids filtered OUT of the postings scan (a broadcast
+    * anti-join — the tombstone set is delta-sized by the compaction-
+    * cadence contract, and dfs/stats were already corrected at tombstone
+    * time), so every consumer of a loaded index sees the corrected
+    * corpus; the physical rows leave the lake at the next
+    * [[compactStore]].
     */
   def load(spark: org.apache.spark.sql.SparkSession, dir: String): Index = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val marker = new HPath(s"$dir/_append_inprogress")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(marker),
+      s"load at $dir: a maintenance job died mid-promote (marker $marker " +
+        "present) — the store may be torn (some artifacts carrying a delta " +
+        "the others lack); inspect the staged dirs, restore, then remove " +
+        "the marker")
     val statsRaw = spark.read.parquet(s"$dir/stats")
     val head = statsRaw.select(col("id_col"), col("n_docs")).collect()
     require(head.length == 1, s"index at $dir: stats must be exactly 1 row")
-    Index(head(0).getString(0),
-      spark.read.parquet(s"$dir/postings"),
+    val idCol = head(0).getString(0)
+    val postRaw = spark.read.parquet(s"$dir/postings")
+    val post =
+      if (!fs.exists(new HPath(s"$dir/tombstones"))) postRaw
+      else postRaw.join(broadcast(spark.read.parquet(s"$dir/tombstones")),
+        Seq(idCol), "left_anti")
+    Index(idCol, post,
       spark.read.parquet(s"$dir/dfs"),
       statsRaw.select(col("n_docs"), col("sum_dl")))
   }
@@ -167,6 +198,20 @@ object Bm25 {
         s"$marker present) — inspect the store and staged dirs, then remove " +
         "the marker to retry")
     val ix = load(spark, dir)
+    // a tombstoned id must not re-enter before compaction: the load-time
+    // anti-join filters by id alone, so it would eat the NEW rows too and
+    // the re-added document would silently vanish from every search.
+    // Upsert is therefore tombstoneStore -> compactStore -> appendStore.
+    if (fs.exists(new HPath(s"$dir/tombstones"))) {
+      val clash = docs.select(col(ix.idCol)).distinct()
+        .join(spark.read.parquet(s"$dir/tombstones"), Seq(ix.idCol), "left_semi")
+        .limit(1).count()
+      require(clash == 0,
+        s"appendStore at $dir: the delta re-adds tombstoned ids — run " +
+          "compactStore first (upsert = tombstoneStore -> compactStore -> " +
+          "appendStore), or the load-time tombstone filter would swallow " +
+          "the re-added documents")
+    }
     val delta = fit(docs, ix.idCol, textCol)
     // one tokenize+groupBy over the delta docs feeds all three staged
     // writes (delta.dfs derives from the same cached postings plan)
@@ -196,6 +241,85 @@ object Bm25 {
     load(spark, dir)
   }
 
+  /** Delete documents from a [[save]]d store WITHOUT a lake-sized rewrite
+    * — the correction/right-to-erasure path the reference gets from
+    * Milvus's delete-by-PK. `ids` is a 1-column frame of doc ids
+    * (delta-sized by contract — it broadcasts at load time until the next
+    * compaction). Three artifacts change, all of them small: the (term,
+    * df) dictionary decrements by the deleted docs' per-term presence,
+    * the 1-row stats drop the deleted docs' count and token mass, and the
+    * ids land in `tombstones/` — the postings LAKE is untouched; [[load]]
+    * filters the tombstoned rows out with a broadcast anti-join, and the
+    * next [[compactStore]] drops them physically and clears the set. The
+    * one postings-lake read here (deriving the deleted docs' term
+    * presence, id-filtered) is the documented maintenance cost — it
+    * replaces the full refit a correction would otherwise force.
+    *
+    * Because deletion derives from the loaded (already-filtered) postings,
+    * the operation is idempotent: re-tombstoning an id decrements
+    * nothing; an id absent from the lake decrements nothing but still
+    * joins the set (so a later re-add is still forced through
+    * compaction). Contract edge: a document that was indexed with EMPTY
+    * text has no postings rows, so its n_docs/sum_dl contribution cannot
+    * be derived and is NOT decremented — tombstone-then-compact still
+    * serves correctly for every query (no postings means no candidacy);
+    * exact stats for that corner need the refit. Same staged-promote /
+    * `_append_inprogress` crash posture and single-maintenance-owner
+    * contract as [[appendStore]]; search equivalence and artifact-level
+    * delete+re-add ≡ refit are spec-pinned, and the r6 gate row drives
+    * save → tombstone → search under the corrected-corpus oracle.
+    */
+  def tombstoneStore(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     ids: DataFrame, numFiles: Int = 8): Index = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    require(numFiles >= 1, s"numFiles $numFiles must be >= 1")
+    require(ids.columns.length == 1,
+      s"ids must be a 1-column frame of doc ids, got ${ids.columns.mkString(", ")}")
+    val fs = new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new HPath(s"$dir/_append_inprogress")
+    require(!fs.exists(marker),
+      s"tombstoneStore at $dir: a maintenance job died mid-promote (marker " +
+        s"$marker present) — inspect the store and staged dirs, then remove " +
+        "the marker to retry")
+    val ix = load(spark, dir)
+    val newIds = ids.select(col(ids.columns.head).as(ix.idCol)).distinct()
+    // the loaded postings already exclude prior tombstones, so a repeated
+    // id can never decrement twice
+    val deleted = ix.postings.join(newIds, Seq(ix.idCol), "left_semi").persist()
+    try {
+      val dfDec = deleted.groupBy(col("term"))
+        .agg(count(lit(1)).as("__dec"))
+      val newDfs = ix.dfs.join(dfDec, Seq("term"), "left_outer")
+        .select(col("term"),
+          (col("df") - coalesce(col("__dec"), lit(0L))).as("df"))
+        .where(col("df") > 0)
+      val delStats = deleted.select(col(ix.idCol), col("dl")).distinct()
+        .agg(count(lit(1)).as("__n"), coalesce(sum(col("dl")), lit(0L)).as("__dl"))
+      val newStats = ix.docStats.crossJoin(delStats)
+        .select((col("n_docs") - col("__n")).as("n_docs"),
+          (col("sum_dl") - col("__dl")).as("sum_dl"))
+      val tombPath = new HPath(s"$dir/tombstones")
+      val allTombs =
+        if (fs.exists(tombPath))
+          spark.read.parquet(tombPath.toString).unionByName(newIds).distinct()
+        else newIds
+      // STAGE everything, then promote by renames under the marker
+      writeTermSorted(newDfs, s"$dir/dfs.tmp", numFiles)
+      newStats.withColumn("id_col", lit(ix.idCol))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats.tmp")
+      allTombs.coalesce(1).write.mode("overwrite").parquet(s"$dir/tombstones.tmp")
+      fs.create(marker).close()
+      graft.sources.LakeLayout.swapDir(fs,
+        new HPath(s"$dir/dfs.tmp"), new HPath(s"$dir/dfs"))
+      graft.sources.LakeLayout.swapDir(fs,
+        new HPath(s"$dir/stats.tmp"), new HPath(s"$dir/stats"))
+      graft.sources.LakeLayout.swapDir(fs,
+        new HPath(s"$dir/tombstones.tmp"), tombPath)
+      fs.delete(marker, false)
+    } finally deleted.unpersist()
+    load(spark, dir)
+  }
+
   /** Periodic maintenance for an [[appendStore]]-grown store: every daily
     * append adds `numFiles` files whose term ranges overlap the lake's —
     * a year of appends is ~365·numFiles files whose per-file open/footer
@@ -212,6 +336,12 @@ object Bm25 {
     * `postings` or `postings.swap.bak` — swapDir never deletes the
     * original before the promote lands) instead of dying in load() with a
     * bare missing-path error.
+    *
+    * Compaction also RETIRES the tombstone set ([[tombstoneStore]]): the
+    * rewrite reads the loaded (tombstone-filtered) postings, so the
+    * deleted rows leave the lake physically, and the now-redundant
+    * `tombstones/` dir is dropped inside the same marker window — after
+    * which the freed ids may be re-added by [[appendStore]].
     */
   def compactStore(spark: org.apache.spark.sql.SparkSession, dir: String,
                    numFiles: Int = 8): Index = {
@@ -223,11 +353,14 @@ object Bm25 {
       s"compactStore at $dir: a maintenance job died mid-promote (marker " +
         "present) — inspect postings/ and postings.swap.bak, then remove " +
         "the marker to retry")
-    writeTermSorted(spark.read.parquet(s"$dir/postings"),
+    // loaded postings = raw lake minus live tombstones — the compacted
+    // lake is born corrected
+    writeTermSorted(load(spark, dir).postings,
       s"$dir/postings.compact.tmp", numFiles)
     fs.create(marker).close()
     graft.sources.LakeLayout.swapDir(fs,
       new HPath(s"$dir/postings.compact.tmp"), new HPath(s"$dir/postings"))
+    fs.delete(new HPath(s"$dir/tombstones"), true)
     fs.delete(marker, false)
     load(spark, dir)
   }
@@ -254,6 +387,15 @@ object Bm25 {
     * prune in place the per-term df dictionary shrinks to the query's
     * terms, so it broadcasts; the pruned postings join `broadcast(qterms)`
     * FIRST, so nothing dictionary-sized ever pre-joins the postings.
+    *
+    * SNAPSHOT-AT-CALL-TIME: with the prune on (the default), CONSTRUCTING
+    * the returned DataFrame runs the queries' upstream lineage once (Spark
+    * jobs fire before any action on the result), and the localized batch
+    * FREEZES the query side — re-executing the returned plan after the
+    * queries table changes serves the batch as it was at this call, not
+    * the new rows. Callers that need lazy construction or a live query
+    * side pass `termPruneMax = 0` (identical results, single lazy plan,
+    * no scan skipping).
     */
   def searchIndex(ix: Index, queries: DataFrame, qidCol: String,
                   qtextCol: String, k: Int,

@@ -3,6 +3,82 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+/** Pre-tokenization discipline — how raw text becomes the "words" BPE
+  * trains on and applies within (merges never cross a pre-token
+  * boundary; Sennrich ACL'16 trains on words, GPT-2 on regex spans).
+  * Each discipline gives BOTH forms of the same split: a Column (the
+  * distributed plans) and a driver/task-side twin (spec replays, local
+  * tooling) that must agree exactly — the twin-parity trap the t14a
+  * surrogate-split review caught lives here, so specs pin the pair on
+  * punctuation/unicode fixtures. The `tag` round-trips through the
+  * persisted model artifact ([[graft.sources.ModelStore.saveBpe]]), so a
+  * loaded tokenizer re-applies the exact discipline it was trained with
+  * — a model trained under one split and applied under another would
+  * silently produce out-of-vocabulary symbols.
+  */
+sealed trait PreTokenizer {
+  /** array<string> of pre-tokens for a text column. */
+  def splitCol(text: Column): Column
+  /** Driver-side twin of [[splitCol]] — must agree element-for-element. */
+  def splitLocal(text: String): Seq[String]
+  /** Serialized form for the model artifact; [[PreTokenizer.fromTag]]
+    * inverts it. */
+  def tag: String
+}
+
+/** Split on a single space (the suite's `tokens()` discipline). */
+case object SpacePreTok extends PreTokenizer {
+  def splitCol(text: Column): Column = split(text, " ")
+  // Spark's split uses limit -1 (trailing empties KEPT); Java's default
+  // String.split(limit 0) drops them — pass -1 explicitly for parity
+  def splitLocal(text: String): Seq[String] =
+    text.split(" ", -1).toIndexedSeq
+  def tag: String = "space"
+}
+
+/** GPT-2-style regex pre-tokenization (Radford et al. 2019 release
+  * `gpt2/encoder.py`): letter runs, digit runs, and punctuation runs,
+  * each optionally absorbing one preceding space — so " the" and "the"
+  * are distinct vocabulary entries and merges never cross a span. The
+  * pattern is user-supplied; [[RegexPreTok.Gpt2ish]] is the stock one,
+  * rewritten lookahead-free (the original's `\s+(?!\S)`/`\s+` whitespace
+  * clauses need negative lookahead, which RE2 — DuckDB's engine, hence
+  * the oracle's — lacks; without them whitespace never forms its own
+  * token: the space immediately before a span still absorbs into it and
+  * any earlier whitespace in a run is skipped) and with `\s` expanded
+  * to an explicit class (Java's
+  * `\s` includes U+000B, RE2's does not — the one character the two
+  * engines disagree on).
+  */
+final case class RegexPreTok(pattern: String) extends PreTokenizer {
+  def splitCol(text: Column): Column =
+    regexp_extract_all(text, lit(pattern), lit(0))
+  def splitLocal(text: String): Seq[String] = {
+    val m = java.util.regex.Pattern.compile(pattern).matcher(text)
+    val out = Seq.newBuilder[String]
+    while (m.find()) out += m.group(0)
+    out.result()
+  }
+  def tag: String = "regex:" + pattern
+}
+
+object RegexPreTok {
+  /** The stock GPT-2-ish pattern (see [[RegexPreTok]] for the two
+    * deliberate deviations that make Java regex and RE2 agree on it).
+    */
+  val Gpt2ish = " ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\r\\f\\p{L}\\p{N}]+"
+}
+
+object PreTokenizer {
+  /** Invert [[PreTokenizer.tag]] — the model-artifact load side. */
+  def fromTag(tag: String): PreTokenizer = tag match {
+    case "space" => SpacePreTok
+    case t if t.startsWith("regex:") => RegexPreTok(t.stripPrefix("regex:"))
+    case other => throw new IllegalArgumentException(
+      s"unknown pre-tokenizer tag '$other' (have: space, regex:<pattern>)")
+  }
+}
+
 /** Byte-pair-encoding tokenizer TRAINING over a corpus — the "train the
   * tokenizer" stage of a large-scale training-data pipeline (Sennrich,
   * Haddow & Birch, ACL 2016, "Neural Machine Translation of Rare Words
@@ -35,13 +111,26 @@ import org.apache.spark.sql.functions._
   */
 object BpeTrain {
 
-  /** The corpus-collapsing pass: whitespace words with occurrence counts.
-    * Tokenization mirrors [[graft.functions.TextFunctions.tokens]] (split
-    * on a single space, empties dropped) so BPE rows share the suite's
-    * token discipline.
+  /** A trained tokenizer as a MODEL: the pre-tokenization discipline the
+    * corpus was split with plus the ordered merge list — the unit
+    * [[graft.sources.ModelStore.saveBpe]]/`loadBpe` persist, because a
+    * merge list without its split discipline is not reusable (the same
+    * merges mean different things over space-words and GPT-2 spans).
+    */
+  final case class BpeModel(preTok: PreTokenizer, merges: Seq[(String, String)])
+
+  /** The corpus-collapsing pass: pre-tokens with occurrence counts.
+    * The default discipline mirrors [[graft.functions.TextFunctions
+    * .tokens]] (split on a single space, empties dropped) so BPE rows
+    * share the suite's token discipline; real corpora pass a
+    * [[RegexPreTok]] (GPT-2-style spans) instead. Empty pre-tokens are
+    * dropped under every discipline.
     */
   def wordFreq(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(split(col(textCol), " ")).as("word"))
+    wordFreq(df, textCol, SpacePreTok)
+
+  def wordFreq(df: DataFrame, textCol: String, pre: PreTokenizer): DataFrame =
+    df.select(explode(pre.splitCol(col(textCol))).as("word"))
       .where(length(col("word")) > 0)
       .groupBy("word")
       .agg(count(lit(1)).cast("long").as("freq"))
@@ -120,10 +209,18 @@ object BpeTrain {
     * Same greedy semantics, same argmax tie-break — (count DESC, left,
     * right) under UTF-8 byte order, exactly Spark's string sort — so
     * the learned list is spec-pinned merge-for-merge equal to [[fit]]'s.
-    * `maxVocab` guards the collect; above it fall back to [[fit]].
+    * `maxVocab` guards the collect; above it fall back to [[fit]]. The
+    * default (8M rows) budgets for the REAL per-row driver cost — the
+    * word string plus its per-code-point symbol array plus pair-index
+    * membership, ~100-300 B/row for natural-language vocabularies, so
+    * ~1-2 GB of driver heap; raising it is a statement that the driver
+    * heap is sized for collect × that per-row weight, not just the row
+    * count (a 50M default passed the guard and then died in the collect
+    * with driver OOM — the opposite of the loud fallback this guard is
+    * for).
     */
   def fitLocal(words: DataFrame, numMerges: Int,
-               maxVocab: Long = 50000000L): Seq[(String, String)] = {
+               maxVocab: Long = 8000000L): Seq[(String, String)] = {
     require(numMerges >= 0, s"numMerges $numMerges must be >= 0")
     // one materialization serves both the guard's count and the collect —
     // upstream is typically wordFreq(corpus), the one corpus-scaled scan
@@ -372,13 +469,22 @@ object BpeTrain {
     * semantics, spec-pinned).
     */
   def tokenCounts(df: DataFrame, idCol: String, textCol: String,
-                  merges: Seq[(String, String)]): DataFrame = {
+                  merges: Seq[(String, String)]): DataFrame =
+    tokenCounts(df, idCol, textCol, BpeModel(SpacePreTok, merges))
+
+  /** [[tokenCounts]] under a full [[BpeModel]] — the loaded-artifact
+    * serving shape: the model's OWN pre-tokenization discipline splits
+    * the corpus, so a tokenizer trained under GPT-2-style spans counts
+    * under them too.
+    */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String,
+                  model: BpeModel): DataFrame = {
     val corpusWords = df
-      .select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .select(col(idCol), explode(model.preTok.splitCol(col(textCol))).as("word"))
       .where(length(col("word")) > 0)
     val segment: DataFrame => DataFrame =
-      if (merges.size > FoldMergeMax) segmentWordsScalable(_, merges)
-      else segmentWords(_, merges)
+      if (model.merges.size > FoldMergeMax) segmentWordsScalable(_, model.merges)
+      else segmentWords(_, model.merges)
     val perWord = segment(corpusWords.select("word").distinct())
       .select(col("word"), size(col("tokens")).cast("long").as("n"))
     corpusWords.join(perWord, "word")

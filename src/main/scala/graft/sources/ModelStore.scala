@@ -110,6 +110,48 @@ object ModelStore {
     rows.head.getAs[Array[Byte]](0)
   }
 
+  /** The trained-tokenizer artifact ([[graft.operators.BpeTrain]]): the
+    * ordered merge list plus the pre-tokenization discipline it was
+    * trained under, plus a format version — the one model a training
+    * pipeline re-uses most, so a merge list that dies with the JVM is
+    * not a model. Layout mirrors the other artifacts: `merges/` one row
+    * per merge (rank, left_sym, right_sym — load ordering pinned by an
+    * explicit orderBy, a parquet read has no inherent row order) and
+    * `meta/` one row (format_version, pre_tok). Strings survive parquet
+    * byte-for-byte, so a save → load round-trip is bit-identical
+    * (spec-pinned incl. astral symbols); the version gate means a future
+    * layout change fails loudly instead of mis-reading old artifacts.
+    */
+  def saveBpe(spark: SparkSession, model: graft.operators.BpeTrain.BpeModel,
+              path: String): Unit = {
+    import spark.implicits._
+    model.merges.zipWithIndex
+      .map { case ((l, r), i) => (i, l, r) }.toDF("rank", "left_sym", "right_sym")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/merges")
+    Seq((BpeFormatVersion, model.preTok.tag)).toDF("format_version", "pre_tok")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  private val BpeFormatVersion = 1
+
+  def loadBpe(spark: SparkSession,
+              path: String): graft.operators.BpeTrain.BpeModel = {
+    val meta = spark.read.parquet(s"$path/meta").collect()
+    require(meta.length == 1,
+      s"bpe model at $path: meta must be exactly 1 row, got ${meta.length}")
+    require(meta.head.getInt(0) == BpeFormatVersion,
+      s"bpe model at $path has format_version ${meta.head.getInt(0)}; this " +
+        s"engine reads version $BpeFormatVersion — refit or migrate the artifact")
+    val rows = spark.read.parquet(s"$path/merges")
+      .orderBy(col("rank")).collect()
+    require(rows.map(_.getInt(0)).toSeq == rows.indices,
+      s"bpe model at $path has non-contiguous merge ranks (a truncated " +
+        "artifact would silently skip merges)")
+    graft.operators.BpeTrain.BpeModel(
+      graft.operators.PreTokenizer.fromTag(meta.head.getString(1)),
+      rows.map(r => (r.getString(1), r.getString(2))).toIndexedSeq)
+  }
+
   /** The learned quality-filter artifact ([[graft.operators
     * .QualityClassifier]]): dim doubles + a bias, fit in the periodic
     * labeling job and folded into every scoring scan as one array literal.

@@ -177,7 +177,66 @@ class Bm25Spec extends SparkSpec {
       Bm25.compactStore(spark, dir, numFiles = 2)
     }
     assert(refuse.getMessage.contains("mid-promote"), refuse.getMessage)
+    // the READER refuses too (ADVICE r15): a serving JVM must not load a
+    // store some of whose artifacts carry a half-promoted delta
+    val refuseLoad = intercept[IllegalArgumentException] {
+      Bm25.load(spark, dir)
+    }
+    assert(refuseLoad.getMessage.contains("torn"), refuseLoad.getMessage)
     assert(marker.delete())
+  }
+
+  /** Collect an index's three artifacts as comparable value sets. */
+  private def artifacts(ix: Bm25.Index) = (
+    ix.postings.collect().map(_.toSeq).toSet,
+    ix.dfs.collect().map(_.toSeq).toSet,
+    ix.docStats.collect().map(_.toSeq).toSet)
+
+  test("tombstoneStore: delete ≡ refit for search; compact+re-add ≡ refit artifact-by-artifact") {
+    val dir = tmp("tomb")
+    Bm25.save(Bm25.fit(corpus, "doc_id", "text"), dir, numFiles = 2)
+    // delete docs 11 and 13 (and 99, absent — must no-op on the artifacts)
+    val tombstoned = Bm25.tombstoneStore(spark, dir,
+      Seq(11L, 13L, 99L).toDF("doc_id"))
+    val corrected = corpus.where($"doc_id" =!= 11L && $"doc_id" =!= 13L)
+    def search(ix: Bm25.Index) =
+      Bm25.searchIndex(ix, queries, "qid", "text", 10)
+        .collect().map(_.toSeq).toSet
+    val want = Bm25.fit(corrected, "doc_id", "text")
+    assert(search(tombstoned) == search(want) && search(want).nonEmpty,
+      "tombstoned store must answer exactly like a refit on the corrected corpus")
+    assert(artifacts(tombstoned)._2 == artifacts(want)._2, "dfs must match the refit")
+    assert(artifacts(tombstoned)._3 == artifacts(want)._3, "stats must match the refit")
+    assert(artifacts(tombstoned)._1 == artifacts(want)._1,
+      "loaded postings (lake minus tombstones) must match the refit")
+
+    // idempotence: re-tombstoning decrements nothing
+    val again = Bm25.tombstoneStore(spark, dir, Seq(11L).toDF("doc_id"))
+    assert(artifacts(again) == artifacts(want))
+
+    // re-adding a tombstoned id before compaction refuses loudly
+    val readd = Seq((11L, "banana cherry fixed")).toDF("doc_id", "text")
+    val refuse = intercept[IllegalArgumentException] {
+      Bm25.appendStore(spark, dir, readd, "text")
+    }
+    assert(refuse.getMessage.contains("compactStore first"), refuse.getMessage)
+
+    // compact retires the tombstones physically; then the corrected doc
+    // re-adds, and the store equals fit over the corrected+fixed corpus
+    val compacted = Bm25.compactStore(spark, dir, numFiles = 2)
+    assert(artifacts(compacted) == artifacts(want))
+    assert(!new java.io.File(dir, "tombstones").exists(),
+      "compaction must retire the tombstone set")
+    val reAdded = Bm25.appendStore(spark, dir, readd, "text")
+    val wantFixed = Bm25.fit(corrected.unionByName(readd), "doc_id", "text")
+    assert(artifacts(reAdded)._2 == artifacts(wantFixed)._2)
+    assert(artifacts(reAdded)._3 == artifacts(wantFixed)._3)
+    assert(artifacts(reAdded)._1 == artifacts(wantFixed)._1)
+    assert(search(reAdded) == {
+      val s = Bm25.searchIndex(wantFixed, queries, "qid", "text", 10)
+        .collect().map(_.toSeq).toSet
+      s
+    }, "delete -> compact -> re-add must equal a refit on the corrected corpus")
   }
 
   test("term prune: capped-out and disabled paths answer identically to the pruned path") {

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.BpeTrain
+import graft.operators.{BpeTrain, RegexPreTok, SpacePreTok}
 import org.apache.spark.sql.functions._
 
 /** BPE tokenizer training pinned against an INDEPENDENT driver-side
@@ -220,5 +220,84 @@ class BpeTrainSpec extends SparkSpec {
     val got = BpeTrain.wordFreq(docs, "text")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("a" -> 1L, "bb" -> 2L))
+  }
+
+  // Punctuation/unicode fixtures the synthetic corpus lacks — the regex
+  // discipline's hard cases: leading-space absorption, digit runs,
+  // punctuation runs, accents, CJK, emoji (astral), tabs/multi-space
+  // (untokenized under the lookahead-free pattern), and an empty string.
+  private val preTokFixtures = Seq(
+    "Hello, world! It's 2026.",
+    "a  b\tc", // double space and tab: separators, never tokens
+    "naïve café — über-cool… 3.14",
+    "日本語 テスト 123abc",
+    "emoji 😀😀 end", "!!!", "", "x",
+    "trailing space ", " leading")
+
+  test("RegexPreTok: Spark splitCol == driver splitLocal on punctuation/unicode fixtures") {
+    val pre = RegexPreTok(RegexPreTok.Gpt2ish)
+    val got = pre.splitCol(col("text"))
+    val rows = preTokFixtures.toDF("text").select(col("text"), got.as("toks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    preTokFixtures.foreach { t =>
+      assert(rows(t) == pre.splitLocal(t).toList,
+        s"engine/driver split divergence on ${t.map(c => f"\\u${c.toInt}%04x").mkString}")
+    }
+    // the discipline's load-bearing shapes, pinned concretely
+    assert(rows("Hello, world! It's 2026.") ==
+      List("Hello", ",", " world", "!", " It", "'", "s", " 2026", "."))
+    // whitespace never forms its own token: the space IMMEDIATELY before
+    // a span absorbs into it, any earlier whitespace in the run is skipped
+    assert(rows("a  b\tc") == List("a", " b", "c"))
+    assert(rows("emoji 😀😀 end") == List("emoji", " 😀😀", " end"))
+    assert(rows("") == Nil && rows("!!!") == List("!!!"))
+  }
+
+  test("wordFreq under RegexPreTok: leading-space vocabulary, replayed on the driver") {
+    val docs = Seq((1L, "the cat the the"), (2L, "the")).toDF("doc_id", "text")
+    val pre = RegexPreTok(RegexPreTok.Gpt2ish)
+    val got = BpeTrain.wordFreq(docs, "text", pre)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // " the" (mid-text) and "the" (text-initial) are DISTINCT entries —
+    // the GPT-2 property space-splitting destroys
+    assert(got == Map("the" -> 2L, " cat" -> 1L, " the" -> 2L))
+  }
+
+  test("tokenCounts under a BpeModel applies the model's own discipline") {
+    val docs = Seq((1L, "the the"), (2L, "cat")).toDF("doc_id", "text")
+    // in-order-exhaustive semantics: the space-prefixed chain must run
+    // BEFORE (t,h) eats the 'th' inside " the", or " the" stalls at 2
+    val merges = Seq((" ", "t"), (" t", "h"), (" th", "e"),
+      ("t", "h"), ("th", "e"))
+    val space = BpeTrain.tokenCounts(docs, "doc_id", "text",
+        BpeTrain.BpeModel(SpacePreTok, merges))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val regex = BpeTrain.tokenCounts(docs, "doc_id", "text",
+        BpeTrain.BpeModel(RegexPreTok(RegexPreTok.Gpt2ish), merges))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // space: ["the","the"] -> [the]+[the] = 2 tokens; regex: ["the"," the"]
+    // -> [the] + [ the] = 2 too, via the space-prefixed merge path;
+    // "cat" = c,a,t = 3 under both
+    assert(space == Map(1L -> 2L, 2L -> 3L))
+    assert(regex == Map(1L -> 2L, 2L -> 3L))
+    // and the 4-arg merge-list form ≡ the SpacePreTok model form
+    val legacy = BpeTrain.tokenCounts(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(legacy == space)
+  }
+
+  test("assertBpeOracleReplayable: gate list passes, left-suffix-of-composite rejects") {
+    // the live gate list's shape passes (it is defined THROUGH the guard)
+    Queries.assertBpeOracleReplayable(
+      Seq(("t", "h"), ("th", "e"), ("g", "g"), ("a", "r")))
+    // left == an earlier composite is the legal composite-left case
+    Queries.assertBpeOracleReplayable(Seq(("a", "b"), ("ab", "c")))
+    // (t,h) then (h,e): engine on "the" keeps [th, e] (no 'h' symbol
+    // remains) but the right-boundary-only oracle replace would fuse
+    // "th␟e␟" -> "the␟" — exactly the divergence the guard must reject
+    val ex = intercept[IllegalArgumentException] {
+      Queries.assertBpeOracleReplayable(Seq(("t", "h"), ("h", "e")))
+    }
+    assert(ex.getMessage.contains("proper suffix"))
   }
 }

@@ -121,4 +121,43 @@ class ModelStoreSpec extends SparkSpec {
     assert(TextDedup.contaminationBloomWith(corpus, "text", "doc_id", 3,
       ModelStore.loadBloom(spark, dirN)).count() == 0)
   }
+
+  test("BPE model: round-trip bit-exact incl. astral symbols and discipline tag") {
+    import graft.operators.{BpeTrain, PreTokenizer, RegexPreTok, SpacePreTok}
+    // astral + combining + space-prefixed symbols: the strings a GPT-2-
+    // style vocabulary actually contains, round-tripped byte-for-byte
+    val merges = Seq(("t", "h"), ("th", "e"), (" ", "😀"),
+      ("é", "s"), (" th", "e"))
+    val m = BpeTrain.BpeModel(RegexPreTok(RegexPreTok.Gpt2ish), merges)
+    val dir = tmp("bpe")
+    ModelStore.saveBpe(spark, m, dir)
+    val loaded = ModelStore.loadBpe(spark, dir)
+    assert(loaded.merges == merges, "merge list must survive in order, bit-exact")
+    assert(loaded.preTok == m.preTok, "discipline must round-trip")
+    // the loaded model SEGMENTS identically (the serving contract)
+    val words = Seq("the", " the", "és", " 😀x").toDF("word")
+    def seg(mm: BpeTrain.BpeModel) =
+      BpeTrain.segmentWords(words, mm.merges)
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(seg(loaded) == seg(m) && seg(m)("the") == List("the"))
+
+    // space-discipline tag + empty merge list (char-level tokenizer) load too
+    val dir2 = tmp("bpe_empty")
+    ModelStore.saveBpe(spark, BpeTrain.BpeModel(SpacePreTok, Nil), dir2)
+    val l2 = ModelStore.loadBpe(spark, dir2)
+    assert(l2.preTok == SpacePreTok && l2.merges.isEmpty)
+
+    // unknown tags and truncated rank sequences fail loudly, not quietly
+    assert(intercept[IllegalArgumentException](
+      PreTokenizer.fromTag("bytes")).getMessage.contains("unknown"))
+    val dir3 = tmp("bpe_trunc")
+    ModelStore.saveBpe(spark, m, dir3)
+    spark.read.parquet(s"$dir3/merges").where($"rank" =!= 2)
+      .write.mode("overwrite").parquet(s"$dir3/merges2")
+    val fs = new java.io.File(s"$dir3/merges")
+    fs.listFiles().foreach(_.delete()); fs.delete()
+    new java.io.File(s"$dir3/merges2").renameTo(fs)
+    assert(intercept[IllegalArgumentException](
+      ModelStore.loadBpe(spark, dir3)).getMessage.contains("non-contiguous"))
+  }
 }
