@@ -169,6 +169,74 @@ object Bench {
     }.mkString("{", ",", "}")
   } catch { case _: Throwable => "{}" }
 
+  /** Hybrid TEXT retrieval throughput ([[graft.serving
+    * .HybridSearchService]]): concurrent clients POSTing query strings to
+    * /hybrid — per request a pushed-In(term) BM25 probe of the persisted
+    * store + a cached-index cosine probe + RRF, the r4 pipeline on the
+    * wire. Smaller burst than the vector path (each request is two Spark
+    * jobs plus fusion); bench_detail only.
+    */
+  private def hybridRps(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): String = try {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.where(col("doc_id") >= 3)
+      .select(col("doc_id"), col("text"))
+    val queryTexts = docs.where(col("doc_id") < 8)
+      .select(col("text")).collect().map(_.getString(0))
+    val dir = graft.sources.TempDirs.register(
+      s"/tmp/graft_bench_hybrid_${ProcessHandle.current().pid()}")
+    graft.operators.Bm25.save(
+      graft.operators.Bm25.fit(corpus, "doc_id", "text"), dir)
+    val svc = new graft.serving.HybridSearchService(
+      corpus, "doc_id", "text", dir, k = 10, fetchK = 20,
+      maxReqPerSec = Int.MaxValue) // measure capacity, not the limiter
+    val port = svc.start(0)
+    try {
+      def post(body: Array[Byte]): Int = {
+        val conn = new java.net.URL(s"http://127.0.0.1:$port/hybrid")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        conn.setFixedLengthStreamingMode(body.length)
+        conn.getOutputStream.write(body)
+        conn.getOutputStream.close()
+        val code = conn.getResponseCode
+        val in = if (code < 400) conn.getInputStream else conn.getErrorStream
+        if (in != null) { in.readAllBytes(); in.close() }
+        code
+      }
+      val bodies = queryTexts.map(_.getBytes("UTF-8"))
+      bodies.take(2).foreach(post) // warm plan + HTTP path
+      val nThreads = 4
+      val perThread = 10
+      val lat = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
+      val errs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val t0 = System.nanoTime()
+      val threads = (0 until nThreads).map { t =>
+        new Thread(() => {
+          var i = 0
+          while (i < perThread) {
+            val s = System.nanoTime()
+            if (post(bodies((t * perThread + i) % bodies.length)) != 200)
+              errs.incrementAndGet()
+            lat.add((System.nanoTime() - s) / 1e6)
+            i += 1
+          }
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      val wall = (System.nanoTime() - t0) / 1e9
+      val times = {
+        import scala.jdk.CollectionConverters._
+        lat.asScala.map(_.doubleValue).toIndexedSeq
+      }
+      def f1(d: Double) = "%.1f".formatLocal(java.util.Locale.ROOT, d)
+      s"""{"rps":${f1(nThreads * perThread / wall)},"p95_ms":${f1(percentile(times, 0.95))},"clients":$nThreads,"n":${nThreads * perThread},"errors":${errs.get()}}"""
+    } finally svc.stop()
+  } catch { case _: Throwable => "{}" }
+
   /** Ingest throughput against BASELINE.md's derived target ("≥ 12
     * fps-equivalent per core", the hasher.js:129-130 analog) — the one
     * baseline number no bench row measured (VERDICT r10 #4). Real work
@@ -449,6 +517,7 @@ object Bench {
         s""","gc_ms":$gcJson""" +
         s""","serving_ms":${servingLatency(spark, sfDir)}""" +
         s""","serving_rps":${servingRps(spark, sfDir)}""" +
+        s""","hybrid_rps":${hybridRps(spark, sfDir)}""" +
         s""","nprobe_curve":${nprobeCurve(spark, sfDir)}""" +
         scaling +
         s""","bpe_apply":${bpeApply(spark)}""" +

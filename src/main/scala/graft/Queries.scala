@@ -405,6 +405,52 @@ object Queries {
       .select($"vec_id", round($"score", 6).as("score"))
   }
 
+  // Incrementally-GROWN IVF lake fixture: 4/5 of the base vectors written
+  // as the partitioned lake under the axis-block model (the nightly
+  // build), the remaining 1/5 assign-appended under the SAME fixed
+  // centroids ([[IvfIndex.appendToLake]] — the delta-sized daily job, no
+  // refit, no lake rewrite). Built once per (session, sf, source version);
+  // the gate row times the PROBE over the at-rest grown lake.
+  private val ivfAppendStage = new operators.SessionCache[String]
+  private def ensureIvfAppendLake(s: SparkSession, d: String): String =
+    ivfAppendStage.getOrBuild(
+      s"${operators.SessionCache.token(s)}#$d#${sourceTag(d, "embeddings.parquet")}") {
+      import s.implicits._
+      val pathTag = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val dir = graft.sources.TempDirs.register(
+        s"/tmp/graft_ivf_append_${ProcessHandle.current().pid()}_" +
+          s"${operators.SessionCache.token(s).take(8)}_$pathTag")
+      val e = Tables.embeddings(s, d)
+      val model = axisBlockIvfModel(e.select(size($"embedding")).head().getInt(0))
+      IvfIndex.write(IvfIndex.assign(
+        e.where($"vec_id" =!= 0 && $"vec_id" % 5 =!= 1), "embedding", model), dir)
+      IvfIndex.appendToLake(
+        e.where($"vec_id" =!= 0 && $"vec_id" % 5 === 1), "embedding", model, dir)
+      dir
+    }
+
+  /** C8-IVF-APPEND — incremental index maintenance under c8_ann_ivf_det's
+    * oracle VERBATIM (the e2i/r5 one-oracle-two-plans trick): the lake
+    * was built from 4/5 of the vectors and GROWN by [[graft.operators
+    * .IvfIndex.appendToLake]] (assign-only insert under the fixed
+    * centroids — the daily job whose cost is the delta, closing the
+    * build/maintenance split behind r2's linear build decade), and the
+    * nprobe-pruned probe over the grown lake must hash-match the
+    * replay over ALL vectors. The probe's `cluster_id IN` filter is
+    * partition pruning over base and delta files alike.
+    */
+  val c8AnnIvfAppend: Q = (s, d) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val q = e.where($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val model = axisBlockIvfModel(q.length)
+    val indexed = s.read.parquet(ensureIvfAppendLake(s, d))
+    IvfIndex.search(indexed, model, "embedding", "vec_id", q, 15, nprobe = 3)
+      .select($"vec_id", round($"score", 6).as("score"))
+  }
+
   /** C8-SQ8-DET — the reference's ACTUAL serving plan (Milvus IVF_SQ8,
     * searcher.js:99-110) fully composed UNDER THE HASH GATE: deterministic
     * axis-block IVF assignment + centroid ranking + nprobe prune
@@ -3159,6 +3205,39 @@ object Queries {
         |  FROM cl WHERE cluster IN (SELECT cl FROM pr))
         |SELECT vec_id, round(score_raw, 6) AS score FROM sc
         |ORDER BY score_raw DESC, vec_id LIMIT 15""".stripMargin,
+    // c8_ann_ivf_det's oracle VERBATIM: the engine plan probes a lake
+    // grown by assign-only appendToLake under the same fixed centroids,
+    // and the grown lake must answer exactly like assign-over-everything
+    "c8_ann_ivf_append" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |qb AS (SELECT [list_sum(list_transform(qv[1:8], x -> x::DOUBLE)),
+        |   list_sum(list_transform(qv[9:16], x -> x::DOUBLE)),
+        |   list_sum(list_transform(qv[17:24], x -> x::DOUBLE)),
+        |   list_sum(list_transform(qv[25:32], x -> x::DOUBLE)),
+        |   list_sum(list_transform(qv[33:40], x -> x::DOUBLE)),
+        |   list_sum(list_transform(qv[41:48], x -> x::DOUBLE)),
+        |   list_sum(list_transform(qv[49:56], x -> x::DOUBLE)),
+        |   list_sum(list_transform(qv[57:64], x -> x::DOUBLE))] AS s FROM q),
+        |pr AS (SELECT CAST(block AS INT) AS cl FROM (
+        |   SELECT unnest(s) AS bs, unnest(generate_series(0, 7)) AS block FROM qb)
+        |   ORDER BY bs DESC, block ASC LIMIT 3),
+        |bs AS (SELECT vec_id, embedding,
+        |  [list_sum(list_transform(embedding[1:8], x -> x::DOUBLE)),
+        |   list_sum(list_transform(embedding[9:16], x -> x::DOUBLE)),
+        |   list_sum(list_transform(embedding[17:24], x -> x::DOUBLE)),
+        |   list_sum(list_transform(embedding[25:32], x -> x::DOUBLE)),
+        |   list_sum(list_transform(embedding[33:40], x -> x::DOUBLE)),
+        |   list_sum(list_transform(embedding[41:48], x -> x::DOUBLE)),
+        |   list_sum(list_transform(embedding[49:56], x -> x::DOUBLE)),
+        |   list_sum(list_transform(embedding[57:64], x -> x::DOUBLE))] AS s
+        |  FROM embeddings WHERE vec_id <> 0),
+        |cl AS (SELECT vec_id, embedding, CAST(list_indexof(s, list_max(s)) - 1 AS INT) AS cluster FROM bs),
+        |sc AS (SELECT vec_id,
+        |  list_sum(list_transform(list_zip(embedding, (SELECT qv FROM q)),
+        |    x -> x[1]::DOUBLE * x[2]::DOUBLE))::DOUBLE AS score_raw
+        |  FROM cl WHERE cluster IN (SELECT cl FROM pr))
+        |SELECT vec_id, round(score_raw, 6) AS score FROM sc
+        |ORDER BY score_raw DESC, vec_id LIMIT 15""".stripMargin,
     "c8_batch_ivf_det" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3),
         |qb AS (SELECT qid, qv,
@@ -4872,6 +4951,7 @@ object Queries {
     "c8_batch_topk" -> c8BatchTopK,
     "c8_batch_ivf_det" -> c8BatchIvfDet,
     "c8_ann_ivf_det" -> c8AnnIvfDet,
+    "c8_ann_ivf_append" -> c8AnnIvfAppend,
     "c8_ann_ivfsq8_det" -> c8AnnIvfSq8Det,
     "c8_ann_ivfpq_det" -> c8AnnIvfPqDet,
     "q1_pricing_agg" -> q1PricingAgg,

@@ -392,6 +392,54 @@ object ScalingBench {
         o
       }
 
+    // IVF build-vs-maintenance decades (VERDICT r15 #4): r2's 100×
+    // ratio is dominated by the index BUILD (linear in the corpus by
+    // design — every vector is assigned once), while the daily job is
+    // [[IvfIndex.appendToLake]]: assign-only insert of the delta under
+    // the FIXED served centroids. build_s = assign+write of the full
+    // partitioned lake; append_s = assign+append of a CONSTANT
+    // 2000-vector delta into that lake (min-of-2). The claim this
+    // section pins: build grows ~linearly with the corpus, append stays
+    // flat at the delta's size plus the job floor, and serving rides the
+    // `ann` section's flat probe curve — the build/maintain/probe
+    // three-way split a 100 TB dense-retrieval corpus budgets, the way
+    // `bm25_probe` pins it for sparse.
+    val ivfMaint = prior.flatMap(p => Option(p.get("ivf_maintenance")))
+      .collect { case o: ObjectNode => o.deepCopy() }
+      .getOrElse {
+        import graft.operators.IvfIndex
+        val o = om.createObjectNode()
+        val pts = o.putArray("points")
+        val emb0 = spark.read.parquet(s"$sf01/embeddings.parquet")
+        val model = Queries.axisBlockIvfModel(
+          emb0.select(size(col("embedding"))).head.getInt(0))
+        // constant delta: the sf0.1 vectors under collision-free ids
+        val delta = emb0.select(
+          (col("vec_id") + lit(5000000000L)).as("vec_id"), col("embedding"))
+        Seq(10, 100, 1000).foreach { c =>
+          val src = s"target/scaling/emb$c/embeddings.parquet"
+          val lake = s"target/scaling/ivfmaint$c"
+          deleteDir(java.nio.file.Paths.get(lake))
+          val t0 = System.nanoTime()
+          IvfIndex.write(
+            IvfIndex.assign(spark.read.parquet(src), "embedding", model), lake)
+          val build = (System.nanoTime() - t0) / 1e9
+          def appendOnce(): Double = {
+            val t1 = System.nanoTime()
+            IvfIndex.appendToLake(delta, "embedding", model, lake)
+            (System.nanoTime() - t1) / 1e9
+          }
+          appendOnce() // warm the append plan like every other section
+          val append = (0 until 2).map(_ => appendOnce()).min
+          val rows = spark.read.parquet(src).count()
+          println(f"[scaling] ivf_maintenance x$c: rows=$rows build ${build}%.2f s append ${append}%.2f s")
+          val pt = pts.addObject()
+          pt.put("scale", c); pt.put("rows", rows)
+          pt.put("build_s", r2(build)); pt.put("append_s", r2(append))
+        }
+        o
+      }
+
     // Driver-local BPE training decades: fitLocal's claim is that the
     // K-merge loop over the COLLECTED vocabulary runs at memory speed
     // with incremental pair maintenance — so wall should grow with the
@@ -442,6 +490,7 @@ object ScalingBench {
     root.set[ObjectNode]("queries", queries)
     root.set[ObjectNode]("ann", ann)
     root.set[ObjectNode]("bm25_probe", bm25Probe)
+    root.set[ObjectNode]("ivf_maintenance", ivfMaint)
     root.set[ObjectNode]("bpe_train", bpeTrain)
     root.set[ObjectNode]("stream_state", streamState)
     val json = om.writeValueAsString(root)

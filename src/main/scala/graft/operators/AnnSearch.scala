@@ -284,6 +284,27 @@ object IvfIndex {
   def write(indexed: DataFrame, path: String): Unit =
     indexed.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
 
+  /** Incremental maintenance for a [[write]]-laid lake: assign NEW
+    * vectors under the FIXED, already-served centroids and append them
+    * into the partition layout — the daily job, delta-sized end to end
+    * (one narrow assignment scan of the delta + a partitioned append;
+    * the lake's existing files are untouched, and the serving probe's
+    * `cluster_id IN` partition pruning sees base and delta files alike).
+    * This is Milvus's growing-segment insert under a sealed index: the
+    * centroids do NOT refit — cluster balance drifts as the distribution
+    * does, and the PERIODIC full rebuild ([[build]] + [[write]], the
+    * nightly job) re-fits and absorbs the drift. Appending is therefore
+    * exactly `write(assign(base ∪ delta))` under the same model, file
+    * layout aside — IvfSpec pins that equivalence and the
+    * c8_ann_ivf_append gate row drives it under c8_ann_ivf_det's oracle
+    * verbatim. New ids must be genuinely new (same contract as every
+    * lake append); dedup upstream owns that.
+    */
+  def appendToLake(rows: DataFrame, vecCol: String, model: Model,
+                   path: String): Unit =
+    assign(rows, vecCol, model)
+      .write.mode("append").partitionBy("cluster_id").parquet(path)
+
   // Session-scoped registry of built indexes. Index construction is a
   // PERIODIC JOB by design (SURVEY §3.2 — the reference builds its Milvus
   // index out of band, searcher.js:99-110 measures only the probe), so a

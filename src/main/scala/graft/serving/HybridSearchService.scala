@@ -1,0 +1,166 @@
+package graft.serving
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.operators.{AnnSearch, Bm25, ChunkEmbed, VectorMetric}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** TEXT retrieval serving — the hybrid (sparse + dense) half of the
+  * serving surface beside [[SearchService]]'s vector search, per
+  * [[Bm25]]'s own contract that production retrieval serves BOTH and
+  * fuses ranks: `POST /hybrid` with a UTF-8 query string → BM25 top-fetchK
+  * over a PERSISTED term-pruned store + hashed-embedding cosine top-fetchK
+  * over the cached doc-embedding index → reciprocal-rank fusion → top-k
+  * JSON envelope (the r4 gate row's exact pipeline, on the wire).
+  * `POST /keyword` serves the sparse ranker alone (r3/r5's shape).
+  *
+  * Serving shape, per request:
+  *  - sparse: [[Bm25.searchIndex]] over the [[Bm25.load]]ed artifact —
+  *    the query's terms push into the postings lake as `In(term)`, so
+  *    request IO is Σ_t df(t) over the query's handful of terms, never
+  *    the lake (the bm25_probe scaling table's flat curve IS this path);
+  *  - dense: [[AnnSearch.batchTopK]] cosine over the doc-grain
+  *    [[ChunkEmbed.docEmbed]] index, cached at construction (C9
+  *    collection load) — the exact anchor; a corpus past RAM swaps this
+  *    leg for the IVF-pruned lake exactly like [[SearchService]] does;
+  *  - fusion: [[Bm25.rrf]] over the two truncated top-fetchK lists —
+  *    nothing corpus-sized touches it.
+  *
+  * The protective surface mirrors [[SearchService]] (and the reference's
+  * searcher): request-body cap → 413, token-bucket admission → 429,
+  * anything thrown → 501. Queries whose terms miss the corpus entirely
+  * still answer from the dense leg; empty/blank bodies answer 400.
+  */
+class HybridSearchService(
+    corpus: DataFrame,
+    idCol: String,
+    textCol: String,
+    /** A [[Bm25.save]]d store dir — the nightly artifact; serving never
+      * refits. */
+    bm25Dir: String,
+    k: Int = 10,
+    fetchK: Int = 20,
+    dim: Int = 64,
+    maxBodyBytes: Long = 1 << 20, // queries are text: 1 MB is generous
+    maxReqPerSec: Int = 100) {
+
+  require(k >= 1 && fetchK >= k, s"need 1 <= k <= fetchK, got k=$k fetchK=$fetchK")
+  private val spark = corpus.sparkSession
+
+  // ---- collection load (C9): the sparse artifact boots via load() (lazy
+  // lake scans + 1-row stats); the dense doc-embedding index materializes
+  // hot, the same cache-and-count discipline as SearchService.
+  private val bm25 = Bm25.load(spark, bm25Dir)
+  require(bm25.idCol == idCol,
+    s"store at $bm25Dir indexes '${bm25.idCol}', service configured for '$idCol'")
+  private val denseIndex = ChunkEmbed.docEmbed(corpus, idCol, textCol, dim).cache()
+  denseIndex.count()
+
+  /** The per-request batch plan for a query string — public so specs can
+    * compare it against the r4 batch pipeline and `.explain` what a
+    * request runs. qid is fixed 0: one request, one query.
+    */
+  def hybridFrame(query: String): DataFrame = {
+    import spark.implicits._
+    val q = Seq((0L, query)).toDF("qid", textCol)
+    val sparse = Bm25.searchIndex(bm25, q, "qid", textCol, fetchK)
+    val dense = AnnSearch.batchTopK(
+      denseIndex, "emb", idCol,
+      ChunkEmbed.docEmbed(q, "qid", textCol, dim), "qid", "emb",
+      fetchK, VectorMetric.Cosine)
+    Bm25.rrf(Seq(sparse, dense), "qid", idCol, "rank", k)
+      .orderBy(col("rank"))
+  }
+
+  /** Sparse-only per-request plan (the /keyword route). */
+  def keywordFrame(query: String): DataFrame = {
+    import spark.implicits._
+    val q = Seq((0L, query)).toDF("qid", textCol)
+    Bm25.searchIndex(bm25, q, "qid", textCol, k).orderBy(col("rank"))
+  }
+
+  def search(query: String): Seq[Row] = hybridFrame(query).collect().toIndexedSeq
+  def searchKeyword(query: String): Seq[Row] =
+    keywordFrame(query).collect().toIndexedSeq
+
+  /** Same envelope family as [[SearchService.toJson]]: docs carry the id,
+    * the 0-based rank and the fused (or BM25) score.
+    */
+  private def toJson(docs: Seq[Row], scoreName: String): String = {
+    val ds = docs.map { r =>
+      s"""{"$idCol":${jsonValue(r.get(2))},"rank":${r.getLong(1)},""" +
+        s""""$scoreName":${jsonValue(r.get(3))}}"""
+    }.mkString(",")
+    s"""{"RawDocsCount":"${docs.size}","response":{"docs":[$ds]}}"""
+  }
+
+  private def jsonValue(v: Any): String = v match {
+    case null                => "null"
+    case s: String           => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    case n: java.lang.Number => n.toString
+    case other               => jsonValue(other.toString)
+  }
+
+  // the same continuously-refilled token bucket as SearchService
+  private var tokens: Double = maxReqPerSec.toDouble
+  private var lastRefill: Long = System.nanoTime()
+  private def admit(): Boolean = synchronized {
+    val now = System.nanoTime()
+    tokens = math.min(maxReqPerSec.toDouble,
+      tokens + (now - lastRefill) / 1e9 * maxReqPerSec)
+    lastRefill = now
+    if (tokens >= 1.0) { tokens -= 1.0; true } else false
+  }
+
+  private var server: HttpServer = _
+  private var pool: java.util.concurrent.ExecutorService = _
+
+  def start(port: Int): Int = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+    server.setExecutor(pool)
+    def route(path: String, run: String => Seq[Row], scoreName: String): Unit =
+      server.createContext(path, (ex: HttpExchange) => {
+        try {
+          if (ex.getRequestMethod != "POST")
+            respond(ex, 405, """{"error":"POST only"}""")
+          else if (!admit())
+            respond(ex, 429, """{"error":"rate limit exceeded"}""")
+          else {
+            val bytes = ex.getRequestBody.readNBytes(maxBodyBytes.toInt + 1)
+            if (bytes.length > maxBodyBytes)
+              respond(ex, 413, """{"error":"body too large"}""")
+            else {
+              val q = new String(bytes, StandardCharsets.UTF_8)
+              if (q.trim.isEmpty) respond(ex, 400, """{"error":"empty query"}""")
+              else respond(ex, 200, toJson(run(q), scoreName))
+            }
+          }
+        } catch {
+          case e: Exception =>
+            respond(ex, 501, s"""{"error":"${e.getClass.getSimpleName}"}""")
+        }
+      })
+    route("/hybrid", search, "rrf")
+    route("/keyword", searchKeyword, "score")
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = {
+    if (server != null) server.stop(0)
+    if (pool != null) pool.shutdown()
+    denseIndex.unpersist()
+  }
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val b = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.add("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, b.length.toLong)
+    ex.getResponseBody.write(b)
+    ex.close()
+  }
+}

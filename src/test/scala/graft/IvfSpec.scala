@@ -47,4 +47,30 @@ class IvfSpec extends SparkSpec {
     assert(top.length == 10)
     assert(top.map(-_._2) == top.map(-_._2).sorted) // descending scores
   }
+
+  test("appendToLake: grown lake ≡ rebuild under the fixed centroids, row for row") {
+    val e = Tables.embeddings(spark, Sf0001)
+    val q = e.where($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val base = e.where($"vec_id" =!= 0 && $"vec_id" % 3 =!= 1)
+    val delta = e.where($"vec_id" =!= 0 && $"vec_id" % 3 === 1)
+    val (_, model) = IvfIndex.build(base, "embedding", nlist = 8)
+    val pid = ProcessHandle.current().pid()
+    val grown = graft.sources.TempDirs.register(s"/tmp/graft_ivfappend_${pid}_grown")
+    val rebuilt = graft.sources.TempDirs.register(s"/tmp/graft_ivfappend_${pid}_rebuilt")
+    IvfIndex.write(IvfIndex.assign(base, "embedding", model), grown)
+    IvfIndex.appendToLake(delta, "embedding", model, grown)
+    // the periodic full rebuild under the SAME centroids — append must be
+    // indistinguishable from it, file layout aside
+    IvfIndex.write(IvfIndex.assign(base.unionByName(delta), "embedding", model), rebuilt)
+    def rows(dir: String) = spark.read.parquet(dir)
+      .select($"vec_id", $"cluster_id", $"embedding")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2))).toSet
+    assert(rows(grown) == rows(rebuilt) && rows(grown).nonEmpty)
+    // and the pruned probe over the grown lake answers like the rebuild
+    def probe(dir: String) = IvfIndex.search(
+        spark.read.parquet(dir), model, "embedding", "vec_id", q, 15, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probe(grown) == probe(rebuilt))
+  }
 }
