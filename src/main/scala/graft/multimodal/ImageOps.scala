@@ -1093,15 +1093,30 @@ object ImageOps {
          else ""))
 
   /** One `algo` string → one row function, for BOTH ingest and serving:
-    * the in-engine [[descriptors]] registry first, then the `ad` route
-    * through the configured LIRE jar ([[LireBridge]]). The jar path is
-    * resolved HERE, on the driver, so the returned closure captures a
-    * concrete path string rather than re-reading executor-side config.
+    * the in-engine [[descriptors]] registry by default; `ad` always goes
+    * through the configured LIRE jar ([[LireBridge]] — no in-engine
+    * ACCID exists); and any code listed in [[LireBridge.routedAlgos]]
+    * (the `graft.lire.route` config) ALSO routes through the jar, so a
+    * deployment migrating an existing LIRE-built index serves every code
+    * bit-identically to its old features instead of refitting
+    * (LireBridgeSpec pins routed-vs-jar parity per code, including the
+    * cl case where the jar's dimensionality differs from the engine's).
+    * The jar path and route set are resolved HERE, on the driver, so the
+    * returned closure captures concrete strings rather than re-reading
+    * executor-side config.
     */
   def resolve(algo: String): Array[Byte] => Array[Float] = {
     requireAlgo(algo)
-    descriptors.getOrElse(algo,
-      LireBridge.extractor(LireBridge.configuredJar.get))
+    val viaJar = algo == "ad" || LireBridge.routedAlgos.contains(algo)
+    if (!viaJar) descriptors(algo)
+    else {
+      require(LireBridge.configuredJar.isDefined,
+        s"descriptor '$algo' is routed through a LIRE jar " +
+          "(graft.lire.route) but no jar is configured — set " +
+          "SPARK_GRAFT_LIRE_JAR or the graft.lire.jar system property")
+      LireBridge.extractor(LireBridge.configuredJar.get,
+        LireBridge.ClassFor(algo))
+    }
   }
 
   /** [[describeImages]] resolved through [[resolve]] —

@@ -31,8 +31,36 @@ import java.util.concurrent.ConcurrentHashMap
   */
 object LireBridge {
 
+  private val Pkg = "net.semanticmetadata.lire.imageanalysis.features.global."
+
   /** FQCN of ACCID in a standard LIRE build (and in the reference's jar). */
-  val AccidClass = "net.semanticmetadata.lire.imageanalysis.features.global.ACCID"
+  val AccidClass: String = Pkg + "ACCID"
+
+  /** The reference hasher's full 12-code whitelist (`hasher.js:28-49`)
+    * mapped to each code's class in a standard LIRE build — probed
+    * empirically against the snapshot's own jar (JointHistogram lives in
+    * the `joint` subpackage; every class constructs, extracts and answers
+    * `getFeatureVector` as a `double[]`). With [[routedAlgos]] this lets
+    * a migrating deployment serve ANY code bit-identically to its
+    * existing LIRE-built index: the engine's own implementations are
+    * honest paper-derived reimplementations whose features (and for some
+    * codes DIMENSIONS — the engine's compact cl is 12 values, LIRE's
+    * ColorLayout getFeatureVector is 33) differ from the jar's, so
+    * cross-system index migration without a refit requires the jar route.
+    */
+  val ClassFor: Map[String, String] = Map(
+    "cl" -> (Pkg + "ColorLayout"),
+    "eh" -> (Pkg + "EdgeHistogram"),
+    "jc" -> (Pkg + "JCD"),
+    "oh" -> (Pkg + "OpponentHistogram"),
+    "ph" -> (Pkg + "PHOG"),
+    "ac" -> (Pkg + "AutoColorCorrelogram"),
+    "ad" -> (Pkg + "ACCID"),
+    "ce" -> (Pkg + "CEDD"),
+    "fc" -> (Pkg + "FuzzyColorHistogram"),
+    "fo" -> (Pkg + "FuzzyOpponentHistogram"),
+    "jh" -> (Pkg + "joint.JointHistogram"),
+    "sc" -> (Pkg + "ScalableColor"))
 
   /** The configured jar path, if any. System property wins (tests, spark
     * conf spill-through); env var is the operational route.
@@ -40,6 +68,30 @@ object LireBridge {
   def configuredJar: Option[String] =
     sys.props.get("graft.lire.jar").filter(_.nonEmpty)
       .orElse(sys.env.get("SPARK_GRAFT_LIRE_JAR").filter(_.nonEmpty))
+
+  /** Codes [[ImageOps.resolve]] routes through the configured jar INSTEAD
+    * of the in-engine registry: the `graft.lire.route` system property,
+    * else the `SPARK_GRAFT_LIRE_ROUTE` env var — a comma list of codes,
+    * or `*` for the whole whitelist. Empty/unset routes nothing (`ad`
+    * still goes through the jar by necessity — there is no in-engine
+    * ACCID). Unknown codes fail loudly at resolve time, not as a silent
+    * fall-through to a DIFFERENT descriptor implementation.
+    */
+  def routedAlgos: Set[String] = {
+    val raw = sys.props.get("graft.lire.route").filter(_.nonEmpty)
+      .orElse(sys.env.get("SPARK_GRAFT_LIRE_ROUTE").filter(_.nonEmpty))
+    raw match {
+      case None      => Set.empty
+      case Some("*") => ClassFor.keySet
+      case Some(s) =>
+        val codes = s.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = codes -- ClassFor.keySet
+        require(unknown.isEmpty,
+          s"lire route: unknown codes ${unknown.toSeq.sorted.mkString(", ")} " +
+            s"(the whitelist is ${ClassFor.keys.toSeq.sorted.mkString(", ")})")
+        codes
+    }
+  }
 
   // Per-JVM caches: one classloader per jar path, one reflective handle
   // set per (jar, class). ConcurrentHashMap.computeIfAbsent gives the

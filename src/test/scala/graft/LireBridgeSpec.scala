@@ -129,6 +129,83 @@ class LireBridgeSpec extends SparkSpec {
     assert(viaBridge == gold, "bridge must reproduce the jar's own ACCID bit-for-bit")
   }
 
+  private def withRoute[A](route: String)(body: => A): A = {
+    val prev = sys.props.get("graft.lire.route")
+    sys.props("graft.lire.route") = route
+    try body
+    finally prev match {
+      case Some(v) => sys.props("graft.lire.route") = v
+      case None    => sys.props.remove("graft.lire.route")
+    }
+  }
+
+  /** Fresh-classloader replay of `fqcn` over `bytes` — the gold the
+    * routed bridge must reproduce bit-for-bit (no shared loader state).
+    */
+  private def jarGold(fqcn: String, bytes: Array[Byte]): Vector[Float] = {
+    val cl = new java.net.URLClassLoader(
+      Array(new java.io.File(LireJar).toURI.toURL), getClass.getClassLoader)
+    val cls = Class.forName(fqcn, true, cl)
+    val inst = cls.getDeclaredConstructor().newInstance().asInstanceOf[AnyRef]
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    cls.getMethod("extract", classOf[java.awt.image.BufferedImage]).invoke(inst, img)
+    cls.getMethod("getFeatureVector").invoke(inst)
+      .asInstanceOf[Array[Double]].map(_.toFloat).toVector
+  }
+
+  test("routed descriptors match a fresh-classloader jar replay; cl shows the migration dims gap (gated)") {
+    assume(new java.io.File(LireJar).isFile, "reference lire.jar not present — skipping")
+    withJar {
+      withRoute("cl,ph,jh") {
+        // parity matrix: the ROUTED resolve must reproduce the jar's own
+        // features exactly, per code, on both fixture images
+        Seq("cl", "ph", "jh").foreach { code =>
+          val fn = ImageOps.resolve(code)
+          Seq(imgA, imgB).foreach { img =>
+            val got = Option(fn(img)).map(_.toVector)
+            val gold = jarGold(graft.multimodal.LireBridge.ClassFor(code), img)
+            assert(got.contains(gold), s"routed '$code' diverged from the jar")
+          }
+        }
+        // the case that makes routing MANDATORY for migration: the jar's
+        // ColorLayout emits a different dimensionality than the engine's
+        // compact cl — a migrated index cannot be served by the in-engine
+        // implementation at all
+        val routedCl = ImageOps.resolve("cl")(imgA)
+        val engineCl = ImageOps.descriptors("cl")(imgA)
+        assert(routedCl.length == 33 && engineCl.length == 12,
+          s"expected jar cl=33 dims vs engine cl=12, got ${routedCl.length}/${engineCl.length}")
+        // un-routed codes keep the in-engine implementation
+        val engineEh = ImageOps.resolve("eh")(imgA)
+        assert(engineEh.toVector == ImageOps.descriptors("eh")(imgA).toVector)
+      }
+    }
+  }
+
+  test("route config guards: unknown codes and route-without-jar fail loudly") {
+    withRoute("cl,zz") {
+      val e = intercept[IllegalArgumentException] {
+        graft.multimodal.LireBridge.routedAlgos
+      }
+      assert(e.getMessage.contains("zz"), e.getMessage)
+    }
+    val prevJar = sys.props.get("graft.lire.jar")
+    sys.props.remove("graft.lire.jar")
+    try {
+      assume(!sys.env.contains("SPARK_GRAFT_LIRE_JAR"),
+        "env configures a jar — unconfigured posture not testable here")
+      withRoute("cl") {
+        val e = intercept[IllegalArgumentException] { ImageOps.resolve("cl") }
+        assert(e.getMessage.contains("no jar is configured"), e.getMessage)
+      }
+    } finally prevJar.foreach(v => sys.props("graft.lire.jar") = v)
+    // "*" routes the whole whitelist
+    withRoute("*") {
+      assert(graft.multimodal.LireBridge.routedAlgos ==
+        graft.multimodal.LireBridge.ClassFor.keySet)
+    }
+  }
+
   test("serving end-to-end: ingest under ad, search returns the query image itself (gated)") {
     assume(new java.io.File(LireJar).isFile, "reference lire.jar not present — skipping")
     withJar {
