@@ -416,7 +416,18 @@ object ScalingBench {
         // constant delta: the sf0.1 vectors under collision-free ids
         val delta = emb0.select(
           (col("vec_id") + lit(5000000000L)).as("vec_id"), col("embedding"))
-        Seq(10, 100, 1000).foreach { c =>
+        // warm the assign+write path once (JIT + codegen + committer
+        // classes) so the smallest decade isn't a cold-JVM artifact —
+        // the first measurement of this section read 3.5 s at x10 vs
+        // 1.9 s at x1000, all of it warm-up
+        IvfIndex.write(IvfIndex.assign(emb0, "embedding", model),
+          "target/scaling/ivfmaint_warm")
+        deleteDir(java.nio.file.Paths.get("target/scaling/ivfmaint_warm"))
+        // the 10000× decade (20M rows, ~8 GB) plays the same role as the
+        // ann section's last point: below it the 32-core local job floor
+        // hides the build's linear scan+write and all three decades read
+        // ~2 s — the separation needs a lake big enough to clear the floor
+        Seq(10, 100, 1000, 10000).foreach { c =>
           val src = s"target/scaling/emb$c/embeddings.parquet"
           val lake = s"target/scaling/ivfmaint$c"
           deleteDir(java.nio.file.Paths.get(lake))

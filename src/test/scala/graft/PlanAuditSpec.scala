@@ -353,6 +353,37 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("r6: the tombstone anti-join broadcasts and keeps In(term) pushed into the lake scan") {
+    // The tombstoneStore 100 TB claim: deletion must not cost the probe
+    // its IO shape — the tombstone set joins as a BROADCAST anti-join
+    // (delta-sized by the compaction-cadence contract) ABOVE the scan,
+    // and the query batch's In(term) still reaches parquet below it.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("r6_bm25_delete")(
+        spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan
+      val postings = plan.collect {
+        case f: FileSourceScanExec if f.relation.location.rootPaths
+          .exists(p => p.toString.contains("graft_bm25_del") &&
+            p.toString.contains("postings")) => f
+      }
+      assert(postings.nonEmpty, "the probe must scan the tombstoned lake")
+      assert(postings.forall(
+        _.metadata.getOrElse("PushedFilters", "").contains("In(term")),
+        "deletion must not cost the probe its pushed term prune")
+      val antis = plan.collect {
+        case b: BroadcastHashJoinExec
+          if b.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => b
+      }
+      assert(antis.nonEmpty,
+        "the tombstone filter must be a broadcast anti-join, never a shuffle")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("ivf: batchTopKIvf's probe set statically prunes the partitioned lake scan") {
     // The batchTopKIvf 100 TB claim: unprobed cluster partitions are never
     // listed or opened. The probe set is injected as an isin on the
