@@ -320,6 +320,28 @@ object Bm25 {
     load(spark, dir)
   }
 
+  /** Upsert-by-id against a [[save]]d store — the reference's
+    * Milvus-upsert semantics (`loader.js:63-68` re-inserts by primary
+    * key) as one call: tombstone the incoming ids ([[tombstoneStore]],
+    * delta-sized), compact the lake ([[compactStore]] — the one
+    * LAKE-SIZED step, required because the load-time tombstone filter is
+    * by id and would swallow the re-added rows), then append the new
+    * versions ([[appendStore]], delta-sized). Batch corrections and run
+    * this on the maintenance cadence — paying a lake rewrite per
+    * document would be the anti-pattern; paying it per correction BATCH
+    * is exactly the reference's daily-flush shape. Ids new to the store
+    * upsert cleanly (the tombstone pass no-ops for them). Result is
+    * spec-pinned ≡ a full refit with those documents replaced.
+    */
+  def upsertStore(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  docs: DataFrame, textCol: String,
+                  numFiles: Int = 8): Index = {
+    val ix = load(spark, dir)
+    tombstoneStore(spark, dir, docs.select(col(ix.idCol)), numFiles)
+    compactStore(spark, dir, numFiles)
+    appendStore(spark, dir, docs, textCol, numFiles)
+  }
+
   /** Periodic maintenance for an [[appendStore]]-grown store: every daily
     * append adds `numFiles` files whose term ranges overlap the lake's —
     * a year of appends is ~365·numFiles files whose per-file open/footer

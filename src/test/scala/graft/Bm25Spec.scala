@@ -239,6 +239,27 @@ class Bm25Spec extends SparkSpec {
     }, "delete -> compact -> re-add must equal a refit on the corrected corpus")
   }
 
+  test("upsertStore: replace-by-id ≡ refit with the documents replaced; new ids insert") {
+    val dir = tmp("upsert")
+    Bm25.save(Bm25.fit(corpus, "doc_id", "text"), dir, numFiles = 2)
+    // 11 gets a corrected body; 99 is brand new — one call handles both
+    val batch = Seq((11L, "banana cherry corrected"),
+      (99L, "zebra quagga")).toDF("doc_id", "text")
+    val upserted = Bm25.upsertStore(spark, dir, batch, "text", numFiles = 2)
+    val want = Bm25.fit(
+      corpus.where($"doc_id" =!= 11L).unionByName(batch), "doc_id", "text")
+    assert(artifacts(upserted)._1 == artifacts(want)._1)
+    assert(artifacts(upserted)._2 == artifacts(want)._2)
+    assert(artifacts(upserted)._3 == artifacts(want)._3)
+    val got = Bm25.searchIndex(upserted, queries, "qid", "text", 10)
+      .collect().map(_.toSeq).toSet
+    val exp = Bm25.searchIndex(want, queries, "qid", "text", 10)
+      .collect().map(_.toSeq).toSet
+    assert(got == exp && got.nonEmpty)
+    // the zebra query now has a hit (99's new body) — the upsert is live
+    assert(got.exists(_.head == 1L), "query 1 ('zebra') must now match doc 99")
+  }
+
   test("term prune: capped-out and disabled paths answer identically to the pruned path") {
     val ix = Bm25.fit(corpus, "doc_id", "text")
     val pruned = Bm25.searchIndex(ix, queries, "qid", "text", 10)
