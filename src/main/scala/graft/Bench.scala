@@ -94,6 +94,23 @@ object Bench {
     * envelope), reporting req/s over the full burst and the p95
     * per-request latency. bench_detail only.
     */
+  /** One blocking POST; drains the response, returns the status. Shared
+    * by the serving_rps and hybrid_rps sidecars (self-review r16 #5).
+    */
+  private def httpPost(port: Int, path: String, body: Array[Byte]): Int = {
+    val conn = new java.net.URL(s"http://127.0.0.1:$port$path")
+      .openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    conn.setFixedLengthStreamingMode(body.length)
+    conn.getOutputStream.write(body)
+    conn.getOutputStream.close()
+    val code = conn.getResponseCode
+    val in = if (code < 400) conn.getInputStream else conn.getErrorStream
+    if (in != null) { in.readAllBytes(); in.close() }
+    code
+  }
+
   private def servingRps(
       spark: org.apache.spark.sql.SparkSession, sfDir: String): String = try {
     import org.apache.spark.sql.functions.col
@@ -117,19 +134,7 @@ object Bench {
     val images = (0 until 32).map(jpeg)
     val nThreads = 8
     val perThread = 25
-    def post(port: Int, body: Array[Byte]): Int = {
-      val conn = new java.net.URL(s"http://127.0.0.1:$port/search")
-        .openConnection().asInstanceOf[java.net.HttpURLConnection]
-      conn.setRequestMethod("POST")
-      conn.setDoOutput(true)
-      conn.setFixedLengthStreamingMode(body.length)
-      conn.getOutputStream.write(body)
-      conn.getOutputStream.close()
-      val code = conn.getResponseCode
-      val in = if (code < 400) conn.getInputStream else conn.getErrorStream
-      if (in != null) { in.readAllBytes(); in.close() }
-      code
-    }
+    def post(port: Int, body: Array[Byte]): Int = httpPost(port, "/search", body)
     def measure(mode: String): (Double, Double, Int) = {
       val svc = new graft.serving.SearchService(
         emb, "embedding", "vec_id", mode = mode, nlist = 32, nprobe = 4,
@@ -193,19 +198,7 @@ object Bench {
       maxReqPerSec = Int.MaxValue) // measure capacity, not the limiter
     val port = svc.start(0)
     try {
-      def post(body: Array[Byte]): Int = {
-        val conn = new java.net.URL(s"http://127.0.0.1:$port/hybrid")
-          .openConnection().asInstanceOf[java.net.HttpURLConnection]
-        conn.setRequestMethod("POST")
-        conn.setDoOutput(true)
-        conn.setFixedLengthStreamingMode(body.length)
-        conn.getOutputStream.write(body)
-        conn.getOutputStream.close()
-        val code = conn.getResponseCode
-        val in = if (code < 400) conn.getInputStream else conn.getErrorStream
-        if (in != null) { in.readAllBytes(); in.close() }
-        code
-      }
+      def post(body: Array[Byte]): Int = httpPost(port, "/hybrid", body)
       val bodies = queryTexts.map(_.getBytes("UTF-8"))
       bodies.take(2).foreach(post) // warm plan + HTTP path
       val nThreads = 4

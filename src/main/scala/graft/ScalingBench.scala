@@ -447,6 +447,10 @@ object ScalingBench {
           val pt = pts.addObject()
           pt.put("scale", c); pt.put("rows", rows)
           pt.put("build_s", r2(build)); pt.put("append_s", r2(append))
+          // unlike the emb$c fixtures these lakes are never re-read
+          // (kept sections skip the whole measurement) — ~9 GB of dead
+          // parquet per run otherwise (self-review r16 #6)
+          deleteDir(java.nio.file.Paths.get(lake))
         }
         o
       }

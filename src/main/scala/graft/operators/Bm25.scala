@@ -118,6 +118,17 @@ object Bm25 {
     */
   def save(ix: Index, dir: String, numFiles: Int = 8): Unit = {
     require(numFiles >= 1, s"numFiles $numFiles must be >= 1")
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      ix.postings.sparkSession.sparkContext.hadoopConfiguration)
+    // save's contract is a FRESH store: refuse to paper over a
+    // mid-promote crash under investigation, and clear any tombstone set
+    // a prior incarnation left — a stale tombstones/ would silently
+    // filter the new corpus's docs out of every search (self-review r16)
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_append_inprogress")
+    require(!fs.exists(marker),
+      s"save at $dir: a maintenance job died mid-promote (marker present) " +
+        "— inspect the store, then remove the marker before refitting over it")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/tombstones"), true)
     writeTermSorted(ix.postings, s"$dir/postings", numFiles)
     writeTermSorted(ix.dfs, s"$dir/dfs", numFiles)
     ix.docStats.withColumn("id_col", lit(ix.idCol))
@@ -322,24 +333,81 @@ object Bm25 {
 
   /** Upsert-by-id against a [[save]]d store — the reference's
     * Milvus-upsert semantics (`loader.js:63-68` re-inserts by primary
-    * key) as one call: tombstone the incoming ids ([[tombstoneStore]],
-    * delta-sized), compact the lake ([[compactStore]] — the one
-    * LAKE-SIZED step, required because the load-time tombstone filter is
-    * by id and would swallow the re-added rows), then append the new
-    * versions ([[appendStore]], delta-sized). Batch corrections and run
-    * this on the maintenance cadence — paying a lake rewrite per
-    * document would be the anti-pattern; paying it per correction BATCH
-    * is exactly the reference's daily-flush shape. Ids new to the store
-    * upsert cleanly (the tombstone pass no-ops for them). Result is
-    * spec-pinned ≡ a full refit with those documents replaced.
+    * key) as ONE crash-atomic maintenance step. When no incoming id is
+    * live or tombstoned in the store (a pure insert) this IS
+    * [[appendStore]] — delta-sized. Otherwise the corrected store is
+    * computed in one pass — postings = (lake minus the batch's ids,
+    * tombstones folded out) ∪ the batch's fresh postings, dfs/stats
+    * merged arithmetically (dictionary-sized, integer-exact, the
+    * [[tombstoneStore]] decrements plus the [[append]] increments) — and
+    * STAGED whole, then promoted by renames under the usual
+    * `_append_inprogress` marker: a crash before the promote leaves the
+    * live store byte-identical; a crash inside the sub-second rename
+    * window leaves the marker, and every reader and maintenance job
+    * refuses loudly. (A tombstone→compact→append chain would be three
+    * separately-atomic steps whose in-between states look HEALTHY — a
+    * crash after the tombstone pass silently serves the store with the
+    * upserted docs deleted; self-review r16 #2.) The replace path costs
+    * one postings-lake rewrite — batch corrections on the maintenance
+    * cadence, like [[compactStore]]. Result is spec-pinned ≡ a full
+    * refit with those documents replaced; prior tombstones retire with
+    * the rewrite.
     */
   def upsertStore(spark: org.apache.spark.sql.SparkSession, dir: String,
                   docs: DataFrame, textCol: String,
                   numFiles: Int = 8): Index = {
-    val ix = load(spark, dir)
-    tombstoneStore(spark, dir, docs.select(col(ix.idCol)), numFiles)
-    compactStore(spark, dir, numFiles)
-    appendStore(spark, dir, docs, textCol, numFiles)
+    import org.apache.hadoop.fs.{Path => HPath}
+    require(numFiles >= 1, s"numFiles $numFiles must be >= 1")
+    val fs = new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ix = load(spark, dir) // refuses a dangling marker
+    val idCol = ix.idCol
+    val ids = docs.select(col(idCol)).distinct()
+    val tombPath = new HPath(s"$dir/tombstones")
+    val touchesStore =
+      ix.postings.join(ids, Seq(idCol), "left_semi").limit(1).count() > 0 ||
+        (fs.exists(tombPath) && spark.read.parquet(tombPath.toString)
+          .join(ids, Seq(idCol), "left_semi").limit(1).count() > 0)
+    if (!touchesStore)
+      return appendStore(spark, dir, docs, textCol, numFiles) // pure insert
+    val delta = fit(docs, idCol, textCol)
+    delta.postings.persist()
+    val removed = ix.postings.join(ids, Seq(idCol), "left_semi").persist()
+    try {
+      // corrected artifacts, computed against the LIVE store (reads
+      // happen during staging, before any rename touches the inputs)
+      val keep = ix.postings.join(ids, Seq(idCol), "left_anti")
+      val remDfs = removed.groupBy(col("term")).agg(count(lit(1)).as("__dec"))
+      val newDfs = ix.dfs.join(remDfs, Seq("term"), "left_outer")
+        .select(col("term"),
+          (col("df") - coalesce(col("__dec"), lit(0L))).as("df"))
+        .where(col("df") > 0)
+        .join(delta.dfs.withColumnRenamed("df", "__inc"), Seq("term"), "full_outer")
+        .select(col("term"),
+          (coalesce(col("df"), lit(0L)) + coalesce(col("__inc"), lit(0L))).as("df"))
+      val remStats = removed.select(col(idCol), col("dl")).distinct()
+        .agg(count(lit(1)).as("__n"), coalesce(sum(col("dl")), lit(0L)).as("__dl"))
+      val newStats = ix.docStats.crossJoin(remStats).crossJoin(
+          delta.docStats.select(col("n_docs").as("__an"), col("sum_dl").as("__adl")))
+        .select((col("n_docs") - col("__n") + col("__an")).as("n_docs"),
+          (col("sum_dl") - col("__dl") + col("__adl")).as("sum_dl"))
+      // STAGE the whole corrected store, then promote by renames
+      writeTermSorted(keep.unionByName(delta.postings),
+        s"$dir/postings.upsert.tmp", numFiles)
+      writeTermSorted(newDfs, s"$dir/dfs.tmp", numFiles)
+      newStats.withColumn("id_col", lit(idCol))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats.tmp")
+      val marker = new HPath(s"$dir/_append_inprogress")
+      fs.create(marker).close()
+      graft.sources.LakeLayout.swapDir(fs,
+        new HPath(s"$dir/postings.upsert.tmp"), new HPath(s"$dir/postings"))
+      graft.sources.LakeLayout.swapDir(fs,
+        new HPath(s"$dir/dfs.tmp"), new HPath(s"$dir/dfs"))
+      graft.sources.LakeLayout.swapDir(fs,
+        new HPath(s"$dir/stats.tmp"), new HPath(s"$dir/stats"))
+      fs.delete(tombPath, true) // folded into the rewrite
+      fs.delete(marker, false)
+    } finally { delta.postings.unpersist(); removed.unpersist() }
+    load(spark, dir)
   }
 
   /** Periodic maintenance for an [[appendStore]]-grown store: every daily

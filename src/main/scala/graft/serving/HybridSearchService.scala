@@ -3,7 +3,7 @@ package graft.serving
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
 
-import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import com.sun.net.httpserver.HttpServer
 import graft.operators.{AnnSearch, Bm25, ChunkEmbed, VectorMetric}
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
@@ -90,6 +90,7 @@ class HybridSearchService(
     * the 0-based rank and the fused (or BM25) score.
     */
   private def toJson(docs: Seq[Row], scoreName: String): String = {
+    import HttpServing.jsonValue
     val ds = docs.map { r =>
       s"""{"$idCol":${jsonValue(r.get(2))},"rank":${r.getLong(1)},""" +
         s""""$scoreName":${jsonValue(r.get(3))}}"""
@@ -97,23 +98,8 @@ class HybridSearchService(
     s"""{"RawDocsCount":"${docs.size}","response":{"docs":[$ds]}}"""
   }
 
-  private def jsonValue(v: Any): String = v match {
-    case null                => "null"
-    case s: String           => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    case n: java.lang.Number => n.toString
-    case other               => jsonValue(other.toString)
-  }
-
-  // the same continuously-refilled token bucket as SearchService
-  private var tokens: Double = maxReqPerSec.toDouble
-  private var lastRefill: Long = System.nanoTime()
-  private def admit(): Boolean = synchronized {
-    val now = System.nanoTime()
-    tokens = math.min(maxReqPerSec.toDouble,
-      tokens + (now - lastRefill) / 1e9 * maxReqPerSec)
-    lastRefill = now
-    if (tokens >= 1.0) { tokens -= 1.0; true } else false
-  }
+  // the shared protective surface: admission bucket + guarded POST routes
+  private val bucket = new HttpServing.TokenBucket(maxReqPerSec)
 
   private var server: HttpServer = _
   private var pool: java.util.concurrent.ExecutorService = _
@@ -123,26 +109,10 @@ class HybridSearchService(
     pool = java.util.concurrent.Executors.newFixedThreadPool(16)
     server.setExecutor(pool)
     def route(path: String, run: String => Seq[Row], scoreName: String): Unit =
-      server.createContext(path, (ex: HttpExchange) => {
-        try {
-          if (ex.getRequestMethod != "POST")
-            respond(ex, 405, """{"error":"POST only"}""")
-          else if (!admit())
-            respond(ex, 429, """{"error":"rate limit exceeded"}""")
-          else {
-            val bytes = ex.getRequestBody.readNBytes(maxBodyBytes.toInt + 1)
-            if (bytes.length > maxBodyBytes)
-              respond(ex, 413, """{"error":"body too large"}""")
-            else {
-              val q = new String(bytes, StandardCharsets.UTF_8)
-              if (q.trim.isEmpty) respond(ex, 400, """{"error":"empty query"}""")
-              else respond(ex, 200, toJson(run(q), scoreName))
-            }
-          }
-        } catch {
-          case e: Exception =>
-            respond(ex, 501, s"""{"error":"${e.getClass.getSimpleName}"}""")
-        }
+      HttpServing.guardedPost(server, path, maxBodyBytes, bucket, bytes => {
+        val q = new String(bytes, StandardCharsets.UTF_8)
+        if (q.trim.isEmpty) (400, """{"error":"empty query"}""")
+        else (200, toJson(run(q), scoreName))
       })
     route("/hybrid", search, "rrf")
     route("/keyword", searchKeyword, "score")
@@ -154,13 +124,5 @@ class HybridSearchService(
     if (server != null) server.stop(0)
     if (pool != null) pool.shutdown()
     denseIndex.unpersist()
-  }
-
-  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
-    val b = body.getBytes(StandardCharsets.UTF_8)
-    ex.getResponseHeaders.add("Content-Type", "application/json")
-    ex.sendResponseHeaders(code, b.length.toLong)
-    ex.getResponseBody.write(b)
-    ex.close()
   }
 }

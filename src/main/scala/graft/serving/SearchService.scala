@@ -1,9 +1,8 @@
 package graft.serving
 
 import java.net.InetSocketAddress
-import java.nio.charset.StandardCharsets
 
-import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import com.sun.net.httpserver.HttpServer
 import graft.multimodal.ImageOps
 import graft.operators.{AnnSearch, IvfIndex, Pq, Sq8, VectorMetric}
 import org.apache.spark.sql.{Column, DataFrame, Row}
@@ -303,26 +302,10 @@ class SearchService(
     s"""{"RawDocsCount":"${docs.size}","RawDocsSearchTime":"0","ReRankSearchTime":"0","response":{"docs":[$ds]}}"""
   }
 
-  private def jsonValue(v: Any): String = v match {
-    case null                 => "null"
-    case s: String            => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    case f: Float             => f.toDouble.toString
-    case n: java.lang.Number  => n.toString
-    case b: Boolean           => b.toString
-    case other                => jsonValue(other.toString)
-  }
+  private def jsonValue(v: Any): String = HttpServing.jsonValue(v)
 
-  // Token bucket, refilled continuously — the JS express-rate-limit window
-  // (searcher.js:125-127) smoothed to a steady per-second budget.
-  private var tokens: Double = maxReqPerSec.toDouble
-  private var lastRefill: Long = System.nanoTime()
-  private def admit(): Boolean = synchronized {
-    val now = System.nanoTime()
-    tokens = math.min(maxReqPerSec.toDouble,
-      tokens + (now - lastRefill) / 1e9 * maxReqPerSec)
-    lastRefill = now
-    if (tokens >= 1.0) { tokens -= 1.0; true } else false
-  }
+  // the shared continuously-refilled token bucket (HttpServing)
+  private val bucket = new HttpServing.TokenBucket(maxReqPerSec)
 
   private var server: HttpServer = _
   private var pool: java.util.concurrent.ExecutorService = _
@@ -337,28 +320,11 @@ class SearchService(
     // reference's 100 req/s/IP admission cap.
     pool = java.util.concurrent.Executors.newFixedThreadPool(16)
     server.setExecutor(pool)
-    server.createContext("/search", (ex: HttpExchange) => {
-      try {
-        if (ex.getRequestMethod != "POST") respond(ex, 405, """{"error":"POST only"}""")
-        else if (!admit()) respond(ex, 429, """{"error":"rate limit exceeded"}""")
-        else {
-          val declared = Option(ex.getRequestHeaders.getFirst("Content-Length"))
-            .flatMap(l => scala.util.Try(l.toLong).toOption)
-          if (declared.exists(_ > maxBodyBytes))
-            respond(ex, 413, """{"error":"body too large"}""")
-          else {
-            // readNBytes caps the read even when Content-Length lies
-            val bytes = ex.getRequestBody.readNBytes(maxBodyBytes.toInt + 1)
-            if (bytes.length > maxBodyBytes)
-              respond(ex, 413, """{"error":"body too large"}""")
-            else search(bytes) match {
-              case Some(docs) => respond(ex, 200, toJson(docs))
-              case None       => respond(ex, 500, """{"error":"undecodable image"}""")
-            }
-          }
-        }
-      } catch { case e: Exception => respond(ex, 501, s"""{"error":"${e.getClass.getSimpleName}"}""") }
-    })
+    HttpServing.guardedPost(server, "/search", maxBodyBytes, bucket, bytes =>
+      search(bytes) match {
+        case Some(docs) => (200, toJson(docs))
+        case None       => (500, """{"error":"undecodable image"}""")
+      })
     server.start()
     server.getAddress.getPort
   }
@@ -368,14 +334,6 @@ class SearchService(
     if (pool != null) pool.shutdown()
     cached.unpersist()
     if (indexDir.isEmpty) ivf.foreach(_._1.unpersist())
-  }
-
-  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
-    val b = body.getBytes(StandardCharsets.UTF_8)
-    ex.getResponseHeaders.add("Content-Type", "application/json")
-    ex.sendResponseHeaders(code, b.length.toLong)
-    ex.getResponseBody.write(b)
-    ex.close()
   }
 }
 

@@ -260,6 +260,41 @@ class Bm25Spec extends SparkSpec {
     assert(got.exists(_.head == 1L), "query 1 ('zebra') must now match doc 99")
   }
 
+  test("upsertStore: a pure-insert batch takes the delta-sized append path") {
+    val dir = tmp("upsert_fast")
+    Bm25.save(Bm25.fit(corpus, "doc_id", "text"), dir, numFiles = 2)
+    def lakeFiles() = new java.io.File(s"$dir/postings").listFiles()
+      .map(_.getName).filter(_.startsWith("part-")).toSet
+    val before = lakeFiles()
+    val batch = Seq((100L, "durian fig")).toDF("doc_id", "text")
+    val up = Bm25.upsertStore(spark, dir, batch, "text", numFiles = 2)
+    // the original lake files survive untouched — appended, never rewritten
+    assert(before.subsetOf(lakeFiles()) && lakeFiles().size > before.size,
+      "a batch of ids new to the store must not pay the lake rewrite")
+    val want = Bm25.fit(corpus.unionByName(batch), "doc_id", "text")
+    assert(artifacts(up) == artifacts(want))
+  }
+
+  test("save over a tombstoned store clears the stale set; save refuses a dangling marker") {
+    val dir = tmp("refit")
+    Bm25.save(Bm25.fit(corpus, "doc_id", "text"), dir, numFiles = 2)
+    Bm25.tombstoneStore(spark, dir, Seq(11L).toDF("doc_id"))
+    // the nightly refit IN PLACE: doc 11 is in the new corpus and must
+    // come back — a stale tombstones/ would silently filter it forever
+    Bm25.save(Bm25.fit(corpus, "doc_id", "text"), dir, numFiles = 2)
+    assert(!new java.io.File(dir, "tombstones").exists(),
+      "refit must clear the prior incarnation's tombstone set")
+    val re = Bm25.load(spark, dir)
+    assert(artifacts(re) == artifacts(Bm25.fit(corpus, "doc_id", "text")))
+    val marker = new java.io.File(dir, "_append_inprogress")
+    assert(marker.createNewFile())
+    val refuse = intercept[IllegalArgumentException] {
+      Bm25.save(Bm25.fit(corpus, "doc_id", "text"), dir, numFiles = 2)
+    }
+    assert(refuse.getMessage.contains("mid-promote"), refuse.getMessage)
+    assert(marker.delete())
+  }
+
   test("term prune: capped-out and disabled paths answer identically to the pruned path") {
     val ix = Bm25.fit(corpus, "doc_id", "text")
     val pruned = Bm25.searchIndex(ix, queries, "qid", "text", 10)

@@ -63,9 +63,19 @@ class HybridServiceSpec extends SparkSpec {
         .orderBy($"rank").collect().map(_.getLong(2)).toSeq
       assert(servedK == wantK && servedK.nonEmpty)
 
-      // protective surface: empty body, oversized body, wrong method
+      // protective surface: empty body, oversized body, wrong method.
+      // The oversized case uses java.net.http.HttpClient: the server
+      // 413s off the DECLARED length without reading the body, and
+      // HttpURLConnection's streaming writer turns that early response
+      // into a connection reset (SearchServiceSpec precedent).
       assert(post(port, "/hybrid", Array.emptyByteArray)._1 == 400)
-      assert(post(port, "/hybrid", new Array[Byte]((1 << 20) + 2))._1 == 413)
+      val big = java.net.http.HttpClient.newHttpClient().send(
+        java.net.http.HttpRequest.newBuilder(
+            new java.net.URI(s"http://127.0.0.1:$port/hybrid"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray(
+            new Array[Byte]((1 << 20) + 2))).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(big.statusCode() == 413)
       val get = new java.net.URL(s"http://127.0.0.1:$port/hybrid")
         .openConnection().asInstanceOf[java.net.HttpURLConnection]
       assert(get.getResponseCode == 405)
