@@ -2329,6 +2329,11 @@ object Queries {
         operators.BpeTrain.BpeModel(
           operators.RegexPreTok(operators.RegexPreTok.Gpt2ish), BpeFixedMerges),
         s"$dir/gpt2")
+      graft.sources.ModelStore.saveBpe(s,
+        operators.BpeTrain.BpeModel(
+          operators.RegexPreTok(operators.RegexPreTok.Gpt2ish), BpeFixedMerges,
+          byteLevel = true),
+        s"$dir/gpt2b")
       dir
     }
 
@@ -2388,6 +2393,42 @@ object Queries {
     val model = graft.sources.ModelStore.loadBpe(s, s"${ensureBpeModels(s)}/gpt2")
     operators.BpeTrain.tokenCounts(Tables.documents(s, d), "doc_id", "text", model)
       .orderBy("doc_id")
+  }
+
+  /** T18 — BYTE-LEVEL segmentation under the loaded GPT-2-style model
+    * (the zero-OOV discipline: pre-tokens become UTF-8 bytes remapped
+    * through [[operators.BpeTrain.ByteToUnicode]], merges apply over
+    * that 256-symbol alphabet; absorbed spaces surface as `Ġ`). The
+    * oracle replays the remap generally — hex the word's UTF-8 bytes,
+    * index a 256-entry map literal generated from the SAME Scala table
+    * (one source of truth) — and then the usual replace-chain merge
+    * replay, so the hash pins the remap AND the byte-alphabet apply at
+    * both SFs; the multi-byte corners (é → Ã©, emoji → 4 symbols) are
+    * spec-pinned on fixtures the synthetic corpus lacks.
+    */
+  val t18BpeByteLevel: Q = (s, d) => {
+    val model = graft.sources.ModelStore.loadBpe(s, s"${ensureBpeModels(s)}/gpt2b")
+    operators.BpeTrain.segmentWords(
+        operators.BpeTrain.wordFreq(Tables.documents(s, d), "text", model.preTok)
+          .select(col("word")),
+        model.merges, model.byteLevel)
+      .localCheckpoint() // same planner-pathology barrier as t14
+      .select(col("word"), posexplode(col("tokens")))
+      .select(col("word"), col("pos").cast("long").as("pos"),
+        col("col").as("token"))
+      .orderBy("word", "pos")
+  }
+
+  /** The DuckDB byte→printable remap as a 256-entry map literal,
+    * generated from the SAME table the engine's [[operators.BpeTrain
+    * .byteSymsCol]] indexes — one source of truth, interpolated into
+    * t18's oracle SQL.
+    */
+  private lazy val duckByteRemap: String = {
+    val keys = (0 until 256).map(b => f"'$b%02X'").mkString(", ")
+    val vals = operators.BpeTrain.ByteToUnicode
+      .map(sym => "'" + sym.replace("'", "''") + "'").mkString(", ")
+    s"map([$keys], [$vals])"
   }
 
   /** T3 token counting: whitespace tokens + regex (BPE-ish) tokens. */
@@ -4629,6 +4670,28 @@ object Queries {
         |SELECT doc_id, CAST(sum(n) AS BIGINT) AS bpe_tokens
         |FROM cw JOIN n USING (word)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // byte-level replay: hex the word's UTF-8 bytes, remap each pair
+    // through the 256-entry map generated from the engine's OWN table,
+    // then the usual delimiter-tracked replace-chain merge replay
+    "t18_bpe_byte_level" ->
+      (s"""WITH w AS (SELECT unnest(regexp_extract_all(text,
+        |    ' ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\r\\f\\p{L}\\p{N}]+')) AS word FROM documents),
+        |wf AS (SELECT DISTINCT word FROM w WHERE len(word) > 0),
+        |bs AS (SELECT word, upper(hex(encode(word))) AS h FROM wf),
+        |sy AS (SELECT word, list_transform(generate_series(1, length(h)//2),
+        |    i -> $duckByteRemap[substr(h, (i-1)*2+1, 2)][1]) AS cs FROM bs),
+        |seg AS (SELECT word,
+        |  replace(replace(replace(replace(
+        |    array_to_string(list_transform(cs, x -> x || chr(31)), ''),
+        |    't' || chr(31) || 'h' || chr(31), 'th' || chr(31)),
+        |    'th' || chr(31) || 'e' || chr(31), 'the' || chr(31)),
+        |    'g' || chr(31) || 'g' || chr(31), 'gg' || chr(31)),
+        |    'a' || chr(31) || 'r' || chr(31), 'ar' || chr(31)) AS s
+        |  FROM sy),
+        |tok AS (SELECT word, string_split(rtrim(s, chr(31)), chr(31)) AS toks FROM seg)
+        |SELECT word, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS token
+        |FROM tok, unnest(generate_series(1, len(toks))) AS t(i)
+        |ORDER BY word, pos""").stripMargin,
     // exact-regime sketch ≡ the exact count — same oracle text as t10
     "t10a_vocab_sketch" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
@@ -5053,6 +5116,7 @@ object Queries {
     "t15b_bpe_counts_loaded" -> t15bBpeCountsLoaded,
     "t16_bpe_pretokenize" -> t16BpePretokenize,
     "t17_bpe_pretok_counts" -> t17BpePretokCounts,
+    "t18_bpe_byte_level" -> t18BpeByteLevel,
     "t14a_bpe_segment_scalable" -> t14aBpeSegmentScalable,
     "t15_bpe_token_counts" -> t15BpeTokenCounts,
     "p3_corpus_recipe" -> p3CorpusRecipe,

@@ -112,12 +112,22 @@ object PreTokenizer {
 object BpeTrain {
 
   /** A trained tokenizer as a MODEL: the pre-tokenization discipline the
-    * corpus was split with plus the ordered merge list — the unit
-    * [[graft.sources.ModelStore.saveBpe]]/`loadBpe` persist, because a
-    * merge list without its split discipline is not reusable (the same
-    * merges mean different things over space-words and GPT-2 spans).
+    * corpus was split with, the ordered merge list, and whether symbols
+    * are BYTE-LEVEL — the unit [[graft.sources.ModelStore.saveBpe]]/
+    * `loadBpe` persist, because a merge list without its split and
+    * symbol disciplines is not reusable (the same merges mean different
+    * things over space-words, GPT-2 spans, code points and bytes).
+    *
+    * `byteLevel` is GPT-2's zero-OOV guarantee (Radford et al. 2019
+    * `encoder.py` `bytes_to_unicode`): each pre-token becomes its UTF-8
+    * BYTES, each byte remapped to a printable character
+    * ([[BpeTrain.ByteToUnicode]]), and merges operate over that
+    * 256-symbol alphabet — ANY text segments, unseen scripts included,
+    * with no unknown-token escape hatch needed. Code-point symbols
+    * (byteLevel = false) are the suite's default discipline.
     */
-  final case class BpeModel(preTok: PreTokenizer, merges: Seq[(String, String)])
+  final case class BpeModel(preTok: PreTokenizer, merges: Seq[(String, String)],
+                            byteLevel: Boolean = false)
 
   /** The corpus-collapsing pass: pre-tokens with occurrence counts.
     * The default discipline mirrors [[graft.functions.TextFunctions
@@ -135,12 +145,16 @@ object BpeTrain {
       .groupBy("word")
       .agg(count(lit(1)).cast("long").as("freq"))
 
-  /** Character-level starting segmentation for a (word, freq) table:
-    * (word, freq, syms).
+  /** Starting segmentation for a (word, freq) table: (word, freq, syms)
+    * — code points by default, UTF-8 bytes remapped through
+    * [[ByteToUnicode]] when `byteLevel` (the GPT-2 zero-OOV alphabet).
     */
-  def initialSeg(words: DataFrame): DataFrame =
+  def initialSeg(words: DataFrame): DataFrame = initialSeg(words, byteLevel = false)
+
+  def initialSeg(words: DataFrame, byteLevel: Boolean): DataFrame =
     words.select(col("word"), col("freq").cast("long").as("freq"),
-      split(col("word"), "").as("syms"))
+      (if (byteLevel) byteSymsCol(col("word"))
+       else split(col("word"), "")).as("syms"))
 
   /** Weighted adjacent-pair counts of the CURRENT segmentation — the
     * per-iteration workhorse: (left_sym, right_sym, pair_count). One
@@ -174,9 +188,10 @@ object BpeTrain {
     * ordered merge list — the tokenizer model. Stops early when no
     * adjacent pair remains (every word fused to one symbol).
     */
-  def fit(words: DataFrame, numMerges: Int): Seq[(String, String)] = {
+  def fit(words: DataFrame, numMerges: Int,
+          byteLevel: Boolean = false): Seq[(String, String)] = {
     require(numMerges >= 0, s"numMerges $numMerges must be >= 0")
-    var seg = initialSeg(words).localCheckpoint()
+    var seg = initialSeg(words, byteLevel).localCheckpoint()
     val out = Seq.newBuilder[(String, String)]
     var i = 0
     var exhausted = false
@@ -220,7 +235,8 @@ object BpeTrain {
     * for).
     */
   def fitLocal(words: DataFrame, numMerges: Int,
-               maxVocab: Long = 8000000L): Seq[(String, String)] = {
+               maxVocab: Long = 8000000L,
+               byteLevel: Boolean = false): Seq[(String, String)] = {
     require(numMerges >= 0, s"numMerges $numMerges must be >= 0")
     // one materialization serves both the guard's count and the collect —
     // upstream is typically wordFreq(corpus), the one corpus-scaled scan
@@ -232,7 +248,9 @@ object BpeTrain {
         s"vocabulary $n exceeds maxVocab $maxVocab — use the distributed fit")
       proj.collect()
     } finally proj.unpersist()
-    val syms: Array[Array[String]] = rows.map(r => codePointSyms(r.getString(0)))
+    val seed: String => Array[String] =
+      if (byteLevel) byteSymsLocal else codePointSyms
+    val syms: Array[Array[String]] = rows.map(r => seed(r.getString(0)))
     val freq: Array[Long] = rows.map(_.getLong(1))
 
     // Spark's UTF8String sort is unsigned UTF-8 byte order, which equals
@@ -360,8 +378,13 @@ object BpeTrain {
     * (hundreds), the declarative form wins.
     */
   def segmentWords(words: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    segmentWords(words, merges, byteLevel = false)
+
+  def segmentWords(words: DataFrame, merges: Seq[(String, String)],
+                   byteLevel: Boolean): DataFrame =
     words.select(col("word"),
-      merges.foldLeft(split(col("word"), "")) {
+      merges.foldLeft(
+        if (byteLevel) byteSymsCol(col("word")) else split(col("word"), "")) {
         case (c, (l, r)) => mergeCol(c, l, r)
       }.as("tokens"))
 
@@ -375,7 +398,11 @@ object BpeTrain {
     * of K, so tens of thousands of merges over a 10M-word vocabulary is
     * one cheap narrow pass.
     */
-  def segmentWordsScalable(words: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+  def segmentWordsScalable(words: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    segmentWordsScalable(words, merges, byteLevel = false)
+
+  def segmentWordsScalable(words: DataFrame, merges: Seq[(String, String)],
+                           byteLevel: Boolean): DataFrame = {
     val session = words.sparkSession
     import session.implicits._
     val bc = session.sparkContext.broadcast(merges.toArray)
@@ -383,11 +410,62 @@ object BpeTrain {
       .mapPartitions { it =>
         val ms = bc.value
         val ranks = mergeRanks(ms)
-        // null word -> null tokens, the fold path's split(null) behavior
-        it.map(w => (w, if (w == null) null else applyMergesInOrder(w, ms, ranks)))
+        val seed: String => Array[String] =
+          if (byteLevel) byteSymsLocal else codePointSyms
+        // null word -> null tokens, the fold path's behavior
+        it.map(w => (w,
+          if (w == null) null else applyMergesToSyms(seed(w), ms, ranks)))
       }
       .toDF("word", "tokens")
   }
+
+  /** GPT-2's byte→printable-character table, reconstructed from the
+    * PUBLISHED algorithm (Radford et al. 2019 `encoder.py`
+    * `bytes_to_unicode`): the three printable Latin-1 ranges — `!`..`~`
+    * (33–126), `¡`..`¬` (161–172), `®`..`ÿ` (174–255) — map to
+    * themselves; every other byte b maps to `chr(256 + n)` where n
+    * counts the non-printable bytes in byte order (so 0x20 space →
+    * U+0120 `Ġ`, the famous GPT-2 space mark; newline → U+010A `Ċ`).
+    * The mapping is a bijection into single BMP characters, so
+    * byte-level symbols behave exactly like any other string symbol in
+    * the merge machinery and round-trip losslessly.
+    */
+  val ByteToUnicode: IndexedSeq[String] = {
+    val kept = (33 to 126) ++ (161 to 172) ++ (174 to 255)
+    val keptSet = kept.toSet
+    var n = 0
+    (0 until 256).map { b =>
+      if (keptSet(b)) b.toChar.toString
+      else { val c = (256 + n).toChar.toString; n += 1; c }
+    }
+  }
+
+  /** Byte-level initial segmentation as a Column — one symbol per UTF-8
+    * byte of the word, remapped through [[ByteToUnicode]]: the word's
+    * bytes render as a hex string (2 chars per byte — a pure function
+    * Spark and the task-side twin compute identically) and each chunk
+    * indexes the 256-entry table literal. Stays inside whole-stage
+    * codegen: encode/hex/sequence/transform/element_at, no UDF.
+    */
+  private[graft] def byteSymsCol(word: Column): Column = {
+    val table = typedlit(ByteToUnicode)
+    val h = upper(hex(encode(word, "UTF-8")))
+    // guard the empty word: Spark's sequence(0, -1) DESCENDS ([0, -1]),
+    // it does not produce an empty sequence
+    when(length(h) === 0, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), (length(h) / 2).cast("int") - 1),
+        i => element_at(table,
+          conv(substring(h, i * 2 + 1, lit(2)), 16, 10).cast("int") + 1)))
+  }
+
+  /** Task/driver-side twin of [[byteSymsCol]] — must agree byte for
+    * byte. Empty word → empty array (unlike code-point seg's Spark
+    * split('','') = [""] artifact: hex('') is '' and the sequence is
+    * empty — the Column form produces the same empty array).
+    */
+  private[graft] def byteSymsLocal(w: String): Array[String] =
+    w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => ByteToUnicode(b & 0xff))
 
   /** Code-point initial segmentation — MUST match Spark's
     * `split(word, "")`, which splits by code point (probed: U+10000
@@ -426,8 +504,16 @@ object BpeTrain {
     */
   private[graft] def applyMergesInOrder(
       word: String, merges: Array[(String, String)],
+      ranks: Map[(String, String), Array[Int]]): Array[String] =
+    applyMergesToSyms(codePointSyms(word), merges, ranks)
+
+  /** The rank-skip applier over an ALREADY-SEEDED symbol array — shared
+    * by the code-point and byte-level disciplines.
+    */
+  private[graft] def applyMergesToSyms(
+      syms0: Array[String], merges: Array[(String, String)],
       ranks: Map[(String, String), Array[Int]]): Array[String] = {
-    var syms: Array[String] = codePointSyms(word)
+    var syms: Array[String] = syms0
     var k = 0
     def firstAtLeast(p: (String, String)): Int = ranks.get(p) match {
       case None => Int.MaxValue
@@ -483,8 +569,9 @@ object BpeTrain {
       .select(col(idCol), explode(model.preTok.splitCol(col(textCol))).as("word"))
       .where(length(col("word")) > 0)
     val segment: DataFrame => DataFrame =
-      if (model.merges.size > FoldMergeMax) segmentWordsScalable(_, model.merges)
-      else segmentWords(_, model.merges)
+      if (model.merges.size > FoldMergeMax)
+        segmentWordsScalable(_, model.merges, model.byteLevel)
+      else segmentWords(_, model.merges, model.byteLevel)
     val perWord = segment(corpusWords.select("word").distinct())
       .select(col("word"), size(col("tokens")).cast("long").as("n"))
     corpusWords.join(perWord, "word")

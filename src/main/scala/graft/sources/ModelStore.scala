@@ -128,7 +128,8 @@ object ModelStore {
     model.merges.zipWithIndex
       .map { case ((l, r), i) => (i, l, r) }.toDF("rank", "left_sym", "right_sym")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/merges")
-    Seq((BpeFormatVersion, model.preTok.tag)).toDF("format_version", "pre_tok")
+    Seq((BpeFormatVersion, model.preTok.tag, model.byteLevel))
+      .toDF("format_version", "pre_tok", "byte_level")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -149,7 +150,8 @@ object ModelStore {
         "artifact would silently skip merges)")
     graft.operators.BpeTrain.BpeModel(
       graft.operators.PreTokenizer.fromTag(meta.head.getString(1)),
-      rows.map(r => (r.getString(1), r.getString(2))).toIndexedSeq)
+      rows.map(r => (r.getString(1), r.getString(2))).toIndexedSeq,
+      meta.head.getBoolean(2))
   }
 
   /** The learned quality-filter artifact ([[graft.operators

@@ -286,6 +286,60 @@ class BpeTrainSpec extends SparkSpec {
     assert(legacy == space)
   }
 
+  test("ByteToUnicode: bijective single-char table matching the published algorithm") {
+    val t = BpeTrain.ByteToUnicode
+    assert(t.length == 256 && t.distinct.length == 256, "must be a bijection")
+    assert(t.forall(_.length == 1), "every symbol is one BMP char")
+    // printable Latin-1 ranges map to themselves
+    ((33 to 126) ++ (161 to 172) ++ (174 to 255)).foreach(b =>
+      assert(t(b) == b.toChar.toString, s"byte $b must be identity"))
+    // the famous marks: space -> Ġ (U+0120), newline -> Ċ (U+010A)
+    assert(t(0x20) == "Ġ" && t(0x0a) == "Ċ" && t(0) == "Ā")
+  }
+
+  test("byte-level: Spark byteSymsCol == driver byteSymsLocal on unicode fixtures") {
+    val words = Seq("the", " the", "é", "naïve", "日本", "😀", "a b", "", "\u0000x")
+    val got = words.toDF("word")
+      .select(col("word"), BpeTrain.byteSymsCol(col("word")).as("syms"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    words.foreach(w => assert(got(w) == BpeTrain.byteSymsLocal(w).toList,
+      s"engine/driver byte seg divergence on ${w.map(c => f"\\u${c.toInt}%04x").mkString}"))
+    // load-bearing shapes: multi-byte chars split into remapped BYTES
+    assert(got(" the") == List("Ġ", "t", "h", "e"))
+    assert(got("é") == List("Ã", "©"), "U+00E9 is C3 A9 -> Ã ©")
+    assert(got("😀").length == 4, "astral chars are 4 UTF-8 bytes")
+    assert(got("") == Nil, "empty word -> empty symbol array (no [\"\"])")
+    assert(got("\u0000x") == List("Ā", "x"), "NUL remaps, never drops")
+  }
+
+  test("byte-level: fold and scalable appliers agree; merges fire over byte symbols") {
+    // (Ġ,t) then (Ġt,h) build the space-absorbed prefix GPT-2 vocabularies
+    // actually learn; (Ã,©) fuses a multi-byte char back together
+    val merges = Seq(("Ġ", "t"), ("Ġt", "h"), ("Ã", "©"))
+    val words = Seq(" the", "the", "é", " té").toDF("word")
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    val fold = norm(BpeTrain.segmentWords(words, merges, byteLevel = true))
+    val fast = norm(BpeTrain.segmentWordsScalable(words, merges, byteLevel = true))
+    assert(fold == fast)
+    assert(fold(" the") == List("Ġth", "e"))
+    assert(fold("the") == List("t", "h", "e"), "no space prefix, no fire")
+    assert(fold("é") == List("Ã©"))
+    assert(fold(" té") == List("Ġt", "Ã©"))
+  }
+
+  test("byte-level: fit == fitLocal on a multi-byte vocabulary") {
+    val vocab = Seq((" the", 5L), ("the", 3L), (" éé", 4L), ("éé", 2L))
+      .toDF("word", "freq")
+    val dist = BpeTrain.fit(vocab, 6, byteLevel = true)
+    val local = BpeTrain.fitLocal(vocab, 6, byteLevel = true)
+    assert(dist == local && dist.nonEmpty,
+      s"byte-level fit/fitLocal diverged: $dist vs $local")
+    // the learned symbols are byte-alphabet strings (Ã/© for é's bytes)
+    assert(dist.exists { case (l, r) => (l + r).contains("Ã") },
+      s"expected a merge over é's bytes in $dist")
+  }
+
   test("assertBpeOracleReplayable: gate list passes, left-suffix-of-composite rejects") {
     // the live gate list's shape passes (it is defined THROUGH the guard)
     Queries.assertBpeOracleReplayable(

@@ -145,7 +145,15 @@ class ModelStoreSpec extends SparkSpec {
     val dir2 = tmp("bpe_empty")
     ModelStore.saveBpe(spark, BpeTrain.BpeModel(SpacePreTok, Nil), dir2)
     val l2 = ModelStore.loadBpe(spark, dir2)
-    assert(l2.preTok == SpacePreTok && l2.merges.isEmpty)
+    assert(l2.preTok == SpacePreTok && l2.merges.isEmpty && !l2.byteLevel)
+
+    // the byte-level flag round-trips — a byte-alphabet merge list applied
+    // at code-point level would silently never fire
+    val dirB = tmp("bpe_byte")
+    ModelStore.saveBpe(spark,
+      BpeTrain.BpeModel(RegexPreTok(RegexPreTok.Gpt2ish),
+        Seq(("Ġ", "t")), byteLevel = true), dirB)
+    assert(ModelStore.loadBpe(spark, dirB).byteLevel)
 
     // unknown tags and truncated rank sequences fail loudly, not quietly
     assert(intercept[IllegalArgumentException](
