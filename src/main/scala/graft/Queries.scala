@@ -2419,6 +2419,26 @@ object Queries {
       .orderBy("word", "pos")
   }
 
+  /** T19 — the TRAINING EXPORT grain under the loaded byte-level model:
+    * [[operators.BpeTrain.tokenIds]] — one row per (doc, position) with
+    * the deterministic [[operators.BpeTrain.vocab]] id (bytes 0–255 +
+    * 256+rank per merge). This is the tensor a training run actually
+    * consumes, and the byte-level zero-OOV property is what makes the
+    * vocabulary join total. Every tenth document keeps the row's output
+    * at the suite's usual row-count grain (token grain is ~150×
+    * doc grain); the oracle replays positions with doc-partitioned
+    * row_number over (word position, within-word position) and maps
+    * tokens through a vocab literal generated from the engine's own
+    * table.
+    */
+  val t19BpeTokenIds: Q = (s, d) => {
+    import s.implicits._
+    val model = graft.sources.ModelStore.loadBpe(s, s"${ensureBpeModels(s)}/gpt2b")
+    operators.BpeTrain.tokenIds(
+      Tables.documents(s, d).where($"doc_id" % 10 === 0), "doc_id", "text", model)
+      .orderBy("doc_id", "pos")
+  }
+
   /** The DuckDB byte→printable remap as a 256-entry map literal,
     * generated from the SAME table the engine's [[operators.BpeTrain
     * .byteSymsCol]] indexes — one source of truth, interpolated into
@@ -2429,6 +2449,19 @@ object Queries {
     val vals = operators.BpeTrain.ByteToUnicode
       .map(sym => "'" + sym.replace("'", "''") + "'").mkString(", ")
     s"map([$keys], [$vals])"
+  }
+
+  /** The byte-level model's token→id table as a DuckDB map literal —
+    * generated from [[operators.BpeTrain.vocab]] over the same fixed
+    * model the t19 row loads (one source of truth).
+    */
+  private lazy val duckVocabMap: String = {
+    val v = operators.BpeTrain.vocab(operators.BpeTrain.BpeModel(
+      operators.RegexPreTok(operators.RegexPreTok.Gpt2ish), BpeFixedMerges,
+      byteLevel = true))
+    val keys = v.map { case (t, _) => "'" + t.replace("'", "''") + "'" }.mkString(", ")
+    val ids = v.map(_._2).mkString(", ")
+    s"map([$keys], [$ids])"
   }
 
   /** T3 token counting: whitespace tokens + regex (BPE-ish) tokens. */
@@ -4692,6 +4725,36 @@ object Queries {
         |SELECT word, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS token
         |FROM tok, unnest(generate_series(1, len(toks))) AS t(i)
         |ORDER BY word, pos""").stripMargin,
+    // the export grain: positioned regex spans -> byte remap -> merge
+    // replay -> per-doc row_number positions -> vocab-map ids
+    "t19_bpe_token_ids" ->
+      (s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |w AS (SELECT doc_id, regexp_extract_all(text,
+        |    ' ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\r\\f\\p{L}\\p{N}]+') AS ws FROM d),
+        |wp AS (SELECT doc_id, i AS wpos, ws[i] AS word
+        |  FROM w, unnest(generate_series(1, len(ws))) AS t(i)
+        |  WHERE len(ws[i]) > 0),
+        |wf AS (SELECT DISTINCT word FROM wp),
+        |bs AS (SELECT word, upper(hex(encode(word))) AS h FROM wf),
+        |sy AS (SELECT word, list_transform(generate_series(1, length(h)//2),
+        |    i -> $duckByteRemap[substr(h, (i-1)*2+1, 2)][1]) AS cs FROM bs),
+        |seg AS (SELECT word,
+        |  replace(replace(replace(replace(
+        |    array_to_string(list_transform(cs, x -> x || chr(31)), ''),
+        |    't' || chr(31) || 'h' || chr(31), 'th' || chr(31)),
+        |    'th' || chr(31) || 'e' || chr(31), 'the' || chr(31)),
+        |    'g' || chr(31) || 'g' || chr(31), 'gg' || chr(31)),
+        |    'a' || chr(31) || 'r' || chr(31), 'ar' || chr(31)) AS s
+        |  FROM sy),
+        |tok AS (SELECT word, string_split(rtrim(s, chr(31)), chr(31)) AS toks FROM seg),
+        |tk AS (SELECT word, j AS tpos, toks[j] AS token
+        |  FROM tok, unnest(generate_series(1, len(toks))) AS u(j)),
+        |jj AS (SELECT wp.doc_id, wp.wpos, tk.tpos, tk.token
+        |  FROM wp JOIN tk USING (word))
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wpos, tpos) - 1 AS BIGINT) AS pos,
+        |  CAST($duckVocabMap[token][1] AS BIGINT) AS token_id
+        |FROM jj ORDER BY doc_id, pos""").stripMargin,
     // exact-regime sketch ≡ the exact count — same oracle text as t10
     "t10a_vocab_sketch" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
@@ -5117,6 +5180,7 @@ object Queries {
     "t16_bpe_pretokenize" -> t16BpePretokenize,
     "t17_bpe_pretok_counts" -> t17BpePretokCounts,
     "t18_bpe_byte_level" -> t18BpeByteLevel,
+    "t19_bpe_token_ids" -> t19BpeTokenIds,
     "t14a_bpe_segment_scalable" -> t14aBpeSegmentScalable,
     "t15_bpe_token_counts" -> t15BpeTokenCounts,
     "p3_corpus_recipe" -> p3CorpusRecipe,

@@ -554,6 +554,66 @@ object BpeTrain {
     * [[FoldMergeMax]] segment via [[segmentWordsScalable]] (identical
     * semantics, spec-pinned).
     */
+  /** The id table of a BYTE-LEVEL model — deterministic and
+    * corpus-independent, the property a training run's export needs:
+    * ids 0–255 are the byte alphabet in byte order ([[ByteToUnicode]]),
+    * id 256+k is merge k's composite string. Requires `byteLevel`: a
+    * code-point model's base alphabet is whatever characters the corpus
+    * happens to contain, so its ids could silently differ between two
+    * exports of the same model. In the pathological case where two
+    * merges compose the same STRING (("a","bc") and ("ab","c") both
+    * yield "abc"), the first rank keeps the id — token strings stay
+    * unique, later duplicate composites are skipped.
+    */
+  def vocab(model: BpeModel): Seq[(String, Long)] = {
+    require(model.byteLevel,
+      "deterministic token ids need the byte-level alphabet — a " +
+        "code-point model's base vocabulary is corpus-dependent")
+    val seen = scala.collection.mutable.HashSet[String](ByteToUnicode: _*)
+    ByteToUnicode.zipWithIndex.map { case (s, i) => (s, i.toLong) } ++
+      model.merges.zipWithIndex.flatMap { case ((l, r), k) =>
+        if (seen.add(l + r)) Some((l + r, 256L + k)) else None
+      }
+  }
+
+  /** The TRAINING EXPORT grain: one row per (doc, position) with the
+    * token's [[vocab]] id — (idCol, pos, token_id), pos 0-based over the
+    * doc's pre-token order then within-word token order. The zero-OOV
+    * property is load-bearing here: under the byte-level alphabet every
+    * producible token is a base symbol or a merge composite, so the
+    * vocabulary join can never drop a row. Scale shape: distinct words
+    * segment once (vocabulary-sized), one equi-join back to the
+    * positioned corpus words, the (260 + merges)-row id table
+    * broadcasts, and the only doc-grain shuffle is the per-doc position
+    * window — the grain the export needs anyway. Empty pre-tokens are
+    * dropped BEFORE positions are assigned (wordFreq's discipline).
+    */
+  def tokenIds(df: DataFrame, idCol: String, textCol: String,
+               model: BpeModel): DataFrame = {
+    val spark = df.sparkSession
+    val words = df
+      .select(col(idCol), posexplode(model.preTok.splitCol(col(textCol))))
+      .select(col(idCol), col("pos").as("__wpos"), col("col").as("word"))
+      .where(length(col("word")) > 0)
+    val segment: DataFrame => DataFrame =
+      if (model.merges.size > FoldMergeMax)
+        segmentWordsScalable(_, model.merges, model.byteLevel)
+      else segmentWords(_, model.merges, model.byteLevel)
+    val perTok = segment(words.select("word").distinct())
+      // vocabulary-sized posexplode: same planner barrier as the t14 row
+      .localCheckpoint()
+      .select(col("word"), posexplode(col("tokens")))
+      .select(col("word"), col("pos").as("__tpos"), col("col").as("token"))
+    import spark.implicits._
+    val ids = vocab(model).toDF("token", "token_id")
+    words.join(perTok, "word")
+      .join(broadcast(ids), "token")
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+          .orderBy(col("__wpos"), col("__tpos"))).cast("long") - 1)
+      .select(col(idCol), col("pos"), col("token_id"))
+  }
+
   def tokenCounts(df: DataFrame, idCol: String, textCol: String,
                   merges: Seq[(String, String)]): DataFrame =
     tokenCounts(df, idCol, textCol, BpeModel(SpacePreTok, merges))

@@ -340,6 +340,46 @@ class BpeTrainSpec extends SparkSpec {
       s"expected a merge over é's bytes in $dist")
   }
 
+  test("vocab: 256 byte ids + 256+rank composites; duplicate composites keep the first id") {
+    val m = BpeTrain.BpeModel(SpacePreTok,
+      Seq(("a", "bc"), ("t", "h"), ("ab", "c")), byteLevel = true)
+    val v = BpeTrain.vocab(m)
+    assert(v.take(256).map(_._1) == BpeTrain.ByteToUnicode)
+    assert(v.take(256).map(_._2) == (0L until 256L))
+    // ("a","bc") and ("ab","c") both compose "abc": rank 0 keeps the id,
+    // rank 2's duplicate is skipped — token strings stay unique keys
+    assert(v.drop(256) == Seq(("abc", 256L), ("th", 257L)))
+    assert(v.map(_._1).distinct.length == v.length)
+    // code-point models have no deterministic base alphabet
+    val e = intercept[IllegalArgumentException] {
+      BpeTrain.vocab(BpeTrain.BpeModel(SpacePreTok, Nil))
+    }
+    assert(e.getMessage.contains("byte-level"))
+  }
+
+  test("tokenIds: per-doc positions across pre-token and token order; join is total") {
+    val model = BpeTrain.BpeModel(
+      RegexPreTok(RegexPreTok.Gpt2ish), Seq(("t", "h"), ("th", "e")),
+      byteLevel = true)
+    val docs = Seq((1L, "the thé x"), (2L, "a")).toDF("doc_id", "text")
+    val got = BpeTrain.tokenIds(docs, "doc_id", "text", model)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList.sorted
+    val ids = BpeTrain.vocab(model).toMap
+    // doc 1: "the" -> [the]; " thé" -> [Ġ, th, Ã, ©]; " x" -> [Ġ, x]
+    val want = List(
+      (1L, 0L, ids("the")),
+      (1L, 1L, ids("Ġ")), (1L, 2L, ids("th")), (1L, 3L, ids("Ã")), (1L, 4L, ids("©")),
+      (1L, 5L, ids("Ġ")), (1L, 6L, ids("x")),
+      (2L, 0L, ids("a"))).sorted
+    assert(got == want, s"got $got")
+    // totality on the real table: every token row survives the vocab join
+    val real = Tables.documents(spark, Sf0001).where(col("doc_id") < 50)
+    val nTokens = BpeTrain.tokenCounts(real, "doc_id", "text", model)
+      .agg(sum("bpe_tokens")).head.getLong(0)
+    assert(BpeTrain.tokenIds(real, "doc_id", "text", model).count() == nTokens,
+      "zero-OOV: the id join must never drop a token")
+  }
+
   test("assertBpeOracleReplayable: gate list passes, left-suffix-of-composite rejects") {
     // the live gate list's shape passes (it is defined THROUGH the guard)
     Queries.assertBpeOracleReplayable(
