@@ -117,22 +117,38 @@ object Bm25 {
     * round-trip is bit-identical.
     */
   def save(ix: Index, dir: String, numFiles: Int = 8): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
     require(numFiles >= 1, s"numFiles $numFiles must be >= 1")
-    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+    val fs = new HPath(dir).getFileSystem(
       ix.postings.sparkSession.sparkContext.hadoopConfiguration)
     // save's contract is a FRESH store: refuse to paper over a
     // mid-promote crash under investigation, and clear any tombstone set
     // a prior incarnation left — a stale tombstones/ would silently
-    // filter the new corpus's docs out of every search (self-review r16)
-    val marker = new org.apache.hadoop.fs.Path(s"$dir/_append_inprogress")
+    // filter the new corpus's docs out of every search (self-review r16).
+    // Refitting OVER a tombstoned store is a multi-artifact maintenance
+    // op, so it runs under the marker: every crash window inside it —
+    // including the one after the artifact writes but before the
+    // tombstone delete, where all four artifacts parse and the store
+    // would quietly serve wrong — leaves the marker behind and every
+    // reader refuses loudly (self-review r16 pass 2 #1). A fresh/
+    // untombstoned dir keeps today's markerless path: its crash states
+    // are missing-or-partial artifact dirs, which load() fails on
+    // LOUDLY by construction.
+    val marker = new HPath(s"$dir/_append_inprogress")
     require(!fs.exists(marker),
       s"save at $dir: a maintenance job died mid-promote (marker present) " +
         "— inspect the store, then remove the marker before refitting over it")
-    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/tombstones"), true)
+    val tombPath = new HPath(s"$dir/tombstones")
+    val refitOverTombstones = fs.exists(tombPath)
+    if (refitOverTombstones) fs.create(marker).close()
     writeTermSorted(ix.postings, s"$dir/postings", numFiles)
     writeTermSorted(ix.dfs, s"$dir/dfs", numFiles)
     ix.docStats.withColumn("id_col", lit(ix.idCol))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+    if (refitOverTombstones) {
+      fs.delete(tombPath, true)
+      fs.delete(marker, false)
+    }
   }
 
   /** Load a [[save]]d index. The stats read is one driver-sized row (the
@@ -212,16 +228,17 @@ object Bm25 {
     // a tombstoned id must not re-enter before compaction: the load-time
     // anti-join filters by id alone, so it would eat the NEW rows too and
     // the re-added document would silently vanish from every search.
-    // Upsert is therefore tombstoneStore -> compactStore -> appendStore.
+    // Replace-by-id is [[upsertStore]] — the one-call crash-atomic path.
     if (fs.exists(new HPath(s"$dir/tombstones"))) {
       val clash = docs.select(col(ix.idCol)).distinct()
         .join(spark.read.parquet(s"$dir/tombstones"), Seq(ix.idCol), "left_semi")
         .limit(1).count()
       require(clash == 0,
-        s"appendStore at $dir: the delta re-adds tombstoned ids — run " +
-          "compactStore first (upsert = tombstoneStore -> compactStore -> " +
-          "appendStore), or the load-time tombstone filter would swallow " +
-          "the re-added documents")
+        s"appendStore at $dir: the delta re-adds tombstoned ids — use " +
+          "upsertStore (the crash-atomic replace-by-id), or compactStore " +
+          "first if the tombstones are settled deletions; appending now " +
+          "would let the load-time tombstone filter swallow the re-added " +
+          "documents")
     }
     val delta = fit(docs, ix.idCol, textCol)
     // one tokenize+groupBy over the delta docs feeds all three staged
@@ -352,6 +369,14 @@ object Bm25 {
     * cadence, like [[compactStore]]. Result is spec-pinned ≡ a full
     * refit with those documents replaced; prior tombstones retire with
     * the rewrite.
+    *
+    * Contract edge, shared with [[tombstoneStore]]: a LIVE document
+    * whose stored text had ZERO tokens leaves no postings rows, so the
+    * store cannot see it — replacing such an id under-decrements
+    * n_docs/sum_dl by the empty doc's contribution (the refit
+    * equivalence holds for documents with at least one token; exact
+    * stats for the empty-text corner need the refit). Searches are
+    * unaffected either way — an empty doc was never a candidate.
     */
   def upsertStore(spark: org.apache.spark.sql.SparkSession, dir: String,
                   docs: DataFrame, textCol: String,
@@ -361,14 +386,24 @@ object Bm25 {
     val fs = new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ix = load(spark, dir) // refuses a dangling marker
     val idCol = ix.idCol
-    val ids = docs.select(col(idCol)).distinct()
+    // persisted: the one-job probe and the removed-rows derivation reuse
+    // it instead of re-running the docs lineage per Spark job
+    // (self-review r16 pass 2 #6)
+    val ids = docs.select(col(idCol)).distinct().persist()
     val tombPath = new HPath(s"$dir/tombstones")
-    val touchesStore =
-      ix.postings.join(ids, Seq(idCol), "left_semi").limit(1).count() > 0 ||
-        (fs.exists(tombPath) && spark.read.parquet(tombPath.toString)
-          .join(ids, Seq(idCol), "left_semi").limit(1).count() > 0)
-    if (!touchesStore)
-      return appendStore(spark, dir, docs, textCol, numFiles) // pure insert
+    // ONE probe job: is any incoming id live in the lake OR tombstoned?
+    val liveProbe = ix.postings.join(ids, Seq(idCol), "left_semi")
+      .select(col(idCol))
+    val probe =
+      if (fs.exists(tombPath))
+        liveProbe.unionByName(spark.read.parquet(tombPath.toString)
+          .join(ids, Seq(idCol), "left_semi").select(col(idCol)))
+      else liveProbe
+    val touchesStore = probe.limit(1).count() > 0
+    if (!touchesStore) {
+      try return appendStore(spark, dir, docs, textCol, numFiles) // pure insert
+      finally ids.unpersist()
+    }
     val delta = fit(docs, idCol, textCol)
     delta.postings.persist()
     val removed = ix.postings.join(ids, Seq(idCol), "left_semi").persist()
@@ -406,7 +441,9 @@ object Bm25 {
         new HPath(s"$dir/stats.tmp"), new HPath(s"$dir/stats"))
       fs.delete(tombPath, true) // folded into the rewrite
       fs.delete(marker, false)
-    } finally { delta.postings.unpersist(); removed.unpersist() }
+    } finally {
+      delta.postings.unpersist(); removed.unpersist(); ids.unpersist()
+    }
     load(spark, dir)
   }
 

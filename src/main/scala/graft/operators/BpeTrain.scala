@@ -590,6 +590,9 @@ object BpeTrain {
     */
   def tokenIds(df: DataFrame, idCol: String, textCol: String,
                model: BpeModel): DataFrame = {
+    require(!Set("word", "pos", "token", "token_id", "__wpos", "__tpos")(idCol),
+      s"idCol '$idCol' collides with tokenIds' internal/output columns " +
+        "(word, pos, token, token_id) — rename it")
     val spark = df.sparkSession
     val words = df
       .select(col(idCol), posexplode(model.preTok.splitCol(col(textCol))))
@@ -625,6 +628,9 @@ object BpeTrain {
     */
   def tokenCounts(df: DataFrame, idCol: String, textCol: String,
                   model: BpeModel): DataFrame = {
+    require(!Set("word", "tokens", "n", "bpe_tokens")(idCol),
+      s"idCol '$idCol' collides with tokenCounts' internal/output columns " +
+        "(word, tokens, n, bpe_tokens) — rename it")
     val corpusWords = df
       .select(col(idCol), explode(model.preTok.splitCol(col(textCol))).as("word"))
       .where(length(col("word")) > 0)

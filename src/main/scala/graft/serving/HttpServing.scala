@@ -52,7 +52,12 @@ private[serving] object HttpServing {
     */
   def guardedPost(server: HttpServer, path: String, maxBodyBytes: Long,
                   bucket: TokenBucket,
-                  handle: Array[Byte] => (Int, String)): Unit =
+                  handle: Array[Byte] => (Int, String)): Unit = {
+    // readNBytes takes an Int: a cap at or past Int.MaxValue would
+    // overflow `toInt + 1` and 501 every request — fail at registration,
+    // not per request (self-review r16 pass 2 #5)
+    require(maxBodyBytes > 0 && maxBodyBytes < Int.MaxValue,
+      s"maxBodyBytes $maxBodyBytes must be in (0, Int.MaxValue)")
     server.createContext(path, (ex: HttpExchange) => {
       try {
         if (ex.getRequestMethod != "POST")
@@ -79,4 +84,5 @@ private[serving] object HttpServing {
           respond(ex, 501, s"""{"error":"${e.getClass.getSimpleName}"}""")
       }
     })
+  }
 }

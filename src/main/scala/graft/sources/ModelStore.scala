@@ -133,16 +133,22 @@ object ModelStore {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  private val BpeFormatVersion = 1
+  // v1: (format_version, pre_tok); v2 added byte_level. The version
+  // BUMPED with the layout change (self-review r16 pass 2 #2 — the gate
+  // exists precisely so a layout change cannot mis-read old artifacts),
+  // and v1 artifacts stay loadable: every v1 model is code-point by
+  // construction, so byte_level = false is the CORRECT read, not a guess.
+  private val BpeFormatVersion = 2
 
   def loadBpe(spark: SparkSession,
               path: String): graft.operators.BpeTrain.BpeModel = {
     val meta = spark.read.parquet(s"$path/meta").collect()
     require(meta.length == 1,
       s"bpe model at $path: meta must be exactly 1 row, got ${meta.length}")
-    require(meta.head.getInt(0) == BpeFormatVersion,
-      s"bpe model at $path has format_version ${meta.head.getInt(0)}; this " +
-        s"engine reads version $BpeFormatVersion — refit or migrate the artifact")
+    val ver = meta.head.getInt(0)
+    require(ver == 1 || ver == BpeFormatVersion,
+      s"bpe model at $path has format_version $ver; this " +
+        s"engine reads versions 1-$BpeFormatVersion — refit or migrate the artifact")
     val rows = spark.read.parquet(s"$path/merges")
       .orderBy(col("rank")).collect()
     require(rows.map(_.getInt(0)).toSeq == rows.indices,
@@ -151,7 +157,7 @@ object ModelStore {
     graft.operators.BpeTrain.BpeModel(
       graft.operators.PreTokenizer.fromTag(meta.head.getString(1)),
       rows.map(r => (r.getString(1), r.getString(2))).toIndexedSeq,
-      meta.head.getBoolean(2))
+      ver >= 2 && meta.head.getBoolean(meta.head.fieldIndex("byte_level")))
   }
 
   /** The learned quality-filter artifact ([[graft.operators

@@ -378,6 +378,12 @@ class BpeTrainSpec extends SparkSpec {
       .agg(sum("bpe_tokens")).head.getLong(0)
     assert(BpeTrain.tokenIds(real, "doc_id", "text", model).count() == nTokens,
       "zero-OOV: the id join must never drop a token")
+    // reserved-name guard: an idCol colliding with the plumbing refuses
+    val e2 = intercept[IllegalArgumentException] {
+      BpeTrain.tokenIds(docs.withColumnRenamed("doc_id", "word"),
+        "word", "text", model)
+    }
+    assert(e2.getMessage.contains("collides"))
   }
 
   test("assertBpeOracleReplayable: gate list passes, left-suffix-of-composite rejects") {

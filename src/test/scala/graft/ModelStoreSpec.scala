@@ -155,6 +155,25 @@ class ModelStoreSpec extends SparkSpec {
         Seq(("Ġ", "t")), byteLevel = true), dirB)
     assert(ModelStore.loadBpe(spark, dirB).byteLevel)
 
+    // a v1 artifact (meta without byte_level) loads as code-point — the
+    // CORRECT read, every v1 model was code-point by construction — and
+    // versions past the gate refuse loudly
+    val dirV = tmp("bpe_v1")
+    ModelStore.saveBpe(spark, m, dirV)
+    def rewriteMeta(sel: String*): Unit = {
+      spark.read.parquet(s"$dirV/meta").selectExpr(sel: _*)
+        .write.mode("overwrite").parquet(s"$dirV/meta2")
+      val f = new java.io.File(s"$dirV/meta")
+      f.listFiles().foreach(_.delete()); f.delete()
+      new java.io.File(s"$dirV/meta2").renameTo(f)
+    }
+    rewriteMeta("CAST(1 AS INT) AS format_version", "pre_tok")
+    val v1 = ModelStore.loadBpe(spark, dirV)
+    assert(!v1.byteLevel && v1.merges == merges && v1.preTok == m.preTok)
+    rewriteMeta("CAST(99 AS INT) AS format_version", "pre_tok")
+    assert(intercept[IllegalArgumentException](
+      ModelStore.loadBpe(spark, dirV)).getMessage.contains("format_version"))
+
     // unknown tags and truncated rank sequences fail loudly, not quietly
     assert(intercept[IllegalArgumentException](
       PreTokenizer.fromTag("bytes")).getMessage.contains("unknown"))
