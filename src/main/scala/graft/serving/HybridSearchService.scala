@@ -4,7 +4,7 @@ import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
 
 import com.sun.net.httpserver.HttpServer
-import graft.operators.{AnnSearch, Bm25, ChunkEmbed, VectorMetric}
+import graft.operators.{AnnSearch, Bm25, ChunkEmbed, IvfIndex, VectorMetric}
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
@@ -22,10 +22,13 @@ import org.apache.spark.sql.functions._
   *    the query's terms push into the postings lake as `In(term)`, so
   *    request IO is Σ_t df(t) over the query's handful of terms, never
   *    the lake (the bm25_probe scaling table's flat curve IS this path);
-  *  - dense: [[AnnSearch.batchTopK]] cosine over the doc-grain
-  *    [[ChunkEmbed.docEmbed]] index, cached at construction (C9
-  *    collection load) — the exact anchor; a corpus past RAM swaps this
-  *    leg for the IVF-pruned lake exactly like [[SearchService]] does;
+  *  - dense: cosine over the doc-grain [[ChunkEmbed.docEmbed]] index,
+  *    cached at construction (C9 collection load) — exact
+  *    ([[AnnSearch.batchTopK]], the anchor) or, under
+  *    `denseMode = "ivf"`, KMeans-clustered at load and statically
+  *    pruned to the nprobe best cells per request
+  *    ([[AnnSearch.batchTopKIvf]]) — the [[SearchService]] scale path
+  *    for embedding indexes past an exact per-request scan;
   *  - fusion: [[Bm25.rrf]] over the two truncated top-fetchK lists —
   *    nothing corpus-sized touches it.
   *
@@ -45,18 +48,42 @@ class HybridSearchService(
     fetchK: Int = 20,
     dim: Int = 64,
     maxBodyBytes: Long = 1 << 20, // queries are text: 1 MB is generous
-    maxReqPerSec: Int = 100) {
+    maxReqPerSec: Int = 100,
+    // Dense-leg serving mode: "exact" scores every cached vector per
+    // request (the correctness anchor — right while the doc-embedding
+    // index fits executor memory); "ivf" fits KMeans centroids at load
+    // and each request scans only the nprobe best clusters — the
+    // [[SearchService]] scale path, for corpora whose embedding index
+    // outgrows an exact per-request scan. nprobe = nlist recovers exact
+    // results (spec-pinned).
+    denseMode: String = "exact",
+    nlist: Int = 64,
+    nprobe: Int = 8) {
 
   require(k >= 1 && fetchK >= k, s"need 1 <= k <= fetchK, got k=$k fetchK=$fetchK")
+  require(Seq("exact", "ivf").contains(denseMode),
+    s"unknown denseMode '$denseMode' (have: exact, ivf)")
+  require(nlist >= 1 && nprobe >= 1,
+    s"nlist $nlist and nprobe $nprobe must be >= 1")
   private val spark = corpus.sparkSession
 
   // ---- collection load (C9): the sparse artifact boots via load() (lazy
   // lake scans + 1-row stats); the dense doc-embedding index materializes
-  // hot, the same cache-and-count discipline as SearchService.
+  // hot — cluster-assigned under "ivf" — the same cache-and-count
+  // discipline as SearchService.
   private val bm25 = Bm25.load(spark, bm25Dir)
   require(bm25.idCol == idCol,
     s"store at $bm25Dir indexes '${bm25.idCol}', service configured for '$idCol'")
-  private val denseIndex = ChunkEmbed.docEmbed(corpus, idCol, textCol, dim).cache()
+  private val denseIndex0 = ChunkEmbed.docEmbed(corpus, idCol, textCol, dim)
+  private val (denseIndex, ivfModel) = denseMode match {
+    case "exact" => (denseIndex0.cache(), None)
+    case "ivf" =>
+      // clamp k to the table size so tiny collections still load
+      val n = denseIndex0.count()
+      val (assigned, m) =
+        IvfIndex.build(denseIndex0, "emb", math.min(nlist.toLong, n).toInt)
+      (assigned.cache(), Some(m))
+  }
   denseIndex.count()
 
   /** The per-request batch plan for a query string — public so specs can
@@ -67,10 +94,15 @@ class HybridSearchService(
     import spark.implicits._
     val q = Seq((0L, query)).toDF("qid", textCol)
     val sparse = Bm25.searchIndex(bm25, q, "qid", textCol, fetchK)
-    val dense = AnnSearch.batchTopK(
-      denseIndex, "emb", idCol,
-      ChunkEmbed.docEmbed(q, "qid", textCol, dim), "qid", "emb",
-      fetchK, VectorMetric.Cosine)
+    val qEmb = ChunkEmbed.docEmbed(q, "qid", textCol, dim)
+    val dense = ivfModel match {
+      case None =>
+        AnnSearch.batchTopK(denseIndex, "emb", idCol,
+          qEmb, "qid", "emb", fetchK, VectorMetric.Cosine)
+      case Some(m) =>
+        AnnSearch.batchTopKIvf(denseIndex, m, "emb", idCol, "cluster_id",
+          qEmb, "qid", "emb", fetchK, nprobe, VectorMetric.Cosine)
+    }
     Bm25.rrf(Seq(sparse, dense), "qid", idCol, "rank", k)
       .orderBy(col("rank"))
   }

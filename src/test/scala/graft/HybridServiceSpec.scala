@@ -82,6 +82,38 @@ class HybridServiceSpec extends SparkSpec {
     } finally svc.stop()
   }
 
+  test("denseMode=ivf: full-probe serving equals the exact dense leg; pruned probe serves") {
+    val docs = Tables.documents(spark, Sf0001)
+    val corpus = docs.where($"doc_id" >= 3).select($"doc_id", $"text")
+    val queryText = docs.where($"doc_id" === 1).select($"text").head().getString(0)
+    val dir = graft.sources.TempDirs.register(
+      s"/tmp/graft_hybrid_ivf_${ProcessHandle.current().pid()}")
+    Bm25.save(Bm25.fit(corpus, "doc_id", "text"), dir, numFiles = 2)
+    def served(svc: graft.serving.HybridSearchService): Seq[Long] = {
+      val port = svc.start(0)
+      try {
+        val (code, body) = post(port, "/hybrid", queryText.getBytes("UTF-8"))
+        assert(code == 200, body)
+        "\"doc_id\":(\\d+)".r.findAllMatchIn(body).map(_.group(1).toLong).toSeq
+      } finally svc.stop()
+    }
+    // nprobe = nlist: the IVF leg scans every cell — wire results must
+    // equal the exact-mode service's verbatim (the IvfSpec recall anchor)
+    val exactSvc = new graft.serving.HybridSearchService(
+      corpus, "doc_id", "text", dir, k = 10, fetchK = 20)
+    val fullProbe = new graft.serving.HybridSearchService(
+      corpus, "doc_id", "text", dir, k = 10, fetchK = 20,
+      denseMode = "ivf", nlist = 8, nprobe = 8)
+    val want = served(exactSvc)
+    assert(served(fullProbe) == want && want.nonEmpty,
+      "full-probe ivf dense leg must reproduce the exact service")
+    // the production shape — pruned probe — answers a full top-k
+    val pruned = new graft.serving.HybridSearchService(
+      corpus, "doc_id", "text", dir, k = 10, fetchK = 20,
+      denseMode = "ivf", nlist = 8, nprobe = 2)
+    assert(served(pruned).length == 10)
+  }
+
   test("rate limiter answers 429 past the per-second budget") {
     val docs = Tables.documents(spark, Sf0001)
     val corpus = docs.where($"doc_id" >= 3).select($"doc_id", $"text")
