@@ -2439,6 +2439,25 @@ object Queries {
       .orderBy("doc_id", "pos")
   }
 
+  /** T20 — the encode → export → decode ROUND TRIP: [[operators.BpeTrain
+    * .detokenize]] inverts t19's id sequences back to text (ids → tokens
+    * → remapped bytes → UTF-8), and under the byte-level alphabet on
+    * single-spaced text the loop is the IDENTITY — so the oracle is the
+    * raw documents table itself, the strongest oracle a pipeline leg can
+    * have. This is the lossless-export guarantee a training-data
+    * pipeline audits with: what the tensors encode is exactly what the
+    * corpus said.
+    */
+  val t20BpeDetokenize: Q = (s, d) => {
+    import s.implicits._
+    val model = graft.sources.ModelStore.loadBpe(s, s"${ensureBpeModels(s)}/gpt2b")
+    val docs = Tables.documents(s, d).where($"doc_id" % 10 === 0)
+    operators.BpeTrain.detokenize(
+        operators.BpeTrain.tokenIds(docs, "doc_id", "text", model),
+        "doc_id", model)
+      .orderBy("doc_id")
+  }
+
   /** The DuckDB byte→printable remap as a 256-entry map literal,
     * generated from the SAME table the engine's [[operators.BpeTrain
     * .byteSymsCol]] indexes — one source of truth, interpolated into
@@ -4755,6 +4774,14 @@ object Queries {
         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wpos, tpos) - 1 AS BIGINT) AS pos,
         |  CAST($duckVocabMap[token][1] AS BIGINT) AS token_id
         |FROM jj ORDER BY doc_id, pos""").stripMargin,
+    // the round-trip's oracle is the RAW TABLE: under the byte-level
+    // alphabet on single-spaced text, encode -> export -> decode is the
+    // identity (docs whose text yields no pre-tokens produce no rows)
+    "t20_bpe_detokenize" ->
+      (s"""SELECT doc_id, text FROM documents
+        |WHERE doc_id % 10 = 0 AND len(regexp_extract_all(text,
+        |  ' ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\r\\f\\p{L}\\p{N}]+')) > 0
+        |ORDER BY doc_id""").stripMargin,
     // exact-regime sketch ≡ the exact count — same oracle text as t10
     "t10a_vocab_sketch" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
@@ -5181,6 +5208,7 @@ object Queries {
     "t17_bpe_pretok_counts" -> t17BpePretokCounts,
     "t18_bpe_byte_level" -> t18BpeByteLevel,
     "t19_bpe_token_ids" -> t19BpeTokenIds,
+    "t20_bpe_detokenize" -> t20BpeDetokenize,
     "t14a_bpe_segment_scalable" -> t14aBpeSegmentScalable,
     "t15_bpe_token_counts" -> t15BpeTokenCounts,
     "p3_corpus_recipe" -> p3CorpusRecipe,

@@ -617,6 +617,39 @@ object BpeTrain {
       .select(col(idCol), col("pos"), col("token_id"))
   }
 
+  /** Inverse of [[tokenIds]] under a byte-level model — (idCol, pos,
+    * token_id) back to (idCol, text). Byte-level makes this EXACT with
+    * no special cases: ids map back to tokens through [[vocab]], each
+    * doc's tokens concatenate in position order (an exact string fold —
+    * no float grain anywhere), and the remapped alphabet inverts
+    * byte-for-byte ([[ByteToUnicode]] is a bijection) before one UTF-8
+    * decode. Text whose inter-word whitespace the pre-tokenizer
+    * preserves (single spaces under [[RegexPreTok.Gpt2ish]]) round-trips
+    * VERBATIM — encode → export → decode is the identity, which the t20
+    * gate row pins against the raw documents table itself. Scale shape:
+    * one broadcast join on the (260 + merges)-row id table and one
+    * groupBy(doc) — the grain a sample-inspection/debugging pass needs.
+    */
+  def detokenize(ids: DataFrame, idCol: String, model: BpeModel): DataFrame = {
+    require(!Set("pos", "token", "token_id", "text")(idCol),
+      s"idCol '$idCol' collides with detokenize's internal/output columns")
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val inv = vocab(model).map { case (t, i) => (i, t) }.toDF("token_id", "token")
+    // remapped char -> the source byte's 2 hex digits; unhex + UTF-8
+    // decode inverts the byte-level alphabet exactly
+    val revHex = typedlit(
+      ByteToUnicode.zipWithIndex.map { case (c, b) => c -> f"$b%02X" }.toMap)
+    ids.join(broadcast(inv), "token_id")
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("token")))),
+        x => x.getField("token")), "").as("__joined"))
+      .select(col(idCol),
+        decode(unhex(array_join(transform(split(col("__joined"), ""),
+          c => element_at(revHex, c)), "")), "UTF-8").as("text"))
+  }
+
   def tokenCounts(df: DataFrame, idCol: String, textCol: String,
                   merges: Seq[(String, String)]): DataFrame =
     tokenCounts(df, idCol, textCol, BpeModel(SpacePreTok, merges))

@@ -386,6 +386,29 @@ class BpeTrainSpec extends SparkSpec {
     assert(e2.getMessage.contains("collides"))
   }
 
+  test("detokenize inverts tokenIds exactly on single-spaced unicode text") {
+    val model = BpeTrain.BpeModel(
+      RegexPreTok(RegexPreTok.Gpt2ish), Seq(("t", "h"), ("th", "e")),
+      byteLevel = true)
+    // multi-byte, astral and punctuation content — the byte alphabet
+    // must invert all of it verbatim
+    val docs = Seq(
+      (1L, "the thé café 😀!"),
+      (2L, "日本語 123 test."),
+      (3L, "x")).toDF("doc_id", "text")
+    val back = BpeTrain.detokenize(
+        BpeTrain.tokenIds(docs, "doc_id", "text", model), "doc_id", model)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back == want, s"round trip diverged: $back")
+    // id-col collision refuses
+    val ids = BpeTrain.tokenIds(docs, "doc_id", "text", model)
+    val e = intercept[IllegalArgumentException] {
+      BpeTrain.detokenize(ids.withColumnRenamed("doc_id", "token"), "token", model)
+    }
+    assert(e.getMessage.contains("collides"))
+  }
+
   test("assertBpeOracleReplayable: gate list passes, left-suffix-of-composite rejects") {
     // the live gate list's shape passes (it is defined THROUGH the guard)
     Queries.assertBpeOracleReplayable(
