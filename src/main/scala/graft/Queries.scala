@@ -2458,6 +2458,117 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** T21 — trigram Stupid Backoff LM scoring ([[operators.NgramLm]];
+    * Brants et al. EMNLP 2007): fit the three raw count tables on the
+    * corpus, score every document at `minCount = 2` — the count-threshold
+    * prune every production n-gram model ships with, and the thing that
+    * makes this row exercise ALL THREE backoff legs (singleton trigrams
+    * fall to the bigram leg, singleton bigrams to the unigram floor; an
+    * unpruned self-scored corpus would never leave the trigram leg).
+    * The oracle replays the same count CTEs with `HAVING count(*) >= 2`
+    * and the identical nested CASE, folding logp in position order.
+    */
+  val t21NgramLm: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val model = operators.NgramLm.fit(docs, "text")
+    operators.NgramLm.score(docs, "doc_id", "text", model, minCount = 2L)
+      .orderBy($"doc_id")
+  }
+
+  /** T22 — t21 through the PERSISTED count store under t21's oracle SQL
+    * verbatim (the e2i/r5 one-oracle-two-plans trick): the session
+    * fixture ran [[operators.NgramLm.save]] once; this row boots
+    * [[operators.NgramLm.load]] and scores with the loaded tables — the
+    * serving shape a quality-scoring job boots nightly. Counts are longs,
+    * so the loaded model is bit-identical to the fitted one.
+    */
+  val t22NgramLmStore: Q = (s, d) => {
+    import s.implicits._
+    val model = operators.NgramLm.load(s, s"${ensureNgramStores(s, d)}/full")
+    operators.NgramLm.score(Tables.documents(s, d), "doc_id", "text", model,
+      minCount = 2L).orderBy($"doc_id")
+  }
+
+  /** T23 — incremental count maintenance under t21's oracle: the corpus
+    * splits into a "yesterday" store ([[operators.NgramLm.save]] over
+    * 4/5 of the documents) and a "today" delta ([[operators.NgramLm
+    * .appendStore]] — delta-sized segment append, the lake untouched),
+    * and scoring the loaded GROWN store must hash-match the
+    * full-recompute oracle. Counts merge by integer addition in
+    * [[operators.NgramLm.load]]'s segment fold, so grown ≡ refit exactly
+    * — the e2i of the LM family, probing the UNCOMPACTED two-segment
+    * lake (compaction equivalence is spec-pinned in NgramLmSpec).
+    */
+  val t23NgramLmAppend: Q = (s, d) => {
+    import s.implicits._
+    val model = operators.NgramLm.load(s, s"${ensureNgramStores(s, d)}/grown")
+    operators.NgramLm.score(Tables.documents(s, d), "doc_id", "text", model,
+      minCount = 2L).orderBy($"doc_id")
+  }
+
+  private val ngramStoreStage = new operators.SessionCache[String]
+  // session fixture: the two persisted n-gram stores the t22/t23 rows
+  // load — keyed like the bm25 store (session token + dir + source mtime)
+  // so fixture regeneration or a second session rebuilds rather than
+  // cross-reads
+  private def ensureNgramStores(s: SparkSession, d: String): String =
+    ngramStoreStage.getOrBuild(
+      s"${operators.SessionCache.token(s)}#$d#${sourceTag(d, "documents.parquet")}") {
+      import s.implicits._
+      val pathTag = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val dir = graft.sources.TempDirs.register(
+        s"/tmp/graft_ngram_store_${ProcessHandle.current().pid()}_" +
+          s"${operators.SessionCache.token(s).take(8)}_$pathTag")
+      val docs = Tables.documents(s, d).select($"doc_id", $"text")
+      operators.NgramLm.save(
+        operators.NgramLm.fit(docs, "text"), s"$dir/full")
+      operators.NgramLm.save(
+        operators.NgramLm.fit(docs.where($"doc_id" % 5 =!= 0), "text"),
+        s"$dir/grown")
+      operators.NgramLm.appendStore(s, s"$dir/grown",
+        docs.where($"doc_id" % 5 === 0), "text")
+      dir
+    }
+
+  /** The t21/t22/t23 oracle: DuckDB refits the three count tables (the
+    * HAVING clauses are [[operators.NgramLm.score]]'s `minCount = 2`
+    * prune — trigram/bigram pruned, unigram floor whole), replays the
+    * identical nested backoff CASE per position, and folds logp in
+    * position order. The nested-parenthesis shape matches the engine's
+    * `when` tree exactly so both run the same IEEE expression.
+    */
+  private val ngramSbOracle: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |uc AS (SELECT t AS w1, CAST(count(*) AS BIGINT) AS c1
+      |       FROM (SELECT unnest(w) AS t FROM toks) GROUP BY t),
+      |n AS (SELECT CAST(sum(c1) AS BIGINT) AS tot FROM uc),
+      |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM
+      |        (SELECT unnest(list_transform(generate_series(1, len(w)-1),
+      |           i -> {'w1': w[i], 'w2': w[i+1]}), recursive := true) FROM toks)
+      |       GROUP BY w1, w2 HAVING count(*) >= 2),
+      |tg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-2),
+      |         i -> {'pos': i, 'w1': w[i], 'w2': w[i+1], 'w3': w[i+2]}),
+      |         recursive := true) FROM toks),
+      |tc AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c3 FROM tg
+      |       GROUP BY w1, w2, w3 HAVING count(*) >= 2),
+      |j AS (SELECT g.doc_id, g.pos,
+      |        ln(CASE WHEN tc.c3 IS NOT NULL THEN tc.c3 / ctx.c2
+      |           ELSE 0.4 * (CASE WHEN low.c2 IS NOT NULL THEN low.c2 / um.c1
+      |                       ELSE 0.4 * (ul.c1 / n.tot) END) END) AS logp
+      |      FROM tg g
+      |      LEFT JOIN tc ON g.w1 = tc.w1 AND g.w2 = tc.w2 AND g.w3 = tc.w3
+      |      LEFT JOIN bc ctx ON g.w1 = ctx.w1 AND g.w2 = ctx.w2
+      |      LEFT JOIN bc low ON g.w2 = low.w1 AND g.w3 = low.w2
+      |      JOIN uc um ON g.w2 = um.w1
+      |      JOIN uc ul ON g.w3 = ul.w1
+      |      CROSS JOIN n),
+      |agg AS (SELECT doc_id, list(logp ORDER BY pos) AS lp FROM j GROUP BY doc_id)
+      |SELECT doc_id, CAST(len(lp) AS BIGINT) AS n_trigrams,
+      |  round(-list_sum(lp) / len(lp), 6) AS nll
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   /** The DuckDB byte→printable remap as a 256-entry map literal,
     * generated from the SAME table the engine's [[operators.BpeTrain
     * .byteSymsCol]] indexes — one source of truth, interpolated into
@@ -4782,6 +4893,12 @@ object Queries {
         |WHERE doc_id % 10 = 0 AND len(regexp_extract_all(text,
         |  ' ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\r\\f\\p{L}\\p{N}]+')) > 0
         |ORDER BY doc_id""").stripMargin,
+    // one oracle, three plans (the e2i/r5 trick): t22 scores through the
+    // persisted store, t23 through the segment-appended store — both must
+    // hash-match this full-recompute replay of t21 verbatim
+    "t21_ngram_lm" -> ngramSbOracle,
+    "t22_ngram_lm_store" -> ngramSbOracle,
+    "t23_ngram_lm_append" -> ngramSbOracle,
     // exact-regime sketch ≡ the exact count — same oracle text as t10
     "t10a_vocab_sketch" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
@@ -5209,6 +5326,9 @@ object Queries {
     "t18_bpe_byte_level" -> t18BpeByteLevel,
     "t19_bpe_token_ids" -> t19BpeTokenIds,
     "t20_bpe_detokenize" -> t20BpeDetokenize,
+    "t21_ngram_lm" -> t21NgramLm,
+    "t22_ngram_lm_store" -> t22NgramLmStore,
+    "t23_ngram_lm_append" -> t23NgramLmAppend,
     "t14a_bpe_segment_scalable" -> t14aBpeSegmentScalable,
     "t15_bpe_token_counts" -> t15BpeTokenCounts,
     "p3_corpus_recipe" -> p3CorpusRecipe,

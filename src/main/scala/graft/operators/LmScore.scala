@@ -35,7 +35,7 @@ object LmScore {
   // form re-splits the text g times per row; here `toks` evaluates twice
   // total and the lambda touches only its element variables. Position comes
   // from posexplode at the call site.
-  private def bigramPairs(toks: Column): Column = {
+  private[operators] def bigramPairs(toks: Column): Column = {
     val len = size(toks) - 1
     when(size(toks) >= 2,
       zip_with(slice(toks, lit(1), len), slice(toks, lit(2), len),
