@@ -2915,6 +2915,27 @@ object Queries {
       .orderBy($"doc_id")
   }
 
+  /** X4 training-sequence materialization ([[SequencePack.packTokenIds]]):
+    * the step after x1's audit trail — emit the context windows
+    * THEMSELVES. t19's per-doc BPE token ids (the loaded byte-level
+    * model) lay end to end in the manifest's md5-draw order with an
+    * end-of-text separator (id 260 — one past the 4-merge model's
+    * 256+4-entry vocab, the GPT-2 boundary discipline) after each
+    * document, cut into 512-token windows: `(chunk_id, n_tokens,
+    * input_ids)`, every chunk full except the corpus's last. The oracle
+    * composes t19's id replay with x1's offset window and groups by
+    * `gp // 512`, building each window with a position-ordered `list()`
+    * — the whole tensor content is under the hash, not a digest of it.
+    */
+  val x4PackTokenIds: Q = (s, d) => {
+    import s.implicits._
+    val model = graft.sources.ModelStore.loadBpe(s, s"${ensureBpeModels(s)}/gpt2b")
+    val ids = operators.BpeTrain.tokenIds(
+      Tables.documents(s, d).where($"doc_id" % 10 === 0), "doc_id", "text", model)
+    SequencePack.packTokenIds(ids, "doc_id", 512L, sepId = Some(260L))
+      .orderBy($"chunk_id")
+  }
+
   /** T6 PII scrubbing — C4-style cleaning with typed redaction tags.
     * Synthetic PII (emails, dotted-quad IPs, phone numbers) is derived
     * deterministically from doc_id so the scrub provably FIRES; the oracle
@@ -4919,6 +4940,52 @@ object Queries {
         |  (tok_offset + tokens - 1) // 2048 AS last_chunk,
         |  (tok_offset + tokens - 1) // 2048 - tok_offset // 2048 + 1 AS n_chunks
         |FROM c ORDER BY doc_id""".stripMargin,
+    // x4 composes t19's token-id replay with x1's offset window: ids per
+    // doc (byte-level BPE under the map literals generated from the
+    // engine's own tables), one separator id 260 appended per doc, md5-
+    // draw prefix offsets, then windows assembled with a position-ordered
+    // list() — the full tensor content under the hash
+    "x4_pack_token_ids" ->
+      (s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |w AS (SELECT doc_id, regexp_extract_all(text,
+        |    ' ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\r\\f\\p{L}\\p{N}]+') AS ws FROM d),
+        |wp AS (SELECT doc_id, i AS wpos, ws[i] AS word
+        |  FROM w, unnest(generate_series(1, len(ws))) AS t(i)
+        |  WHERE len(ws[i]) > 0),
+        |wf AS (SELECT DISTINCT word FROM wp),
+        |bs AS (SELECT word, upper(hex(encode(word))) AS h FROM wf),
+        |sy AS (SELECT word, list_transform(generate_series(1, length(h)//2),
+        |    i -> $duckByteRemap[substr(h, (i-1)*2+1, 2)][1]) AS cs FROM bs),
+        |seg AS (SELECT word,
+        |  replace(replace(replace(replace(
+        |    array_to_string(list_transform(cs, x -> x || chr(31)), ''),
+        |    't' || chr(31) || 'h' || chr(31), 'th' || chr(31)),
+        |    'th' || chr(31) || 'e' || chr(31), 'the' || chr(31)),
+        |    'g' || chr(31) || 'g' || chr(31), 'gg' || chr(31)),
+        |    'a' || chr(31) || 'r' || chr(31), 'ar' || chr(31)) AS s
+        |  FROM sy),
+        |tok AS (SELECT word, string_split(rtrim(s, chr(31)), chr(31)) AS toks FROM seg),
+        |tk AS (SELECT word, j AS tpos, toks[j] AS token
+        |  FROM tok, unnest(generate_series(1, len(toks))) AS u(j)),
+        |jj AS (SELECT wp.doc_id, wp.wpos, tk.tpos, tk.token
+        |  FROM wp JOIN tk USING (word)),
+        |pid AS (SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wpos, tpos) - 1 AS BIGINT) AS pos,
+        |  CAST($duckVocabMap[token][1] AS BIGINT) AS token_id FROM jj),
+        |al AS (SELECT * FROM pid UNION ALL
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS pos,
+        |    CAST(260 AS BIGINT) AS token_id FROM pid GROUP BY doc_id),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+        |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS draw
+        |  FROM al GROUP BY doc_id),
+        |o AS (SELECT doc_id, CAST(COALESCE(sum(n) OVER (ORDER BY draw, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+        |  FROM cnt),
+        |g AS (SELECT al.doc_id, o.tok_offset + al.pos AS gp, al.token_id
+        |  FROM al JOIN o USING (doc_id))
+        |SELECT gp // 512 AS chunk_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  list(token_id ORDER BY gp) AS input_ids
+        |FROM g GROUP BY 1 ORDER BY 1""").stripMargin,
     // x2 replays packNoSplit's greedy recurrence as a recursive CTE: the
     // anchor is each shard's first doc (always bin 0, off 0 — the fold's
     // fill=ctx sentinel), the recursive step carries (fill, bin) doc by doc
@@ -5313,6 +5380,7 @@ object Queries {
     "v1_label_centroid" -> v1LabelCentroid,
     "x1_pack_manifest" -> x1PackManifest,
     "x2_pack_nosplit" -> x2PackNosplit,
+    "x4_pack_token_ids" -> x4PackTokenIds,
     "q7_value_quantiles" -> q7ValueQuantiles,
     "t10_vocab_topk" -> t10VocabTopk,
     "t10a_vocab_sketch" -> t10aVocabSketch,

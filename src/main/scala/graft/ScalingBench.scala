@@ -195,10 +195,16 @@ object ScalingBench {
     // assign → pruned probe) is scan-shaped end to end — the copy-0 query
     // chunks probe a constant nprobe fraction, so wall tracks the
     // embed+assign, never corpus×queries
+    // t21 joined in round 16: the trigram LM's claim is that the model IS
+    // its count tables — fit is three map-side-combined aggregations and
+    // score five equi-joins against them, all corpus-scaled and scan-
+    // shaped, so wall should track the corpus ≈ linearly with no
+    // super-linear term anywhere (the copies are token-disjoint, so the
+    // count tables grow linearly while per-position join fan-out stays 1)
     val names10 = Seq("e2_minhash_pairs", "e4_jaccard_pairs", "e4c_jaccard_zipf",
       "e4d_jaccard_zipf_exact", "e8_dedup_cluster", "p3_corpus_recipe",
       "m4_cdc_apply", "u2_k_anonymity", "r3_bm25_topk",
-      "f1_fuzzy_join", "r2_retrieval_ivf", "t12_bpe_pairs")
+      "f1_fuzzy_join", "r2_retrieval_ivf", "t12_bpe_pairs", "t21_ngram_lm")
     // second decade, CAPPED rows only: these are the designated 100 TB
     // plans, and two decades turn one ratio into a growth exponent.
     // e4/e4d stay at one decade on purpose — e4d is the documented
@@ -207,7 +213,8 @@ object ScalingBench {
     // index is superseded by e4c's prefix caps as the Zipf scale path.
     val names100 = Set("e2_minhash_pairs", "e4c_jaccard_zipf",
       "e8_dedup_cluster", "p3_corpus_recipe", "m4_cdc_apply", "u2_k_anonymity",
-      "r3_bm25_topk", "f1_fuzzy_join", "r2_retrieval_ivf", "t12_bpe_pairs")
+      "r3_bm25_topk", "f1_fuzzy_join", "r2_retrieval_ivf", "t12_bpe_pairs",
+      "t21_ngram_lm")
     // build the ANN fixtures BEFORE the steal window opens (r13
     // self-review #2): the emb10000 build writes ~16 GB of parquet, and a
     // steal count spanning fixture IO can no longer flag a

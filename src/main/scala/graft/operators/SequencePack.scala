@@ -89,6 +89,72 @@ object SequencePack {
     spark.createDataFrame(out, schema)
   }
 
+  /** Materialize the actual fixed-length TRAINING SEQUENCES from a
+    * token-id table — the step after [[packManifest]]'s audit trail: where
+    * the manifest says which window each document lands in, this emits the
+    * windows themselves, `(chunk_id, n_tokens, input_ids)` with
+    * `input_ids` the `ctxLen` token ids of that context window in
+    * training order. Input is the [[BpeTrain.tokenIds]] grain — one row
+    * per (doc, position) with columns `(idCol, pos, token_id)`, `pos`
+    * DENSE 0-based within each document (the tokenIds contract; a gapped
+    * position column would silently misalign every later document's
+    * tokens). Documents are laid end to end in the same deterministic
+    * md5-draw order as [[packManifest]] — the two outputs describe ONE
+    * packing, so a manifest row's `[first_chunk, last_chunk]` is exactly
+    * where this function put that document's ids (spec-pinned).
+    *
+    * `sepId` optionally appends one separator token after EACH document's
+    * ids before packing (the GPT-2 end-of-text discipline — a trained
+    * model needs the boundary mark to reset context); documents with no
+    * id rows contribute nothing, separator included (they occupy no
+    * window, matching the manifest's `tokens > 0` contract). Every chunk
+    * is exactly `ctxLen` tokens except the corpus's last, which carries
+    * the remainder — `n_tokens` lets the trainer drop or pad it
+    * explicitly rather than this operator deciding.
+    *
+    * Scale shape: one doc-grain count, the manifest's two-pass prefix sum
+    * (no single-partition window), one doc-keyed equi-join of offsets
+    * back to the id rows, and one groupBy on chunk_id whose per-group
+    * state is bounded by `ctxLen` structs — nothing corpus-sized on the
+    * driver, nothing skewed beyond the chunk grain itself. The per-chunk
+    * array assembles via sort_array over (pos_in_chunk, id) structs, so
+    * the output is bit-identical under any partitioning.
+    */
+  def packTokenIds(
+      ids: DataFrame,
+      idCol: String,
+      ctxLen: Long,
+      sepId: Option[Long] = None): DataFrame = {
+    require(ctxLen > 0, s"ctxLen must be positive, got $ctxLen")
+    require(!Set("pos", "token_id", "chunk_id", "n_tokens", "input_ids",
+      "tokens", "tok_offset")(idCol),
+      s"idCol '$idCol' collides with packTokenIds' internal/output columns")
+    val base = ids.select(col(idCol), col("pos").cast("long").as("pos"),
+      col("token_id").cast("long").as("token_id"))
+    val withSep = sepId match {
+      case Some(sid) => base.unionByName(
+        base.groupBy(col(idCol)).agg(count(lit(1)).as("pos"))
+          .select(col(idCol), col("pos"), lit(sid).cast("long").as("token_id")))
+      case None => base
+    }
+    val counts = withSep.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n"))
+    val offsets = packManifest(counts, idCol, "__n", ctxLen)
+      .select(col(idCol), col("tok_offset"))
+    withSep.join(offsets, idCol)
+      .select((col("tok_offset") + col("pos")).as("__g"), col("token_id"))
+      // longs stay longs: `div` is exact integer division (a `/` here
+      // would route through double and lose exactness past 2^53 tokens —
+      // a 100 TB corpus is ~10^13 tokens, uncomfortably close)
+      .select(expr(s"CAST(__g DIV $ctxLen AS BIGINT)").as("chunk_id"),
+        (col("__g") % ctxLen).as("__p"), col("token_id"))
+      .groupBy(col("chunk_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        transform(array_sort(collect_list(struct(col("__p"), col("token_id")))),
+          x => x.getField("token_id")).as("input_ids"))
+      .select(col("chunk_id"), col("n_tokens"), col("input_ids"))
+  }
+
   /** Document-INTACT greedy packing — the other standard packing policy
     * beside [[packManifest]]'s concat-then-chunk: no document is ever split
     * across context windows; a doc that doesn't fit the current window's

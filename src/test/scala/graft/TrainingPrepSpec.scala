@@ -270,4 +270,86 @@ class TrainingPrepSpec extends SparkSpec {
     val byId = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
     (0 until 12).foreach(i => assert(byId(s"doc-$i") == 1L + i % 7))
   }
+
+  // driver-side twin of Sampling.drawHex — the packing order's sort key
+  private def drawHexLocal(id: Long): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+    d.map("%02x".format(_)).mkString.substring(0, 8)
+  }
+
+  // per-doc id rows at the tokenIds grain: (doc_id, pos, token_id)
+  private def idRows(docs: Seq[(Long, Seq[Long])]) =
+    docs.flatMap { case (id, toks) =>
+      toks.zipWithIndex.map { case (t, p) => (id, p.toLong, t) }
+    }.toDF("doc_id", "pos", "token_id")
+
+  test("packTokenIds: flattened chunks are the docs in draw order, sep-terminated") {
+    val docs = Seq(
+      1L -> Seq(10L, 11L, 12L), 2L -> Seq(20L), 3L -> Seq(30L, 31L),
+      4L -> Seq(40L, 41L, 42L, 43L, 44L, 45L, 46L), 5L -> Seq(50L, 51L))
+    val got = SequencePack.packTokenIds(idRows(docs), "doc_id", 5L,
+        sepId = Some(999L))
+      .orderBy($"chunk_id").collect()
+    // chunk ids are contiguous from 0; every chunk full except the last
+    assert(got.map(_.getLong(0)).toSeq == got.indices.map(_.toLong))
+    got.dropRight(1).foreach { r =>
+      assert(r.getLong(1) == 5L && r.getSeq[Long](2).length == 5)
+    }
+    assert(got.last.getLong(1) == got.last.getSeq[Long](2).length)
+    // the flattened stream IS the corpus: docs sorted by (md5 draw, id),
+    // each followed by its separator
+    val expected = docs.sortBy { case (id, _) => (drawHexLocal(id), id) }
+      .flatMap { case (_, toks) => toks :+ 999L }
+    val flat = got.flatMap(_.getSeq[Long](2)).toSeq
+    assert(flat == expected, s"flat=$flat expected=$expected")
+    assert(flat.length == docs.map(_._2.length + 1).sum)
+  }
+
+  test("packTokenIds: no separator without sepId; empty docs occupy nothing") {
+    val docs = Seq(1L -> Seq(10L, 11L), 2L -> Seq.empty[Long], 3L -> Seq(30L))
+    val got = SequencePack.packTokenIds(idRows(docs), "doc_id", 4L)
+      .orderBy($"chunk_id").collect()
+    val expected = docs.filter(_._2.nonEmpty)
+      .sortBy { case (id, _) => (drawHexLocal(id), id) }
+      .flatMap(_._2)
+    assert(got.flatMap(_.getSeq[Long](2)).toSeq == expected)
+    // empty doc contributes nothing even under a sep discipline (it has no
+    // id rows, so there is no boundary to mark — the manifest's tokens > 0
+    // contract)
+    val withSep = SequencePack.packTokenIds(idRows(docs), "doc_id", 4L,
+        sepId = Some(7L))
+      .orderBy($"chunk_id").collect().flatMap(_.getSeq[Long](2)).toSeq
+    assert(withSep == docs.filter(_._2.nonEmpty)
+      .sortBy { case (id, _) => (drawHexLocal(id), id) }
+      .flatMap { case (_, t) => t :+ 7L })
+  }
+
+  test("packTokenIds agrees with packManifest: ids land inside the doc's chunk range") {
+    val docs = Seq.tabulate(20)(i =>
+      (i + 1).toLong -> Seq.tabulate(1 + i % 6)(j => (i * 10 + j).toLong))
+    val rows = idRows(docs)
+    val ctx = 7L
+    val counts = rows.groupBy($"doc_id").agg(count(lit(1)).as("n_tok"))
+    val manifest = SequencePack.packManifest(counts, "doc_id", "n_tok", ctx)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    val chunks = SequencePack.packTokenIds(rows, "doc_id", ctx)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](2)).toMap
+    docs.foreach { case (id, toks) =>
+      val (first, last) = manifest(id)
+      val inRange = (first to last).flatMap(chunks(_))
+      toks.foreach(t => assert(inRange.contains(t),
+        s"doc $id token $t missing from its manifest chunk range [$first,$last]"))
+    }
+  }
+
+  test("packTokenIds: stable under input repartitioning") {
+    val docs = Seq.tabulate(30)(i =>
+      (i + 1).toLong -> Seq.tabulate(1 + i % 5)(j => (i * 100 + j).toLong))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      SequencePack.packTokenIds(df, "doc_id", 8L, sepId = Some(-1L))
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](2))).toMap
+    val rows = idRows(docs)
+    assert(run(rows.repartition(1)) == run(rows.repartition(13)))
+  }
 }
