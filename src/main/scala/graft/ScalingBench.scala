@@ -220,8 +220,16 @@ object ScalingBench {
     // steal count spanning fixture IO can no longer flag a
     // steal-contaminated MEASUREMENT — the one thing the field is for
     val annScales = Seq(1, 10, 100, 1000, 10000)
-    annScales.foreach(c =>
-      ensureScaledEmb(spark, sf01, s"target/scaling/emb$c", c))
+    // ...but only when a section that reads them (ann, ivf_maintenance)
+    // is actually going to be measured: the emb10000 fixture alone is
+    // ~16 GB of parquet, and a run that re-measures nothing emb-backed
+    // (every section kept from scaling.json) would otherwise rebuild the
+    // whole ladder just to skip it
+    val embSectionsKept = Seq("ann", "ivf_maintenance")
+      .forall(s => prior.flatMap(p => Option(p.get(s))).isDefined)
+    if (!embSectionsKept)
+      annScales.foreach(c =>
+        ensureScaledEmb(spark, sf01, s"target/scaling/emb$c", c))
 
     val steal0 = Bench.stealTicks()
     val queries = om.createObjectNode()

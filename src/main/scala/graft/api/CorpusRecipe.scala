@@ -338,6 +338,49 @@ final class CorpusRecipe private (
     graft.operators.Bm25.rrf(Seq(sparse, dense), qidCol, idCol, "rank", k)
   }
 
+  /** t21's trigram Stupid-Backoff LM score as a column
+    * ([[graft.operators.NgramLm.score]]): average negative log score per
+    * trigram position under a fitted/loaded count model — the
+    * perplexity-flavored quality signal a CCNet-style pipeline gates on.
+    * The model comes from the periodic count-build job via
+    * [[graft.operators.NgramLm.load]]. LEFT-joined back on the id, so the
+    * recipe keeps every row: documents with fewer than three tokens have
+    * no trigram positions and carry a null score, as does any document
+    * containing a token the model never saw (the OOV marker — see the
+    * operator's scaladoc); a gate deciding their fate spells it out, the
+    * [[filterQuality]] null-policy discipline.
+    */
+  def scoreLm(model: graft.operators.NgramLm.Model,
+              out: String = "lm_nll", minCount: Long = 1L): CorpusRecipe = {
+    // a join adds a column; unlike the withColumn scorers it cannot
+    // replace one — an existing `out` would ride along as an ambiguous
+    // duplicate that only explodes downstream, so refuse it here
+    require(!frame.columns.contains(out),
+      s"scoreLm output column '$out' already exists on the frame — " +
+        "pick another name")
+    val scored = graft.operators.NgramLm
+      .score(frame.select(col(idCol), col(textCol)), idCol, textCol,
+        model, minCount)
+      .select(col(idCol), col("nll").as(out))
+    next(frame.join(scored, Seq(idCol), "left"))
+  }
+
+  /** x4's training-sequence materialization — the TERMINAL that closes
+    * the pipeline: the curated corpus tokenizes under a trained BPE model
+    * ([[graft.operators.BpeTrain.tokenIds]] — byte-level required for the
+    * deterministic id table) and the id sequences pack into exact
+    * `ctxLen`-token context windows in md5-draw order
+    * ([[SequencePack.packTokenIds]]), `sepId` marking each document
+    * boundary. EAGER like [[packManifest]] (the offset prefix-sum runs at
+    * call time) — gate, dedup, and scrub BEFORE this; the windows inherit
+    * whatever text reaches them.
+    */
+  def packTokenIds(model: graft.operators.BpeTrain.BpeModel, ctxLen: Long,
+                   sepId: Option[Long] = None): DataFrame =
+    SequencePack.packTokenIds(
+      graft.operators.BpeTrain.tokenIds(frame, idCol, textCol, model),
+      idCol, ctxLen, sepId)
+
   /** x2's doc-intact greedy packing ([[SequencePack.packNoSplit]]) — the
     * TERMINAL twin of [[packManifest]] for runs where documents must not
     * straddle context windows; packs in `shardDocs`-sized md5-draw-order

@@ -363,4 +363,38 @@ class CorpusRecipeSpec extends SparkSpec {
       kept(CorpusRecipe(corpus).decontaminate(bench, approx = true)))
     assert(kept(CorpusRecipe(corpus).decontaminateWith(null)) == kept(CorpusRecipe(corpus)))
   }
+
+  test("scoreLm delegates to NgramLm.score and keeps unscorable rows with null") {
+    val corpus = Tables.documents(spark, Sf0001).select($"doc_id", $"text")
+      // a two-token doc: no trigram positions, must survive with null
+      .unionByName(Seq((900001L, "xy zq")).toDF("doc_id", "text"))
+    val model = graft.operators.NgramLm.fit(corpus, "text")
+    val got = CorpusRecipe(corpus).scoreLm(model, minCount = 2L).frame
+    assert(got.count() == corpus.count(), "scoreLm must keep every row")
+    val direct = graft.operators.NgramLm
+      .score(corpus, "doc_id", "text", model, minCount = 2L)
+      .collect().map(r => r.getLong(0) -> r.get(2)).toMap
+    got.select($"doc_id", $"lm_nll").collect().foreach { r =>
+      val want = direct.get(r.getLong(0)).flatMap(Option(_))
+      assert(Option(r.get(1)) == want, s"doc ${r.getLong(0)}")
+    }
+    assert(got.where($"doc_id" === 900001L).head().isNullAt(
+      got.schema.fieldIndex("lm_nll")), "short doc carries null, not a number")
+  }
+
+  test("packTokenIds terminal equals the tokenIds -> SequencePack composition") {
+    val corpus = Tables.documents(spark, Sf0001).select($"doc_id", $"text")
+      .where($"doc_id" % 7 === 0)
+    val model = graft.operators.BpeTrain.BpeModel(
+      graft.operators.RegexPreTok(graft.operators.RegexPreTok.Gpt2ish),
+      Seq(("t", "h"), ("th", "e")), byteLevel = true)
+    def flat(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Long](2)).toMap
+    val viaRecipe = flat(CorpusRecipe(corpus).packTokenIds(model, 64L, Some(258L)))
+    val direct = flat(graft.operators.SequencePack.packTokenIds(
+      graft.operators.BpeTrain.tokenIds(corpus, "doc_id", "text", model),
+      "doc_id", 64L, Some(258L)))
+    assert(viaRecipe == direct)
+    assert(viaRecipe.nonEmpty)
+  }
 }

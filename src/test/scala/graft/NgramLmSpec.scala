@@ -152,6 +152,37 @@ class NgramLmSpec extends SparkSpec {
     assert(parts == 1, s"expected 1 compacted part file, got $parts")
   }
 
+  test("streaming ingest feeds the count store: foreachBatch appendStore ≡ refit") {
+    // the A-family tie-in: a document stream drains micro-batch by
+    // micro-batch into the persisted count lake — appendStore per batch,
+    // exactly-once by the sink's idempotence contract (counts ADD, so the
+    // stream must not replay a batch; checkpointing owns that in the real
+    // pipeline) — and the grown store is integer-identical to one fit
+    // over everything the stream delivered
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmp("stream")
+    NgramLm.save(NgramLm.fit(corpusDf.limit(0), "text"), dir) // empty boot store
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        NgramLm.appendStore(spark, dir, batch, "text")
+      }
+      .start()
+    try {
+      input.addData(10L -> corpus(10L).mkString(" "))
+      q.processAllAvailable()
+      input.addData(11L -> corpus(11L).mkString(" "))
+      q.processAllAvailable()
+    } finally q.stop()
+    modelEqual(NgramLm.load(spark, dir), NgramLm.fit(corpusDf, "text"))
+    assert(scored(NgramLm.score(corpusDf, "doc_id", "text",
+        NgramLm.load(spark, dir), 2L)) ==
+      scored(NgramLm.score(corpusDf, "doc_id", "text",
+        NgramLm.fit(corpusDf, "text"), 2L)))
+  }
+
   test("a dangling maintenance marker makes every entry point refuse") {
     val dir = tmp("marker")
     val model = NgramLm.fit(corpusDf, "text")
