@@ -2507,6 +2507,81 @@ object Queries {
       minCount = 2L).orderBy($"doc_id")
   }
 
+  /** The fixed WordPiece vocabulary the t24/t24b/t25 rows serve from —
+    * built to exercise every inference path on this corpus's 31-word
+    * vocabulary: longest-match-first preference ("join" beats "jo",
+    * "scan" beats "sc", "st"+"##ream" and "wind"+"##ow" beat their
+    * single-char splits), multi-character continuations ("##art",
+    * "##ream", "##er", "##ue"), and BERT's whole-word [UNK] — `##u` is
+    * deliberately absent, so dup/group/customer/column all die mid-word
+    * and must come back as the single unknown token.
+    */
+  private val FixedWpPieces: Seq[String] = Seq(
+    "a", "b", "c", "d", "f", "g", "h", "jo", "join", "k", "l", "m", "o",
+    "p", "q", "r", "s", "sc", "scan", "st", "t", "the", "v", "w", "wind",
+    "##a", "##b", "##c", "##d", "##e", "##g", "##h", "##i", "##k", "##l",
+    "##m", "##n", "##o", "##p", "##r", "##s", "##t", "##w", "##y",
+    "##in", "##an", "##ow", "##er", "##art", "##ream", "##ue")
+
+  /** T24 — WordPiece greedy longest-match segmentation
+    * ([[operators.WordPiece.segmentWords]]) under the fixed vocabulary:
+    * (word, pos, token) over the corpus's distinct words, continuation
+    * pieces carrying their `##` forms and unmatched words collapsing to
+    * `[UNK]` whole. The oracle replays greedy longest-match EXACTLY: a
+    * precomputed (word, position) → longest-matching-piece-length jump
+    * table (plain join + max), then a recursive walk that hops positions
+    * and accumulates pieces — the x2 recursive-CTE pattern, no
+    * aggregation inside the recursion.
+    */
+  val t24WordpieceSegment: Q = (s, d) =>
+    operators.WordPiece.segmentWords(
+        operators.BpeTrain.wordFreq(Tables.documents(s, d), "text")
+          .select(col("word")),
+        FixedWpPieces)
+      .select(col("word"), posexplode(col("tokens")))
+      .select(col("word"), col("pos").cast("long").as("pos"),
+        col("col").as("token"))
+      .orderBy("word", "pos")
+
+  // session fixture: the persisted WordPiece vocabulary t24b boots
+  private val wpModelStage = new operators.SessionCache[String]
+  private def ensureWpModel(s: SparkSession): String =
+    wpModelStage.getOrBuild(operators.SessionCache.token(s)) {
+      val dir = graft.sources.TempDirs.register(
+        s"/tmp/graft_wp_model_${ProcessHandle.current().pid()}_" +
+          operators.SessionCache.token(s).take(8))
+      graft.sources.ModelStore.saveWordPiece(
+        s, FixedWpPieces, operators.WordPiece.Unk, dir)
+      dir
+    }
+
+  /** T24b — t24 re-driven through a LOADED [[graft.sources.ModelStore
+    * .saveWordPiece]] artifact under t24's oracle SQL verbatim (the
+    * t14b/e2i/r5 one-oracle-two-plans trick): the served piece file
+    * survives the JVM and is hash-pinned equal to the in-memory list.
+    */
+  val t24bWordpieceLoaded: Q = (s, d) => {
+    val (pieces, unk) = graft.sources.ModelStore.loadWordPiece(s, ensureWpModel(s))
+    operators.WordPiece.segmentWords(
+        operators.BpeTrain.wordFreq(Tables.documents(s, d), "text")
+          .select(col("word")),
+        pieces, unk)
+      .select(col("word"), posexplode(col("tokens")))
+      .select(col("word"), col("pos").cast("long").as("pos"),
+        col("col").as("token"))
+      .orderBy("word", "pos")
+  }
+
+  /** T25 — per-document WordPiece token counts
+    * ([[operators.WordPiece.tokenCounts]]): the budget a BERT-style
+    * pipeline pays, UNK words counting their single token; distinct
+    * words segment once and join back, end to end under the hash.
+    */
+  val t25WordpieceCounts: Q = (s, d) =>
+    operators.WordPiece.tokenCounts(
+      Tables.documents(s, d), "doc_id", "text", FixedWpPieces)
+      .orderBy("doc_id")
+
   private val ngramStoreStage = new operators.SessionCache[String]
   // session fixture: the two persisted n-gram stores the t22/t23 rows
   // load — keyed like the bm25 store (session token + dir + source mtime)
@@ -2593,6 +2668,45 @@ object Queries {
     val ids = v.map(_._2).mkString(", ")
     s"map([$keys], [$ids])"
   }
+
+  // the t24/t25 oracle's piece table, generated from the engine's OWN
+  // fixed vocabulary (one source of truth): (mat, cont, plen) — matchable
+  // text with the ## mark stripped, continuation flag, length in
+  // characters (DuckDB's substr unit ≡ code points ≡ the engine's
+  // segmentation unit)
+  private lazy val duckWpPieces: String =
+    FixedWpPieces.map { p =>
+      val cont = p.startsWith("##")
+      val mat = if (cont) p.stripPrefix("##") else p
+      s"('${mat.replace("'", "''")}', $cont, ${mat.codePointCount(0, mat.length)})"
+    }.mkString(", ")
+
+  // greedy longest-match replay shared by the t24/t24b/t25 oracles: jump
+  // table (position -> longest matching piece length; plain join + max)
+  // then a recursive walk accumulating pieces, chr(30) marking BERT's
+  // whole-word [UNK]
+  private lazy val duckWpSegmentCtes: String =
+    s"""w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |wf AS (SELECT DISTINCT word FROM w WHERE len(word) > 0),
+      |p AS (SELECT * FROM (VALUES $duckWpPieces) AS t(mat, cont, plen)),
+      |pos AS (SELECT word, i FROM wf, unnest(generate_series(1, len(word))) AS t(i)),
+      |step AS (SELECT word, i, max(plen) AS jump
+      |  FROM pos JOIN p ON p.cont = (i > 1) AND substr(word, i, p.plen) = p.mat
+      |  GROUP BY word, i),
+      |rec AS (
+      |  SELECT word, CAST(1 AS BIGINT) AS i, '' AS acc FROM wf
+      |  UNION ALL
+      |  SELECT r.word,
+      |    CAST(CASE WHEN s.jump IS NULL THEN len(r.word) + 1
+      |         ELSE r.i + s.jump END AS BIGINT),
+      |    CASE WHEN s.jump IS NULL THEN chr(30)
+      |         WHEN r.i = 1 THEN r.acc || substr(r.word, r.i, s.jump) || chr(31)
+      |         ELSE r.acc || '##' || substr(r.word, r.i, s.jump) || chr(31) END
+      |  FROM rec r LEFT JOIN step s ON r.word = s.word AND r.i = s.i
+      |  WHERE r.i <= len(r.word)),
+      |fin AS (SELECT word, CASE WHEN acc = chr(30) THEN ['[UNK]']
+      |    ELSE string_split(rtrim(acc, chr(31)), chr(31)) END AS toks
+      |  FROM rec WHERE i > len(word))""".stripMargin
 
   /** T3 token counting: whitespace tokens + regex (BPE-ish) tokens. */
   val t3TokenStats: Q = (s, d) => {
@@ -4920,6 +5034,24 @@ object Queries {
     "t21_ngram_lm" -> ngramSbOracle,
     "t22_ngram_lm_store" -> ngramSbOracle,
     "t23_ngram_lm_append" -> ngramSbOracle,
+    "t24_wordpiece_segment" ->
+      (s"""WITH RECURSIVE $duckWpSegmentCtes
+        |SELECT word, CAST(j - 1 AS BIGINT) AS pos, toks[j] AS token
+        |FROM fin, unnest(generate_series(1, len(toks))) AS u(j)
+        |ORDER BY word, pos""").stripMargin,
+    // the loaded-artifact plan under the SAME oracle text as t24 — one
+    // oracle, two engine plans (the t14b/e2i/r5 verbatim-reuse trick)
+    "t24b_wordpiece_loaded" ->
+      (s"""WITH RECURSIVE $duckWpSegmentCtes
+        |SELECT word, CAST(j - 1 AS BIGINT) AS pos, toks[j] AS token
+        |FROM fin, unnest(generate_series(1, len(toks))) AS u(j)
+        |ORDER BY word, pos""").stripMargin,
+    "t25_wordpiece_counts" ->
+      (s"""WITH RECURSIVE $duckWpSegmentCtes,
+        |cnt AS (SELECT word, CAST(len(toks) AS BIGINT) AS n FROM fin)
+        |SELECT w.doc_id, CAST(SUM(cnt.n) AS BIGINT) AS wp_tokens
+        |FROM w JOIN cnt USING (word)
+        |GROUP BY w.doc_id ORDER BY w.doc_id""").stripMargin,
     // exact-regime sketch ≡ the exact count — same oracle text as t10
     "t10a_vocab_sketch" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
@@ -5397,6 +5529,9 @@ object Queries {
     "t21_ngram_lm" -> t21NgramLm,
     "t22_ngram_lm_store" -> t22NgramLmStore,
     "t23_ngram_lm_append" -> t23NgramLmAppend,
+    "t24_wordpiece_segment" -> t24WordpieceSegment,
+    "t24b_wordpiece_loaded" -> t24bWordpieceLoaded,
+    "t25_wordpiece_counts" -> t25WordpieceCounts,
     "t14a_bpe_segment_scalable" -> t14aBpeSegmentScalable,
     "t15_bpe_token_counts" -> t15BpeTokenCounts,
     "p3_corpus_recipe" -> p3CorpusRecipe,

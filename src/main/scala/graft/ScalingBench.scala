@@ -201,10 +201,16 @@ object ScalingBench {
     // shaped, so wall should track the corpus ≈ linearly with no
     // super-linear term anywhere (the copies are token-disjoint, so the
     // count tables grow linearly while per-position join fan-out stays 1)
+    // x4 joined in round 16: the training-sequence materialization's
+    // claim is that packing is scan-shaped — the tokenize leg is
+    // vocabulary-sized (distinct words segment once), the manifest's
+    // prefix sum and the chunk groupBy are one pass each over doc/chunk
+    // grains, so wall should track the corpus ≈ linearly
     val names10 = Seq("e2_minhash_pairs", "e4_jaccard_pairs", "e4c_jaccard_zipf",
       "e4d_jaccard_zipf_exact", "e8_dedup_cluster", "p3_corpus_recipe",
       "m4_cdc_apply", "u2_k_anonymity", "r3_bm25_topk",
-      "f1_fuzzy_join", "r2_retrieval_ivf", "t12_bpe_pairs", "t21_ngram_lm")
+      "f1_fuzzy_join", "r2_retrieval_ivf", "t12_bpe_pairs", "t21_ngram_lm",
+      "x4_pack_token_ids")
     // second decade, CAPPED rows only: these are the designated 100 TB
     // plans, and two decades turn one ratio into a growth exponent.
     // e4/e4d stay at one decade on purpose — e4d is the documented
@@ -214,7 +220,7 @@ object ScalingBench {
     val names100 = Set("e2_minhash_pairs", "e4c_jaccard_zipf",
       "e8_dedup_cluster", "p3_corpus_recipe", "m4_cdc_apply", "u2_k_anonymity",
       "r3_bm25_topk", "f1_fuzzy_join", "r2_retrieval_ivf", "t12_bpe_pairs",
-      "t21_ngram_lm")
+      "t21_ngram_lm", "x4_pack_token_ids")
     // build the ANN fixtures BEFORE the steal window opens (r13
     // self-review #2): the emb10000 build writes ~16 GB of parquet, and a
     // steal count spanning fixture IO can no longer flag a

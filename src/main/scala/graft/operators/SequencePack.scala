@@ -118,7 +118,13 @@ object SequencePack {
     * state is bounded by `ctxLen` structs — nothing corpus-sized on the
     * driver, nothing skewed beyond the chunk grain itself. The per-chunk
     * array assembles via sort_array over (pos_in_chunk, id) structs, so
-    * the output is bit-identical under any partitioning.
+    * the output is bit-identical under any partitioning. The `ids`
+    * LINEAGE EXECUTES TWICE — once into the doc-grain count (the
+    * manifest side) and once on the join side — so when it is an
+    * expensive plan (a fresh [[BpeTrain.tokenIds]] over raw text),
+    * materialize it to a lake (the production shape: the tokenizer run
+    * writes ids once, packing reads them) or persist it first; a plain
+    * parquet scan pays only a second read.
     */
   def packTokenIds(
       ids: DataFrame,

@@ -1,0 +1,236 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** WordPiece tokenization — the second tokenizer family beside
+  * [[BpeTrain]]'s BPE, re-derived from the published descriptions
+  * (Schuster & Nakajima, ICASSP 2012 "Japanese and Korean Voice Search";
+  * Wu et al. 2016 GNMT §4.1; Devlin et al. 2019 BERT's released
+  * `tokenization.py` fixes the inference semantics):
+  *
+  *   - TRAINING is BPE's merge loop with a LIKELIHOOD objective: merge the
+  *     adjacent pair maximizing c(ab) / (c(a)·c(b)) — the pair whose merge
+  *     most increases a unigram LM's corpus likelihood — instead of raw
+  *     pair count. Non-initial subwords carry the `##` continuation mark,
+  *     so "s" at word start and "##s" inside a word are distinct symbols
+  *     with distinct counts, exactly the BERT vocabulary convention.
+  *   - INFERENCE is greedy longest-match-first over the final piece
+  *     vocabulary: at each position take the LONGEST matching piece
+  *     (initial form at position 0, `##` form after); if any position has
+  *     no match the ENTIRE word becomes the single `[UNK]` token — BERT's
+  *     `WordpieceTokenizer` contract, not a partial fallback.
+  *
+  * Why both families: BPE applies its learned MERGE LIST (order matters;
+  * out-of-vocabulary impossible at byte level), WordPiece serves from the
+  * final PIECE SET alone (order-free, trivially servable from a static
+  * vocab file, `[UNK]` as the escape hatch) — a user migrating a
+  * BERT-style pipeline needs these semantics, not BPE's.
+  *
+  * Scale shape, same as the BPE family: training runs over the
+  * vocabulary-collapsed (word, freq) table ([[BpeTrain.wordFreq]]), each
+  * iteration one explode+groupBy of vocabulary-sized data plus ONE
+  * driver-fetched argmax row; inference segments DISTINCT words in one
+  * `mapPartitions` pass against the broadcast piece set and joins back
+  * ([[tokenCounts]]) — apply cost ∝ vocabulary + one corpus join, never
+  * corpus × vocab. The t24/t25 gate rows hash-check segmentation and
+  * per-document counts against a DuckDB oracle that replays greedy
+  * longest-match as a precomputed jump table + recursive walk.
+  */
+object WordPiece {
+
+  /** The continuation mark (BERT convention). */
+  val Cont = "##"
+
+  /** BERT's unknown-word token. */
+  val Unk = "[UNK]"
+
+  // ---------------------------------------------------------------------
+  // Inference: greedy longest-match-first
+  // ---------------------------------------------------------------------
+
+  /** Broadcast-side lookup tables for [[segmentSyms]]: matchable text →
+    * present, per form, plus the max piece length (in CODE POINTS — the
+    * suite's segmentation unit, [[BpeTrain.codePointSyms]]) bounding the
+    * longest-match scan.
+    */
+  private[graft] final case class PieceTables(
+      init: Set[String], cont: Set[String], maxInit: Int, maxCont: Int)
+
+  private[graft] def pieceTables(pieces: Seq[String]): PieceTables = {
+    require(pieces.nonEmpty, "WordPiece needs a non-empty piece vocabulary")
+    pieces.foreach { p =>
+      require(p.nonEmpty && p != Cont,
+        s"piece '$p' is empty or a bare continuation mark")
+      require(!p.startsWith(Cont) || p.length > Cont.length,
+        s"piece '$p' has no text after the continuation mark")
+    }
+    val (contRaw, initRaw) = pieces.partition(_.startsWith(Cont))
+    val init = initRaw.toSet
+    val cont = contRaw.map(_.stripPrefix(Cont)).toSet
+    def maxCp(s: Set[String]) =
+      if (s.isEmpty) 0 else s.map(p => p.codePointCount(0, p.length)).max
+    PieceTables(init, cont, maxCp(init), maxCp(cont))
+  }
+
+  /** The greedy longest-match core over a code-point symbol array — the
+    * unit the distributed plan, the spec twins, and the oracle's jump
+    * table all agree on. Empty input → empty output (an empty word
+    * occupies no pieces); any unmatched position → the single `unk`
+    * token for the WHOLE word.
+    */
+  private[graft] def segmentSyms(syms: Array[String], t: PieceTables,
+                                     unk: String): Array[String] = {
+    if (syms.length == 1 && syms(0).isEmpty) return Array.empty[String]
+    val out = Array.newBuilder[String]
+    val n = syms.length
+    var i = 0
+    while (i < n) {
+      val isInit = i == 0
+      val set = if (isInit) t.init else t.cont
+      var k = math.min(if (isInit) t.maxInit else t.maxCont, n - i)
+      var hit = -1
+      while (k >= 1 && hit < 0) {
+        val cand = syms.slice(i, i + k).mkString
+        if (set.contains(cand)) hit = k
+        else k -= 1
+      }
+      if (hit < 0) return Array(unk)
+      val text = syms.slice(i, i + hit).mkString
+      out += (if (isInit) text else Cont + text)
+      i += hit
+    }
+    out.result()
+  }
+
+  /** Segment a words table under a piece vocabulary: (word, tokens),
+    * tokens carrying the `##` continuation forms. Run on DISTINCT words
+    * and join back to the corpus ([[tokenCounts]]) — one narrow
+    * `mapPartitions` pass against the broadcast piece set, cost ∝
+    * vocabulary × word length, independent of corpus size.
+    */
+  def segmentWords(words: DataFrame, pieces: Seq[String],
+                   unk: String = Unk): DataFrame = {
+    val session = words.sparkSession
+    import session.implicits._
+    val bc = session.sparkContext.broadcast(pieceTables(pieces))
+    words.select(col("word").cast("string")).as[String]
+      .mapPartitions { it =>
+        val t = bc.value
+        // null word -> null tokens, the BpeTrain applier contract
+        it.map(w => (w,
+          if (w == null) null
+          else segmentSyms(BpeTrain.codePointSyms(w), t, unk)))
+      }
+      .toDF("word", "tokens")
+  }
+
+  /** Per-document WordPiece token count — [[BpeTrain.tokenCounts]]'
+    * shape under greedy longest-match: distinct words segment once
+    * (vocabulary-sized), one equi-join back to the corpus's exploded
+    * words, a per-doc sum. An UNK word counts as its single `[UNK]`
+    * token — the budget a BERT-style pipeline actually pays.
+    */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String,
+                  pieces: Seq[String], unk: String = Unk): DataFrame = {
+    require(!Set("word", "tokens", "n", "wp_tokens")(idCol),
+      s"idCol '$idCol' collides with tokenCounts' internal/output columns")
+    val corpusWords = df
+      .select(col(idCol),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("word"))
+      .where(length(col("word")) > 0)
+    val perWord = segmentWords(corpusWords.select("word").distinct(), pieces, unk)
+      .select(col("word"), size(col("tokens")).cast("long").as("n"))
+    corpusWords.join(perWord, "word")
+      .groupBy(idCol)
+      .agg(sum("n").as("wp_tokens"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Training: BPE's loop under the likelihood objective
+  // ---------------------------------------------------------------------
+
+  /** Initial segmentation for training: code-point symbols with the
+    * continuation mark on every non-initial position — so position-0 "s"
+    * and interior "##s" count separately, the WordPiece alphabet.
+    */
+  def initialSeg(words: DataFrame): DataFrame =
+    words.select(col("word"), col("freq").cast("long").as("freq"),
+      transform(split(col("word"), ""),
+        (s, i) => when(i === 0, s).otherwise(concat(lit(Cont), s))).as("syms"))
+
+  // one greedy left-to-right merge of (l, r) with an EXPLICIT composite
+  // string — WordPiece composites strip the right side's continuation
+  // mark (l="##a", r="##b" -> "##ab"), so BpeTrain.mergeCol's l+r is
+  // wrong here; same fold shape otherwise
+  private def mergeColAs(syms: Column, l: String, r: String,
+                         merged: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) => when(
+        size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+        .otherwise(concat(acc, array(x))))
+
+  /** The composite a WordPiece merge produces. */
+  private[graft] def composite(l: String, r: String): String =
+    l + r.stripPrefix(Cont)
+
+  /** Learn `numMerges` merges from a (word, freq) table under the
+    * likelihood objective — returns the ordered merge list; the served
+    * vocabulary is [[vocab]] (alphabet + composites). Each iteration:
+    * adjacent-pair counts ([[BpeTrain.pairCounts]]) join the current
+    * per-symbol counts, score = (pair / c(left)) / c(right) — two double
+    * divisions, NEVER a long product (c(a)·c(b) overflows long at web
+    * scale; the division order is part of the spec-pinned arithmetic) —
+    * and ONE driver-fetched argmax row picks the merge, ties broken by
+    * (score DESC, left, right) under Spark's UTF-8 string order so
+    * training is deterministic. Stops early when no pair remains.
+    */
+  def fit(words: DataFrame, numMerges: Int): Seq[(String, String)] = {
+    require(numMerges >= 0, s"numMerges $numMerges must be >= 0")
+    var seg = initialSeg(words).localCheckpoint()
+    val out = Seq.newBuilder[(String, String)]
+    var i = 0
+    var exhausted = false
+    while (i < numMerges && !exhausted) {
+      val symCounts = seg
+        .select(col("freq"), explode(col("syms")).as("sym"))
+        .groupBy("sym").agg(sum("freq").as("c"))
+      val top = BpeTrain.pairCounts(seg)
+        .join(symCounts.select(col("sym").as("left_sym"), col("c").as("cl")),
+          "left_sym")
+        .join(symCounts.select(col("sym").as("right_sym"), col("c").as("cr")),
+          "right_sym")
+        .select(col("left_sym"), col("right_sym"),
+          (col("pair_count").cast("double") / col("cl") / col("cr")).as("score"))
+        .orderBy(col("score").desc, col("left_sym"), col("right_sym"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r) = (top(0).getString(0), top(0).getString(1))
+        out += ((l, r))
+        seg = seg.withColumn("syms",
+          mergeColAs(col("syms"), l, r, composite(l, r))).localCheckpoint()
+        i += 1
+      }
+    }
+    out.result()
+  }
+
+  /** The served vocabulary of a trained model: the corpus alphabet (every
+    * initial and `##` continuation symbol of the training words, UTF-8
+    * sort order) followed by the merge composites in merge order —
+    * duplicates keep their first occurrence. This is the piece list
+    * [[segmentWords]] serves from and the artifact worth persisting; the
+    * merge list itself is training provenance.
+    */
+  def vocab(words: DataFrame, merges: Seq[(String, String)]): Seq[String] = {
+    val alphabet = initialSeg(words)
+      .select(explode(col("syms")).as("sym"))
+      .distinct().orderBy(col("sym"))
+      .collect().map(_.getString(0)).toSeq
+    val seen = scala.collection.mutable.LinkedHashSet[String](alphabet: _*)
+    merges.foreach { case (l, r) => seen += composite(l, r) }
+    seen.toSeq
+  }
+}

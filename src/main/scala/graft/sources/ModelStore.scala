@@ -160,6 +160,38 @@ object ModelStore {
       ver >= 2 && meta.head.getBoolean(meta.head.fieldIndex("byte_level")))
   }
 
+  /** The WordPiece serving artifact ([[graft.operators.WordPiece]]): the
+    * ordered piece vocabulary plus the unk token — the ONE file a
+    * BERT-style tokenizer serves from (order is identity/provenance; the
+    * greedy longest-match itself is order-free). Pieces keep their `##`
+    * continuation forms verbatim.
+    */
+  def saveWordPiece(spark: SparkSession, pieces: Seq[String], unk: String,
+                    path: String): Unit = {
+    import spark.implicits._
+    pieces.zipWithIndex.map { case (p, i) => (i, p) }.toDF("rank", "piece")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/pieces")
+    Seq((WordPieceFormatVersion, unk)).toDF("format_version", "unk")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  private val WordPieceFormatVersion = 1
+
+  /** Load a [[saveWordPiece]] artifact: (pieces in rank order, unk). */
+  def loadWordPiece(spark: SparkSession, path: String): (Seq[String], String) = {
+    val meta = spark.read.parquet(s"$path/meta").collect()
+    require(meta.length == 1,
+      s"wordpiece model at $path: meta must be exactly 1 row, got ${meta.length}")
+    require(meta.head.getInt(0) == WordPieceFormatVersion,
+      s"wordpiece model at $path has format_version ${meta.head.getInt(0)}; " +
+        s"this engine reads version $WordPieceFormatVersion — refit or migrate")
+    val rows = spark.read.parquet(s"$path/pieces").orderBy(col("rank")).collect()
+    require(rows.map(_.getInt(0)).toSeq == rows.indices,
+      s"wordpiece model at $path has non-contiguous piece ranks (a truncated " +
+        "artifact would silently shrink the vocabulary)")
+    (rows.map(_.getString(1)).toIndexedSeq, meta.head.getString(1))
+  }
+
   /** The learned quality-filter artifact ([[graft.operators
     * .QualityClassifier]]): dim doubles + a bias, fit in the periodic
     * labeling job and folded into every scoring scan as one array literal.

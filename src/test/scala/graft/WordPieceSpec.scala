@@ -1,0 +1,196 @@
+package graft
+
+import graft.operators.{BpeTrain, WordPiece}
+import org.apache.spark.sql.functions._
+
+/** [[WordPiece]] — the t24/t24b/t25 gate rows hash-check segmentation and
+  * per-document counts against the recursive-CTE oracle; this spec pins
+  * the greedy longest-match semantics on hand-built fixtures (preference,
+  * continuation forms, whole-word UNK), the likelihood-objective training
+  * loop against a driver-side replay, the vocab builder, and the
+  * persisted-artifact round trip.
+  */
+class WordPieceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val pieces = Seq(
+    "a", "ab", "abc", "b", "x",
+    "##b", "##c", "##cd", "##d", "##x")
+
+  private def seg(words: Seq[String], ps: Seq[String] = pieces) =
+    WordPiece.segmentWords(words.toDF("word"), ps)
+      .collect().map(r => r.getString(0) ->
+        Option(r.getSeq[String](1)).map(_.toSeq).orNull).toMap
+
+  test("greedy longest-match: longest piece wins at every position") {
+    val got = seg(Seq("abcd", "abd", "ab", "abcdcd"))
+    // "abcd": "abc" (3) beats "ab"/"a" at pos 0, then "##d"
+    assert(got("abcd") == Seq("abc", "##d"))
+    // "abd": "ab" beats "a" (no "abd" piece), then "##d"
+    assert(got("abd") == Seq("ab", "##d"))
+    assert(got("ab") == Seq("ab"))
+    // after the initial match every step prefers "##cd" (2) over "##c"
+    assert(got("abcdcd") == Seq("abc", "##d", "##cd"))
+  }
+
+  test("any unmatched position collapses the WHOLE word to [UNK]") {
+    val got = seg(Seq("abq", "qab", "xb", "bx"))
+    assert(got("abq") == Seq(WordPiece.Unk), "dead mid-word")
+    assert(got("qab") == Seq(WordPiece.Unk), "dead at position 0")
+    // "x" is initial-only and "##x" continuation-only in the fixture:
+    // both directions resolve, proving the two forms are separate tables
+    assert(got("xb") == Seq("x", "##b"))
+    assert(got("bx") == Seq("b", "##x"))
+  }
+
+  test("null and empty words keep the applier contracts") {
+    val got = WordPiece.segmentWords(
+        Seq[Option[String]](Some("ab"), None, Some("")).toDF("word"), pieces)
+      .collect().map(r => Option(r.getString(0)) ->
+        Option(r.getSeq[String](1)).map(_.toSeq)).toMap
+    assert(got(Some("ab")) == Some(Seq("ab")))
+    assert(got(None).isEmpty, "null word -> null tokens")
+    assert(got(Some("")) == Some(Seq.empty), "empty word occupies no pieces")
+  }
+
+  test("segmentation matches a driver-side twin on the corpus fixture") {
+    val corpus = Seq("abcd", "ab", "abq", "xb", "abcdcd", "a", "b")
+    val t = WordPiece.pieceTables(pieces)
+    val local = corpus.map(w =>
+      w -> WordPiece.segmentSyms(
+        BpeTrain.codePointSyms(w), t, WordPiece.Unk).toSeq).toMap
+    assert(seg(corpus) == local)
+  }
+
+  test("piece vocabulary guards refuse malformed pieces") {
+    intercept[IllegalArgumentException] { WordPiece.pieceTables(Seq.empty) }
+    intercept[IllegalArgumentException] { WordPiece.pieceTables(Seq("a", "")) }
+    intercept[IllegalArgumentException] { WordPiece.pieceTables(Seq("a", "##")) }
+  }
+
+  // --- training ----------------------------------------------------------
+
+  /** Driver replay of [[WordPiece.fit]]: same seeding (## on non-initial
+    * code points), same score arithmetic (pc/cl then /cr as doubles),
+    * same (score DESC, left, right) tie-break, same exhaustive
+    * left-to-right merge application.
+    */
+  private def fitLocal(words: Seq[(String, Long)],
+                       numMerges: Int): Seq[(String, String)] = {
+    var segs: Seq[(Array[String], Long)] = words.map { case (w, f) =>
+      (BpeTrain.codePointSyms(w).zipWithIndex.map {
+        case (s, 0) => s
+        case (s, _) => WordPiece.Cont + s
+      }, f)
+    }
+    val out = Seq.newBuilder[(String, String)]
+    var k = 0
+    var done = false
+    while (k < numMerges && !done) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      val sc = scala.collection.mutable.Map.empty[String, Long]
+      segs.foreach { case (s, f) =>
+        s.foreach(x => sc(x) = sc.getOrElse(x, 0L) + f)
+        s.sliding(2).filter(_.length == 2).foreach { p =>
+          val key = (p(0), p(1)); pc(key) = pc.getOrElse(key, 0L) + f
+        }
+      }
+      if (pc.isEmpty) done = true
+      else {
+        val best = pc.toSeq.map { case ((l, r), c) =>
+          (l, r, c.toDouble / sc(l) / sc(r))
+        }.minBy { case (l, r, s) => (-s, l, r) }
+        val (l, r) = (best._1, best._2)
+        out += ((l, r))
+        val m = WordPiece.composite(l, r)
+        segs = segs.map { case (s, f) =>
+          val b = Array.newBuilder[String]
+          var j = 0
+          while (j < s.length) {
+            if (j < s.length - 1 && s(j) == l && s(j + 1) == r) { b += m; j += 2 }
+            else { b += s(j); j += 1 }
+          }
+          (b.result(), f)
+        }
+        k += 1
+      }
+    }
+    out.result()
+  }
+
+  test("fit learns the likelihood argmax and matches the driver replay") {
+    // "ab" dominates by raw count but "cd" is rarer-parts-likelier:
+    // c(cd)=3 with c(##c)=c(##d)=3 -> score 1/3; c(ab)... the likelihood
+    // objective diverges from BPE's count objective on exactly this shape
+    val words = Seq(("abab", 4L), ("abcd", 3L), ("zcd", 0L)).filter(_._2 > 0)
+    val df = words.toDF("word", "freq")
+    val got = WordPiece.fit(df, 3)
+    assert(got == fitLocal(words, 3), s"fit=$got local=${fitLocal(words, 3)}")
+    // the first merge is NOT the most frequent pair: ("a","##b") has
+    // pair count 11 but huge symbol counts; sanity-check the objective
+    // actually fired by replaying scores at step 0
+    val bpeFirst = BpeTrain.fit(df, 1).head
+    val wpFirst = got.head
+    assert(wpFirst != bpeFirst,
+      s"fixture must separate the objectives (both chose $wpFirst)")
+  }
+
+  test("fit composites strip the continuation mark of the right side") {
+    val got = WordPiece.fit(Seq(("aa", 5L)).toDF("word", "freq"), 1)
+    assert(got == Seq(("a", "##a")))
+    assert(WordPiece.composite("a", "##a") == "aa",
+      "an initial+continuation merge is an initial-form composite")
+    assert(WordPiece.composite("##a", "##b") == "##ab",
+      "a continuation+continuation merge keeps the continuation mark")
+  }
+
+  test("vocab = corpus alphabet in order + composites, first occurrence kept") {
+    val words = Seq(("ab", 2L), ("ba", 1L)).toDF("word", "freq")
+    val v = WordPiece.vocab(words, Seq(("a", "##b"), ("b", "##a")))
+    assert(v == Seq("##a", "##b", "a", "b", "ab", "ba"))
+    // a repeated composite string keeps its first slot (two merge paths
+    // can compose the same piece; the piece FILE must stay duplicate-free)
+    val v2 = WordPiece.vocab(Seq(("aaa", 1L)).toDF("word", "freq"),
+      Seq(("a", "##a"), ("a", "##a")))
+    assert(v2 == Seq("##a", "a", "aa"))
+  }
+
+  test("trained vocab round-trips the training corpus with zero UNKs") {
+    val words = Seq(("abab", 4L), ("abcd", 3L), ("dcba", 2L))
+    val df = words.toDF("word", "freq")
+    val v = WordPiece.vocab(df, WordPiece.fit(df, 4))
+    val got = seg(words.map(_._1), v)
+    got.foreach { case (w, toks) =>
+      assert(!toks.contains(WordPiece.Unk), s"$w -> $toks")
+      assert(toks.map(_.stripPrefix(WordPiece.Cont)).mkString == w,
+        s"$w -> $toks must concatenate back to the word")
+    }
+  }
+
+  test("tokenCounts: per-doc sums include UNK words as one token") {
+    val docs = Seq((1L, "ab abcd qq"), (2L, "ab ab"), (3L, "")).toDF("doc_id", "text")
+    val got = WordPiece.tokenCounts(docs, "doc_id", "text", pieces)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ab=1, abcd=2, qq=UNK=1 -> 4; doc 3 has no words -> absent
+    assert(got == Map(1L -> 4L, 2L -> 2L))
+  }
+
+  test("ModelStore: wordpiece artifact round-trips order and unk; truncation refuses") {
+    val dir = graft.sources.TempDirs.register(
+      s"/tmp/graft_wp_spec_${ProcessHandle.current().pid()}")
+    graft.sources.ModelStore.saveWordPiece(spark, pieces, "<unk>", dir)
+    val (loaded, unk) = graft.sources.ModelStore.loadWordPiece(spark, dir)
+    assert(loaded == pieces && unk == "<unk>")
+    // a truncated pieces file (missing rank) must refuse, not shrink
+    val broken = s"$dir-broken"
+    graft.sources.ModelStore.saveWordPiece(spark, pieces, "<unk>", broken)
+    spark.read.parquet(s"$broken/pieces").where(col("rank") =!= 3)
+      .write.mode("overwrite").parquet(s"$broken/pieces2")
+    new java.io.File(s"$broken/pieces").listFiles().foreach(_.delete())
+    new java.io.File(s"$broken/pieces").delete()
+    new java.io.File(s"$broken/pieces2").renameTo(new java.io.File(s"$broken/pieces"))
+    intercept[IllegalArgumentException] {
+      graft.sources.ModelStore.loadWordPiece(spark, broken)
+    }
+  }
+}
