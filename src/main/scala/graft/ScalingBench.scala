@@ -511,6 +511,35 @@ object ScalingBench {
         o
       }
 
+    // WordPiece production-K training decade — the same driver-local
+    // shape as bpe_train (vocabulary-collapsed input, incremental counts
+    // + stale-entry heap), with the heavier likelihood bookkeeping
+    // (symbol-count-dependent scores rescore every pair touching the
+    // three symbols a merge moves)
+    val wpTrain = prior.flatMap(p => Option(p.get("wordpiece_train")))
+      .collect { case o: ObjectNode => o.deepCopy() }
+      .getOrElse {
+        val o = om.createObjectNode()
+        val pts = o.putArray("points")
+        Seq(100000, 1000000).foreach { v =>
+          import spark.implicits._
+          val vocab = spark.range(v.toLong).as[Long].map { i =>
+            val s = java.lang.Long.toString(i, 26).map { c =>
+              if (c <= '9') ('a' + (c - '0')).toChar else ('k' + (c - 'a')).toChar
+            }
+            (s * 3, i % 7 + 1)
+          }.toDF("word", "freq")
+          val t0 = System.nanoTime()
+          val merges = graft.operators.WordPiece.fitLocal(vocab, 2000)
+          val w = (System.nanoTime() - t0) / 1e9
+          println(f"[scaling] wordpiece_train vocab=$v merges=${merges.length} wall ${w}%.2f s")
+          val pt = pts.addObject()
+          pt.put("vocab_rows", v); pt.put("merges_learned", merges.length)
+          pt.put("wall_s", r2(w))
+        }
+        o
+      }
+
     val stealD = Bench.stealTicks() - steal0
     val root = om.createObjectNode()
     // per-decade copy counts — one hard-coded "copies" field misdescribed
@@ -528,6 +557,7 @@ object ScalingBench {
     root.set[ObjectNode]("bm25_probe", bm25Probe)
     root.set[ObjectNode]("ivf_maintenance", ivfMaint)
     root.set[ObjectNode]("bpe_train", bpeTrain)
+    root.set[ObjectNode]("wordpiece_train", wpTrain)
     root.set[ObjectNode]("stream_state", streamState)
     val json = om.writeValueAsString(root)
     java.nio.file.Files.write(

@@ -253,21 +253,6 @@ object BpeTrain {
     val syms: Array[Array[String]] = rows.map(r => seed(r.getString(0)))
     val freq: Array[Long] = rows.map(_.getLong(1))
 
-    // Spark's UTF8String sort is unsigned UTF-8 byte order, which equals
-    // CODE-POINT order (UTF-8 is order-preserving) — so walk code points,
-    // no per-comparison byte-array allocation in the heap's hot path.
-    // Java String.compareTo would differ exactly where a supplementary
-    // char (U+10000+) ties against U+E000–U+FFFF: UTF-16 surrogates sort
-    // below, code points above.
-    def u8cmp(a: String, b: String): Int = {
-      var i = 0; var j = 0
-      while (i < a.length && j < b.length) {
-        val ca = a.codePointAt(i); val cb = b.codePointAt(j)
-        if (ca != cb) return Integer.compare(ca, cb)
-        i += Character.charCount(ca); j += Character.charCount(cb)
-      }
-      (a.length - i) - (b.length - j)
-    }
     // max count first; among ties the SMALLEST (left, right)
     val ord: Ordering[(Long, String, String)] =
       (a: (Long, String, String), b: (Long, String, String)) => {
@@ -341,6 +326,25 @@ object BpeTrain {
       }
     }
     out.result()
+  }
+
+  /** Spark's UTF8String sort is unsigned UTF-8 byte order, which equals
+    * CODE-POINT order (UTF-8 is order-preserving) — so walk code points,
+    * no per-comparison byte-array allocation in a heap's hot path. Java
+    * String.compareTo would differ exactly where a supplementary char
+    * (U+10000+) ties against U+E000–U+FFFF: UTF-16 surrogates sort
+    * below, code points above. Shared by [[fitLocal]] and
+    * [[WordPiece.fitLocal]] — the driver-side argmax tie-breaks must
+    * reproduce the distributed fits' `orderBy` exactly.
+    */
+  private[graft] def u8cmp(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    (a.length - i) - (b.length - j)
   }
 
   /** One exhaustive greedy left-to-right pass of merge (l, r) over a

@@ -175,6 +175,23 @@ object WordPiece {
   private[graft] def composite(l: String, r: String): String =
     l + r.stripPrefix(Cont)
 
+  // BpeTrain.greedyOnce with an EXPLICIT fused string — a rename of the
+  // l+r concatenation after the fact would be ambiguous exactly when the
+  // word text itself contains '#' characters (a pre-existing symbol can
+  // equal the concatenation without being this merge's product); fusing
+  // to `m` directly has no such corner, matching mergeColAs
+  private def greedyOnceAs(syms: Array[String], l: String, r: String,
+                           m: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var j = 0
+    while (j < syms.length) {
+      if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+        out += m; j += 2
+      } else { out += syms(j); j += 1 }
+    }
+    out.result()
+  }
+
   /** Learn `numMerges` merges from a (word, freq) table under the
     * likelihood objective — returns the ordered merge list; the served
     * vocabulary is [[vocab]] (alphabet + composites). Each iteration:
@@ -212,6 +229,161 @@ object WordPiece {
         seg = seg.withColumn("syms",
           mergeColAs(col("syms"), l, r, composite(l, r))).localCheckpoint()
         i += 1
+      }
+    }
+    out.result()
+  }
+
+  /** [[fit]] at production merge counts — the WordPiece analog of
+    * [[BpeTrain.fitLocal]]: the vocabulary-collapsed (word, freq) table
+    * collects once (guarded by `maxVocab`, loud fallback to the
+    * distributed [[fit]] above it) and the K-merge loop runs at memory
+    * speed. Same greedy semantics, same (score DESC, left, right)
+    * argmax tie-break under UTF-8 order, same double arithmetic
+    * (pair/c(left)/c(right), two divisions in that order) — the learned
+    * list is spec-pinned merge-for-merge equal to [[fit]]'s.
+    *
+    * The incremental bookkeeping is heavier than BPE's because the
+    * likelihood score depends on SYMBOL counts, not just pair counts —
+    * but a merge of (l, r) → m changes only THREE symbol counts (l and r
+    * fall by the merged occurrences, m rises; every other symbol in a
+    * rebuilt word is removed and re-added, net zero), so the pairs whose
+    * score moves are exactly: pairs whose PAIR count changed (they live
+    * in the rebuilt words) plus every surviving pair containing l, r, or
+    * m (tracked by a symbol → pairs index). Each such pair gets a fresh
+    * heap entry; an entry is live only if it states the pair's CURRENT
+    * score, so stale ones fall out at pop time — the [[BpeTrain
+    * .fitLocal]] stale-entry discipline with score-level (not
+    * count-level) liveness.
+    */
+  def fitLocal(words: DataFrame, numMerges: Int,
+               maxVocab: Long = 8000000L): Seq[(String, String)] = {
+    require(numMerges >= 0, s"numMerges $numMerges must be >= 0")
+    val proj = words
+      .select(col("word").cast("string"), col("freq").cast("long")).persist()
+    val rows = try {
+      val n = proj.count()
+      require(n <= maxVocab,
+        s"vocabulary $n exceeds maxVocab $maxVocab — use the distributed fit")
+      proj.collect()
+    } finally proj.unpersist()
+    val syms: Array[Array[String]] = rows.map { r =>
+      BpeTrain.codePointSyms(r.getString(0)).zipWithIndex.map {
+        case (s, 0) => s
+        case (s, _) => Cont + s
+      }
+    }
+    val freq: Array[Long] = rows.map(_.getLong(1))
+
+    val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val sc = scala.collection.mutable.HashMap.empty[String, Long]
+    val where = scala.collection.mutable
+      .HashMap.empty[(String, String), scala.collection.mutable.Set[Int]]
+    val bySym = scala.collection.mutable
+      .HashMap.empty[String, scala.collection.mutable.Set[(String, String)]]
+    val touched = scala.collection.mutable.HashSet.empty[(String, String)]
+
+    def score(p: (String, String)): Double =
+      pc(p).toDouble / sc(p._1) / sc(p._2)
+
+    def addPairIndex(p: (String, String)): Unit = {
+      bySym.getOrElseUpdate(p._1,
+        scala.collection.mutable.HashSet.empty) += p
+      bySym.getOrElseUpdate(p._2,
+        scala.collection.mutable.HashSet.empty) += p
+    }
+    def dropPairIndex(p: (String, String)): Unit =
+      Seq(p._1, p._2).foreach { s =>
+        bySym.get(s).foreach { ps => ps -= p; if (ps.isEmpty) bySym.remove(s) }
+      }
+
+    // add (+1) or remove (-1) one word's full contribution: every symbol
+    // occurrence and every adjacent pair, pair membership maintained once
+    def wordContrib(w: Int, sign: Long): Unit = {
+      val s = syms(w)
+      var i = 0
+      while (i < s.length) {
+        val nv = sc.getOrElse(s(i), 0L) + sign * freq(w)
+        if (nv == 0L) sc.remove(s(i)) else sc(s(i)) = nv
+        i += 1
+      }
+      i = 0
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1))
+        val was = pc.getOrElse(p, 0L)
+        val nv = was + sign * freq(w)
+        if (nv == 0L) { pc.remove(p); dropPairIndex(p) }
+        else {
+          pc(p) = nv
+          if (was == 0L) addPairIndex(p)
+        }
+        if (sign > 0) where.getOrElseUpdate(
+          p, scala.collection.mutable.HashSet.empty[Int]) += w
+        touched += p
+        i += 1
+      }
+      if (sign < 0) {
+        var j = 0
+        while (j < s.length - 1) {
+          where.get((s(j), s(j + 1))).foreach { ws =>
+            ws -= w; if (ws.isEmpty) where.remove((s(j), s(j + 1)))
+          }
+          j += 1
+        }
+      }
+    }
+
+    var w = 0
+    while (w < syms.length) { wordContrib(w, 1L); w += 1 }
+
+    // max score first; among ties the SMALLEST (left, right) in UTF-8
+    // order — exactly the distributed fit's orderBy
+    val ord: Ordering[(Double, String, String)] =
+      (a: (Double, String, String), b: (Double, String, String)) => {
+        if (a._1 != b._1) java.lang.Double.compare(a._1, b._1)
+        else {
+          val dl = BpeTrain.u8cmp(a._2, b._2)
+          val d = if (dl != 0) dl else BpeTrain.u8cmp(a._3, b._3)
+          -d
+        }
+      }
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Double, String, String)](ord)
+    pc.keys.foreach(p => heap.enqueue((score(p), p._1, p._2)))
+
+    val out = Seq.newBuilder[(String, String)]
+    var k = 0
+    var exhausted = false
+    while (k < numMerges && !exhausted) {
+      var top: (Double, String, String) = null
+      while (top == null && heap.nonEmpty) {
+        val t = heap.dequeue()
+        val p = (t._2, t._3)
+        // live iff the entry states the pair's CURRENT score — every
+        // score change pushed a fresh entry, so stale ones drop here
+        if (pc.contains(p) && score(p) == t._1) top = t
+      }
+      if (top == null) exhausted = true
+      else {
+        val (l, r) = (top._2, top._3)
+        out += ((l, r))
+        val m = composite(l, r)
+        val affected = where.getOrElse((l, r), Set.empty[Int]).toArray
+        touched.clear()
+        var a = 0
+        while (a < affected.length) {
+          val wi = affected(a)
+          wordContrib(wi, -1L)
+          syms(wi) = greedyOnceAs(syms(wi), l, r, m)
+          wordContrib(wi, 1L)
+          a += 1
+        }
+        // rescore: pair-count-changed pairs plus every survivor touching
+        // the three symbols whose counts moved
+        Seq(l, r, m).foreach(s => bySym.get(s).foreach(touched ++= _))
+        touched.foreach { p =>
+          if (pc.contains(p)) heap.enqueue((score(p), p._1, p._2))
+        }
+        k += 1
       }
     }
     out.result()

@@ -167,6 +167,42 @@ class WordPieceSpec extends SparkSpec {
     }
   }
 
+  test("fitLocal: merge-for-merge equal to the distributed fit") {
+    val fixtures = Seq(
+      Seq(("abab", 4L), ("abcd", 3L)),
+      Seq(("aa", 5L), ("aaa", 2L), ("ba", 1L)),
+      // '#' in the word text: the in-band continuation-mark corner — the
+      // explicit-composite fuse must not confuse a real "###" symbol
+      // with a merge product
+      Seq(("a#b", 3L), ("ab", 2L), ("#", 1L)))
+    fixtures.foreach { words =>
+      val df = words.toDF("word", "freq")
+      val k = 6
+      val dist = WordPiece.fit(df, k)
+      val local = WordPiece.fitLocal(df, k)
+      assert(local == dist, s"corpus=$words local=$local dist=$dist")
+    }
+  }
+
+  test("fitLocal: pseudo-random corpora match the distributed fit (3 seeds)") {
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val words = Seq.fill(30)(
+        (Seq.fill(2 + rnd.nextInt(5))(('a' + rnd.nextInt(4)).toChar).mkString,
+          1L + rnd.nextInt(9)))
+        .groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toSeq
+      val df = words.toDF("word", "freq")
+      val dist = WordPiece.fit(df, 8)
+      val local = WordPiece.fitLocal(df, 8)
+      assert(local == dist, s"seed=$seed local=$local dist=$dist")
+    }
+  }
+
+  test("fitLocal: maxVocab guard refuses loudly") {
+    val df = Seq(("ab", 1L), ("cd", 1L), ("ef", 1L)).toDF("word", "freq")
+    intercept[IllegalArgumentException] { WordPiece.fitLocal(df, 2, maxVocab = 2L) }
+  }
+
   test("tokenCounts: per-doc sums include UNK words as one token") {
     val docs = Seq((1L, "ab abcd qq"), (2L, "ab ab"), (3L, "")).toDF("doc_id", "text")
     val got = WordPiece.tokenCounts(docs, "doc_id", "text", pieces)
