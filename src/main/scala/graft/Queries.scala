@@ -2572,6 +2572,19 @@ object Queries {
       .orderBy("word", "pos")
   }
 
+  /** T26 — WordPiece token-id export ([[operators.WordPiece.tokenIds]]):
+    * the BERT vocab.txt grain — one row per (doc, position) with the
+    * piece's rank id (unk = one past the vocabulary), positions ordered
+    * by (word position, within-word piece order). The oracle composes
+    * the t24 longest-match replay with a generated piece→id VALUES
+    * table and a doc-partitioned window — the id join is total because
+    * every emitted token is a served piece or the unk.
+    */
+  val t26WordpieceIds: Q = (s, d) =>
+    operators.WordPiece.tokenIds(
+      Tables.documents(s, d), "doc_id", "text", FixedWpPieces)
+      .orderBy("doc_id", "pos")
+
   /** T25 — per-document WordPiece token counts
     * ([[operators.WordPiece.tokenCounts]]): the budget a BERT-style
     * pipeline pays, UNK words counting their single token; distinct
@@ -2679,6 +2692,13 @@ object Queries {
       val cont = p.startsWith("##")
       val mat = if (cont) p.stripPrefix("##") else p
       s"('${mat.replace("'", "''")}', $cont, ${mat.codePointCount(0, mat.length)})"
+    }.mkString(", ")
+
+  // the t26 oracle's piece -> id table, generated from the engine's own
+  // vocabIds (rank order + unk one past the end) — one source of truth
+  private lazy val duckWpIds: String =
+    operators.WordPiece.vocabIds(FixedWpPieces).map { case (t, i) =>
+      s"('${t.replace("'", "''")}', $i)"
     }.mkString(", ")
 
   // greedy longest-match replay shared by the t24/t24b/t25 oracles: jump
@@ -5052,6 +5072,21 @@ object Queries {
         |SELECT w.doc_id, CAST(SUM(cnt.n) AS BIGINT) AS wp_tokens
         |FROM w JOIN cnt USING (word)
         |GROUP BY w.doc_id ORDER BY w.doc_id""").stripMargin,
+    "t26_wordpiece_ids" ->
+      (s"""WITH RECURSIVE $duckWpSegmentCtes,
+        |wpos AS (SELECT doc_id, i AS wpos, ws[i] AS word
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) s,
+        |  unnest(generate_series(1, len(ws))) AS t(i)
+        |  WHERE len(ws[i]) > 0),
+        |tk AS (SELECT word, j AS tpos, toks[j] AS token
+        |  FROM fin, unnest(generate_series(1, len(toks))) AS u(j)),
+        |ids AS (SELECT * FROM (VALUES $duckWpIds) AS t(token, token_id)),
+        |jj AS (SELECT wpos.doc_id, wpos.wpos, tk.tpos, ids.token_id
+        |  FROM wpos JOIN tk USING (word) JOIN ids USING (token))
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wpos, tpos) - 1 AS BIGINT) AS pos,
+        |  CAST(token_id AS BIGINT) AS token_id
+        |FROM jj ORDER BY doc_id, pos""").stripMargin,
     // exact-regime sketch ≡ the exact count — same oracle text as t10
     "t10a_vocab_sketch" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
@@ -5532,6 +5567,7 @@ object Queries {
     "t24_wordpiece_segment" -> t24WordpieceSegment,
     "t24b_wordpiece_loaded" -> t24bWordpieceLoaded,
     "t25_wordpiece_counts" -> t25WordpieceCounts,
+    "t26_wordpiece_ids" -> t26WordpieceIds,
     "t14a_bpe_segment_scalable" -> t14aBpeSegmentScalable,
     "t15_bpe_token_counts" -> t15BpeTokenCounts,
     "p3_corpus_recipe" -> p3CorpusRecipe,

@@ -146,6 +146,57 @@ object WordPiece {
       .agg(sum("n").as("wp_tokens"))
   }
 
+  /** The id table of a piece vocabulary: piece → its RANK in the list
+    * (the BERT `vocab.txt` convention — line number is the id), with the
+    * unk token taking the one-past-the-end id. Pieces must be distinct
+    * and must not contain the unk string — a duplicate would make two
+    * ids claim one token and the export silently ambiguous.
+    */
+  def vocabIds(pieces: Seq[String], unk: String = Unk): Seq[(String, Long)] = {
+    require(pieces.distinct.size == pieces.size,
+      "piece list contains duplicates — ids would be ambiguous")
+    require(!pieces.contains(unk),
+      s"unk token '$unk' collides with a vocabulary piece")
+    pieces.zipWithIndex.map { case (p, i) => (p, i.toLong) } :+
+      ((unk, pieces.length.toLong))
+  }
+
+  /** The TRAINING EXPORT grain under greedy longest-match — the BERT
+    * analog of [[BpeTrain.tokenIds]]: one row per (doc, position) with
+    * the piece's [[vocabIds]] id, `pos` 0-based over the doc's word
+    * order then within-word piece order; an UNK word contributes its
+    * single unk id. The id join is TOTAL by construction: every emitted
+    * token is a vocabulary piece (in its served `##` form) or the unk
+    * token. Scale shape: distinct words segment once
+    * (vocabulary-sized), one equi-join back to the positioned corpus
+    * words, the (pieces + 1)-row id table broadcasts, and the only
+    * doc-grain shuffle is the per-doc position window — the grain the
+    * export needs anyway. Feeds [[SequencePack.packTokenIds]] directly.
+    */
+  def tokenIds(df: DataFrame, idCol: String, textCol: String,
+               pieces: Seq[String], unk: String = Unk): DataFrame = {
+    require(!Set("word", "pos", "token", "token_id", "__wpos", "__tpos")(idCol),
+      s"idCol '$idCol' collides with tokenIds' internal/output columns " +
+        "(word, pos, token, token_id) — rename it")
+    val spark = df.sparkSession
+    val words = df
+      .select(col(idCol),
+        posexplode(graft.functions.TextFunctions.tokens(col(textCol))))
+      .select(col(idCol), col("pos").as("__wpos"), col("col").as("word"))
+      .where(length(col("word")) > 0)
+    val perTok = segmentWords(words.select("word").distinct(), pieces, unk)
+      .select(col("word"), posexplode(col("tokens")))
+      .select(col("word"), col("pos").as("__tpos"), col("col").as("token"))
+    import spark.implicits._
+    val ids = vocabIds(pieces, unk).toDF("token", "token_id")
+    words.join(perTok, "word")
+      .join(broadcast(ids), "token")
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+          .orderBy(col("__wpos"), col("__tpos"))).cast("long") - 1)
+      .select(col(idCol), col("pos"), col("token_id"))
+  }
+
   // ---------------------------------------------------------------------
   // Training: BPE's loop under the likelihood objective
   // ---------------------------------------------------------------------

@@ -211,6 +211,29 @@ class WordPieceSpec extends SparkSpec {
     assert(got == Map(1L -> 4L, 2L -> 2L))
   }
 
+  test("vocabIds: rank ids + unk one past the end; malformed lists refuse") {
+    val v = WordPiece.vocabIds(Seq("a", "##b", "ab"))
+    assert(v == Seq(("a", 0L), ("##b", 1L), ("ab", 2L), (WordPiece.Unk, 3L)))
+    intercept[IllegalArgumentException] { WordPiece.vocabIds(Seq("a", "a")) }
+    intercept[IllegalArgumentException] {
+      WordPiece.vocabIds(Seq("a", "x"), unk = "x")
+    }
+  }
+
+  test("tokenIds: doc-ordered positions, UNK words emit the unk id, join is total") {
+    val docs = Seq((1L, "ab abcd qq ab"), (2L, "abcd")).toDF("doc_id", "text")
+    val got = WordPiece.tokenIds(docs, "doc_id", "text", pieces)
+      .orderBy($"doc_id", $"pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val id = WordPiece.vocabIds(pieces).toMap
+    // doc 1: ab=[ab], abcd=[abc,##d]... "abc" is a piece at id 2; qq -> UNK
+    val want = Seq(
+      (1L, 0L, id("ab")), (1L, 1L, id("abc")), (1L, 2L, id("##d")),
+      (1L, 3L, id(WordPiece.Unk)), (1L, 4L, id("ab")),
+      (2L, 0L, id("abc")), (2L, 1L, id("##d")))
+    assert(got.toSeq == want, s"got=${got.toSeq}")
+  }
+
   test("ModelStore: wordpiece artifact round-trips order and unk; truncation refuses") {
     val dir = graft.sources.TempDirs.register(
       s"/tmp/graft_wp_spec_${ProcessHandle.current().pid()}")
