@@ -2572,6 +2572,50 @@ object Queries {
       .orderBy("word", "pos")
   }
 
+  /** The fixed unigram-LM piece table the t27 row serves from. Every
+    * logp sits on the 1/64 grain (exact in binary AND in 6 decimal
+    * places, so the SQL literal parses to the identical double), all
+    * values distinct, and the grids are chosen so different
+    * segmentations of this corpus's words never sum equal (verified by
+    * the dual-SF hash itself — a tie would diverge). Structure: 23
+    * single letters near -2 ('u' deliberately absent, so dup/group/
+    * customer/column have NO cover and must come back <unk> — though
+    * value/query survive via the "ue" piece), multi-char pieces near
+    * -2.5..-3.2, and the Viterbi trap: "scan" at -10.0 — a greedy
+    * longest-match tokenizer takes it and pays; the global optimum is
+    * "sc"+"an" (≈ -5.78), which is exactly what makes this family
+    * unservable by [[operators.WordPiece]]'s matcher.
+    */
+  private val FixedUgPieces: Seq[(String, Double)] =
+    "abcdefghijklmnopqrstvwy".zipWithIndex.map { case (c, k) =>
+      (c.toString, -2.0 - k * 0.015625)
+    } ++ Seq(
+      ("join", -2.5), ("the", -2.53125), ("row", -2.6875),
+      ("wind", -2.765625), ("ow", -2.796875), ("er", -2.828125),
+      ("art", -2.84375), ("sc", -2.859375), ("st", -2.875),
+      ("in", -2.90625), ("an", -2.921875), ("ue", -2.9375),
+      ("ream", -2.96875), ("jo", -3.203125), ("scan", -10.0))
+
+  /** T27 — unigram-LM (SentencePiece) Viterbi segmentation
+    * ([[operators.UnigramTok.segmentWords]]): the third tokenizer
+    * family's serving path, (word, pos, token) over the corpus's
+    * distinct words under [[FixedUgPieces]]. The engine runs true
+    * Viterbi; the oracle ENUMERATES every valid segmentation per word
+    * (a branching recursive CTE — sound because these words are short)
+    * and argmaxes the identical left-to-right score sums, with
+    * uncoverable words falling to `<unk>`. The "scan" trap pins that
+    * this is global optimization, not greedy matching.
+    */
+  val t27UnigramSegment: Q = (s, d) =>
+    operators.UnigramTok.segmentWords(
+        operators.BpeTrain.wordFreq(Tables.documents(s, d), "text")
+          .select(col("word")),
+        FixedUgPieces)
+      .select(col("word"), posexplode(col("tokens")))
+      .select(col("word"), col("pos").cast("long").as("pos"),
+        col("col").as("token"))
+      .orderBy("word", "pos")
+
   /** T26 — WordPiece token-id export ([[operators.WordPiece.tokenIds]]):
     * the BERT vocab.txt grain — one row per (doc, position) with the
     * piece's rank id (unk = one past the vocabulary), positions ordered
@@ -2692,6 +2736,14 @@ object Queries {
       val cont = p.startsWith("##")
       val mat = if (cont) p.stripPrefix("##") else p
       s"('${mat.replace("'", "''")}', $cont, ${mat.codePointCount(0, mat.length)})"
+    }.mkString(", ")
+
+  // the t27 oracle's (piece, plen, logp) table — every logp is k/64, so
+  // the %.6f decimal is EXACT and parses back to the identical double
+  private lazy val duckUgPieces: String =
+    FixedUgPieces.map { case (p, lp) =>
+      s"('${p.replace("'", "''")}', ${p.codePointCount(0, p.length)}, " +
+        f"$lp%.6f)"
     }.mkString(", ")
 
   // the t26 oracle's piece -> id table, generated from the engine's own
@@ -5072,6 +5124,35 @@ object Queries {
         |SELECT w.doc_id, CAST(SUM(cnt.n) AS BIGINT) AS wp_tokens
         |FROM w JOIN cnt USING (word)
         |GROUP BY w.doc_id ORDER BY w.doc_id""").stripMargin,
+    // t27 enumerates every segmentation (branching recursion over the
+    // piece table), then argmaxes per word on the same left-to-right
+    // double sums the engine's Viterbi computes — sound on short words;
+    // words with no terminal state fall to <unk>
+    "t27_unigram_segment" ->
+      (s"""WITH RECURSIVE
+        |w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |wf AS (SELECT DISTINCT word FROM w WHERE len(word) > 0),
+        |p AS (SELECT * FROM (VALUES $duckUgPieces) AS t(piece, plen, logp)),
+        |rec AS (
+        |  SELECT word, CAST(1 AS BIGINT) AS i, '' AS acc,
+        |    CAST(0 AS DOUBLE) AS s FROM wf
+        |  UNION ALL
+        |  SELECT r.word, CAST(r.i + p.plen AS BIGINT),
+        |    r.acc || p.piece || chr(31), r.s + p.logp
+        |  FROM rec r JOIN p ON substr(r.word, r.i, p.plen) = p.piece
+        |  WHERE r.i <= len(r.word)),
+        |term AS (SELECT word, acc, s FROM rec WHERE i = len(word) + 1),
+        |best AS (SELECT word, acc FROM (SELECT word, acc,
+        |    row_number() OVER (PARTITION BY word ORDER BY s DESC, acc) AS rn
+        |  FROM term) WHERE rn = 1),
+        |fin AS (
+        |  SELECT word, string_split(rtrim(acc, chr(31)), chr(31)) AS toks FROM best
+        |  UNION ALL
+        |  SELECT word, ['<unk>'] AS toks FROM wf
+        |  WHERE word NOT IN (SELECT word FROM term))
+        |SELECT word, CAST(j - 1 AS BIGINT) AS pos, toks[j] AS token
+        |FROM fin, unnest(generate_series(1, len(toks))) AS u(j)
+        |ORDER BY word, pos""").stripMargin,
     "t26_wordpiece_ids" ->
       (s"""WITH RECURSIVE $duckWpSegmentCtes,
         |wpos AS (SELECT doc_id, i AS wpos, ws[i] AS word
@@ -5568,6 +5649,7 @@ object Queries {
     "t24b_wordpiece_loaded" -> t24bWordpieceLoaded,
     "t25_wordpiece_counts" -> t25WordpieceCounts,
     "t26_wordpiece_ids" -> t26WordpieceIds,
+    "t27_unigram_segment" -> t27UnigramSegment,
     "t14a_bpe_segment_scalable" -> t14aBpeSegmentScalable,
     "t15_bpe_token_counts" -> t15BpeTokenCounts,
     "p3_corpus_recipe" -> p3CorpusRecipe,
