@@ -79,6 +79,52 @@ final class CorpusRecipe private (
   def countTokens(out: String = "n_tok"): CorpusRecipe =
     next(frame.withColumn(out, size(toks).cast("long")))
 
+  // the TOKENIZER-AWARE count steps share one join-back: the operator's
+  // (id, n) table left-joins onto the frame with 0 for rows that produced
+  // no tokens (empty/whitespace-only text — the budget they contribute),
+  // so every row survives and the downstream budget draws see the same
+  // corpus the gates passed
+  private def joinCounts(counts: DataFrame, nCol: String,
+                         out: String): CorpusRecipe = {
+    require(!frame.columns.contains(out),
+      s"token-count output column '$out' already exists on the frame — " +
+        "pick another name")
+    next(frame
+      .join(counts.select(col(idCol), col(nCol).as(out)), Seq(idCol), "left")
+      .withColumn(out, coalesce(col(out), lit(0L))))
+  }
+
+  /** t15's BPE token count as a column ([[graft.operators.BpeTrain
+    * .tokenCounts]]) — the budget unit a BPE-tokenized training run
+    * actually pays, under the model's own pre-tokenization discipline.
+    */
+  def countTokensBpe(model: graft.operators.BpeTrain.BpeModel,
+                     out: String = "n_tok"): CorpusRecipe =
+    joinCounts(graft.operators.BpeTrain.tokenCounts(
+      frame.select(col(idCol), col(textCol)), idCol, textCol, model),
+      "bpe_tokens", out)
+
+  /** t25's WordPiece token count as a column ([[graft.operators
+    * .WordPiece.tokenCounts]]) — UNK words count their single token.
+    */
+  def countTokensWp(pieces: Seq[String],
+                    unk: String = graft.operators.WordPiece.Unk,
+                    out: String = "n_tok"): CorpusRecipe =
+    joinCounts(graft.operators.WordPiece.tokenCounts(
+      frame.select(col(idCol), col(textCol)), idCol, textCol, pieces, unk),
+      "wp_tokens", out)
+
+  /** The unigram-LM token count as a column ([[graft.operators
+    * .UnigramTok.tokenCounts]]) — Viterbi-segmented, `<unk>` words
+    * count one.
+    */
+  def countTokensUnigram(pieces: Seq[(String, Double)],
+                         unk: String = graft.operators.UnigramTok.Unk,
+                         out: String = "n_tok"): CorpusRecipe =
+    joinCounts(graft.operators.UnigramTok.tokenCounts(
+      frame.select(col(idCol), col(textCol)), idCol, textCol, pieces, unk),
+      "ug_tokens", out)
+
   /** Combined filter over the scored columns — keep this ONE gate before
     * any dedup/budget step so the filter fuses below the first shuffle.
     */

@@ -382,6 +382,48 @@ class CorpusRecipeSpec extends SparkSpec {
       got.schema.fieldIndex("lm_nll")), "short doc carries null, not a number")
   }
 
+  test("tokenizer-aware count steps delegate to their operators; zero for empty text") {
+    val corpus = Tables.documents(spark, Sf0001).select($"doc_id", $"text")
+      .unionByName(Seq((900002L, "")).toDF("doc_id", "text"))
+    val bpeModel = graft.operators.BpeTrain.BpeModel(
+      graft.operators.SpacePreTok, Seq(("t", "h"), ("th", "e")))
+    val wpPieces = "abcdefghijklmnopqrstuvwy".map(_.toString) ++
+      Seq("##a", "##b", "##c", "##d", "##e", "##f", "##g", "##h", "##i",
+        "##j", "##k", "##l", "##m", "##n", "##o", "##p", "##q", "##r",
+        "##s", "##t", "##u", "##v", "##w", "##y")
+    val ugPieces = "abcdefghijklmnopqrstuvwy".zipWithIndex
+      .map { case (c, k) => (c.toString, -2.0 - k * 0.015625) }.toSeq
+    def direct(op: org.apache.spark.sql.DataFrame, nCol: String) =
+      op.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def viaRecipe(r: CorpusRecipe) = r.frame.select($"doc_id", $"n_tok")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val n = corpus.count()
+
+    val bpe = viaRecipe(CorpusRecipe(corpus).countTokensBpe(bpeModel))
+    assert(bpe.size == n, "every row survives, empty text included")
+    assert(bpe(900002L) == 0L)
+    direct(graft.operators.BpeTrain.tokenCounts(
+      corpus, "doc_id", "text", bpeModel), "bpe_tokens")
+      .foreach { case (id, c) => assert(bpe(id) == c, s"doc $id") }
+
+    val wp = viaRecipe(CorpusRecipe(corpus).countTokensWp(wpPieces))
+    assert(wp(900002L) == 0L)
+    direct(graft.operators.WordPiece.tokenCounts(
+      corpus, "doc_id", "text", wpPieces), "wp_tokens")
+      .foreach { case (id, c) => assert(wp(id) == c, s"doc $id") }
+
+    val ug = viaRecipe(CorpusRecipe(corpus).countTokensUnigram(ugPieces))
+    assert(ug(900002L) == 0L)
+    direct(graft.operators.UnigramTok.tokenCounts(
+      corpus, "doc_id", "text", ugPieces), "ug_tokens")
+      .foreach { case (id, c) => assert(ug(id) == c, s"doc $id") }
+
+    // output-name collision refuses, like scoreLm
+    intercept[IllegalArgumentException] {
+      CorpusRecipe(corpus).countTokens().countTokensWp(wpPieces)
+    }
+  }
+
   test("packTokenIds terminal equals the tokenIds -> SequencePack composition") {
     val corpus = Tables.documents(spark, Sf0001).select($"doc_id", $"text")
       .where($"doc_id" % 7 === 0)
