@@ -3112,6 +3112,13 @@ object Queries {
     * composes t19's id replay with x1's offset window and groups by
     * `gp // 512`, building each window with a position-ordered `list()`
     * — the whole tensor content is under the hash, not a digest of it.
+    *
+    * GATE-ROW GRAIN (VERDICT r16 #1): the operator returns `input_ids:
+    * array<bigint>` — the tensor a trainer loads — but the driver's
+    * pandas comparator cannot sort/hash array cells, so the gate row
+    * flattens the window to a space-joined scalar (`array_join`) on BOTH
+    * sides. Same content under the hash (every id, in order), driver-
+    * comparable type; callers get the array from the operator itself.
     */
   val x4PackTokenIds: Q = (s, d) => {
     import s.implicits._
@@ -3119,6 +3126,8 @@ object Queries {
     val ids = operators.BpeTrain.tokenIds(
       Tables.documents(s, d).where($"doc_id" % 10 === 0), "doc_id", "text", model)
     SequencePack.packTokenIds(ids, "doc_id", 512L, sepId = Some(260L))
+      .select($"chunk_id", $"n_tokens",
+        array_join($"input_ids".cast("array<string>"), " ").as("input_ids"))
       .orderBy($"chunk_id")
   }
 
@@ -5232,7 +5241,7 @@ object Queries {
         |g AS (SELECT al.doc_id, o.tok_offset + al.pos AS gp, al.token_id
         |  FROM al JOIN o USING (doc_id))
         |SELECT gp // 512 AS chunk_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |  list(token_id ORDER BY gp) AS input_ids
+        |  array_to_string(list(token_id ORDER BY gp), ' ') AS input_ids
         |FROM g GROUP BY 1 ORDER BY 1""").stripMargin,
     // x2 replays packNoSplit's greedy recurrence as a recursive CTE: the
     // anchor is each shard's first doc (always bin 0, off 0 — the fold's
