@@ -2616,6 +2616,73 @@ object Queries {
         col("col").as("token"))
       .orderBy("word", "pos")
 
+  /** The fixed unigram PROBABILITY table the t28 E-step row runs under.
+    * Every prob sits on the k/16 dyadic grain (≤ 2 mantissa bits), so
+    * with this corpus's words (≤ 8 symbols) EVERY forward/backward
+    * value, per-piece numerator, and Z in the E-step is an EXACT binary
+    * fraction — sums are order-independent and the engine's
+    * forward–backward lands on bit-identical doubles to the oracle's
+    * segmentation enumeration; the single num/Z division then matches
+    * IEEE-exactly on both sides. The 'u'-less alphabet (t27's fixture
+    * discipline) leaves some words uncoverable — they emit nothing, the
+    * documented Z=0 contract.
+    */
+  private val FixedUgProbs: Seq[(String, Double)] =
+    "abcdefghijklmnopqrstvwy".map(c => (c.toString, 1.0 / 16)) ++ Seq(
+      ("th", 2.0 / 16), ("the", 3.0 / 16), ("an", 2.0 / 16),
+      ("in", 2.0 / 16), ("er", 3.0 / 16), ("sc", 2.0 / 16),
+      ("st", 2.0 / 16), ("ow", 2.0 / 16), ("jo", 2.0 / 16),
+      ("join", 3.0 / 16), ("ue", 2.0 / 16), ("row", 2.0 / 16),
+      ("wind", 1.0 / 16), ("ream", 1.0 / 16), ("art", 2.0 / 16),
+      ("scan", 1.0 / 16))
+
+  /** T28 — the unigram-LM EM trainer's E-step, gated exactly
+    * ([[operators.UnigramTok.expectedCounts]]): for every coverable
+    * distinct word, the EXPECTED count of each piece across ALL
+    * segmentations weighted by probability, under [[FixedUgProbs]]. The
+    * engine runs forward–backward (never enumerates); the oracle
+    * ENUMERATES every segmentation with a running probability product
+    * and sums per-piece mass — exact-dyadic arithmetic makes the two
+    * bit-identical (see the fixture note). The full EM loop is this
+    * computation iterated with driver-side M-step/prune — not
+    * SQL-expressible, so the loop itself is t29 + the spec's
+    * enumeration replica, with this row as the hash-green twin of the
+    * loop body (the t12/t13 BPE discipline).
+    */
+  val t28UnigramEstep: Q = (s, d) =>
+    operators.UnigramTok.expectedCounts(
+        operators.BpeTrain.wordFreq(Tables.documents(s, d), "text")
+          .select(col("word")),
+        FixedUgProbs)
+      .select(col("word"), col("piece"), round(col("e"), 6).as("e"))
+      .orderBy("word", "piece")
+
+  /** T29 — the trained unigram tokenizer end to end
+    * ([[operators.UnigramTok.fit]] → [[operators.UnigramTok
+    * .segmentWords]]): EM-fit a 40-piece vocabulary on the corpus
+    * (seeded from substrings ≤ 4, 2 EM iterations per prune round) and
+    * segment the corpus's distinct words under the TRAINED table — the
+    * SentencePiece train-then-serve path a migrating user runs. The EM
+    * loop's driver-coordinated iteration (like t13's BPE merge loop) is
+    * not SQL-expressible, so the driver records rows only; the fit is
+    * spec-pinned against an independent enumeration-based replica
+    * (UnigramTokSpec) and t28 hash-gates the loop's distributed
+    * workhorse exactly.
+    */
+  val t29UnigramFit: Q = (s, d) => {
+    val trained = operators.UnigramTok.fit(
+      operators.BpeTrain.wordFreq(Tables.documents(s, d), "text"),
+      vocabTarget = 40, seedMaxLen = 4, emIters = 2)
+    operators.UnigramTok.segmentWords(
+        operators.BpeTrain.wordFreq(Tables.documents(s, d), "text")
+          .select(col("word")),
+        trained)
+      .select(col("word"), posexplode(col("tokens")))
+      .select(col("word"), col("pos").cast("long").as("pos"),
+        col("col").as("token"))
+      .orderBy("word", "pos")
+  }
+
   /** T26 — WordPiece token-id export ([[operators.WordPiece.tokenIds]]):
     * the BERT vocab.txt grain — one row per (doc, position) with the
     * piece's rank id (unk = one past the vocabulary), positions ordered
@@ -2744,6 +2811,14 @@ object Queries {
     FixedUgPieces.map { case (p, lp) =>
       s"('${p.replace("'", "''")}', ${p.codePointCount(0, p.length)}, " +
         f"$lp%.6f)"
+    }.mkString(", ")
+
+  // the t28 oracle's (piece, plen, prob) table — every prob is k/16, so
+  // the %.4f decimal is EXACT and parses back to the identical double
+  private lazy val duckUgProbs: String =
+    FixedUgProbs.map { case (p, pr) =>
+      s"('${p.replace("'", "''")}', ${p.codePointCount(0, p.length)}, " +
+        f"$pr%.4f)"
     }.mkString(", ")
 
   // the t26 oracle's piece -> id table, generated from the engine's own
@@ -5162,6 +5237,31 @@ object Queries {
         |SELECT word, CAST(j - 1 AS BIGINT) AS pos, toks[j] AS token
         |FROM fin, unnest(generate_series(1, len(toks))) AS u(j)
         |ORDER BY word, pos""").stripMargin,
+    // t28 enumerates every segmentation with a RUNNING PROBABILITY
+    // PRODUCT (exact under the dyadic fixture), then expected count =
+    // per-piece summed mass / per-word total mass — one division, same
+    // IEEE result as the engine's forward-backward (see FixedUgProbs)
+    "t28_unigram_estep" ->
+      (s"""WITH RECURSIVE
+        |w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |wf AS (SELECT DISTINCT word FROM w WHERE len(word) > 0),
+        |p AS (SELECT * FROM (VALUES $duckUgProbs) AS t(piece, plen, prob)),
+        |rec AS (
+        |  SELECT word, CAST(1 AS BIGINT) AS i, '' AS acc,
+        |    CAST(1 AS DOUBLE) AS pr FROM wf
+        |  UNION ALL
+        |  SELECT r.word, CAST(r.i + p.plen AS BIGINT),
+        |    r.acc || p.piece || chr(31), r.pr * p.prob
+        |  FROM rec r JOIN p ON substr(r.word, r.i, p.plen) = p.piece
+        |  WHERE r.i <= len(r.word)),
+        |term AS (SELECT word, string_split(rtrim(acc, chr(31)), chr(31)) AS toks,
+        |    pr FROM rec WHERE i = len(word) + 1),
+        |z AS (SELECT word, sum(pr) AS z FROM term GROUP BY word),
+        |occ AS (SELECT word, unnest(toks) AS piece, pr FROM term),
+        |num AS (SELECT word, piece, sum(pr) AS num FROM occ GROUP BY word, piece)
+        |SELECT n.word, n.piece, round(n.num / z.z, 6) AS e
+        |FROM num n JOIN z USING (word)
+        |ORDER BY word, piece""").stripMargin,
     "t26_wordpiece_ids" ->
       (s"""WITH RECURSIVE $duckWpSegmentCtes,
         |wpos AS (SELECT doc_id, i AS wpos, ws[i] AS word
@@ -5659,6 +5759,8 @@ object Queries {
     "t25_wordpiece_counts" -> t25WordpieceCounts,
     "t26_wordpiece_ids" -> t26WordpieceIds,
     "t27_unigram_segment" -> t27UnigramSegment,
+    "t28_unigram_estep" -> t28UnigramEstep,
+    "t29_unigram_fit" -> t29UnigramFit,
     "t14a_bpe_segment_scalable" -> t14aBpeSegmentScalable,
     "t15_bpe_token_counts" -> t15BpeTokenCounts,
     "p3_corpus_recipe" -> p3CorpusRecipe,

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
 
 /** Unigram-LM subword segmentation — the THIRD tokenizer family beside
   * [[BpeTrain]] (BPE) and [[WordPiece]] (greedy longest match), re-derived
@@ -113,6 +114,320 @@ object UnigramTok {
           else segmentSyms(BpeTrain.codePointSyms(w), t, unk)))
       }
       .toDF("word", "tokens")
+  }
+
+  // ---------------------------------------------------------------------
+  // Training: EM over the segmentation lattice (Kudo, ACL 2018 §3.2 —
+  // the SentencePiece unigram trainer, re-derived from the paper)
+  // ---------------------------------------------------------------------
+
+  /** Broadcast-side table for the E-step: per-piece PROBABILITIES (not
+    * logs — the forward–backward recurrences sum probability mass, and
+    * working in linear space keeps the t28 gate row's arithmetic exact:
+    * with dyadic probs every alpha/beta value is an exact binary
+    * fraction, so the DuckDB enumeration oracle lands on the identical
+    * doubles regardless of summation order).
+    */
+  private[graft] final case class ProbTable(
+      p: Map[String, Double], maxLen: Int)
+
+  private[graft] def probTable(pieces: Seq[(String, Double)]): ProbTable = {
+    require(pieces.nonEmpty, "unigram E-step needs a non-empty piece table")
+    pieces.foreach { case (pc, pr) =>
+      require(pc.nonEmpty, "empty piece")
+      // (0, 1]: a degenerate one-piece model legitimately has p = 1
+      require(!pr.isNaN && pr > 0.0 && pr <= 1.0,
+        s"piece '$pc' prob $pr outside (0,1]")
+    }
+    require(pieces.map(_._1).distinct.size == pieces.size,
+      "piece table contains duplicate pieces")
+    ProbTable(pieces.toMap,
+      pieces.map { case (p, _) => p.codePointCount(0, p.length) }.max)
+  }
+
+  /** Forward–backward expected piece counts for ONE word under a prob
+    * table — the EM E-step's per-word core. alpha(i) = Σ_j alpha(j) ·
+    * p(syms[j..i)) forward, beta(i) = Σ_k p(syms[i..k)) · beta(k)
+    * backward; the expected count of a piece occurrence covering [j, i)
+    * is alpha(j) · p · beta(i) / Z with Z = alpha(n). Per-piece
+    * NUMERATORS accumulate first and divide by Z exactly once at the
+    * end — under dyadic probs every numerator and Z are exact binary
+    * fractions, so an enumeration-based replay (the t28 oracle, the
+    * spec's independent replica) produces bit-identical doubles.
+    * Returns None when the word has no cover (Z = 0) — the caller's
+    * seed always contains every single symbol, so fit never sees it.
+    */
+  private[graft] def wordExpected(syms: Array[String], t: ProbTable)
+      : Option[Array[(String, Double)]] = {
+    if (syms.length == 1 && syms(0).isEmpty)
+      return Some(Array.empty[(String, Double)])
+    val n = syms.length
+    val alpha = new Array[Double](n + 1); alpha(0) = 1.0
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - t.maxLen)
+      while (j < i) {
+        if (alpha(j) != 0.0) t.p.get(syms.slice(j, i).mkString) match {
+          case Some(p) => alpha(i) += alpha(j) * p
+          case None =>
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (alpha(n) == 0.0) return None
+    val beta = new Array[Double](n + 1); beta(n) = 1.0
+    i = n - 1
+    while (i >= 0) {
+      val kmax = math.min(n, i + t.maxLen)
+      var k = i + 1
+      while (k <= kmax) {
+        t.p.get(syms.slice(i, k).mkString) match {
+          case Some(p) => beta(i) += p * beta(k)
+          case None =>
+        }
+        k += 1
+      }
+      i -= 1
+    }
+    val num = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    var j = 0
+    while (j < n) {
+      val kmax = math.min(n, j + t.maxLen)
+      var k = j + 1
+      while (k <= kmax) {
+        val piece = syms.slice(j, k).mkString
+        t.p.get(piece) match {
+          case Some(p) =>
+            val c = alpha(j) * p * beta(k)
+            if (c != 0.0) num.updateWith(piece) {
+              case Some(v) => Some(v + c)
+              case None => Some(c)
+            }
+          case None =>
+        }
+        k += 1
+      }
+      j += 1
+    }
+    val z = alpha(n)
+    Some(num.iterator.map { case (pc, v) => (pc, v / z) }.toArray)
+  }
+
+  /** Distributed E-step at the (distinct word, piece) grain: for every
+    * coverable word, the EXPECTED number of times each piece appears in
+    * the word's segmentation under the model — Σ over all segmentations
+    * weighted by their probability (forward–backward, never
+    * enumeration). Uncoverable words (no piece cover) emit nothing; the
+    * fit's seed guarantees coverage via single symbols. One
+    * `mapPartitions` pass against the broadcast table over DISTINCT
+    * words — the same vocabulary-collapsed scale shape as the family's
+    * serving path; the corpus never re-tokenizes per EM iteration.
+    */
+  def expectedCounts(words: DataFrame,
+                     pieces: Seq[(String, Double)]): DataFrame = {
+    val session = words.sparkSession
+    import session.implicits._
+    val bc = session.sparkContext.broadcast(probTable(pieces))
+    words.select(col("word").cast("string")).as[String]
+      .mapPartitions { it =>
+        val t = bc.value
+        it.flatMap { w =>
+          if (w == null) Iterator.empty
+          else wordExpected(BpeTrain.codePointSyms(w), t) match {
+            case Some(arr) =>
+              arr.iterator.map { case (pc, e) => (w, pc, e) }
+            case None => Iterator.empty
+          }
+        }
+      }
+      .toDF("word", "piece", "e")
+  }
+
+  /** Viterbi best log-score of a symbol array under a logp table,
+    * optionally with one piece EXCLUDED — the prune step's
+    * alternative-path cost (what segmenting this piece's own text costs
+    * when the piece itself is gone). NegativeInfinity if uncoverable.
+    */
+  private[graft] def viterbiScore(syms: Array[String],
+      logp: Map[String, Double], maxLen: Int,
+      excluded: String = null): Double = {
+    val n = syms.length
+    val best = Array.fill(n + 1)(Double.NegativeInfinity)
+    best(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - maxLen)
+      while (j < i) {
+        if (best(j) != Double.NegativeInfinity) {
+          val pc = syms.slice(j, i).mkString
+          if (pc != excluded) logp.get(pc) match {
+            case Some(lp) =>
+              val c = best(j) + lp
+              if (c > best(i)) best(i) = c
+            case None =>
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    best(n)
+  }
+
+  // deterministic per-piece aggregation: numerators fold in sorted-word
+  // order (array_sort on the (word, v) struct, then a sequential
+  // `aggregate` fold), so the distributed sum is partitioning-independent
+  // — the fit's spec replica replays the identical IEEE fold
+  private def sortedFoldSum(wv: Column): Column =
+    aggregate(array_sort(wv), lit(0.0), (a, x) => a + x.getField("v"))
+
+  /** EM training of the unigram LM vocabulary (Kudo, ACL 2018 §3.2) —
+    * the missing leg of the three-tokenizer-family story beside
+    * [[BpeTrain.fit]] and [[WordPiece.fit]]. From a vocabulary-collapsed
+    * `(word, freq)` table:
+    *
+    *   1. SEED: every substring of length 1..`seedMaxLen` with
+    *      freq-weighted occurrence count ≥ `minSeedFreq`; single symbols
+    *      are ALWAYS kept (coverage — every word must segment). Initial
+    *      probabilities ∝ substring counts.
+    *   2. EM: `emIters` rounds of E-step (distributed
+    *      [[expectedCounts]] over distinct words, freq-weighted,
+    *      aggregated with a sorted sequential fold so the result is
+    *      partitioning-independent) and M-step (normalize counts).
+    *   3. PRUNE (while vocabulary > `vocabTarget`): each multi-symbol
+    *      piece x scores loss = count(x) · (logp(x) − alt(x)) where
+    *      alt(x) is the Viterbi score of x's own text with x excluded —
+    *      the corpus-likelihood drop if x is removed. Keep the
+    *      `pruneKeep` fraction (never below the target), singles are
+    *      never pruned; then EM re-estimates and the loop re-checks.
+    *
+    * Scale shape: the E-step is the distributed workhorse (one
+    * mapPartitions + one vocabulary-sized aggregation per iteration; the
+    * t28 gate row hash-checks it exactly under a fixed dyadic table);
+    * seeding is one explode + groupBy over the collapsed vocabulary; the
+    * M-step, prune scoring, and loop control are driver-side over the
+    * piece table only — vocabulary-scaled, `maxVocab`-guarded, never
+    * corpus-scaled. Deterministic for a given corpus: every float sum
+    * folds in a sorted order, argsorts break ties on the piece string.
+    * Returns the trained `(piece, logp)` table, sorted by piece — the
+    * exact shape [[segmentWords]] serves.
+    */
+  def fit(words: DataFrame, vocabTarget: Int, seedMaxLen: Int = 4,
+          emIters: Int = 2, pruneKeep: Double = 0.75,
+          minSeedFreq: Long = 2L,
+          maxVocab: Long = 8000000L): Seq[(String, Double)] = {
+    require(vocabTarget > 0, s"vocabTarget $vocabTarget must be > 0")
+    require(seedMaxLen >= 1, s"seedMaxLen $seedMaxLen must be >= 1")
+    require(emIters >= 1, s"emIters $emIters must be >= 1")
+    require(pruneKeep > 0.0 && pruneKeep < 1.0,
+      s"pruneKeep $pruneKeep outside (0,1)")
+    val session = words.sparkSession
+    import session.implicits._
+    val wf = words
+      .select(col("word").cast("string"), col("freq").cast("long"))
+      .as[(String, Long)].persist()
+    try {
+      // ---- seed: substring counts, singles unconditionally kept ----
+      val seedDf = wf.flatMap { case (w, f) =>
+          if (w == null || w.isEmpty) Iterator.empty[(String, Long, Boolean)]
+          else {
+            val syms = BpeTrain.codePointSyms(w)
+            for {
+              j <- syms.indices.iterator
+              k <- ((j + 1) to math.min(syms.length, j + seedMaxLen)).iterator
+            } yield (syms.slice(j, k).mkString, f, k - j == 1)
+          }
+        }
+        .toDF("piece", "f", "single")
+        .groupBy("piece")
+        .agg(sum("f").as("c"), max("single").as("single"))
+        .where(col("c") >= minSeedFreq || col("single"))
+        .select(col("piece"), col("c"))
+      val seed = {
+        val n = seedDf.count()
+        require(n > 0, "empty corpus — nothing to seed the vocabulary from")
+        require(n <= maxVocab,
+          s"seed vocabulary $n exceeds maxVocab $maxVocab — raise " +
+            "minSeedFreq or lower seedMaxLen")
+        seedDf.as[(String, Long)].collect().sortBy(_._1)
+      }
+      val singles = seed.iterator.map(_._1)
+        .filter(p => p.codePointCount(0, p.length) == 1).toSet
+      val seedTotal = seed.foldLeft(0.0) { case (a, (_, c)) => a + c.toDouble }
+      var probs: Array[(String, Double)] =
+        seed.map { case (p, c) => (p, c.toDouble / seedTotal) }
+
+      // one freq-weighted EM round: distributed E-step, sorted-fold
+      // aggregation, M-step normalize; returns (piece, prob, count)
+      def emRound(cur: Array[(String, Double)])
+          : Array[(String, Double, Double)] = {
+        val counts = expectedCounts(wf.toDF("word", "freq").select("word"),
+            cur.toSeq)
+          .join(wf.toDF("word", "freq"), "word")
+          .select(col("piece"),
+            struct(col("word"),
+              (col("e") * col("freq").cast("double")).as("v")).as("wv"))
+          .groupBy("piece")
+          .agg(sortedFoldSum(collect_list(col("wv"))).as("c"))
+          .as[(String, Double)].collect().sortBy(_._1)
+        val tot = counts.foldLeft(0.0) { case (a, (_, c)) => a + c }
+        counts.map { case (p, c) => (p, c / tot, c) }
+      }
+
+      // prune by likelihood loss; singles protected; guaranteed progress
+      // or signals completion by returning the input unchanged
+      def prune(cur: Array[(String, Double, Double)])
+          : Array[(String, Double)] = {
+        val logp = cur.iterator
+          .map { case (p, pr, _) => (p, math.log(pr)) }.toMap
+        val maxLen =
+          cur.iterator.map { case (p, _, _) =>
+            p.codePointCount(0, p.length) }.max
+        val (single, multi) = cur.partition { case (p, _, _) => singles(p) }
+        val targetMulti = math.max(0, vocabTarget - single.length)
+        val keepN = math.min(multi.length,
+          math.max(targetMulti, (multi.length * pruneKeep).toInt))
+        if (keepN >= multi.length)
+          return cur.map { case (p, pr, _) => (p, pr) }
+        val scored = multi.map { case (p, pr, c) =>
+          val alt = viterbiScore(BpeTrain.codePointSyms(p), logp, maxLen, p)
+          // alt can only be -inf if the piece's own text is uncoverable
+          // without it — impossible for multi-symbol pieces (singles
+          // cover everything), but keep such a piece defensively
+          val loss =
+            if (alt == Double.NegativeInfinity) Double.PositiveInfinity
+            else c * (math.log(pr) - alt)
+          (p, pr, loss)
+        }
+        val kept = scored.sortBy { case (p, _, loss) => (-loss, p) }
+          .take(keepN)
+        val next = single.map { case (p, pr, _) => (p, pr) } ++
+          kept.map { case (p, pr, _) => (p, pr) }
+        // renormalize over the kept mass, sorted fold for determinism
+        val sortedNext = next.sortBy(_._1)
+        val mass = sortedNext.foldLeft(0.0) { case (a, (_, pr)) => a + pr }
+        sortedNext.map { case (p, pr) => (p, pr / mass) }
+      }
+
+      var done = false
+      while (!done) {
+        var last: Array[(String, Double, Double)] = null
+        var it = 0
+        while (it < emIters) { last = emRound(probs); it += 1 }
+        // EM can drop pieces whose expected count is zero (a piece no
+        // path uses); carry the survivors forward
+        probs = last.map { case (p, pr, _) => (p, pr) }
+        if (probs.length <= vocabTarget) done = true
+        else {
+          val pruned = prune(last)
+          if (pruned.length == probs.length) done = true
+          else probs = pruned
+        }
+      }
+      probs.sortBy(_._1)
+        .map { case (p, pr) => (p, math.log(pr)) }.toSeq
+    } finally wf.unpersist()
   }
 
   /** Per-document token count under the unigram model —

@@ -114,4 +114,250 @@ class UnigramTokSpec extends SparkSpec {
       UnigramTok.pieceTable(Seq(("a", Double.NaN)))
     }
   }
+
+  // -----------------------------------------------------------------
+  // EM training (the t28/t29 rows)
+  // -----------------------------------------------------------------
+
+  /** Independent E-step replica: enumerate every segmentation with a
+    * running probability product (the t28 oracle's method), expected
+    * count = per-piece summed mass / total mass. Under dyadic probs the
+    * arithmetic is exact, so parity with the engine's forward–backward
+    * is asserted BIT-EXACTLY.
+    */
+  private def bruteExpected(word: String, ps: Map[String, Double])
+      : Option[Map[String, Double]] = {
+    val syms = BpeTrain.codePointSyms(word)
+    def go(i: Int): Seq[(List[String], Double)] =
+      if (i == syms.length) Seq((Nil, 1.0))
+      else (i + 1 to syms.length).flatMap { j =>
+        val piece = syms.slice(i, j).mkString
+        ps.get(piece).toSeq.flatMap { pr =>
+          go(j).map { case (rest, m) => (piece :: rest, pr * m) }
+        }
+      }
+    val segs = go(0)
+    if (segs.isEmpty) return None
+    val z = segs.map(_._2).sum
+    val num = scala.collection.mutable.HashMap.empty[String, Double]
+    segs.foreach { case (pcs, m) =>
+      pcs.foreach(p => num(p) = num.getOrElse(p, 0.0) + m)
+    }
+    Some(num.toMap.map { case (p, v) => (p, v / z) })
+  }
+
+  private val dyadic: Seq[(String, Double)] = Seq(
+    ("a", 1.0 / 16), ("b", 1.0 / 16), ("c", 2.0 / 16), ("n", 1.0 / 16),
+    ("s", 2.0 / 16), ("aa", 2.0 / 16), ("ab", 3.0 / 16), ("an", 2.0 / 16),
+    ("sc", 2.0 / 16), ("scan", 1.0 / 16), ("abc", 3.0 / 16))
+
+  test("wordExpected == enumeration bit-exactly under dyadic probs") {
+    val t = UnigramTok.probTable(dyadic)
+    val pm = dyadic.toMap
+    Seq("a", "aaa", "abab", "scan", "abcabc", "banana", "ssccaann")
+      .foreach { w =>
+        val got = UnigramTok
+          .wordExpected(BpeTrain.codePointSyms(w), t).map(_.toMap)
+        assert(got == bruteExpected(w, pm), s"word $w")
+      }
+  }
+
+  test("wordExpected: hand-checked multi-occurrence counts on 'aaa'") {
+    // segs of aaa under a=1/4, aa=1/4: a|a|a (1/64), a|aa and aa|a
+    // (1/16 each); Z = 9/64, e(a) = (3/64+1/16+1/16)/Z = 11/9,
+    // e(aa) = (2/16)/Z = 8/9
+    val t = UnigramTok.probTable(Seq(("a", 0.25), ("aa", 0.25)))
+    val got = UnigramTok
+      .wordExpected(BpeTrain.codePointSyms("aaa"), t).get.toMap
+    assert(got("a") == 11.0 / 9 && got("aa") == 8.0 / 9, got.toString)
+  }
+
+  test("wordExpected contracts: empty word, uncoverable -> None") {
+    val t = UnigramTok.probTable(dyadic)
+    assert(UnigramTok.wordExpected(BpeTrain.codePointSyms(""), t)
+      .get.isEmpty)
+    assert(UnigramTok.wordExpected(BpeTrain.codePointSyms("xyz"), t).isEmpty)
+  }
+
+  test("wordExpected ~ enumeration under random probs (5 seeds)") {
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val alphabet = "abcd"
+      val ps = (alphabet.map(_.toString) ++
+        Seq.fill(8)(Seq.fill(2 + rnd.nextInt(2))(
+          alphabet(rnd.nextInt(4))).mkString))
+        .distinct.map(p => p -> (0.01 + rnd.nextDouble() * 0.4)).toSeq
+      val t = UnigramTok.probTable(ps)
+      val pm = ps.toMap
+      Seq.fill(20)(Seq.fill(1 + rnd.nextInt(7))(
+        alphabet(rnd.nextInt(4))).mkString).foreach { w =>
+        val got = UnigramTok
+          .wordExpected(BpeTrain.codePointSyms(w), t).get.toMap
+        val want = bruteExpected(w, pm).get
+        assert(got.keySet == want.keySet, s"word $w")
+        got.foreach { case (p, e) =>
+          assert(math.abs(e - want(p)) <= 1e-12 * math.max(1.0, e),
+            s"word $w piece $p: $e vs ${want(p)}")
+        }
+      }
+    }
+  }
+
+  test("expectedCounts: distributed grain matches wordExpected per word") {
+    val words = Seq("scan", "abab", "banana", "xyz", "")
+    val t = UnigramTok.probTable(dyadic)
+    val got = UnigramTok.expectedCounts(words.toDF("word"), dyadic)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (w, rs) =>
+        (w, rs.map(r => (r._2, r._3)).toMap)
+      }
+    words.foreach { w =>
+      UnigramTok.wordExpected(BpeTrain.codePointSyms(w), t) match {
+        case Some(arr) if arr.nonEmpty => assert(got(w) == arr.toMap, w)
+        case _ => assert(!got.contains(w), s"$w should emit nothing")
+      }
+    }
+  }
+
+  /** Full driver-side EM replica using the ENUMERATION E-step — the
+    * independent algorithm the distributed fit must agree with (the
+    * WordPiece fit-vs-replay discipline). Same seeding, same sorted
+    * fold orders, same prune rule; only the per-word E-step method
+    * differs (enumeration vs forward–backward).
+    */
+  private def localFit(words: Seq[(String, Long)], vocabTarget: Int,
+      seedMaxLen: Int, emIters: Int, pruneKeep: Double,
+      minSeedFreq: Long): Seq[(String, Double)] = {
+    val cnt = scala.collection.mutable.HashMap.empty[String, Long]
+    val singles = scala.collection.mutable.HashSet.empty[String]
+    words.foreach { case (w, f) =>
+      val syms = BpeTrain.codePointSyms(w)
+      for {
+        j <- syms.indices
+        k <- (j + 1) to math.min(syms.length, j + seedMaxLen)
+      } {
+        val p = syms.slice(j, k).mkString
+        cnt(p) = cnt.getOrElse(p, 0L) + f
+        if (k - j == 1) singles += p
+      }
+    }
+    val seed = cnt.toSeq
+      .filter { case (p, c) => c >= minSeedFreq || singles(p) }
+      .sortBy(_._1)
+    val tot0 = seed.foldLeft(0.0) { case (a, (_, c)) => a + c.toDouble }
+    var probs = seed.map { case (p, c) => (p, c.toDouble / tot0) }.toArray
+
+    def bruteBest(text: String, lp: Map[String, Double],
+                  excl: String): Double = {
+      val syms = BpeTrain.codePointSyms(text)
+      def go(i: Int): Double =
+        if (i == syms.length) 0.0
+        else (i + 1 to syms.length).map { j =>
+          val piece = syms.slice(i, j).mkString
+          if (piece == excl) Double.NegativeInfinity
+          else lp.get(piece) match {
+            case Some(v) =>
+              val r = go(j)
+              if (r == Double.NegativeInfinity) r else v + r
+            case None => Double.NegativeInfinity
+          }
+        }.max
+      go(0)
+    }
+
+    def em(cur: Array[(String, Double)]): Array[(String, Double, Double)] = {
+      val pm = cur.toMap
+      val perPiece = scala.collection.mutable.HashMap
+        .empty[String, scala.collection.mutable.ArrayBuffer[(String, Double)]]
+      words.foreach { case (w, f) =>
+        bruteExpected(w, pm).foreach(_.foreach { case (p, e) =>
+          perPiece.getOrElseUpdate(p,
+            scala.collection.mutable.ArrayBuffer.empty) += ((w, e * f))
+        })
+      }
+      val counts = perPiece.toSeq.map { case (p, wv) =>
+        (p, wv.sortBy(_._1).foldLeft(0.0)(_ + _._2))
+      }.sortBy(_._1)
+      val tot = counts.foldLeft(0.0) { case (a, (_, c)) => a + c }
+      counts.map { case (p, c) => (p, c / tot, c) }.toArray
+    }
+
+    var done = false
+    while (!done) {
+      var last: Array[(String, Double, Double)] = null
+      (1 to emIters).foreach(_ => last = em(probs))
+      probs = last.map { case (p, pr, _) => (p, pr) }
+      if (probs.length <= vocabTarget) done = true
+      else {
+        val logp = probs.iterator
+          .map { case (p, pr) => (p, math.log(pr)) }.toMap
+        val (single, multi) = last.partition { case (p, _, _) => singles(p) }
+        val targetMulti = math.max(0, vocabTarget - single.length)
+        val keepN = math.min(multi.length,
+          math.max(targetMulti, (multi.length * pruneKeep).toInt))
+        if (keepN >= multi.length) done = true
+        else {
+          val kept = multi.map { case (p, pr, c) =>
+            val alt = bruteBest(p, logp, p)
+            val loss = if (alt == Double.NegativeInfinity)
+              Double.PositiveInfinity
+            else c * (math.log(pr) - alt)
+            (p, pr, loss)
+          }.sortBy { case (p, _, loss) => (-loss, p) }.take(keepN)
+          val next = (single.map { case (p, pr, _) => (p, pr) } ++
+            kept.map { case (p, pr, _) => (p, pr) }).sortBy(_._1)
+          val mass = next.foldLeft(0.0) { case (a, (_, pr)) => a + pr }
+          probs = next.map { case (p, pr) => (p, pr / mass) }
+        }
+      }
+    }
+    probs.sortBy(_._1).map { case (p, pr) => (p, math.log(pr)) }.toSeq
+  }
+
+  private val fitCorpus: Seq[(String, Long)] = Seq(
+    ("fast", 10L), ("faster", 8L), ("fastest", 6L), ("stream", 5L),
+    ("stress", 4L), ("rest", 4L), ("tear", 3L), ("ear", 3L))
+
+  test("fit matches the enumeration-based driver replica") {
+    val df = fitCorpus.toDF("word", "freq")
+    val got = UnigramTok.fit(df, vocabTarget = 20, seedMaxLen = 4,
+      emIters = 2, pruneKeep = 0.5, minSeedFreq = 2L)
+    val want = localFit(fitCorpus, 20, 4, 2, 0.5, 2L)
+    assert(got.map(_._1) == want.map(_._1),
+      s"piece sets differ:\n got=${got.map(_._1)}\nwant=${want.map(_._1)}")
+    got.zip(want).foreach { case ((p, lg), (_, lw)) =>
+      assert(math.abs(lg - lw) <= 1e-9, s"piece $p: $lg vs $lw")
+    }
+  }
+
+  test("fit: singles survive, target respected, serving covers corpus") {
+    val df = fitCorpus.toDF("word", "freq")
+    val trained = UnigramTok.fit(df, vocabTarget = 14, seedMaxLen = 4,
+      emIters = 2, minSeedFreq = 2L)
+    val pieces = trained.map(_._1).toSet
+    val chars = fitCorpus.flatMap(_._1.toSeq).map(_.toString).toSet
+    assert(chars.subsetOf(pieces), s"missing singles: ${chars -- pieces}")
+    assert(trained.size <= 14)
+    assert(trained.exists(_._1.length > 1), "no multi-symbol piece learned")
+    // the trained table must serve every corpus word without <unk>
+    val seg = UnigramTok.segmentWords(
+        fitCorpus.map(_._1).toDF("word"), trained)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+    fitCorpus.foreach { case (w, _) =>
+      assert(!seg(w).contains(UnigramTok.Unk), s"$w fell to unk")
+      assert(seg(w).mkString == w, s"$w pieces don't reassemble")
+    }
+  }
+
+  test("fit guards: bad params and maxVocab refuse loudly") {
+    val df = fitCorpus.toDF("word", "freq")
+    intercept[IllegalArgumentException] { UnigramTok.fit(df, 0) }
+    intercept[IllegalArgumentException] { UnigramTok.fit(df, 5, emIters = 0) }
+    intercept[IllegalArgumentException] {
+      UnigramTok.fit(df, 5, pruneKeep = 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      UnigramTok.fit(df, 5, maxVocab = 3L)
+    }
+  }
 }
