@@ -7,6 +7,7 @@ import com.sun.net.httpserver.HttpServer
 import graft.operators.{AnnSearch, Bm25, ChunkEmbed, IvfIndex, VectorMetric}
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** TEXT retrieval serving — the hybrid (sparse + dense) half of the
   * serving surface beside [[SearchService]]'s vector search, per
@@ -17,20 +18,32 @@ import org.apache.spark.sql.functions._
   * JSON envelope (the r4 gate row's exact pipeline, on the wire).
   * `POST /keyword` serves the sparse ranker alone (r3/r5's shape).
   *
-  * Serving shape, per request:
-  *  - sparse: [[Bm25.searchIndex]] over the [[Bm25.load]]ed artifact —
-  *    the query's terms push into the postings lake as `In(term)`, so
-  *    request IO is Σ_t df(t) over the query's handful of terms, never
-  *    the lake (the bm25_probe scaling table's flat curve IS this path);
-  *  - dense: cosine over the doc-grain [[ChunkEmbed.docEmbed]] index,
-  *    cached at construction (C9 collection load) — exact
-  *    ([[AnnSearch.batchTopK]], the anchor) or, under
-  *    `denseMode = "ivf"`, KMeans-clustered at load and statically
-  *    pruned to the nprobe best cells per request
-  *    ([[AnnSearch.batchTopKIvf]]) — the [[SearchService]] scale path
-  *    for embedding indexes past an exact per-request scan;
-  *  - fusion: [[Bm25.rrf]] over the two truncated top-fetchK lists —
-  *    nothing corpus-sized touches it.
+  * SERVING TIERS (VERDICT r16 #3 — per-request Catalyst planning
+  * dominated the wire cost at single-query grain):
+  *
+  *  - DRIVER-RESIDENT fast path (the default): the dense doc-embedding
+  *    index collects to the driver when it fits an explicit row budget
+  *    (`maxLocalIndex` — the Milvus query-node posture: segments load
+  *    into the serving tier's RAM), term postings cache in a bounded LRU
+  *    as requests touch them (`maxTermDf`/`maxCachedPostings` — the Solr
+  *    posture), and a request whose terms are all cached runs ZERO Spark
+  *    jobs: BM25 scoring, cosine top-k, and RRF fusion are driver
+  *    arithmetic over at most Σ_t df(t) + |index| rows, every operation
+  *    a bit-exact replica of its Catalyst twin ([[LocalHybrid]]) so the
+  *    wire results equal the r4 batch pipeline verbatim.
+  *  - DISTRIBUTED fallback: anything the local tier cannot serve inside
+  *    its budgets — an index over `maxLocalIndex`, a term over
+  *    `maxTermDf`, a non-integral id column — runs the original batch
+  *    plan ([[hybridFrame]]): [[Bm25.searchIndex]]'s pushed-In(term)
+  *    probe + [[AnnSearch.batchTopK]]/[[AnnSearch.batchTopKIvf]] +
+  *    [[Bm25.rrf]]. Identical results (HybridServiceSpec and
+  *    LocalHybridSpec pin the parity), unamortized latency.
+  *
+  * Dense-leg modes: "exact" scores every index vector per request (the
+  * correctness anchor); "ivf" ranks KMeans centroids per request and
+  * scans only the `nprobe` best cells — in the local tier the probe is
+  * [[IvfIndex.rankCentroids]] itself (the same function the distributed
+  * plan replays), so the two tiers prune identically.
   *
   * The protective surface mirrors [[SearchService]] (and the reference's
   * searcher): request-body cap → 413, token-bucket admission → 429,
@@ -58,7 +71,13 @@ class HybridSearchService(
     // results (spec-pinned).
     denseMode: String = "exact",
     nlist: Int = 64,
-    nprobe: Int = 8) {
+    nprobe: Int = 8,
+    // Driver-resident tier budgets. localServing = false pins every
+    // request to the distributed plan (the parity specs' lever).
+    localServing: Boolean = true,
+    maxLocalIndex: Long = 1L << 17,
+    maxTermDf: Long = 1L << 19,
+    maxCachedPostings: Long = 1L << 21) {
 
   require(k >= 1 && fetchK >= k, s"need 1 <= k <= fetchK, got k=$k fetchK=$fetchK")
   require(Seq("exact", "ivf").contains(denseMode),
@@ -66,6 +85,11 @@ class HybridSearchService(
   require(nlist >= 1 && nprobe >= 1,
     s"nlist $nlist and nprobe $nprobe must be >= 1")
   private val spark = corpus.sparkSession
+
+  // BM25's published defaults — the same constants searchIndex defaults
+  // to; the local replica must score with the identical values
+  private val K1 = 1.2
+  private val B = 0.75
 
   // ---- collection load (C9): the sparse artifact boots via load() (lazy
   // lake scans + 1-row stats); the dense doc-embedding index materializes
@@ -84,11 +108,85 @@ class HybridSearchService(
         IvfIndex.build(denseIndex0, "emb", math.min(nlist.toLong, n).toInt)
       (assigned.cache(), Some(m))
   }
-  denseIndex.count()
+  private val denseCount = denseIndex.count()
 
-  /** The per-request batch plan for a query string — public so specs can
-    * compare it against the r4 batch pipeline and `.explain` what a
-    * request runs. qid is fixed 0: one request, one query.
+  // ---- driver-resident tier (loaded once; None -> distributed only) ----
+  private val idIsIntegral = corpus.schema(idCol).dataType match {
+    case LongType | IntegerType => true
+    case _ => false
+  }
+  /** (id, emb, cluster) rows; cluster is -1 in exact mode. */
+  private val localIndex: Option[Array[(Long, Array[Double], Int)]] =
+    if (!localServing || !idIsIntegral || denseCount > maxLocalIndex) None
+    else Some {
+      val hasCluster = denseIndex.columns.contains("cluster_id")
+      val cols =
+        if (hasCluster) Seq(col(idCol), col("emb"), col("cluster_id"))
+        else Seq(col(idCol), col("emb"))
+      denseIndex.select(cols: _*).collect().map { r =>
+        val id = r.get(0).asInstanceOf[Number].longValue()
+        val emb = r.getSeq[Double](1).toArray
+        val cl = if (hasCluster) r.get(2).asInstanceOf[Number].intValue() else -1
+        (id, emb, cl)
+      }
+    }
+  /** (n_docs as double, avgdl) — the exact doubles searchIndex's stats
+    * projection produces (sum_dl and n_docs both promote to double at
+    * the division).
+    */
+  private val localStats: (Double, Double) = {
+    val r = bm25.docStats.select(col("n_docs"), col("sum_dl")).head()
+    val n = r.get(0).asInstanceOf[Number].longValue()
+    val s = r.get(1).asInstanceOf[Number].longValue()
+    (n.toDouble, s.toDouble / n.toDouble)
+  }
+  private val termCache =
+    new LocalHybrid.TermCache(maxTermDf, maxCachedPostings)
+
+  /** Resolve every query term to its cached postings — fetching misses
+    * in (at most) two pushed-In(term) jobs — or None when any term
+    * exceeds the df cap (the request then runs distributed). Terms
+    * absent from the corpus cache as empty.
+    */
+  private def resolveTerms(terms: Array[String])
+      : Option[Map[String, LocalHybrid.TermPost]] = {
+    val have = scala.collection.mutable.HashMap.empty[String, LocalHybrid.TermPost]
+    val missing = scala.collection.mutable.ArrayBuffer.empty[String]
+    terms.foreach { t =>
+      termCache.get(t) match {
+        case Some(tp) => have(t) = tp
+        case None => missing += t
+      }
+    }
+    if (missing.nonEmpty) {
+      val keys = missing.toIndexedSeq
+      val dfMap = bm25.dfs.where(col("term").isin(keys: _*))
+        .select(col("term"), col("df")).collect()
+        .map(r => r.getString(0) -> r.get(1).asInstanceOf[Number].longValue())
+        .toMap
+      if (dfMap.values.exists(_ > maxTermDf)) return None
+      val post = bm25.postings.where(col("term").isin(keys: _*))
+        .select(col("term"), col(idCol), col("tf"), col("dl")).collect()
+        .groupBy(_.getString(0))
+      missing.foreach { t =>
+        val rows = post.getOrElse(t, Array.empty[Row]).map { r =>
+          (r.get(1).asInstanceOf[Number].longValue(),
+            r.get(2).asInstanceOf[Number].longValue(),
+            r.get(3).asInstanceOf[Number].longValue())
+        }
+        val tp = LocalHybrid.TermPost(dfMap.getOrElse(t, 0L), rows)
+        termCache.put(t, tp)
+        have(t) = tp
+      }
+    }
+    Some(have.toMap)
+  }
+
+  /** The per-request batch plan for a query string — the DISTRIBUTED
+    * tier, and the plan the driver-resident tier must match bit-exactly.
+    * Public so specs can compare it against the r4 batch pipeline and
+    * `.explain` what a fallback request runs. qid is fixed 0: one
+    * request, one query.
     */
   def hybridFrame(query: String): DataFrame = {
     import spark.implicits._
@@ -107,25 +205,73 @@ class HybridSearchService(
       .orderBy(col("rank"))
   }
 
-  /** Sparse-only per-request plan (the /keyword route). */
+  /** Sparse-only per-request plan (the /keyword route's distributed
+    * tier). */
   def keywordFrame(query: String): DataFrame = {
     import spark.implicits._
     val q = Seq((0L, query)).toDF("qid", textCol)
     Bm25.searchIndex(bm25, q, "qid", textCol, k).orderBy(col("rank"))
   }
 
-  def search(query: String): Seq[Row] = hybridFrame(query).collect().toIndexedSeq
-  def searchKeyword(query: String): Seq[Row] =
-    keywordFrame(query).collect().toIndexedSeq
+  /** Driver-resident /hybrid: both legs + fusion as local arithmetic,
+    * zero Spark jobs on a warm term cache. None -> serve distributed.
+    */
+  private def localSearch(query: String): Option[Seq[(Long, Any, Any)]] =
+    localIndex.flatMap { index =>
+      val terms = LocalHybrid.tokensOf(query).distinct
+      resolveTerms(terms).map { posts =>
+        val sparse = LocalHybrid.bm25Rank(terms, posts,
+          localStats._1, localStats._2, K1, B, fetchK)
+        val qvec = LocalHybrid.docEmbedLocal(query, dim)
+        val probe = ivfModel match {
+          case Some(m) => IvfIndex.rankCentroids(
+            m, qvec.toIndexedSeq, VectorMetric.Cosine, nprobe)
+          case None => null
+        }
+        val dense = LocalHybrid.denseRank(index, probe, qvec, fetchK)
+        LocalHybrid.rrfFuse(
+            Seq(sparse.map(r => (r._1, r._2)), dense.map(r => (r._1, r._2))), k)
+          .toSeq.map { case (rank, id, rrf) => (rank, id, rrf) }
+      }
+    }
+
+  private def localKeyword(query: String): Option[Seq[(Long, Any, Any)]] =
+    if (!localServing || !idIsIntegral) None
+    else {
+      val terms = LocalHybrid.tokensOf(query).distinct
+      resolveTerms(terms).map { posts =>
+        LocalHybrid.bm25Rank(terms, posts,
+            localStats._1, localStats._2, K1, B, k)
+          .toSeq.map { case (rank, id, s) => (rank, id, s) }
+      }
+    }
+
+  private def rowsOf(df: DataFrame): Seq[(Long, Any, Any)] =
+    df.collect().toIndexedSeq
+      .map(r => (r.getLong(1), r.get(2), r.get(3)))
+
+  /** (rank, id, score) in rank order — local tier when it can, the
+    * distributed plan otherwise; both produce identical rows.
+    */
+  def search(query: String): Seq[(Long, Any, Any)] =
+    localSearch(query).getOrElse(rowsOf(hybridFrame(query)))
+
+  def searchKeyword(query: String): Seq[(Long, Any, Any)] =
+    localKeyword(query).getOrElse(rowsOf(keywordFrame(query)))
+
+  /** True when the last-loaded tier serves /hybrid without Spark jobs on
+    * a warm cache — bench/spec introspection.
+    */
+  def isLocalTier: Boolean = localIndex.isDefined
 
   /** Same envelope family as [[SearchService.toJson]]: docs carry the id,
     * the 0-based rank and the fused (or BM25) score.
     */
-  private def toJson(docs: Seq[Row], scoreName: String): String = {
+  private def toJson(docs: Seq[(Long, Any, Any)], scoreName: String): String = {
     import HttpServing.jsonValue
-    val ds = docs.map { r =>
-      s"""{"$idCol":${jsonValue(r.get(2))},"rank":${r.getLong(1)},""" +
-        s""""$scoreName":${jsonValue(r.get(3))}}"""
+    val ds = docs.map { case (rank, id, score) =>
+      s"""{"$idCol":${jsonValue(id)},"rank":$rank,""" +
+        s""""$scoreName":${jsonValue(score)}}"""
     }.mkString(",")
     s"""{"RawDocsCount":"${docs.size}","response":{"docs":[$ds]}}"""
   }
@@ -140,7 +286,8 @@ class HybridSearchService(
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     pool = java.util.concurrent.Executors.newFixedThreadPool(16)
     server.setExecutor(pool)
-    def route(path: String, run: String => Seq[Row], scoreName: String): Unit =
+    def route(path: String, run: String => Seq[(Long, Any, Any)],
+              scoreName: String): Unit =
       HttpServing.guardedPost(server, path, maxBodyBytes, bucket, bytes => {
         val q = new String(bytes, StandardCharsets.UTF_8)
         if (q.trim.isEmpty) (400, """{"error":"empty query"}""")
