@@ -2572,6 +2572,61 @@ object Queries {
       .orderBy("word", "pos")
   }
 
+  /** T24c — t24 re-driven through a FOREIGN artifact: a BERT-format
+    * `vocab.txt` (one piece per line, line number = id, `[UNK]` in the
+    * file) written by the session fixture and read back by
+    * [[graft.sources.ModelStore.loadBertVocab]], under t24's oracle SQL
+    * verbatim. The loaded vocabulary carries `[UNK]` as a regular line
+    * (exactly what a real vocab.txt ships); it can never match this
+    * corpus's text, so segmentation equals the in-memory
+    * [[FixedWpPieces]] — the property that makes the foreign-format
+    * migration story hash-checkable against the existing oracle.
+    */
+  val t24cWordpieceBertVocab: Q = (s, d) => {
+    val (pieces, unk) = graft.sources.ModelStore.loadBertVocab(
+      s, s"${ensureForeignModels(s)}/vocab.txt")
+    operators.WordPiece.segmentWords(
+        operators.BpeTrain.wordFreq(Tables.documents(s, d), "text")
+          .select(col("word")),
+        pieces, unk)
+      .select(col("word"), posexplode(col("tokens")))
+      .select(col("word"), col("pos").cast("long").as("pos"),
+        col("col").as("token"))
+      .orderBy("word", "pos")
+  }
+
+  /** T19b — t19 re-driven through a FOREIGN artifact: a GPT-2-format
+    * `merges.txt` (\#version header, one space-separated merge per line)
+    * read back by [[graft.sources.ModelStore.loadGpt2Merges]], which
+    * implies the byte-level + regex-pre-tok discipline the format was
+    * published with — token-id export under t19's oracle SQL verbatim.
+    */
+  val t19bBpeIdsGpt2Txt: Q = (s, d) => {
+    import s.implicits._
+    val model = graft.sources.ModelStore.loadGpt2Merges(
+      s, s"${ensureForeignModels(s)}/merges.txt")
+    operators.BpeTrain.tokenIds(
+      Tables.documents(s, d).where($"doc_id" % 10 === 0), "doc_id", "text", model)
+      .orderBy("doc_id", "pos")
+  }
+
+  /** T27b — t27 re-driven through a FOREIGN artifact: a SentencePiece
+    * `.vocab` export (piece<TAB>logp per line) read back by
+    * [[graft.sources.ModelStore.loadSentencePieceVocab]], under t27's
+    * oracle SQL verbatim — the file a real SentencePiece migration
+    * starts from, served by the engine's Viterbi.
+    */
+  val t27bUnigramSpVocab: Q = (s, d) =>
+    operators.UnigramTok.segmentWords(
+        operators.BpeTrain.wordFreq(Tables.documents(s, d), "text")
+          .select(col("word")),
+        graft.sources.ModelStore.loadSentencePieceVocab(
+          s, s"${ensureForeignModels(s)}/sp.vocab"))
+      .select(col("word"), posexplode(col("tokens")))
+      .select(col("word"), col("pos").cast("long").as("pos"),
+        col("col").as("token"))
+      .orderBy("word", "pos")
+
   /** The fixed unigram-LM piece table the t27 row serves from. Every
     * logp sits on the 1/64 grain (exact in binary AND in 6 decimal
     * places, so the SQL literal parses to the identical double), all
@@ -2615,6 +2670,33 @@ object Queries {
       .select(col("word"), col("pos").cast("long").as("pos"),
         col("col").as("token"))
       .orderBy("word", "pos")
+
+  private val foreignModelStage = new operators.SessionCache[String]
+  /** Session fixture for the FOREIGN-format tokenizer artifacts (the
+    * files real migrations start from): a BERT `vocab.txt` carrying
+    * `[UNK]` + [[FixedWpPieces]], a GPT-2 `merges.txt` carrying
+    * [[BpeFixedMerges]] under the byte-level discipline, a GPT-2
+    * `vocab.json` carrying that model's published-id table, and a
+    * SentencePiece `.vocab` carrying [[FixedUgPieces]] — each written in
+    * the PUBLISHED text format (not this engine's parquet layouts), so
+    * the t24c/t19b/t27b rows prove the interchange loaders serve
+    * hash-identically to the in-memory models.
+    */
+  private def ensureForeignModels(s: SparkSession): String =
+    foreignModelStage.getOrBuild(operators.SessionCache.token(s)) {
+      val dir = graft.sources.TempDirs.register(
+        s"/tmp/graft_foreign_model_${ProcessHandle.current().pid()}_" +
+          operators.SessionCache.token(s).take(8))
+      graft.sources.ModelStore.saveBertVocab(
+        s, operators.WordPiece.Unk +: FixedWpPieces, s"$dir/vocab.txt")
+      val gpt2b = operators.BpeTrain.BpeModel(
+        operators.RegexPreTok(operators.RegexPreTok.Gpt2ish), BpeFixedMerges,
+        byteLevel = true)
+      graft.sources.ModelStore.saveGpt2Merges(s, gpt2b, s"$dir/merges.txt")
+      graft.sources.ModelStore.saveSentencePieceVocab(
+        s, FixedUgPieces, s"$dir/sp.vocab")
+      dir
+    }
 
   /** The fixed unigram PROBABILITY table the t28 E-step row runs under.
     * Every prob sits on the k/16 dyadic grain (≤ 2 mantissa bits), so
@@ -3537,7 +3619,7 @@ object Queries {
 
   // ------------------------------------------------------- oracle SQL texts
 
-  val oracle: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
     "b1_ext_filter" ->
       """SELECT doc_id, source FROM documents
         |WHERE right(source, 1) IN ('0','1','2','3') ORDER BY doc_id""".stripMargin,
@@ -5618,6 +5700,16 @@ object Queries {
         |FROM rk WHERE rk <= 5 ORDER BY doc_id""".stripMargin,
   )
 
+  /** The foreign-artifact rows reuse their in-memory twins' oracle SQL
+    * VERBATIM (the t14b/e2i/r5 one-oracle-two-plans trick, made explicit):
+    * one oracle text, two engine plans — the in-memory fixed model and
+    * the same model round-tripped through the published text format.
+    */
+  val oracle: Map[String, String] = oracleBase ++ Map(
+    "t24c_wordpiece_bert_vocab" -> oracleBase("t24_wordpiece_segment"),
+    "t19b_bpe_ids_gpt2txt" -> oracleBase("t19_bpe_token_ids"),
+    "t27b_unigram_sp_vocab" -> oracleBase("t27_unigram_segment"))
+
   /** name → query function; keys must match [[oracle]] keys (where present). */
   val all: Map[String, Q] = Map(
     "b1_ext_filter" -> b1ExtFilter,
@@ -5761,6 +5853,9 @@ object Queries {
     "t27_unigram_segment" -> t27UnigramSegment,
     "t28_unigram_estep" -> t28UnigramEstep,
     "t29_unigram_fit" -> t29UnigramFit,
+    "t24c_wordpiece_bert_vocab" -> t24cWordpieceBertVocab,
+    "t19b_bpe_ids_gpt2txt" -> t19bBpeIdsGpt2Txt,
+    "t27b_unigram_sp_vocab" -> t27bUnigramSpVocab,
     "t14a_bpe_segment_scalable" -> t14aBpeSegmentScalable,
     "t15_bpe_token_counts" -> t15BpeTokenCounts,
     "p3_corpus_recipe" -> p3CorpusRecipe,

@@ -192,6 +192,243 @@ object ModelStore {
     (rows.map(_.getString(1)).toIndexedSeq, meta.head.getString(1))
   }
 
+  // ---------------------------------------------------------------------
+  // Foreign tokenizer artifact interchange — the PUBLISHED formats real
+  // migrations start from (a BERT vocab.txt, a GPT-2 merges.txt +
+  // vocab.json, a SentencePiece .vocab export), read into the engine's
+  // existing model types so t24b/t14b's "loaded model" serving story
+  // holds for foreign artifacts, not just self-saved ones. All are
+  // driver-sized by contract (a tokenizer vocabulary is at most a few
+  // hundred thousand short lines) and read through the Hadoop FS as ONE
+  // stream, so line order — which IS the id assignment in these formats —
+  // survives any storage scheme (file://, hdfs://, s3a://).
+  // ---------------------------------------------------------------------
+
+  private def readLines(spark: SparkSession, path: String): IndexedSeq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      val br = new java.io.BufferedReader(new java.io.InputStreamReader(
+        in, java.nio.charset.StandardCharsets.UTF_8))
+      Iterator.continually(br.readLine()).takeWhile(_ != null)
+        .map(_.stripSuffix("\r")).toIndexedSeq
+    } finally in.close()
+  }
+
+  private def writeLines(spark: SparkSession, path: String,
+                         lines: Seq[String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try {
+      val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+        out, java.nio.charset.StandardCharsets.UTF_8))
+      lines.foreach { l => w.write(l); w.write("\n") }
+      w.flush()
+    } finally out.close()
+  }
+
+  /** Load a BERT `vocab.txt` — one piece per line, the 0-based LINE
+    * NUMBER is the token id (exactly [[graft.operators.WordPiece
+    * .vocabIds]]' convention, so ids agree between a foreign vocab and a
+    * self-trained one). Returns (pieces in line order, unk): the unk
+    * token must be present in the file (BERT ships `[UNK]` at a fixed
+    * line), because a wordpiece tokenizer without its escape hatch
+    * cannot serve. A trailing empty line is tolerated (editors add one);
+    * an empty line anywhere else is a truncation signal and refuses.
+    */
+  def loadBertVocab(spark: SparkSession, path: String,
+                    unk: String = graft.operators.WordPiece.Unk)
+      : (Seq[String], String) = {
+    val raw = readLines(spark, path)
+    val lines = if (raw.nonEmpty && raw.last.isEmpty) raw.dropRight(1) else raw
+    require(lines.nonEmpty, s"empty vocab.txt at $path")
+    lines.zipWithIndex.foreach { case (l, i) =>
+      require(l.nonEmpty,
+        s"vocab.txt at $path: empty line $i — ids are line numbers, a " +
+          "blank line shifts every later id (truncated or corrupt file)")
+    }
+    require(lines.distinct.size == lines.size,
+      s"vocab.txt at $path contains duplicate pieces")
+    require(lines.contains(unk),
+      s"vocab.txt at $path lacks the unk token '$unk' — a wordpiece " +
+        "vocabulary without its escape hatch cannot serve")
+    (lines, unk)
+  }
+
+  /** Write a BERT-convention `vocab.txt` (round-trip twin of
+    * [[loadBertVocab]]; also the foreign-format fixture generator). */
+  def saveBertVocab(spark: SparkSession, pieces: Seq[String],
+                    path: String): Unit =
+    writeLines(spark, path, pieces)
+
+  /** Load a GPT-2 `merges.txt` — optional `#version:` header, then one
+    * merge per line as two space-separated symbols in priority order.
+    * Returns the engine's [[graft.operators.BpeTrain.BpeModel]] under
+    * the discipline GPT-2 published with the file: byte-level alphabet
+    * (zero OOV) and the regex pre-tokenizer ([[graft.operators
+    * .RegexPreTok.Gpt2ish]] — this engine's RE2-compatible rendering of
+    * the published pattern).
+    */
+  def loadGpt2Merges(spark: SparkSession,
+                     path: String): graft.operators.BpeTrain.BpeModel = {
+    val raw = readLines(spark, path)
+    val body = raw.dropWhile(_.startsWith("#version")).filter(_.nonEmpty)
+    require(body.nonEmpty, s"no merges in merges.txt at $path")
+    val merges = body.zipWithIndex.map { case (l, i) =>
+      val parts = l.split(" ", -1)
+      require(parts.length == 2 && parts.forall(_.nonEmpty),
+        s"merges.txt at $path line $i: expected 'left right', got '$l'")
+      (parts(0), parts(1))
+    }
+    require(merges.distinct.size == merges.size,
+      s"merges.txt at $path contains duplicate merges")
+    graft.operators.BpeTrain.BpeModel(
+      graft.operators.RegexPreTok(graft.operators.RegexPreTok.Gpt2ish),
+      merges, byteLevel = true)
+  }
+
+  /** Write a GPT-2-convention `merges.txt` with the published header
+    * (round-trip twin of [[loadGpt2Merges]]). The model must carry the
+    * GPT-2 discipline the format implies — refusing to write a
+    * space-split or code-point model prevents a silent discipline swap
+    * on the next load.
+    */
+  def saveGpt2Merges(spark: SparkSession,
+                     model: graft.operators.BpeTrain.BpeModel,
+                     path: String): Unit = {
+    require(model.byteLevel,
+      "merges.txt implies the GPT-2 byte-level discipline; this model is " +
+        "code-point — save it with saveBpe instead")
+    model.merges.foreach { case (l, r) =>
+      require(!l.contains(' ') && !r.contains(' '),
+        s"merge ('$l', '$r') contains a space — unrepresentable in the " +
+          "space-separated merges.txt format")
+    }
+    writeLines(spark, path,
+      "#version: 0.2" +: model.merges.map { case (l, r) => s"$l $r" })
+  }
+
+  /** Load a GPT-2 `vocab.json` — a flat JSON object of token → integer
+    * id (the PUBLISHED id assignment a migrating pipeline must keep).
+    * Parsed with a strict minimal reader for exactly that shape: string
+    * keys with standard JSON escapes (incl. \uXXXX surrogate pairs),
+    * integer values, no nesting. Returns (token, id) in file order.
+    */
+  def loadGpt2VocabJson(spark: SparkSession,
+                        path: String): Seq[(String, Long)] = {
+    val text = readLines(spark, path).mkString("\n")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    var i = 0
+    def skipWs(): Unit = while (i < text.length && text(i).isWhitespace) i += 1
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(
+        s"vocab.json at $path: $msg (offset $i)")
+    def expect(c: Char): Unit = {
+      skipWs()
+      if (i >= text.length || text(i) != c) fail(s"expected '$c'")
+      i += 1
+    }
+    def parseString(): String = {
+      skipWs()
+      if (i >= text.length || text(i) != '"') fail("expected string")
+      i += 1
+      val sb = new java.lang.StringBuilder()
+      while (i < text.length && text(i) != '"') {
+        val c = text(i)
+        if (c == '\\') {
+          i += 1
+          if (i >= text.length) fail("dangling escape")
+          text(i) match {
+            case '"' => sb.append('"'); case '\\' => sb.append('\\')
+            case '/' => sb.append('/'); case 'b' => sb.append('\b')
+            case 'f' => sb.append('\f'); case 'n' => sb.append('\n')
+            case 'r' => sb.append('\r'); case 't' => sb.append('\t')
+            case 'u' =>
+              if (i + 4 >= text.length) fail("truncated \\u escape")
+              sb.append(Integer.parseInt(text.substring(i + 1, i + 5), 16).toChar)
+              i += 4
+            case bad => fail(s"unknown escape \\$bad")
+          }
+        } else sb.append(c)
+        i += 1
+      }
+      if (i >= text.length) fail("unterminated string")
+      i += 1
+      sb.toString
+    }
+    def parseLong(): Long = {
+      skipWs()
+      val start = i
+      if (i < text.length && text(i) == '-') i += 1
+      while (i < text.length && text(i).isDigit) i += 1
+      if (i == start) fail("expected integer id")
+      java.lang.Long.parseLong(text.substring(start, i))
+    }
+    expect('{')
+    skipWs()
+    if (i < text.length && text(i) == '}') i += 1
+    else {
+      var more = true
+      while (more) {
+        val k = parseString()
+        expect(':')
+        out += ((k, parseLong()))
+        skipWs()
+        if (i < text.length && text(i) == ',') { i += 1; more = true }
+        else { expect('}'); more = false }
+      }
+    }
+    skipWs()
+    require(i >= text.length, s"vocab.json at $path: trailing content")
+    require(out.map(_._1).distinct.size == out.size,
+      s"vocab.json at $path contains duplicate tokens")
+    require(out.map(_._2).distinct.size == out.size,
+      s"vocab.json at $path assigns one id to two tokens")
+    out.toSeq
+  }
+
+  /** Load a SentencePiece `.vocab` export — TSV `piece<TAB>logp` per
+    * line, the shape [[graft.operators.UnigramTok.segmentWords]] serves
+    * from. Control pieces (`<unk>`, `<s>`, `</s>`, `<pad>`) are dropped
+    * by default: they are id-reservation rows, not servable text pieces
+    * (the unk fallback is the SEGMENTER's contract, not a lattice
+    * entry).
+    */
+  def loadSentencePieceVocab(spark: SparkSession, path: String,
+                             dropControl: Boolean = true)
+      : Seq[(String, Double)] = {
+    val control = Set("<unk>", "<s>", "</s>", "<pad>")
+    val rows = readLines(spark, path).filter(_.nonEmpty).zipWithIndex
+      .map { case (l, i) =>
+        val tab = l.indexOf('\t')
+        require(tab > 0,
+          s".vocab at $path line $i: expected 'piece<TAB>logp', got '$l'")
+        (l.substring(0, tab), java.lang.Double.parseDouble(l.substring(tab + 1)))
+      }
+    require(rows.nonEmpty, s"empty .vocab at $path")
+    val kept = if (dropControl) rows.filterNot(r => control(r._1)) else rows
+    require(kept.nonEmpty, s".vocab at $path has only control pieces")
+    require(kept.map(_._1).distinct.size == kept.size,
+      s".vocab at $path contains duplicate pieces")
+    kept
+  }
+
+  /** Write a SentencePiece-convention `.vocab` (round-trip twin of
+    * [[loadSentencePieceVocab]]; logp in Double.toString form, which
+    * parses back bit-exactly).
+    */
+  def saveSentencePieceVocab(spark: SparkSession,
+                             pieces: Seq[(String, Double)],
+                             path: String): Unit = {
+    pieces.foreach { case (p, _) =>
+      require(!p.contains('\t') && !p.contains('\n'),
+        s"piece '$p' contains a tab/newline — unrepresentable in .vocab")
+    }
+    writeLines(spark, path, pieces.map { case (p, lp) => s"$p\t$lp" })
+  }
+
   /** The learned quality-filter artifact ([[graft.operators
     * .QualityClassifier]]): dim doubles + a bias, fit in the periodic
     * labeling job and folded into every scoring scan as one array literal.

@@ -187,4 +187,132 @@ class ModelStoreSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException](
       ModelStore.loadBpe(spark, dir3)).getMessage.contains("non-contiguous"))
   }
+
+  // -------------------------------------------------------------------
+  // Foreign tokenizer artifact interchange (the published text formats)
+  // -------------------------------------------------------------------
+
+  private def writeRaw(path: String, content: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, content)
+  }
+
+  test("vocab.txt: round-trip incl. unicode, line-number id convention, guards") {
+    val pieces = Seq("[UNK]", "the", "##e", "排序", "😀", "a")
+    val path = tmp("bert_vocab") + "/vocab.txt"
+    ModelStore.saveBertVocab(spark, pieces, path)
+    val (got, unk) = ModelStore.loadBertVocab(spark, path)
+    assert(got == pieces && unk == "[UNK]")
+    // ids = line numbers: agreement with WordPiece.vocabIds' convention
+    assert(got.indexOf("##e") == 2)
+    // missing [UNK] refuses
+    val noUnk = tmp("bert_nounk") + "/vocab.txt"
+    ModelStore.saveBertVocab(spark, Seq("a", "b"), noUnk)
+    assert(intercept[IllegalArgumentException](
+      ModelStore.loadBertVocab(spark, noUnk)).getMessage.contains("unk"))
+    // an empty line mid-file shifts every later id -> refuse; trailing ok
+    val gap = tmp("bert_gap") + "/vocab.txt"
+    writeRaw(gap, "[UNK]\n\nb\n")
+    assert(intercept[IllegalArgumentException](
+      ModelStore.loadBertVocab(spark, gap)).getMessage.contains("empty line"))
+    val trail = tmp("bert_trail") + "/vocab.txt"
+    writeRaw(trail, "[UNK]\nb\n")
+    assert(ModelStore.loadBertVocab(spark, trail)._1 == Seq("[UNK]", "b"))
+    // duplicate pieces refuse
+    val dup = tmp("bert_dup") + "/vocab.txt"
+    ModelStore.saveBertVocab(spark, Seq("[UNK]", "a", "a"), dup)
+    assert(intercept[IllegalArgumentException](
+      ModelStore.loadBertVocab(spark, dup)).getMessage.contains("duplicate"))
+  }
+
+  test("merges.txt: round-trip, header skip, discipline refusals") {
+    val m = graft.operators.BpeTrain.BpeModel(
+      graft.operators.RegexPreTok(graft.operators.RegexPreTok.Gpt2ish),
+      Seq(("t", "h"), ("th", "e"), ("Ġ", "a")), byteLevel = true)
+    val path = tmp("gpt2_merges") + "/merges.txt"
+    ModelStore.saveGpt2Merges(spark, m, path)
+    val got = ModelStore.loadGpt2Merges(spark, path)
+    assert(got == m, s"$got vs $m")
+    // the header is really in the file (published format)
+    val fs = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    assert(fs.startsWith("#version:"), fs.take(30))
+    // a code-point model refuses to masquerade as a merges.txt
+    assert(intercept[IllegalArgumentException](
+      ModelStore.saveGpt2Merges(spark,
+        m.copy(byteLevel = false), tmp("gpt2_cp") + "/m.txt"))
+      .getMessage.contains("byte-level"))
+    // a malformed line refuses
+    val bad = tmp("gpt2_bad") + "/merges.txt"
+    writeRaw(bad, "#version: 0.2\nt h e\n")
+    assert(intercept[IllegalArgumentException](
+      ModelStore.loadGpt2Merges(spark, bad)).getMessage.contains("left right"))
+  }
+
+  test("vocab.json: escapes, published-id parity, guards") {
+    def jsonEsc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    // parity with the engine's own published-id table: vocab(gpt2b model)
+    // written as a vocab.json must load back identically
+    val model = graft.operators.BpeTrain.BpeModel(
+      graft.operators.RegexPreTok(graft.operators.RegexPreTok.Gpt2ish),
+      Seq(("t", "h"), ("th", "e")), byteLevel = true)
+    val v = graft.operators.BpeTrain.vocab(model)
+    val path = tmp("gpt2_vjson") + "/vocab.json"
+    writeRaw(path, v.map { case (t, i) => s""""${jsonEsc(t)}": $i""" }
+      .mkString("{", ", ", "}"))
+    val got = ModelStore.loadGpt2VocabJson(spark, path)
+    assert(got == v, s"${got.take(5)}... vs ${v.take(5)}...")
+    // unicode escapes incl. a surrogate pair decode
+    val esc = tmp("gpt2_esc") + "/vocab.json"
+    writeRaw(esc, """{"é": 0, "😀x": 1, "a\tb": 2}""")
+    assert(ModelStore.loadGpt2VocabJson(spark, esc) ==
+      Seq(("é", 0L), ("😀x", 1L), ("a\tb", 2L)))
+    // duplicate token and duplicate id refuse
+    val dupT = tmp("gpt2_dupt") + "/vocab.json"
+    writeRaw(dupT, """{"a": 0, "a": 1}""")
+    assert(intercept[IllegalArgumentException](
+      ModelStore.loadGpt2VocabJson(spark, dupT))
+      .getMessage.contains("duplicate"))
+    val dupI = tmp("gpt2_dupi") + "/vocab.json"
+    writeRaw(dupI, """{"a": 0, "b": 0}""")
+    assert(intercept[IllegalArgumentException](
+      ModelStore.loadGpt2VocabJson(spark, dupI))
+      .getMessage.contains("one id"))
+    val trailing = tmp("gpt2_trail") + "/vocab.json"
+    writeRaw(trailing, """{"a": 0} x""")
+    assert(intercept[IllegalArgumentException](
+      ModelStore.loadGpt2VocabJson(spark, trailing))
+      .getMessage.contains("trailing"))
+  }
+
+  test(".vocab: bit-exact logp round-trip, control dropping, guards") {
+    val pieces = Seq(("▁the", -2.5), ("scan", -10.0), ("a", -1.0 / 3.0),
+      ("排", -7.25))
+    val path = tmp("sp_vocab") + "/sp.vocab"
+    ModelStore.saveSentencePieceVocab(spark, pieces, path)
+    assert(ModelStore.loadSentencePieceVocab(spark, path) == pieces)
+    // control pieces drop by default, load verbatim when asked
+    val ctrl = tmp("sp_ctrl") + "/sp.vocab"
+    writeRaw(ctrl, "<unk>\t0\n<s>\t0\n</s>\t0\na\t-1.5\n")
+    assert(ModelStore.loadSentencePieceVocab(spark, ctrl) ==
+      Seq(("a", -1.5)))
+    assert(ModelStore.loadSentencePieceVocab(spark, ctrl,
+      dropControl = false).size == 4)
+    // a piece with a tab is unrepresentable
+    assert(intercept[IllegalArgumentException](
+      ModelStore.saveSentencePieceVocab(spark,
+        Seq(("a\tb", -1.0)), tmp("sp_tab") + "/x.vocab"))
+      .getMessage.contains("tab"))
+    // a line without a tab refuses
+    val bad = tmp("sp_bad") + "/sp.vocab"
+    writeRaw(bad, "abc\n")
+    assert(intercept[IllegalArgumentException](
+      ModelStore.loadSentencePieceVocab(spark, bad))
+      .getMessage.contains("TAB"))
+  }
 }
