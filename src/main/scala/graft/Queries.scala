@@ -2507,6 +2507,25 @@ object Queries {
       minCount = 2L).orderBy($"doc_id")
   }
 
+  /** T30 — interpolated ABSOLUTE DISCOUNTING over the persisted count
+    * store ([[operators.NgramLm.scoreAbsDiscount]]): the second score()
+    * mode of the same artifact — Ney-style max(c−D,0) discounting with
+    * counts-of-counts D per order and continuation-type interpolation,
+    * a true probability where Stupid Backoff is an unnormalized
+    * frequency. The oracle refits the raw count tables in DuckDB,
+    * derives the SAME type counts and discounts, and replays the
+    * identical nested CASE/greatest expression tree, folding logp in
+    * position order — the t21 discipline on the new arithmetic. Serving
+    * from the LOADED store (not a fresh fit) also pins that the view
+    * needs nothing beyond the saved artifacts.
+    */
+  val t30NgramAbsDiscount: Q = (s, d) => {
+    import s.implicits._
+    val model = operators.NgramLm.load(s, s"${ensureNgramStores(s, d)}/full")
+    operators.NgramLm.scoreAbsDiscount(Tables.documents(s, d),
+      "doc_id", "text", model).orderBy($"doc_id")
+  }
+
   /** The fixed WordPiece vocabulary the t24/t24b/t25 rows serve from —
     * built to exercise every inference path on this corpus's 31-word
     * vocabulary: longest-match-first preference ("join" beats "jo",
@@ -2849,6 +2868,66 @@ object Queries {
       |SELECT doc_id, CAST(len(lp) AS BIGINT) AS n_trigrams,
       |  round(-list_sum(lp) / len(lp), 6) AS nll
       |FROM agg ORDER BY doc_id""".stripMargin
+
+  // the t30 oracle's bigram-leg expression — used twice (inside the
+  // trigram interpolation and as its ELSE branch), bound once so the two
+  // inlinings cannot drift from each other or from the engine's `p2`
+  private val ngramAdP2: String =
+    "(CASE WHEN t2.t2 IS NOT NULL THEN " +
+      "((CASE WHEN low.c2 IS NOT NULL THEN greatest(low.c2 - d2.d2, 0.0) " +
+      "ELSE 0.0 END) + (d2.d2 * t2.t2) * (ul.c1 / n.tot)) / um.c1 " +
+      "ELSE (ul.c1 / n.tot) END)"
+
+  /** The t30 oracle: DuckDB refits the raw (unpruned) count tables,
+    * derives the continuation-type counts (each stored gram IS one
+    * distinct continuation of its context) and the counts-of-counts
+    * discounts, and replays [[operators.NgramLm.scoreAbsDiscount]]'s
+    * exact nested CASE/greatest tree, folding logp in position order.
+    */
+  private val ngramAdOracle: String =
+    (s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |uc AS (SELECT t AS w1, CAST(count(*) AS BIGINT) AS c1
+      |       FROM (SELECT unnest(w) AS t FROM toks) GROUP BY t),
+      |n AS (SELECT CAST(sum(c1) AS BIGINT) AS tot FROM uc),
+      |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM
+      |        (SELECT unnest(list_transform(generate_series(1, len(w)-1),
+      |           i -> {'w1': w[i], 'w2': w[i+1]}), recursive := true) FROM toks)
+      |       GROUP BY w1, w2),
+      |tg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-2),
+      |         i -> {'pos': i, 'w1': w[i], 'w2': w[i+1], 'w3': w[i+2]}),
+      |         recursive := true) FROM toks),
+      |tc AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c3 FROM tg
+      |       GROUP BY w1, w2, w3),
+      |t3 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS t3 FROM tc GROUP BY w1, w2),
+      |t2 AS (SELECT w1 AS w2, CAST(count(*) AS BIGINT) AS t2 FROM bc GROUP BY w1),
+      |d3 AS (SELECT CASE WHEN n1 + 2*n2 > 0
+      |         THEN CAST(n1 AS DOUBLE) / CAST(n1 + 2*n2 AS DOUBLE)
+      |         ELSE 0.75 END AS d3
+      |       FROM (SELECT count(*) FILTER (WHERE c3 = 1) AS n1,
+      |             count(*) FILTER (WHERE c3 = 2) AS n2 FROM tc)),
+      |d2 AS (SELECT CASE WHEN n1 + 2*n2 > 0
+      |         THEN CAST(n1 AS DOUBLE) / CAST(n1 + 2*n2 AS DOUBLE)
+      |         ELSE 0.75 END AS d2
+      |       FROM (SELECT count(*) FILTER (WHERE c2 = 1) AS n1,
+      |             count(*) FILTER (WHERE c2 = 2) AS n2 FROM bc)),
+      |j AS (SELECT g.doc_id, g.pos,
+      |        ln(CASE WHEN t3.t3 IS NOT NULL THEN
+      |             ((CASE WHEN tc.c3 IS NOT NULL THEN greatest(tc.c3 - d3.d3, 0.0)
+      |               ELSE 0.0 END) + (d3.d3 * t3.t3) * $ngramAdP2) / ctx.c2
+      |           ELSE $ngramAdP2 END) AS logp
+      |      FROM tg g
+      |      LEFT JOIN tc ON g.w1 = tc.w1 AND g.w2 = tc.w2 AND g.w3 = tc.w3
+      |      LEFT JOIN bc ctx ON g.w1 = ctx.w1 AND g.w2 = ctx.w2
+      |      LEFT JOIN bc low ON g.w2 = low.w1 AND g.w3 = low.w2
+      |      LEFT JOIN t3 ON g.w1 = t3.w1 AND g.w2 = t3.w2
+      |      LEFT JOIN t2 ON g.w2 = t2.w2
+      |      JOIN uc um ON g.w2 = um.w1
+      |      JOIN uc ul ON g.w3 = ul.w1
+      |      CROSS JOIN n CROSS JOIN d3 CROSS JOIN d2),
+      |agg AS (SELECT doc_id, list(logp ORDER BY pos) AS lp FROM j GROUP BY doc_id)
+      |SELECT doc_id, CAST(len(lp) AS BIGINT) AS n_trigrams,
+      |  round(-list_sum(lp) / len(lp), 6) AS nll
+      |FROM agg ORDER BY doc_id""").stripMargin
 
   /** The DuckDB byte→printable remap as a 256-entry map literal,
     * generated from the SAME table the engine's [[operators.BpeTrain
@@ -5270,6 +5349,7 @@ object Queries {
     // persisted store, t23 through the segment-appended store — both must
     // hash-match this full-recompute replay of t21 verbatim
     "t21_ngram_lm" -> ngramSbOracle,
+    "t30_ngram_absdiscount" -> ngramAdOracle,
     "t22_ngram_lm_store" -> ngramSbOracle,
     "t23_ngram_lm_append" -> ngramSbOracle,
     "t24_wordpiece_segment" ->
@@ -5846,6 +5926,7 @@ object Queries {
     "t21_ngram_lm" -> t21NgramLm,
     "t22_ngram_lm_store" -> t22NgramLmStore,
     "t23_ngram_lm_append" -> t23NgramLmAppend,
+    "t30_ngram_absdiscount" -> t30NgramAbsDiscount,
     "t24_wordpiece_segment" -> t24WordpieceSegment,
     "t24b_wordpiece_loaded" -> t24bWordpieceLoaded,
     "t25_wordpiece_counts" -> t25WordpieceCounts,

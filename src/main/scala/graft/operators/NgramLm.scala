@@ -170,6 +170,115 @@ object NgramLm {
         round(-col("__sum") / col("n_trigrams"), 6).as("nll"))
   }
 
+  /** Interpolated ABSOLUTE DISCOUNTING over the SAME raw count tables —
+    * the quality-menu alternative to [[score]]'s Stupid Backoff (Ney,
+    * Essen & Kneser, CSL 1994 "On structuring probabilistic dependences
+    * in stochastic language modelling"): a constant discount D is
+    * subtracted from every observed count and the freed mass is
+    * interpolated with the lower order,
+    *
+    *   P(w₃|w₁w₂) = [max(c₃−D₃, 0) + D₃·N₁₊(w₁w₂•)·P(w₃|w₂)] / c(w₁w₂)
+    *   P(w₃|w₂)   = [max(c₂−D₂, 0) + D₂·N₁₊(w₂•)·P(w₃)] / c(w₂)
+    *   P(w₃)      = c(w₃)/N
+    *
+    * with the discounts estimated by the paper's counts-of-counts
+    * formula D = n₁/(n₁ + 2n₂) per order (n_k = number of grams seen
+    * exactly k times; fallback 0.75 when a degenerate corpus has no
+    * singletons or doubletons). Unlike Stupid Backoff this is a true
+    * probability (sums to 1 over w₃), so cross-document NLLs are
+    * calibrated — the property a quality-scoring menu wants next to the
+    * web-scale default.
+    *
+    * A VIEW, not a refit: the continuation-TYPE counts N₁₊(ctx•) are one
+    * groupBy-count over each stored table (the trigram table's rows ARE
+    * the distinct continuations of their context) and the discounts are
+    * two 1-row aggregates folded into the plan as broadcast scalars — no
+    * new storage, the same unpruned count store [[save]] persists. A
+    * context whose type count is missing (w₂ only ever corpus-final, so
+    * the bigram exists but no trigram continues it) backs off one order
+    * whole — conditioning on the TYPE count keeps every leg total.
+    *
+    * Same output contract as [[score]]: (idCol, n_trigrams, nll), the
+    * per-document fold position-ordered, nll rounded to 1e-6; documents
+    * under three tokens drop out; an out-of-vocabulary token yields
+    * `nll = NULL`. The t30 gate row replays the identical expression
+    * tree in DuckDB.
+    */
+  def scoreAbsDiscount(docs: DataFrame, idCol: String, textCol: String,
+                       model: Model): DataFrame = {
+    require(!Reserved(idCol) && idCol != "n_trigrams" && idCol != "nll" &&
+      !Set("t3", "t2", "d3", "d2")(idCol),
+      s"idCol must avoid the internal names ${Reserved.mkString(", ")}, " +
+        "t3, t2, d3, d2")
+    val bigCtx = model.bigrams.select(col("w1"), col("w2"),
+      col("c2").as("c2ctx"))
+    val bigLow = model.bigrams.select(col("w1").as("w2"),
+      col("w2").as("w3"), col("c2").as("c2low"))
+    val uniMid = model.unigrams.select(col("w1").as("w2"),
+      col("c1").as("c1mid"))
+    val uniLast = model.unigrams.select(col("w1").as("w3"),
+      col("c1").as("c1last"))
+    val total = model.unigrams.agg(sum(col("c1")).as("n_total"))
+    // continuation types: each stored row IS one distinct continuation
+    val types3 = model.trigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("t3"))
+    val types2 = model.bigrams.groupBy(col("w1"))
+      .agg(count(lit(1)).as("t2"))
+      .select(col("w1").as("w2"), col("t2"))
+    // counts-of-counts discounts, per order — 1-row broadcast scalars
+    def discount(counts: DataFrame, cCol: String, out: String): DataFrame =
+      counts.agg(
+        sum(when(col(cCol) === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col(cCol) === 2L, 1L).otherwise(0L)).as("n2"))
+        .select(when(col("n1") + lit(2L) * col("n2") > 0L,
+          col("n1").cast("double") /
+            (col("n1") + lit(2L) * col("n2")).cast("double"))
+          .otherwise(lit(0.75)).as(out))
+    val d3 = discount(model.trigrams, "c3", "d3")
+    val d2 = discount(model.bigrams, "c2", "d2")
+
+    val pos = Spread.byCols(docs, Seq(col(idCol)))
+      .select(col(idCol), posexplode(trigramTriples(tokens(col(textCol)))))
+      .select(col(idCol), col("pos"), col("col.w1").as("w1"),
+        col("col.w2").as("w2"), col("col.w3").as("w3"))
+
+    // the nesting below is replayed verbatim by the t30 oracle SQL — both
+    // engines run the identical IEEE expression tree
+    val p1 = col("c1last") / col("n_total")
+    val p2 = when(col("t2").isNotNull,
+      (when(col("c2low").isNotNull,
+        greatest(col("c2low") - col("d2"), lit(0.0))).otherwise(lit(0.0))
+        + (col("d2") * col("t2")) * p1) / col("c1mid"))
+      .otherwise(p1)
+    val p3 = when(col("t3").isNotNull,
+      (when(col("c3").isNotNull,
+        greatest(col("c3") - col("d3"), lit(0.0))).otherwise(lit(0.0))
+        + (col("d3") * col("t3")) * p2) / col("c2ctx"))
+      .otherwise(p2)
+
+    pos
+      .join(model.trigrams, Seq("w1", "w2", "w3"), "left")
+      .join(bigCtx, Seq("w1", "w2"), "left")
+      .join(bigLow, Seq("w2", "w3"), "left")
+      .join(uniMid, Seq("w2"), "left")
+      .join(uniLast, Seq("w3"), "left")
+      .join(types3, Seq("w1", "w2"), "left")
+      .join(types2, Seq("w2"), "left")
+      .crossJoin(broadcast(total))
+      .crossJoin(broadcast(d3))
+      .crossJoin(broadcast(d2))
+      .select(col(idCol), col("pos"), log(p3).as("logp"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_trigrams"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), col("logp")))),
+            x => x.getField("logp")),
+          lit(0.0), (acc, x) => acc + x).as("__sum"))
+      .select(col(idCol), col("n_trigrams"),
+        round(-col("__sum") / col("n_trigrams"), 6).as("nll"))
+  }
+
   // ---------------------------------------------------------------------
   // Durable store — the Bm25 artifact posture for the count lake.
   // ---------------------------------------------------------------------
