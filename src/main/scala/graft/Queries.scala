@@ -3097,6 +3097,29 @@ object Queries {
       .orderBy($"doc_id")
   }
 
+  /** S10 — the token budget enforced in the unit a trainer actually
+    * pays: TOKENIZER-TRUE counts ([[graft.api.CorpusRecipe
+    * .countTokensBpe]] under the LOADED space-discipline BPE artifact —
+    * t15's counts as a recipe column) drive s2's exact per-language
+    * prefix cut ([[graft.api.CorpusRecipe.tokenBudget]]). Whitespace
+    * counts (s2) overstate what a BPE model spends on long words and
+    * understate sub-word splits; budgeting in model tokens is the
+    * composition a real data-mixing job runs. The oracle composes t15's
+    * count replay with s2's cumulative-window cut — both already proven
+    * independently, here proven COMPOSED.
+    */
+  val s10BpeTokenBudget: Q = (s, d) => {
+    import s.implicits._
+    val model = graft.sources.ModelStore.loadBpe(s, s"${ensureBpeModels(s)}/space")
+    graft.api.CorpusRecipe(
+        Tables.documents(s, d).select($"doc_id", $"lang", $"text"))
+      .countTokensBpe(model, out = "n_tok")
+      .tokenBudget("lang", "n_tok",
+        Map("en" -> 3000L, "zh" -> 1000L), defaultBudget = 500L)
+      .frame.select($"doc_id", $"lang", $"n_tok")
+      .orderBy($"doc_id")
+  }
+
   /** S4 target-mixture budget ([[Sampling.mixtureBudget]]): the user
     * states SHARES per language and one total; per-stratum budgets fall
     * out, scaled down to the binding constraint so proportions stay exact
@@ -5015,6 +5038,34 @@ object Queries {
         |SELECT doc_id, lang, n_tok FROM c
         |WHERE cum <= CASE lang WHEN 'en' THEN 3000 WHEN 'zh' THEN 1000 ELSE 500 END
         |ORDER BY doc_id""".stripMargin,
+    // s10 composes t15's BPE count replay (replace-chain merge apply over
+    // distinct words, whitespace split) with s2's per-language cumulative
+    // prefix cut — the budget unit swaps from whitespace to model tokens
+    "s10_bpe_token_budget" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |cw AS (SELECT doc_id, word FROM w WHERE len(word) > 0),
+        |wf AS (SELECT DISTINCT word FROM cw),
+        |seg AS (SELECT word,
+        |  replace(replace(replace(replace(
+        |    regexp_replace(word, '(.)', '\1' || chr(31), 'g'),
+        |    't' || chr(31) || 'h' || chr(31), 'th' || chr(31)),
+        |    'th' || chr(31) || 'e' || chr(31), 'the' || chr(31)),
+        |    'g' || chr(31) || 'g' || chr(31), 'gg' || chr(31)),
+        |    'a' || chr(31) || 'r' || chr(31), 'ar' || chr(31)) AS s
+        |  FROM wf),
+        |n AS (SELECT word,
+        |  CAST(len(string_split(rtrim(s, chr(31)), chr(31))) AS BIGINT) AS n
+        |  FROM seg),
+        |bt AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tok
+        |  FROM cw JOIN n USING (word) GROUP BY doc_id),
+        |d AS (SELECT doc_id, lang, COALESCE(bt.n_tok, 0) AS n_tok,
+        |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS draw
+        |  FROM documents LEFT JOIN bt USING (doc_id)),
+        |c AS (SELECT doc_id, lang, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY lang ORDER BY draw, doc_id) AS cum FROM d)
+        |SELECT doc_id, lang, n_tok FROM c
+        |WHERE cum <= CASE lang WHEN 'en' THEN 3000 WHEN 'zh' THEN 1000 ELSE 500 END
+        |ORDER BY doc_id""".stripMargin,
     // achievable/budgets recomputed in SQL with the same double division +
     // floor the engine uses; shares forced to DOUBLE (a bare 0.5 in VALUES
     // would be DECIMAL and round differently)
@@ -5898,6 +5949,7 @@ object Queries {
     "q4_mixture_report" -> q4MixtureReport,
     "s1_stratified_sample" -> s1StratifiedSample,
     "s2_token_budget" -> s2TokenBudget,
+    "s10_bpe_token_budget" -> s10BpeTokenBudget,
     "s3_split_assign" -> s3SplitAssign,
     "s4_mixture_budget" -> s4MixtureBudget,
     "s6_temperature_mix" -> s6TemperatureMix,

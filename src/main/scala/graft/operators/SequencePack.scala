@@ -101,7 +101,14 @@ object SequencePack {
     * tokens). Documents are laid end to end in the same deterministic
     * md5-draw order as [[packManifest]] — the two outputs describe ONE
     * packing, so a manifest row's `[first_chunk, last_chunk]` is exactly
-    * where this function put that document's ids (spec-pinned).
+    * where this function put that document's ids (spec-pinned) —
+    * PROVIDED the manifest was computed at the same token grain: with
+    * `sepId` set, this function packs SEPARATOR-INCLUSIVE counts
+    * (tokens + 1 per non-empty document), so an external manifest built
+    * from plain per-doc token counts (the documented countTokens path)
+    * points at the wrong chunks for every later document. For a
+    * sep-packed run, feed [[packManifest]] the same `tokens + 1` counts
+    * (ADVICE r16 — the agreement is a GRAIN contract, not automatic).
     *
     * `sepId` optionally appends one separator token after EACH document's
     * ids before packing (the GPT-2 end-of-text discipline — a trained

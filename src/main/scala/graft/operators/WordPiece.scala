@@ -453,7 +453,32 @@ object WordPiece {
       .distinct().orderBy(col("sym"))
       .collect().map(_.getString(0)).toSeq
     val seen = scala.collection.mutable.LinkedHashSet[String](alphabet: _*)
-    merges.foreach { case (l, r) => seen += composite(l, r) }
+    // IN-BAND '##' AMBIGUITY GUARD (ADVICE r16): the served piece list
+    // encodes initial-vs-continuation IN the text ('##' prefix), which is
+    // unambiguous for every corpus word not starting with '#' — in the
+    // alphabet, initial symbols are single chars and can never begin with
+    // the mark. But a word like '##' seeds as ['#','###'], and merging
+    // that pair yields the INITIAL-form composite '##' — the bare
+    // continuation mark — while ('#','####') yields initial '###', which
+    // pieceTables would silently re-parse as the continuation piece '#',
+    // diverging serving from training. Track initial-form provenance
+    // through the merge fold and refuse loudly at export time, before the
+    // ambiguity can reach segmentWords.
+    val initialForm = scala.collection.mutable.HashSet[String](
+      alphabet.filterNot(_.startsWith(Cont)): _*)
+    merges.foreach { case (l, r) =>
+      val c = composite(l, r)
+      if (initialForm(l)) {
+        require(!c.startsWith(Cont),
+          s"merge ('$l', '$r') produces the INITIAL-form piece '$c', which " +
+            "begins with the continuation mark — a corpus word starting " +
+            "with '#' makes the served piece list ambiguous (the text " +
+            "encoding cannot distinguish it from a continuation piece); " +
+            "escape or drop '#'-initial words before fitting")
+        initialForm += c
+      }
+      seen += c
+    }
     seen.toSeq
   }
 }

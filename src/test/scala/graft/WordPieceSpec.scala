@@ -155,6 +155,29 @@ class WordPieceSpec extends SparkSpec {
     assert(v2 == Seq("##a", "a", "aa"))
   }
 
+  test("vocab refuses the in-band '##' ambiguity from '#'-initial words") {
+    // word '##' seeds as ['#','###']; merging yields the INITIAL-form
+    // composite '##' — the bare continuation mark — which pieceTables
+    // rejects at serving; vocab() must refuse at export instead
+    val hashes = Seq(("##", 3L)).toDF("word", "freq")
+    val e = intercept[IllegalArgumentException] {
+      WordPiece.vocab(hashes, Seq(("#", "###")))
+    }
+    assert(e.getMessage.contains("continuation mark"), e.getMessage)
+    // '####' -> initial composite '###': silently re-parsed by serving as
+    // the continuation piece '#' — same refusal
+    val hashes4 = Seq(("####", 2L)).toDF("word", "freq")
+    val e2 = intercept[IllegalArgumentException] {
+      WordPiece.vocab(hashes4, Seq(("#", "####")))
+    }
+    assert(e2.getMessage.contains("INITIAL-form"), e2.getMessage)
+    // a CONTINUATION composite containing '#' text is fine — the mark is
+    // structural only at the front of an initial-form piece
+    val v = WordPiece.vocab(Seq(("a##", 1L)).toDF("word", "freq"),
+      Seq(("###", "###")))
+    assert(v.contains("####"), v.toString)
+  }
+
   test("trained vocab round-trips the training corpus with zero UNKs") {
     val words = Seq(("abab", 4L), ("abcd", 3L), ("dcba", 2L))
     val df = words.toDF("word", "freq")
