@@ -2591,6 +2591,29 @@ object Queries {
       .orderBy("word", "pos")
   }
 
+  /** T31 — SAMPLED segmentation (Kudo §3.5 subword regularization,
+    * [[operators.UnigramTok.sampleSegmentWords]]): each distinct word's
+    * segmentation DRAWN from P(seg) under [[FixedUgProbs]] via
+    * forward-filtering backward-sampling, the md5 `seed|word|pos` draw
+    * supplying engine-portable randomness. At α = 1 under the dyadic
+    * table every lattice mass, cumulative sum, and h/2⁶⁰ draw is
+    * IEEE-identical across engines, so the oracle — which rebuilds the
+    * prefix masses by ENUMERATION, recomputes each state's threshold
+    * from the same md5 draw, and walks the same backward picks — lands
+    * on the identical sampled segmentation per word: a hash-gated
+    * SAMPLER. (Non-1 α routes through pow and is JVM-reproducible but
+    * deliberately not gate-pinned.)
+    */
+  val t31UnigramSample: Q = (s, d) =>
+    operators.UnigramTok.sampleSegmentWords(
+        operators.BpeTrain.wordFreq(Tables.documents(s, d), "text")
+          .select(col("word")),
+        FixedUgProbs, seed = "t31")
+      .select(col("word"), posexplode(col("tokens")))
+      .select(col("word"), col("pos").cast("long").as("pos"),
+        col("col").as("token"))
+      .orderBy("word", "pos")
+
   /** T24c — t24 re-driven through a FOREIGN artifact: a BERT-format
     * `vocab.txt` (one piece per line, line number = id, `[UNK]` in the
     * file) written by the session fixture and read back by
@@ -5450,6 +5473,59 @@ object Queries {
         |SELECT word, CAST(j - 1 AS BIGINT) AS pos, toks[j] AS token
         |FROM fin, unnest(generate_series(1, len(toks))) AS u(j)
         |ORDER BY word, pos""").stripMargin,
+    // t31 replays the FFBS sampler: prefix masses by enumeration (al),
+    // per-state thresholds from the SAME md5 draw ('t31|word|pos', pos =
+    // the engine's 1..n position = i-1 here), cumulative candidate
+    // weights in ascending-j order (the window sum — exact dyadic, so
+    // order is provably irrelevant AND matches the engine's fold), then
+    // a recursive backward walk over the min-j picks; uncoverable words
+    // fall to <unk> like t27
+    "t31_unigram_sample" ->
+      (s"""WITH RECURSIVE
+        |w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |wf AS (SELECT DISTINCT word FROM w WHERE len(word) > 0),
+        |p AS (SELECT * FROM (VALUES $duckUgProbs) AS t(piece, plen, prob)),
+        |rec AS (
+        |  SELECT word, CAST(1 AS BIGINT) AS i, CAST(1 AS DOUBLE) AS pr FROM wf
+        |  UNION ALL
+        |  SELECT r.word, CAST(r.i + p.plen AS BIGINT), r.pr * p.prob
+        |  FROM rec r JOIN p ON substr(r.word, r.i, p.plen) = p.piece
+        |  WHERE r.i <= len(r.word)),
+        |al AS (SELECT word, i, sum(pr) AS a FROM rec GROUP BY word, i),
+        |cand AS (SELECT a2.word, a2.i, a1.i AS j, a1.a * p.prob AS wgt
+        |  FROM al a2
+        |  JOIN p ON a2.i - p.plen >= 1
+        |  JOIN al a1 ON a1.word = a2.word AND a1.i = a2.i - p.plen
+        |  WHERE a2.i > 1 AND substr(a2.word, a1.i, p.plen) = p.piece),
+        |cm AS (SELECT word, i, j,
+        |    sum(wgt) OVER (PARTITION BY word, i ORDER BY j) AS cum FROM cand),
+        |thr AS (SELECT word, i,
+        |    CAST(('0x' || substring(md5('t31|' || word || '|' ||
+        |      CAST(i - 1 AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
+        |      / 1152921504606846976.0 * a AS t
+        |  FROM al WHERE i > 1),
+        |pick AS (SELECT c.word, c.i, min(c.j) AS j
+        |  FROM cm c JOIN thr ON thr.word = c.word AND thr.i = c.i
+        |  WHERE c.cum > thr.t GROUP BY c.word, c.i),
+        |walk AS (
+        |  SELECT word, CAST(len(word) + 1 AS BIGINT) AS i, '' AS acc
+        |  FROM wf WHERE EXISTS (SELECT 1 FROM al
+        |    WHERE al.word = wf.word AND al.i = len(wf.word) + 1)
+        |  UNION ALL
+        |  SELECT wk.word, pk.j,
+        |    substr(wk.word, pk.j, wk.i - pk.j) || chr(31) || wk.acc
+        |  FROM walk wk JOIN pick pk ON pk.word = wk.word AND pk.i = wk.i
+        |  WHERE wk.i > 1),
+        |fin AS (
+        |  SELECT word, string_split(rtrim(acc, chr(31)), chr(31)) AS toks
+        |  FROM walk WHERE i = 1
+        |  UNION ALL
+        |  SELECT word, ['<unk>'] AS toks FROM wf
+        |  WHERE NOT EXISTS (SELECT 1 FROM al
+        |    WHERE al.word = wf.word AND al.i = len(wf.word) + 1))
+        |SELECT word, CAST(j - 1 AS BIGINT) AS pos, toks[j] AS token
+        |FROM fin, unnest(generate_series(1, len(toks))) AS u(j)
+        |ORDER BY word, pos""").stripMargin,
     // t28 enumerates every segmentation with a RUNNING PROBABILITY
     // PRODUCT (exact under the dyadic fixture), then expected count =
     // per-piece summed mass / per-word total mass — one division, same
@@ -5985,6 +6061,7 @@ object Queries {
     "t26_wordpiece_ids" -> t26WordpieceIds,
     "t27_unigram_segment" -> t27UnigramSegment,
     "t28_unigram_estep" -> t28UnigramEstep,
+    "t31_unigram_sample" -> t31UnigramSample,
     "t29_unigram_fit" -> t29UnigramFit,
     "t24c_wordpiece_bert_vocab" -> t24cWordpieceBertVocab,
     "t19b_bpe_ids_gpt2txt" -> t19bBpeIdsGpt2Txt,

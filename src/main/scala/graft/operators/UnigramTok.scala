@@ -244,6 +244,116 @@ object UnigramTok {
       .toDF("word", "piece", "e")
   }
 
+  // 2^60 — exactly representable; the draw's denominator
+  private val Pow2_60 = 1152921504606846976.0
+
+  /** md5-based 60-bit draw, identical to the SQL rendering
+    * `('0x' || substring(md5(s), 1, 15))::BIGINT` — the engine-portable
+    * randomness discipline every sampling oracle in this suite uses.
+    */
+  private[graft] def draw60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var acc = 0L
+    var i = 0
+    while (i < 7) { acc = (acc << 8) | (d(i) & 0xffL); i += 1 }
+    (acc << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  /** SAMPLED segmentation of one word — Kudo §3.5's subword
+    * regularization: draw a segmentation with probability ∝ P(seg)^α via
+    * forward-filtering backward-sampling (FFBS) over the same lattice
+    * [[wordExpected]] walks. The forward pass computes the α-annealed
+    * prefix masses; the backward pass picks each predecessor j with
+    * probability a(j)·p^α / a(i), driven by the md5 draw
+    * `seed|word|pos` — deterministic, engine-portable "randomness"
+    * (vary the seed per epoch to resample; same seed+word → same
+    * segmentation everywhere).
+    *
+    * At α = 1 with dyadic probs every mass and cumulative sum is an
+    * exact binary fraction and the draw's h/2⁶⁰ conversion rounds
+    * identically in any IEEE engine, so the t31 oracle's SQL replay
+    * picks IDENTICAL segmentations — the sampler is hash-gateable. The
+    * backward cumulative sum accumulates in the same ascending-j order
+    * as the forward mass, so the final cum equals a(pos) exactly and
+    * u < 1 always lands a pick. α < 1 flattens (more diverse samples),
+    * α → ∞ approaches the Viterbi argmax; non-1 α routes through
+    * math.pow and is reproducible within a JVM but not pinned
+    * cross-engine.
+    */
+  private[graft] def sampleSyms(syms: Array[String], t: ProbTable,
+      alpha: Double, seed: String, word: String,
+      unk: String): Array[String] = {
+    if (syms.length == 1 && syms(0).isEmpty) return Array.empty[String]
+    val n = syms.length
+    def pw(p: Double): Double = if (alpha == 1.0) p else math.pow(p, alpha)
+    val a = new Array[Double](n + 1); a(0) = 1.0
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - t.maxLen)
+      while (j < i) {
+        if (a(j) != 0.0) t.p.get(syms.slice(j, i).mkString) match {
+          case Some(p) => a(i) += a(j) * pw(p)
+          case None =>
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (a(n) == 0.0) return Array(unk)
+    val rev = List.newBuilder[String]
+    var pos = n
+    while (pos > 0) {
+      val u = draw60(s"$seed|$word|$pos").toDouble / Pow2_60
+      val thr = u * a(pos)
+      var cum = 0.0
+      var pick = -1
+      var last = -1
+      var j = math.max(0, pos - t.maxLen)
+      while (j < pos && pick < 0) {
+        if (a(j) != 0.0) t.p.get(syms.slice(j, pos).mkString) match {
+          case Some(p) =>
+            cum += a(j) * pw(p)
+            last = j
+            if (cum > thr) pick = j
+          case None =>
+        }
+        j += 1
+      }
+      // cum's final value equals a(pos) bit-exactly (same order), so with
+      // u < 1 a pick always lands; `last` is a pure defensive floor
+      if (pick < 0) pick = last
+      rev += syms.slice(pick, pos).mkString
+      pos = pick
+    }
+    rev.result().reverse.toArray
+  }
+
+  /** Sampled segmentation over a words table — the serving face of
+    * subword regularization: (word, tokens) like [[segmentWords]], but
+    * each word's segmentation is DRAWN from P(seg)^α under the model
+    * instead of argmaxed. Pieces carry PROBABILITIES (the training-side
+    * [[probTable]] convention, same as [[expectedCounts]]); `seed`
+    * selects the sample (an epoch id, typically). Same distinct-words
+    * mapPartitions shape as the siblings.
+    */
+  def sampleSegmentWords(words: DataFrame, pieces: Seq[(String, Double)],
+      seed: String, alpha: Double = 1.0,
+      unk: String = Unk): DataFrame = {
+    require(alpha > 0.0 && !alpha.isNaN, s"alpha $alpha must be > 0")
+    val session = words.sparkSession
+    import session.implicits._
+    val bc = session.sparkContext.broadcast(probTable(pieces))
+    words.select(col("word").cast("string")).as[String]
+      .mapPartitions { it =>
+        val t = bc.value
+        it.map(w => (w,
+          if (w == null) null
+          else sampleSyms(BpeTrain.codePointSyms(w), t, alpha, seed, w, unk)))
+      }
+      .toDF("word", "tokens")
+  }
+
   /** Viterbi best log-score of a symbol array under a logp table,
     * optionally with one piece EXCLUDED — the prune step's
     * alternative-path cost (what segmenting this piece's own text costs

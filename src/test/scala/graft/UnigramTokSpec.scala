@@ -349,6 +349,124 @@ class UnigramTokSpec extends SparkSpec {
     }
   }
 
+  // -----------------------------------------------------------------
+  // Sampled segmentation (Kudo §3.5 — the t31 row)
+  // -----------------------------------------------------------------
+
+  /** Independent FFBS replica: prefix masses built by ENUMERATION (not
+    * the engine's forward recurrence), the same md5 draw and min-j pick
+    * rule — the t31 oracle's method in Scala.
+    */
+  private def bruteSample(word: String, ps: Map[String, Double],
+                          seed: String): Option[Seq[String]] = {
+    val syms = BpeTrain.codePointSyms(word)
+    val n = syms.length
+    val maxLen = ps.keys.map(p => p.codePointCount(0, p.length)).max
+    // alpha(i) by enumeration: sum over all partial segmentations of
+    // syms[0..i)
+    def mass(i: Int): Double = {
+      def go(k: Int): Seq[Double] =
+        if (k == i) Seq(1.0)
+        else (k + 1 to math.min(i, k + maxLen)).flatMap { j =>
+          ps.get(syms.slice(k, j).mkString).toSeq.flatMap { pr =>
+            go(j).map(pr * _)
+          }
+        }
+      go(0).sum
+    }
+    val a = (0 to n).map(mass)
+    if (a(n) == 0.0) return None
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var pos = n
+    while (pos > 0) {
+      val u = UnigramTok.draw60(s"$seed|$word|$pos").toDouble /
+        1152921504606846976.0
+      val thr = u * a(pos)
+      var cum = 0.0
+      var pick = -1
+      var j = math.max(0, pos - maxLen)
+      while (j < pos && pick < 0) {
+        if (a(j) != 0.0) ps.get(syms.slice(j, pos).mkString).foreach { p =>
+          cum += a(j) * p
+          if (cum > thr) pick = j
+        }
+        j += 1
+      }
+      out.prepend(syms.slice(pick, pos).mkString)
+      pos = pick
+    }
+    Some(out.toList)
+  }
+
+  test("sampleSyms == enumeration-mass FFBS replica under dyadic probs") {
+    val t = UnigramTok.probTable(dyadic)
+    val pm = dyadic.toMap
+    Seq("a", "aaa", "abab", "scan", "abcabc", "banana", "ssccaann")
+      .foreach { w =>
+        (1 to 4).foreach { s =>
+          val got = UnigramTok.sampleSyms(
+            BpeTrain.codePointSyms(w), t, 1.0, s"seed$s", w, UnigramTok.Unk)
+          bruteSample(w, pm, s"seed$s") match {
+            case Some(want) => assert(got.toSeq == want, s"word $w seed $s")
+            case None => assert(got.toSeq == Seq(UnigramTok.Unk), s"word $w")
+          }
+        }
+      }
+  }
+
+  test("sampling frequencies approximate the posterior on 'aaa'") {
+    // segs of aaa under a=1/4, aa=1/4: posterior 1/9, 4/9, 4/9
+    val t = UnigramTok.probTable(Seq(("a", 0.25), ("aa", 0.25)))
+    val counts = scala.collection.mutable.HashMap.empty[Seq[String], Int]
+    (1 to 900).foreach { s =>
+      val seg = UnigramTok.sampleSyms(
+        BpeTrain.codePointSyms("aaa"), t, 1.0, s"e$s", "aaa",
+        UnigramTok.Unk).toSeq
+      counts(seg) = counts.getOrElse(seg, 0) + 1
+    }
+    val f3 = counts.getOrElse(Seq("a", "a", "a"), 0) / 900.0
+    val fLeft = counts.getOrElse(Seq("a", "aa"), 0) / 900.0
+    val fRight = counts.getOrElse(Seq("aa", "a"), 0) / 900.0
+    assert(math.abs(f3 - 1.0 / 9) < 0.06, s"a|a|a at $f3")
+    assert(math.abs(fLeft - 4.0 / 9) < 0.06, s"a|aa at $fLeft")
+    assert(math.abs(fRight - 4.0 / 9) < 0.06, s"aa|a at $fRight")
+  }
+
+  test("large alpha approaches the Viterbi argmax; contracts hold") {
+    // at alpha = 60 the argmax dominates every draw (tie-free table)
+    val probs = Seq(("a", 0.0625), ("b", 0.0625), ("c", 0.125),
+      ("n", 0.0625), ("s", 0.125), ("sc", 0.125), ("an", 0.125),
+      ("scan", 0.001), ("ab", 0.1875), ("abc", 0.1875))
+    val logp = probs.map { case (p, pr) => (p, math.log(pr)) }
+    val t = UnigramTok.probTable(probs)
+    val lt = UnigramTok.pieceTable(logp)
+    Seq("scan", "abc", "ban", "abcabc").foreach { w =>
+      val vit = UnigramTok.segmentSyms(
+        BpeTrain.codePointSyms(w), lt, UnigramTok.Unk).toSeq
+      (1 to 3).foreach { s =>
+        val got = UnigramTok.sampleSyms(
+          BpeTrain.codePointSyms(w), t, 60.0, s"x$s", w, UnigramTok.Unk)
+        assert(got.toSeq == vit, s"word $w seed $s: $got vs $vit")
+      }
+    }
+    // determinism + the word-grain contracts on the DataFrame face
+    val df = Seq[Option[String]](Some("scan"), Some(""), None, Some("xyz"))
+      .toDF("word")
+    val got = UnigramTok.sampleSegmentWords(df, dyadic, "s1")
+      .collect().map(r => Option(r.getString(0)) ->
+        Option(r.getSeq[String](1)).map(_.toSeq)).toMap
+    assert(got(Some("xyz")) == Some(Seq(UnigramTok.Unk)))
+    assert(got(Some("")) == Some(Seq.empty))
+    assert(got(None).isEmpty)
+    val again = UnigramTok.sampleSegmentWords(df, dyadic, "s1")
+      .collect().map(r => Option(r.getString(0)) ->
+        Option(r.getSeq[String](1)).map(_.toSeq)).toMap
+    assert(again == got, "same seed must reproduce the same sample")
+    intercept[IllegalArgumentException] {
+      UnigramTok.sampleSegmentWords(df, dyadic, "s1", alpha = 0.0)
+    }
+  }
+
   test("fit guards: bad params and maxVocab refuse loudly") {
     val df = fitCorpus.toDF("word", "freq")
     intercept[IllegalArgumentException] { UnigramTok.fit(df, 0) }
