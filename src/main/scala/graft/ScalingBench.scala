@@ -206,11 +206,19 @@ object ScalingBench {
     // vocabulary-sized (distinct words segment once), the manifest's
     // prefix sum and the chunk groupBy are one pass each over doc/chunk
     // grains, so wall should track the corpus ≈ linearly
+    // r17 additions: t30 is the absolute-discounting VIEW (7 joins + two
+    // type-count aggs over the same count tables — claim: linear like
+    // t21); t28 is the unigram E-step (distinct words scale with the
+    // token-disjoint copies, so the vocabulary-collapsed claim shows as
+    // linear wall); t29 is the full EM fit (vocabulary-scaled driver
+    // loop — one decade bounds it, the loop count grows with log of the
+    // seed size)
     val names10 = Seq("e2_minhash_pairs", "e4_jaccard_pairs", "e4c_jaccard_zipf",
       "e4d_jaccard_zipf_exact", "e8_dedup_cluster", "p3_corpus_recipe",
       "m4_cdc_apply", "u2_k_anonymity", "r3_bm25_topk",
       "f1_fuzzy_join", "r2_retrieval_ivf", "t12_bpe_pairs", "t21_ngram_lm",
-      "x4_pack_token_ids")
+      "x4_pack_token_ids", "t30_ngram_absdiscount", "t28_unigram_estep",
+      "t29_unigram_fit")
     // second decade, CAPPED rows only: these are the designated 100 TB
     // plans, and two decades turn one ratio into a growth exponent.
     // e4/e4d stay at one decade on purpose — e4d is the documented
@@ -220,7 +228,8 @@ object ScalingBench {
     val names100 = Set("e2_minhash_pairs", "e4c_jaccard_zipf",
       "e8_dedup_cluster", "p3_corpus_recipe", "m4_cdc_apply", "u2_k_anonymity",
       "r3_bm25_topk", "f1_fuzzy_join", "r2_retrieval_ivf", "t12_bpe_pairs",
-      "t21_ngram_lm", "x4_pack_token_ids")
+      "t21_ngram_lm", "x4_pack_token_ids", "t30_ngram_absdiscount",
+      "t28_unigram_estep")
     // build the ANN fixtures BEFORE the steal window opens (r13
     // self-review #2): the emb10000 build writes ~16 GB of parquet, and a
     // steal count spanning fixture IO can no longer flag a

@@ -421,9 +421,9 @@ final class CorpusRecipe private (
     * call time) — gate, dedup, and scrub BEFORE this; the windows inherit
     * whatever text reaches them. NOTE (ADVICE r16): with `sepId` set the
     * packing runs over separator-INCLUSIVE counts (tokens + 1 per
-    * non-empty doc) — a [[packManifest]] audit trail for the same run
-    * must be built from the same `+1` counts or its chunk ranges point
-    * one separator early per preceding document.
+    * non-empty doc) — build the audit trail with
+    * `SequencePack.packManifest(..., sepPerDoc = true)`, which advances
+    * offsets at the same grain.
     */
   def packTokenIds(model: graft.operators.BpeTrain.BpeModel, ctxLen: Long,
                    sepId: Option[Long] = None): DataFrame =

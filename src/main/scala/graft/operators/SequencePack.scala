@@ -37,13 +37,23 @@ object SequencePack {
     * tokens over all documents strictly earlier in (draw, id) order and
     * chunks are `ctxLen`-sized cuts of the concatenation. Documents with
     * `tokenCol <= 0` are dropped (they occupy no window).
+    *
+    * `sepPerDoc = true` audits a [[packTokenIds]] run with `sepId` set
+    * (ADVICE r16 — the manifest-agreement GRAIN contract, made automatic
+    * instead of caller-supplied): offsets advance by `tokens + 1` per
+    * document (the separator each doc appends), while `tokens` and the
+    * `[first_chunk, last_chunk]` range keep describing the document's
+    * OWN ids — the separator is boundary bookkeeping, not trained doc
+    * content, so the chunk range a trainer audits must not include it.
     */
   def packManifest(
       df: DataFrame,
       idCol: String,
       tokenCol: String,
-      ctxLen: Long): DataFrame = {
+      ctxLen: Long,
+      sepPerDoc: Boolean = false): DataFrame = {
     require(ctxLen > 0, s"ctxLen must be positive, got $ctxLen")
+    val sepW = if (sepPerDoc) 1L else 0L
     val spark = df.sparkSession
     val drawName = "__sp_draw"
     val base = df
@@ -60,7 +70,7 @@ object SequencePack {
     // pass 1: one token subtotal per partition (#partitions longs)
     val subtotals: Array[(Int, Long)] = rdd.mapPartitionsWithIndex { (pid, it) =>
       var s = 0L
-      it.foreach(r => s += r.getLong(ti))
+      it.foreach(r => s += r.getLong(ti) + sepW)
       Iterator.single((pid, s))
     }.collect()
     val offsets: Array[Long] = subtotals.sortBy(_._1).map(_._2)
@@ -73,7 +83,7 @@ object SequencePack {
       it.map { r =>
         val tokens = r.getLong(ti)
         val off = cum
-        cum += tokens
+        cum += tokens + sepW
         val first = off / ctxLen
         val last = (off + tokens - 1) / ctxLen
         Row(r.get(ii), tokens, off, first, last, last - first + 1)
@@ -107,8 +117,10 @@ object SequencePack {
     * (tokens + 1 per non-empty document), so an external manifest built
     * from plain per-doc token counts (the documented countTokens path)
     * points at the wrong chunks for every later document. For a
-    * sep-packed run, feed [[packManifest]] the same `tokens + 1` counts
-    * (ADVICE r16 — the agreement is a GRAIN contract, not automatic).
+    * sep-packed run, pass `sepPerDoc = true` to [[packManifest]] — it
+    * advances offsets at the same separator-inclusive grain while the
+    * chunk range keeps describing the document's own ids (ADVICE r16 —
+    * the agreement is a GRAIN contract; the flag makes it automatic).
     *
     * `sepId` optionally appends one separator token after EACH document's
     * ids before packing (the GPT-2 end-of-text discipline — a trained

@@ -343,6 +343,40 @@ class TrainingPrepSpec extends SparkSpec {
     }
   }
 
+  test("sepPerDoc manifest agrees with a sep-packed packTokenIds run (ADVICE r16)") {
+    val docs = Seq.tabulate(20)(i =>
+      (i + 1).toLong -> Seq.tabulate(1 + i % 6)(j => (i * 10 + j).toLong))
+    val rows = idRows(docs)
+    val ctx = 7L
+    val counts = rows.groupBy($"doc_id").agg(count(lit(1)).as("n_tok"))
+    // the PLAIN manifest mislocates under a sep-packed run (the grain
+    // contract the flag exists for): assert it actually disagrees
+    val sepChunks = SequencePack
+      .packTokenIds(rows, "doc_id", ctx, sepId = Some(999L))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](2)).toMap
+    val plain = SequencePack.packManifest(counts, "doc_id", "n_tok", ctx)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val sep = SequencePack
+      .packManifest(counts, "doc_id", "n_tok", ctx, sepPerDoc = true)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(plain != sep, "the two grains must differ on this corpus")
+    // global stream replay: doc d's ids occupy [off, off+tokens) in the
+    // flattened sep-packed stream — the sep-aware offsets, exactly
+    val flat = sepChunks.toSeq.sortBy(_._1).flatMap(_._2)
+    val lens = docs.toMap.view.mapValues(_.length).toMap
+    docs.foreach { case (id, toks) =>
+      val (off, first, last) = sep(id)
+      assert(flat.slice(off.toInt, off.toInt + toks.length) == toks,
+        s"doc $id ids not at sep-aware offset $off")
+      assert(first == off / ctx && last == (off + lens(id) - 1) / ctx,
+        s"doc $id chunk range excludes only the separator")
+      (first to last).foreach { c =>
+        assert(toks.exists(sepChunks(c).contains),
+          s"doc $id claims chunk $c but none of its ids are there")
+      }
+    }
+  }
+
   test("packTokenIds: stable under input repartitioning") {
     val docs = Seq.tabulate(30)(i =>
       (i + 1).toLong -> Seq.tabulate(1 + i % 5)(j => (i * 100 + j).toLong))
