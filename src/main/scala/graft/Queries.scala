@@ -2898,7 +2898,7 @@ object Queries {
   private val ngramAdP2: String =
     "(CASE WHEN t2.t2 IS NOT NULL THEN " +
       "((CASE WHEN low.c2 IS NOT NULL THEN greatest(low.c2 - d2.d2, 0.0) " +
-      "ELSE 0.0 END) + (d2.d2 * t2.t2) * (ul.c1 / n.tot)) / um.c1 " +
+      "ELSE 0.0 END) + (d2.d2 * t2.t2) * (ul.c1 / n.tot)) / t2.m2 " +
       "ELSE (ul.c1 / n.tot) END)"
 
   /** The t30 oracle: DuckDB refits the raw (unpruned) count tables,
@@ -2921,8 +2921,10 @@ object Queries {
       |         recursive := true) FROM toks),
       |tc AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c3 FROM tg
       |       GROUP BY w1, w2, w3),
-      |t3 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS t3 FROM tc GROUP BY w1, w2),
-      |t2 AS (SELECT w1 AS w2, CAST(count(*) AS BIGINT) AS t2 FROM bc GROUP BY w1),
+      |t3 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS t3,
+      |       CAST(sum(c3) AS BIGINT) AS m3 FROM tc GROUP BY w1, w2),
+      |t2 AS (SELECT w1 AS w2, CAST(count(*) AS BIGINT) AS t2,
+      |       CAST(sum(c2) AS BIGINT) AS m2 FROM bc GROUP BY w1),
       |d3 AS (SELECT CASE WHEN n1 + 2*n2 > 0
       |         THEN CAST(n1 AS DOUBLE) / CAST(n1 + 2*n2 AS DOUBLE)
       |         ELSE 0.75 END AS d3
@@ -2936,15 +2938,13 @@ object Queries {
       |j AS (SELECT g.doc_id, g.pos,
       |        ln(CASE WHEN t3.t3 IS NOT NULL THEN
       |             ((CASE WHEN tc.c3 IS NOT NULL THEN greatest(tc.c3 - d3.d3, 0.0)
-      |               ELSE 0.0 END) + (d3.d3 * t3.t3) * $ngramAdP2) / ctx.c2
+      |               ELSE 0.0 END) + (d3.d3 * t3.t3) * $ngramAdP2) / t3.m3
       |           ELSE $ngramAdP2 END) AS logp
       |      FROM tg g
       |      LEFT JOIN tc ON g.w1 = tc.w1 AND g.w2 = tc.w2 AND g.w3 = tc.w3
-      |      LEFT JOIN bc ctx ON g.w1 = ctx.w1 AND g.w2 = ctx.w2
       |      LEFT JOIN bc low ON g.w2 = low.w1 AND g.w3 = low.w2
       |      LEFT JOIN t3 ON g.w1 = t3.w1 AND g.w2 = t3.w2
       |      LEFT JOIN t2 ON g.w2 = t2.w2
-      |      JOIN uc um ON g.w2 = um.w1
       |      JOIN uc ul ON g.w3 = ul.w1
       |      CROSS JOIN n CROSS JOIN d3 CROSS JOIN d2),
       |agg AS (SELECT doc_id, list(logp ORDER BY pos) AS lp FROM j GROUP BY doc_id)

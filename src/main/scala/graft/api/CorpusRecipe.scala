@@ -343,8 +343,9 @@ final class CorpusRecipe private (
     * [[tokenBudget]] (two-pass prefix sum behind an analysis barrier) —
     * gate and dedup BEFORE packing.
     */
-  def packManifest(tokenCol: String, ctxLen: Long): DataFrame =
-    SequencePack.packManifest(frame, idCol, tokenCol, ctxLen)
+  def packManifest(tokenCol: String, ctxLen: Long,
+                   sepPerDoc: Boolean = false): DataFrame =
+    SequencePack.packManifest(frame, idCol, tokenCol, ctxLen, sepPerDoc)
 
   /** r1/r2's retrieval-corpus build ([[graft.operators.ChunkEmbed]]) — a
     * TERMINAL step: the curated corpus becomes (cid, emb) chunk
@@ -422,8 +423,8 @@ final class CorpusRecipe private (
     * whatever text reaches them. NOTE (ADVICE r16): with `sepId` set the
     * packing runs over separator-INCLUSIVE counts (tokens + 1 per
     * non-empty doc) — build the audit trail with
-    * `SequencePack.packManifest(..., sepPerDoc = true)`, which advances
-    * offsets at the same grain.
+    * [[packManifest]]`(tokenCol, ctxLen, sepPerDoc = true)`, which
+    * advances offsets at the same grain.
     */
   def packTokenIds(model: graft.operators.BpeTrain.BpeModel, ctxLen: Long,
                    sepId: Option[Long] = None): DataFrame =

@@ -25,6 +25,21 @@ object TextFunctions {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Driver-side twin of [[hash60]] — the ONE JVM replica (self-review
+    * r17: two identical copies had grown in UnigramTok and LocalHybrid;
+    * the t31 sampler gate and the serving-tier parity both depend on
+    * this staying bit-identical to the SQL expression and to DuckDB's
+    * `('0x' || substring(md5(s), 1, 15))::BIGINT`).
+    */
+  private[graft] def hash60Local(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var acc = 0L
+    var i = 0
+    while (i < 7) { acc = (acc << 8) | (d(i) & 0xffL); i += 1 }
+    (acc << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
   /** Seeded variant for MinHash hash families: h_j(x) = hash60(j || '|' || x).
     * One md5 PER SEED — prefer [[hashPair]] + [[kmHash]] (one md5 total) for
     * k-family sketches.

@@ -177,15 +177,22 @@ object NgramLm {
     * subtracted from every observed count and the freed mass is
     * interpolated with the lower order,
     *
-    *   P(w₃|w₁w₂) = [max(c₃−D₃, 0) + D₃·N₁₊(w₁w₂•)·P(w₃|w₂)] / c(w₁w₂)
-    *   P(w₃|w₂)   = [max(c₂−D₂, 0) + D₂·N₁₊(w₂•)·P(w₃)] / c(w₂)
+    *   P(w₃|w₁w₂) = [max(c₃−D₃, 0) + D₃·N₁₊(w₁w₂•)·P(w₃|w₂)] / M₃(w₁w₂)
+    *   P(w₃|w₂)   = [max(c₂−D₂, 0) + D₂·N₁₊(w₂•)·P(w₃)] / M₂(w₂)
     *   P(w₃)      = c(w₃)/N
     *
-    * with the discounts estimated by the paper's counts-of-counts
-    * formula D = n₁/(n₁ + 2n₂) per order (n_k = number of grams seen
-    * exactly k times; fallback 0.75 when a degenerate corpus has no
-    * singletons or doubletons). Unlike Stupid Backoff this is a true
-    * probability (sums to 1 over w₃), so cross-document NLLs are
+    * where M_n(ctx) = Σ_w c_n(ctx, w) is the context's OWN marginal in
+    * the n-gram table — NOT the lower-order count c(ctx), which also
+    * counts document-final occurrences that continue nothing
+    * (self-review r17: dividing by c(ctx) leaks mass at every context
+    * whose word ends a document, breaking the sums-to-1 property this
+    * mode exists for; with the marginal, Σ_w max(c−D,0) = M − D·N₁₊
+    * exactly — every observed count is ≥ 1 > D — so each leg sums to 1
+    * for EVERY context, boundary or not). Discounts are estimated by
+    * the paper's counts-of-counts formula D = n₁/(n₁ + 2n₂) per order
+    * (n_k = number of grams seen exactly k times; fallback 0.75 when a
+    * degenerate corpus has no singletons or doubletons). Unlike Stupid
+    * Backoff this is a true probability, so cross-document NLLs are
     * calibrated — the property a quality-scoring menu wants next to the
     * web-scale default.
     *
@@ -207,24 +214,22 @@ object NgramLm {
   def scoreAbsDiscount(docs: DataFrame, idCol: String, textCol: String,
                        model: Model): DataFrame = {
     require(!Reserved(idCol) && idCol != "n_trigrams" && idCol != "nll" &&
-      !Set("t3", "t2", "d3", "d2")(idCol),
+      !Set("t3", "t2", "d3", "d2", "m3", "m2")(idCol),
       s"idCol must avoid the internal names ${Reserved.mkString(", ")}, " +
-        "t3, t2, d3, d2")
-    val bigCtx = model.bigrams.select(col("w1"), col("w2"),
-      col("c2").as("c2ctx"))
+        "t3, t2, d3, d2, m3, m2")
     val bigLow = model.bigrams.select(col("w1").as("w2"),
       col("w2").as("w3"), col("c2").as("c2low"))
-    val uniMid = model.unigrams.select(col("w1").as("w2"),
-      col("c1").as("c1mid"))
     val uniLast = model.unigrams.select(col("w1").as("w3"),
       col("c1").as("c1last"))
     val total = model.unigrams.agg(sum(col("c1")).as("n_total"))
-    // continuation types: each stored row IS one distinct continuation
+    // continuation types + the context's marginal (the normalizer): each
+    // stored row IS one distinct continuation, and the marginal sums the
+    // SAME table — one groupBy serves both
     val types3 = model.trigrams.groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("t3"))
+      .agg(count(lit(1)).as("t3"), sum(col("c3")).as("m3"))
     val types2 = model.bigrams.groupBy(col("w1"))
-      .agg(count(lit(1)).as("t2"))
-      .select(col("w1").as("w2"), col("t2"))
+      .agg(count(lit(1)).as("t2"), sum(col("c2")).as("m2"))
+      .select(col("w1").as("w2"), col("t2"), col("m2"))
     // counts-of-counts discounts, per order — 1-row broadcast scalars
     def discount(counts: DataFrame, cCol: String, out: String): DataFrame =
       counts.agg(
@@ -248,19 +253,17 @@ object NgramLm {
     val p2 = when(col("t2").isNotNull,
       (when(col("c2low").isNotNull,
         greatest(col("c2low") - col("d2"), lit(0.0))).otherwise(lit(0.0))
-        + (col("d2") * col("t2")) * p1) / col("c1mid"))
+        + (col("d2") * col("t2")) * p1) / col("m2"))
       .otherwise(p1)
     val p3 = when(col("t3").isNotNull,
       (when(col("c3").isNotNull,
         greatest(col("c3") - col("d3"), lit(0.0))).otherwise(lit(0.0))
-        + (col("d3") * col("t3")) * p2) / col("c2ctx"))
+        + (col("d3") * col("t3")) * p2) / col("m3"))
       .otherwise(p2)
 
     pos
       .join(model.trigrams, Seq("w1", "w2", "w3"), "left")
-      .join(bigCtx, Seq("w1", "w2"), "left")
       .join(bigLow, Seq("w2", "w3"), "left")
-      .join(uniMid, Seq("w2"), "left")
       .join(uniLast, Seq("w3"), "left")
       .join(types3, Seq("w1", "w2"), "left")
       .join(types2, Seq("w2"), "left")

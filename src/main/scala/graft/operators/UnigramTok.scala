@@ -247,18 +247,20 @@ object UnigramTok {
   // 2^60 — exactly representable; the draw's denominator
   private val Pow2_60 = 1152921504606846976.0
 
+  /** The required-character count floor, as a fraction of each EM
+    * round's total expected mass — seed singles are the coverage
+    * alphabet and may never leave the model (see [[fit]]'s emRound).
+    */
+  private val SingleFloor = 1e-9
+
   /** md5-based 60-bit draw, identical to the SQL rendering
     * `('0x' || substring(md5(s), 1, 15))::BIGINT` — the engine-portable
-    * randomness discipline every sampling oracle in this suite uses.
+    * randomness discipline every sampling oracle in this suite uses
+    * (one shared JVM replica: [[graft.functions.TextFunctions
+    * .hash60Local]]).
     */
-  private[graft] def draw60(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    var acc = 0L
-    var i = 0
-    while (i < 7) { acc = (acc << 8) | (d(i) & 0xffL); i += 1 }
-    (acc << 4) | ((d(7) & 0xf0L) >> 4)
-  }
+  private[graft] def draw60(s: String): Long =
+    graft.functions.TextFunctions.hash60Local(s)
 
   /** SAMPLED segmentation of one word — Kudo §3.5's subword
     * regularization: draw a segmentation with probability ∝ P(seg)^α via
@@ -469,7 +471,15 @@ object UnigramTok {
         seed.map { case (p, c) => (p, c.toDouble / seedTotal) }
 
       // one freq-weighted EM round: distributed E-step, sorted-fold
-      // aggregation, M-step normalize; returns (piece, prob, count)
+      // aggregation, M-step normalize; returns (piece, prob, count).
+      // REQUIRED-CHARACTER FLOOR (SentencePiece's discipline, found by
+      // the r17 self-review's chaining fix): EM concentration drives an
+      // unused single's expected count to exact-zero UNDERFLOW within a
+      // few chained iterations (its mass is a product of other shrinking
+      // singles), which would silently drop it and break the coverage
+      // guarantee the seed exists for — so every seed single's count is
+      // floored at SingleFloor of the round's total, keeping the
+      // coverage alphabet alive at negligible, deterministic mass
       def emRound(cur: Array[(String, Double)])
           : Array[(String, Double, Double)] = {
         val counts = expectedCounts(wf.toDF("word", "freq").select("word"),
@@ -481,8 +491,16 @@ object UnigramTok {
           .groupBy("piece")
           .agg(sortedFoldSum(collect_list(col("wv"))).as("c"))
           .as[(String, Double)].collect().sortBy(_._1)
-        val tot = counts.foldLeft(0.0) { case (a, (_, c)) => a + c }
-        counts.map { case (p, c) => (p, c / tot, c) }
+        val tot0 = counts.foldLeft(0.0) { case (a, (_, c)) => a + c }
+        val floorC = tot0 * SingleFloor
+        val present = counts.iterator.map(_._1).toSet
+        val all = (counts.map { case (p, c) =>
+            (p, if (singles(p) && c < floorC) floorC else c)
+          } ++ singles.toSeq.filterNot(present).sorted
+            .map(p => (p, floorC)))
+          .sortBy(_._1)
+        val tot = all.foldLeft(0.0) { case (a, (_, c)) => a + c }
+        all.map { case (p, c) => (p, c / tot, c) }
       }
 
       // prune by likelihood loss; singles protected; guaranteed progress
@@ -524,10 +542,17 @@ object UnigramTok {
       while (!done) {
         var last: Array[(String, Double, Double)] = null
         var it = 0
-        while (it < emIters) { last = emRound(probs); it += 1 }
+        // each iteration re-estimates from the PREVIOUS iteration's
+        // probabilities — the chaining IS the EM (self-review r17: an
+        // earlier form re-ran emRound on the unchanged table, making
+        // emIters a no-op; the spec replica chains identically)
+        while (it < emIters) {
+          last = emRound(probs)
+          probs = last.map { case (p, pr, _) => (p, pr) }
+          it += 1
+        }
         // EM can drop pieces whose expected count is zero (a piece no
-        // path uses); carry the survivors forward
-        probs = last.map { case (p, pr, _) => (p, pr) }
+        // path uses); the survivors carried forward above
         if (probs.length <= vocabTarget) done = true
         else {
           val pruned = prune(last)

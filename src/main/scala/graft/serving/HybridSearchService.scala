@@ -140,13 +140,18 @@ class HybridSearchService(
     val s = r.get(1).asInstanceOf[Number].longValue()
     (n.toDouble, s.toDouble / n.toDouble)
   }
-  private val termCache =
-    new LocalHybrid.TermCache(maxTermDf, maxCachedPostings)
+  // budget coherence: a term the df cap admits must be cacheable, or the
+  // tier would fetch rows it can never hold (self-review r17)
+  require(maxTermDf <= maxCachedPostings,
+    s"maxTermDf $maxTermDf exceeds maxCachedPostings $maxCachedPostings — " +
+      "an admitted term's postings must fit the cache budget")
+  private val termCache = new LocalHybrid.TermCache(maxCachedPostings)
 
   /** Resolve every query term to its cached postings — fetching misses
     * in (at most) two pushed-In(term) jobs — or None when any term
-    * exceeds the df cap (the request then runs distributed). Terms
-    * absent from the corpus cache as empty.
+    * exceeds the df cap (the request then runs distributed; the over-cap
+    * VERDICT caches too, so repeat requests with a hot common term pay
+    * no df probe). Terms absent from the corpus cache as empty.
     */
   private def resolveTerms(terms: Array[String])
       : Option[Map[String, LocalHybrid.TermPost]] = {
@@ -164,22 +169,32 @@ class HybridSearchService(
         .select(col("term"), col("df")).collect()
         .map(r => r.getString(0) -> r.get(1).asInstanceOf[Number].longValue())
         .toMap
-      if (dfMap.values.exists(_ > maxTermDf)) return None
-      val post = bm25.postings.where(col("term").isin(keys: _*))
-        .select(col("term"), col(idCol), col("tf"), col("dl")).collect()
-        .groupBy(_.getString(0))
-      missing.foreach { t =>
-        val rows = post.getOrElse(t, Array.empty[Row]).map { r =>
-          (r.get(1).asInstanceOf[Number].longValue(),
-            r.get(2).asInstanceOf[Number].longValue(),
-            r.get(3).asInstanceOf[Number].longValue())
-        }
-        val tp = LocalHybrid.TermPost(dfMap.getOrElse(t, 0L), rows)
+      val (over, fetchable) =
+        missing.partition(t => dfMap.getOrElse(t, 0L) > maxTermDf)
+      over.foreach { t =>
+        val tp = LocalHybrid.TermPost(dfMap(t),
+          Array.empty[(Long, Long, Long)], overCap = true)
         termCache.put(t, tp)
         have(t) = tp
       }
+      if (fetchable.nonEmpty) {
+        val post = bm25.postings
+          .where(col("term").isin(fetchable.toIndexedSeq: _*))
+          .select(col("term"), col(idCol), col("tf"), col("dl")).collect()
+          .groupBy(_.getString(0))
+        fetchable.foreach { t =>
+          val rows = post.getOrElse(t, Array.empty[Row]).map { r =>
+            (r.get(1).asInstanceOf[Number].longValue(),
+              r.get(2).asInstanceOf[Number].longValue(),
+              r.get(3).asInstanceOf[Number].longValue())
+          }
+          val tp = LocalHybrid.TermPost(dfMap.getOrElse(t, 0L), rows)
+          termCache.put(t, tp)
+          have(t) = tp
+        }
+      }
     }
-    Some(have.toMap)
+    if (have.valuesIterator.exists(_.overCap)) None else Some(have.toMap)
   }
 
   /** The per-request batch plan for a query string — the DISTRIBUTED
@@ -268,11 +283,15 @@ class HybridSearchService(
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
       val q = Seq((0L, query)).toDF("qid", textCol)
-      val sparseF = Future {
+      // blocking{}: the legs are multi-second blocking collects — on the
+      // global ForkJoinPool they must register as blocked so the pool
+      // spawns compensation threads instead of serializing concurrent
+      // fallback requests (self-review r17)
+      val sparseF = Future(scala.concurrent.blocking {
         Bm25.searchIndex(bm25, q, "qid", textCol, fetchK).collect()
           .map(r => (r.getLong(1), r.get(2).asInstanceOf[Number].longValue()))
-      }
-      val denseF = Future {
+      })
+      val denseF = Future(scala.concurrent.blocking {
         val qEmb = ChunkEmbed.docEmbed(q, "qid", textCol, dim)
         val plan = ivfModel match {
           case None =>
@@ -284,7 +303,7 @@ class HybridSearchService(
         }
         plan.collect()
           .map(r => (r.getLong(1), r.get(2).asInstanceOf[Number].longValue()))
-      }
+      })
       val sparse = Await.result(sparseF, Duration.Inf)
       val dense = Await.result(denseF, Duration.Inf)
       LocalHybrid.rrfFuse(Seq(sparse, dense), k)

@@ -34,17 +34,11 @@ private[graft] object LocalHybrid {
   def tokensOf(text: String): Array[String] = text.split(" ", -1)
 
   /** Replica of `TextFunctions.hash60`: first 15 md5 hex chars as a long
-    * (60 bits, always positive).
+    * (60 bits, always positive) — the shared JVM replica
+    * ([[graft.functions.TextFunctions.hash60Local]]).
     */
-  def hash60(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
-    // first 15 hex chars = 7.5 bytes: build the 60-bit value directly
-    var acc = 0L
-    var i = 0
-    while (i < 7) { acc = (acc << 8) | (d(i) & 0xffL); i += 1 }
-    (acc << 4) | ((d(7) & 0xf0L) >> 4)
-  }
+  def hash60(s: String): Long =
+    graft.functions.TextFunctions.hash60Local(s)
 
   /** Replica of `ChunkEmbed.docEmbed` at single-document grain: feature-
     * hashed bag of words, bucket = hash60 mod dim, sign = bit 6. Bucket
@@ -113,9 +107,14 @@ private[graft] object LocalHybrid {
   }
 
   /** One term's driver-cached slice of the sparse artifact: document
-    * frequency plus the postings rows (id, tf, dl).
+    * frequency plus the postings rows (id, tf, dl). `overCap` memoizes a
+    * term whose df exceeds the serving cap — its rows are never fetched
+    * (empty here) and any request containing it serves distributed, but
+    * the VERDICT is cached so the slow path stops re-paying the df probe
+    * on every request (self-review r17).
     */
-  final case class TermPost(df: Long, rows: Array[(Long, Long, Long)]) {
+  final case class TermPost(df: Long, rows: Array[(Long, Long, Long)],
+                            overCap: Boolean = false) {
     def sizeRows: Long = rows.length.toLong
   }
 
@@ -232,12 +231,15 @@ private[graft] object LocalHybrid {
   }
 
   /** Bounded LRU cache of term postings (the sparse leg's serving tier).
-    * Eviction is by TOTAL cached postings rows; a single term whose df
-    * exceeds `maxTermDf` is never cached (the request falls back to the
-    * distributed probe). Thread-safe via synchronization — the critical
+    * Eviction is by TOTAL cached postings rows; an entry whose rows
+    * ALONE exceed the budget is refused outright (self-review r17 —
+    * admitting it would hold the cache permanently over its stated
+    * memory contract). Over-cap VERDICT entries (`TermPost.overCap`,
+    * zero rows) cache like any other so the slow path's df probe is not
+    * re-paid per request. Thread-safe via synchronization — the critical
     * sections are map lookups, never IO.
     */
-  final class TermCache(maxTermDf: Long, maxRows: Long) {
+  final class TermCache(maxRows: Long) {
     private val map = new java.util.LinkedHashMap[String, TermPost](
       64, 0.75f, true)
     private var rows = 0L
@@ -246,12 +248,11 @@ private[graft] object LocalHybrid {
       Option(map.get(term))
     }
 
-    /** Admit a fetched term. Returns false (and does not cache) when the
-      * term's postings exceed the df cap — the caller must serve that
-      * request distributed.
+    /** Admit a fetched term. Returns false (and caches nothing) only
+      * when the entry's own rows exceed the whole budget.
       */
     def put(term: String, tp: TermPost): Boolean = synchronized {
-      if (tp.df > maxTermDf) false
+      if (tp.sizeRows > maxRows) false
       else {
         val old = map.remove(term)
         if (old != null) rows -= old.sizeRows

@@ -157,8 +157,8 @@ class LocalHybridSpec extends SparkSpec {
     }
   }
 
-  test("TermCache: LRU row budget evicts, df cap refuses") {
-    val cache = new LocalHybrid.TermCache(maxTermDf = 5, maxRows = 4)
+  test("TermCache: LRU row budget evicts; oversize refuses; overCap caches") {
+    val cache = new LocalHybrid.TermCache(maxRows = 4)
     def tp(n: Int) = LocalHybrid.TermPost(n.toLong,
       Array.fill(n)((1L, 1L, 1L)))
     assert(cache.put("a", tp(2)))
@@ -167,7 +167,36 @@ class LocalHybridSpec extends SparkSpec {
     assert(cache.put("c", tp(2)))          // budget 4: evicts LRU
     assert(cache.get("c").isDefined)
     assert(cache.get("a").isEmpty || cache.get("b").isEmpty)
-    assert(!cache.put("huge", tp(6)), "df over cap must refuse")
+    // an entry whose rows alone exceed the whole budget is refused —
+    // admitting it would hold the cache permanently over its contract
+    assert(!cache.put("huge", tp(6)), "oversize entry must refuse")
     assert(cache.get("huge").isEmpty)
+    // an over-cap VERDICT (zero rows) caches like any entry, so repeat
+    // requests with a hot common term stop re-paying the df probe
+    assert(cache.put("the", LocalHybrid.TermPost(1000000L,
+      Array.empty[(Long, Long, Long)], overCap = true)))
+    assert(cache.get("the").exists(_.overCap))
+  }
+
+  test("over-cap terms fall back distributed with identical wire results") {
+    val docs = (0L until 15L).map(i => (i, randText() + " common"))
+      .toDF("doc_id", "text")
+    val dir = graft.sources.TempDirs.register(
+      s"/tmp/graft_localhybrid_cap_${ProcessHandle.current().pid()}")
+    Bm25.save(Bm25.fit(docs, "doc_id", "text"), dir, numFiles = 2)
+    // 'common' is in every doc (df 15); cap at 10 so it is over-cap
+    val capped = new graft.serving.HybridSearchService(
+      docs, "doc_id", "text", dir, k = 5, fetchK = 10,
+      maxTermDf = 10L, maxCachedPostings = 100L)
+    val open = new graft.serving.HybridSearchService(
+      docs, "doc_id", "text", dir, k = 5, fetchK = 10)
+    try {
+      val q = "common join"
+      val got = capped.search(q) ++ capped.searchKeyword(q)
+      val want = open.search(q) ++ open.searchKeyword(q)
+      assert(got == want, s"capped fallback differs:\n got=$got\nwant=$want")
+      // and the verdict memoizes: a second identical request still equals
+      assert(capped.search(q) == open.search(q))
+    } finally { capped.stop(); open.stop() }
   }
 }

@@ -206,18 +206,22 @@ class NgramLmSpec extends SparkSpec {
     val d3 = disc(t); val d2 = disc(b)
     val t3 = t.keys.groupBy(_.take(2)).map { case (k, v) => k -> v.size.toLong }
     val t2 = b.keys.groupBy(_.take(1)).map { case (k, v) => k -> v.size.toLong }
+    // marginal normalizers: the context's own mass IN the n-gram table
+    // (doc-final occurrences continue nothing and are excluded)
+    val m3 = t.groupBy(_._1.take(2)).map { case (k, v) => k -> v.values.sum }
+    val m2 = b.groupBy(_._1.take(1)).map { case (k, v) => k -> v.values.sum }
     def p1(w3: String) = u(Seq(w3)).toDouble / n
     def p2(w2: String, w3: String): Double = t2.get(Seq(w2)) match {
       case Some(ty) =>
         (b.get(Seq(w2, w3)).map(c => math.max(c - d2, 0.0)).getOrElse(0.0) +
-          (d2 * ty) * p1(w3)) / u(Seq(w2))
+          (d2 * ty) * p1(w3)) / m2(Seq(w2))
       case None => p1(w3)
     }
     def p3(w1: String, w2: String, w3: String): Double =
       t3.get(Seq(w1, w2)) match {
         case Some(ty) =>
           (t.get(Seq(w1, w2, w3)).map(c => math.max(c - d3, 0.0)).getOrElse(0.0) +
-            (d3 * ty) * p2(w2, w3)) / b(Seq(w1, w2))
+            (d3 * ty) * p2(w2, w3)) / m3(Seq(w1, w2))
         case None => p2(w2, w3)
       }
     docs.flatMap { case (id, toks) =>
@@ -252,42 +256,43 @@ class NgramLmSpec extends SparkSpec {
       assert(math.abs(nll - want(id)._2) <= 1e-6 + 1e-9,
         s"doc $id: $nll vs ${want(id)._2}")
     }
-    // TRUE probability: for an observed context, sums to 1 over the
-    // unigram vocabulary (the property stupid backoff deliberately lacks)
+    // TRUE probability: sums to 1 over the unigram vocabulary for EVERY
+    // observed context — including boundary ones (self-review r17: an
+    // earlier form divided by the lower-order count, which also counts
+    // document-final occurrences, leaking mass at exactly those contexts)
     val vocab = docs.values.flatten.toSeq.distinct
     def counts(n: Int) = docs.values.toSeq
       .flatMap(_.sliding(n).filter(_.length == n).map(_.toList: Seq[String]))
       .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
     val bAll = counts(2); val tAll = counts(3)
-    assert(bAll.contains(Seq("a", "b")) && tAll.exists(_._1.take(2) == Seq("a", "b")))
-    // brute p3 sums over the vocab — uses the same arithmetic asserted
-    // above, so this checks the MODEL property, not the engine again
-    val mass = {
-      def disc(m: Map[Seq[String], Long]): Double = {
-        val n1 = m.values.count(_ == 1L).toLong
-        val n2 = m.values.count(_ == 2L).toLong
-        if (n1 + 2 * n2 > 0) n1.toDouble / (n1 + 2 * n2).toDouble else 0.75
-      }
-      val u = counts(1); val n = u.values.sum.toDouble
-      val d3 = disc(tAll); val d2 = disc(bAll)
-      val t3 = tAll.keys.groupBy(_.take(2)).map { case (k, v) => k -> v.size.toLong }
-      val t2 = bAll.keys.groupBy(_.take(1)).map { case (k, v) => k -> v.size.toLong }
-      def p1(w: String) = u(Seq(w)).toDouble / n
-      def p2(w2: String, w3: String): Double = t2.get(Seq(w2)) match {
-        case Some(ty) =>
-          (bAll.get(Seq(w2, w3)).map(c => math.max(c - d2, 0.0)).getOrElse(0.0) +
-            (d2 * ty) * p1(w3)) / u(Seq(w2))
-        case None => p1(w3)
-      }
-      vocab.map(w3 => (tAll.get(Seq("a", "b", w3))
-        .map(c => math.max(c - d3, 0.0)).getOrElse(0.0) +
-        (d3 * t3(Seq("a", "b"))) * p2("b", w3)) / bAll(Seq("a", "b"))).sum
+    def disc(m: Map[Seq[String], Long]): Double = {
+      val n1 = m.values.count(_ == 1L).toLong
+      val n2 = m.values.count(_ == 2L).toLong
+      if (n1 + 2 * n2 > 0) n1.toDouble / (n1 + 2 * n2).toDouble else 0.75
     }
-    // the unigram floor itself sums to 1 only over the whole vocab; the
-    // interpolated trigram mass over the same vocab must equal the
-    // bigram-leg mass it redistributes — for this corpus both are within
-    // float noise of 1
-    assert(math.abs(mass - 1.0) <= 1e-9, s"trigram mass $mass != 1")
+    val u = counts(1); val n = u.values.sum.toDouble
+    val d3 = disc(tAll); val d2 = disc(bAll)
+    val t3 = tAll.keys.groupBy(_.take(2)).map { case (k, v) => k -> v.size.toLong }
+    val t2 = bAll.keys.groupBy(_.take(1)).map { case (k, v) => k -> v.size.toLong }
+    val m3 = tAll.groupBy(_._1.take(2)).map { case (k, v) => k -> v.values.sum }
+    val m2 = bAll.groupBy(_._1.take(1)).map { case (k, v) => k -> v.values.sum }
+    def p1(w: String) = u(Seq(w)).toDouble / n
+    def p2(w2: String, w3: String): Double = t2.get(Seq(w2)) match {
+      case Some(ty) =>
+        (bAll.get(Seq(w2, w3)).map(c => math.max(c - d2, 0.0)).getOrElse(0.0) +
+          (d2 * ty) * p1(w3)) / m2(Seq(w2))
+      case None => p1(w3)
+    }
+    // 'c' ends doc 10 (the boundary context the fix exists for), 'b' is
+    // mid-doc everywhere, ("a","b") is an observed trigram context
+    Seq("b", "c").foreach { w2 =>
+      val mass = vocab.map(w3 => p2(w2, w3)).sum
+      assert(math.abs(mass - 1.0) <= 1e-9, s"bigram mass for '$w2': $mass")
+    }
+    val triMass = vocab.map(w3 => (tAll.get(Seq("a", "b", w3))
+      .map(c => math.max(c - d3, 0.0)).getOrElse(0.0) +
+      (d3 * t3(Seq("a", "b"))) * p2("b", w3)) / m3(Seq("a", "b"))).sum
+    assert(math.abs(triMass - 1.0) <= 1e-9, s"trigram mass $triMass != 1")
   }
 
   test("scoreAbsDiscount: OOV tokens mark nll NULL; short docs drop; guards") {

@@ -278,15 +278,25 @@ class UnigramTokSpec extends SparkSpec {
       val counts = perPiece.toSeq.map { case (p, wv) =>
         (p, wv.sortBy(_._1).foldLeft(0.0)(_ + _._2))
       }.sortBy(_._1)
-      val tot = counts.foldLeft(0.0) { case (a, (_, c)) => a + c }
-      counts.map { case (p, c) => (p, c / tot, c) }.toArray
+      // the engine's required-character floor, replicated
+      val tot0 = counts.foldLeft(0.0) { case (a, (_, c)) => a + c }
+      val floorC = tot0 * 1e-9
+      val present = counts.iterator.map(_._1).toSet
+      val all = (counts.map { case (p, c) =>
+          (p, if (singles(p) && c < floorC) floorC else c)
+        } ++ singles.toSeq.filterNot(present).sorted.map(p => (p, floorC)))
+        .sortBy(_._1)
+      val tot = all.foldLeft(0.0) { case (a, (_, c)) => a + c }
+      all.map { case (p, c) => (p, c / tot, c) }.toArray
     }
 
     var done = false
     while (!done) {
       var last: Array[(String, Double, Double)] = null
-      (1 to emIters).foreach(_ => last = em(probs))
-      probs = last.map { case (p, pr, _) => (p, pr) }
+      (1 to emIters).foreach { _ =>
+        last = em(probs)
+        probs = last.map { case (p, pr, _) => (p, pr) }
+      }
       if (probs.length <= vocabTarget) done = true
       else {
         val logp = probs.iterator
@@ -465,6 +475,20 @@ class UnigramTokSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       UnigramTok.sampleSegmentWords(df, dyadic, "s1", alpha = 0.0)
     }
+  }
+
+  test("emIters chains: later iterations re-estimate from the previous") {
+    // with vocabTarget above the seed size no pruning happens, so any
+    // difference between 1 and 3 iterations is pure EM chaining — the
+    // self-review r17 regression pin (an earlier form re-ran the E-step
+    // on the unchanged table, making emIters a no-op)
+    val df = fitCorpus.toDF("word", "freq")
+    val one = UnigramTok.fit(df, vocabTarget = 500, emIters = 1,
+      minSeedFreq = 2L)
+    val three = UnigramTok.fit(df, vocabTarget = 500, emIters = 3,
+      minSeedFreq = 2L)
+    assert(one.map(_._1) == three.map(_._1), "piece set stable without pruning")
+    assert(one != three, "EM iterations must move the estimate")
   }
 
   test("fit guards: bad params and maxVocab refuse loudly") {
