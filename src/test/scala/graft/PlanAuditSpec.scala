@@ -514,4 +514,24 @@ class PlanAuditSpec extends SparkSpec {
       r.contains("doc_id") && r.contains("text") && !r.contains("source")),
       s"scans must prune to (doc_id, text): $reads")
   }
+
+  test("t30: absolute discounting plans key-equi-joins; scalars are the only nested loops") {
+    val p = plan("t30_ngram_absdiscount")
+    assert(!p.contains("CartesianProduct"),
+      "the discount view must never plan a true cartesian")
+    // the five count/type joins are keyed (broadcast or shuffled hash/SMJ);
+    // nested-loop joins appear ONLY for the three 1-row scalar folds
+    // (n_total, d3, d2) — each prints one join node in the formatted plan
+    val bnl = "\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnl <= 3, s"expected <= 3 one-row scalar folds, got $bnl nested loops")
+  }
+
+  test("t28: the E-step plans the vocabulary shape — distinct words, no joins") {
+    val p = plan("t28_unigram_estep")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the E-step is a per-word mapPartitions — nothing may pair-expand")
+    // distinct words + the fold: bounded exchanges (distinct's two-phase +
+    // the final sort), never a corpus-grain shuffle cascade
+    assert(exchanges(p) <= 3, s"E-step must stay <= 3 exchanges:\n${p.take(400)}")
+  }
 }
