@@ -2614,6 +2614,21 @@ object Queries {
         col("col").as("token"))
       .orderBy("word", "pos")
 
+  /** T32 — unigram-LM token-id export ([[operators.UnigramTok
+    * .tokenIds]]): the SentencePiece training-export grain — one row per
+    * (doc, position) with the piece's model-order id (the vocab file's
+    * line order IS the id assignment; unk one past the end), positions
+    * ordered by (word position, within-word piece order) — completing
+    * the family's export API beside t19 (BPE) and t26 (WordPiece). The
+    * oracle composes t27's Viterbi-enumeration replay with a generated
+    * piece → id VALUES table and a doc-partitioned window; the id join
+    * is total because every emitted token is a served piece or the unk.
+    */
+  val t32UnigramIds: Q = (s, d) =>
+    operators.UnigramTok.tokenIds(
+      Tables.documents(s, d), "doc_id", "text", FixedUgPieces)
+      .orderBy("doc_id", "pos")
+
   /** T24c — t24 re-driven through a FOREIGN artifact: a BERT-format
     * `vocab.txt` (one piece per line, line number = id, `[UNK]` in the
     * file) written by the session fixture and read back by
@@ -2995,6 +3010,13 @@ object Queries {
     FixedUgPieces.map { case (p, lp) =>
       s"('${p.replace("'", "''")}', ${p.codePointCount(0, p.length)}, " +
         f"$lp%.6f)"
+    }.mkString(", ")
+
+  // the t32 oracle's piece -> id table, generated from the engine's own
+  // vocabIds (model order + unk one past the end) — one source of truth
+  private lazy val duckUgIds: String =
+    operators.UnigramTok.vocabIds(FixedUgPieces).map { case (t, i) =>
+      s"('${t.replace("'", "''")}', $i)"
     }.mkString(", ")
 
   // the t28 oracle's (piece, plen, prob) table — every prob is k/16, so
@@ -5473,6 +5495,43 @@ object Queries {
         |SELECT word, CAST(j - 1 AS BIGINT) AS pos, toks[j] AS token
         |FROM fin, unnest(generate_series(1, len(toks))) AS u(j)
         |ORDER BY word, pos""").stripMargin,
+    // t32 composes t27's Viterbi-enumeration replay with the generated
+    // id table and a doc-partitioned window — the t26 pattern for the
+    // third family
+    "t32_unigram_ids" ->
+      (s"""WITH RECURSIVE
+        |w0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |wpos AS (SELECT doc_id, i AS wpos, ws[i] AS word
+        |  FROM w0, unnest(generate_series(1, len(ws))) AS t(i)
+        |  WHERE len(ws[i]) > 0),
+        |wf AS (SELECT DISTINCT word FROM wpos),
+        |p AS (SELECT * FROM (VALUES $duckUgPieces) AS t(piece, plen, logp)),
+        |rec AS (
+        |  SELECT word, CAST(1 AS BIGINT) AS i, '' AS acc,
+        |    CAST(0 AS DOUBLE) AS s FROM wf
+        |  UNION ALL
+        |  SELECT r.word, CAST(r.i + p.plen AS BIGINT),
+        |    r.acc || p.piece || chr(31), r.s + p.logp
+        |  FROM rec r JOIN p ON substr(r.word, r.i, p.plen) = p.piece
+        |  WHERE r.i <= len(r.word)),
+        |term AS (SELECT word, acc, s FROM rec WHERE i = len(word) + 1),
+        |best AS (SELECT word, acc FROM (SELECT word, acc,
+        |    row_number() OVER (PARTITION BY word ORDER BY s DESC, acc) AS rn
+        |  FROM term) WHERE rn = 1),
+        |fin AS (
+        |  SELECT word, string_split(rtrim(acc, chr(31)), chr(31)) AS toks FROM best
+        |  UNION ALL
+        |  SELECT word, ['<unk>'] AS toks FROM wf
+        |  WHERE word NOT IN (SELECT word FROM term)),
+        |tk AS (SELECT word, j AS tpos, toks[j] AS token
+        |  FROM fin, unnest(generate_series(1, len(toks))) AS u(j)),
+        |ids AS (SELECT * FROM (VALUES $duckUgIds) AS t(token, token_id)),
+        |jj AS (SELECT wpos.doc_id, wpos.wpos, tk.tpos, ids.token_id
+        |  FROM wpos JOIN tk USING (word) JOIN ids USING (token))
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wpos, tpos) - 1 AS BIGINT) AS pos,
+        |  CAST(token_id AS BIGINT) AS token_id
+        |FROM jj ORDER BY doc_id, pos""").stripMargin,
     // t31 replays the FFBS sampler: prefix masses by enumeration (al),
     // per-state thresholds from the SAME md5 draw ('t31|word|pos', pos =
     // the engine's 1..n position = i-1 here), cumulative candidate
@@ -6062,6 +6121,7 @@ object Queries {
     "t27_unigram_segment" -> t27UnigramSegment,
     "t28_unigram_estep" -> t28UnigramEstep,
     "t31_unigram_sample" -> t31UnigramSample,
+    "t32_unigram_ids" -> t32UnigramIds,
     "t29_unigram_fit" -> t29UnigramFit,
     "t24c_wordpiece_bert_vocab" -> t24cWordpieceBertVocab,
     "t19b_bpe_ids_gpt2txt" -> t19bBpeIdsGpt2Txt,

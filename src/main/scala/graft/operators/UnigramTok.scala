@@ -565,6 +565,58 @@ object UnigramTok {
     } finally wf.unpersist()
   }
 
+  /** Piece → id table in MODEL ORDER (the SentencePiece convention: the
+    * vocab file's line order IS the id assignment — [[graft.sources
+    * .ModelStore.loadSentencePieceVocab]] preserves it), with the unk
+    * token taking the one-past-the-end id, the [[WordPiece.vocabIds]]
+    * discipline. Pieces must be distinct and must not contain the unk
+    * string.
+    */
+  def vocabIds(pieces: Seq[(String, Double)],
+               unk: String = Unk): Seq[(String, Long)] = {
+    require(pieces.map(_._1).distinct.size == pieces.size,
+      "piece list contains duplicates — ids would be ambiguous")
+    require(!pieces.exists(_._1 == unk),
+      s"unk token '$unk' collides with a vocabulary piece")
+    pieces.zipWithIndex.map { case ((p, _), i) => (p, i.toLong) } :+
+      ((unk, pieces.length.toLong))
+  }
+
+  /** The TRAINING EXPORT grain under Viterbi segmentation — the
+    * SentencePiece analog of [[BpeTrain.tokenIds]] / [[WordPiece
+    * .tokenIds]]: one row per (doc, position) with the piece's
+    * [[vocabIds]] id, `pos` 0-based over the doc's word order then
+    * within-word piece order; an uncoverable word contributes its
+    * single unk id. Same scale shape as the siblings: distinct words
+    * segment once, one equi-join back, the broadcast id table, and the
+    * per-doc position window — the grain the export needs anyway.
+    * Feeds [[SequencePack.packTokenIds]] directly.
+    */
+  def tokenIds(df: DataFrame, idCol: String, textCol: String,
+               pieces: Seq[(String, Double)],
+               unk: String = Unk): DataFrame = {
+    require(!Set("word", "pos", "token", "token_id", "__wpos", "__tpos")(idCol),
+      s"idCol '$idCol' collides with tokenIds' internal/output columns " +
+        "(word, pos, token, token_id) — rename it")
+    val spark = df.sparkSession
+    val words = df
+      .select(col(idCol),
+        posexplode(graft.functions.TextFunctions.tokens(col(textCol))))
+      .select(col(idCol), col("pos").as("__wpos"), col("col").as("word"))
+      .where(length(col("word")) > 0)
+    val perTok = segmentWords(words.select("word").distinct(), pieces, unk)
+      .select(col("word"), posexplode(col("tokens")))
+      .select(col("word"), col("pos").as("__tpos"), col("col").as("token"))
+    import spark.implicits._
+    val ids = vocabIds(pieces, unk).toDF("token", "token_id")
+    words.join(perTok, "word")
+      .join(broadcast(ids), "token")
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+          .orderBy(col("__wpos"), col("__tpos"))).cast("long") - 1)
+      .select(col(idCol), col("pos"), col("token_id"))
+  }
+
   /** Per-document token count under the unigram model —
     * [[WordPiece.tokenCounts]]' shape: distinct words segment once, one
     * equi-join back, a per-doc sum; an uncoverable word counts its

@@ -94,6 +94,35 @@ class UnigramTokSpec extends SparkSpec {
     }
   }
 
+  test("vocabIds: model-order ids + unk one past the end; malformed refuse") {
+    val ps = Seq(("a", -2.0), ("ab", -2.5), ("b", -2.1))
+    assert(UnigramTok.vocabIds(ps) ==
+      Seq(("a", 0L), ("ab", 1L), ("b", 2L), (UnigramTok.Unk, 3L)))
+    intercept[IllegalArgumentException] {
+      UnigramTok.vocabIds(Seq(("a", -1.0), ("a", -2.0)))
+    }
+    intercept[IllegalArgumentException] {
+      UnigramTok.vocabIds(Seq(("a", -1.0), ("x", -2.0)), unk = "x")
+    }
+  }
+
+  test("tokenIds: positions order by (word, within-word); unk id total") {
+    val docs = Seq((1L, "ab scan xq"), (2L, "abc")).toDF("doc_id", "text")
+    val got = UnigramTok.tokenIds(docs, "doc_id", "text", pieces)
+      .orderBy($"doc_id", $"pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val idOf = UnigramTok.vocabIds(pieces).toMap
+    // ab -> [ab]; scan -> [sc, an]; xq -> [<unk>]; abc -> [abc]
+    val want = Seq(
+      (1L, 0L, idOf("ab")), (1L, 1L, idOf("sc")), (1L, 2L, idOf("an")),
+      (1L, 3L, idOf(UnigramTok.Unk)), (2L, 0L, idOf("abc")))
+    assert(got.toSeq == want, s"got ${got.toSeq}")
+    intercept[IllegalArgumentException] {
+      UnigramTok.tokenIds(docs.withColumnRenamed("doc_id", "token"),
+        "token", "text", pieces)
+    }
+  }
+
   test("tokenCounts: per-doc sums, unk words count one") {
     val docs = Seq((1L, "ab scan xq"), (2L, "abc abc")).toDF("doc_id", "text")
     val got = UnigramTok.tokenCounts(docs, "doc_id", "text", pieces)
