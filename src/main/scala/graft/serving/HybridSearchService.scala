@@ -84,6 +84,12 @@ class HybridSearchService(
     s"unknown denseMode '$denseMode' (have: exact, ivf)")
   require(nlist >= 1 && nprobe >= 1,
     s"nlist $nlist and nprobe $nprobe must be >= 1")
+  // budget coherence, checked BEFORE any artifact load (a late failure
+  // would leak the cached dense index — r17 second-review finding): a
+  // term the df cap admits must be cacheable
+  require(maxTermDf <= maxCachedPostings,
+    s"maxTermDf $maxTermDf exceeds maxCachedPostings $maxCachedPostings — " +
+      "an admitted term's postings must fit the cache budget")
   private val spark = corpus.sparkSession
 
   // BM25's published defaults — the same constants searchIndex defaults
@@ -140,11 +146,6 @@ class HybridSearchService(
     val s = r.get(1).asInstanceOf[Number].longValue()
     (n.toDouble, s.toDouble / n.toDouble)
   }
-  // budget coherence: a term the df cap admits must be cacheable, or the
-  // tier would fetch rows it can never hold (self-review r17)
-  require(maxTermDf <= maxCachedPostings,
-    s"maxTermDf $maxTermDf exceeds maxCachedPostings $maxCachedPostings — " +
-      "an admitted term's postings must fit the cache budget")
   private val termCache = new LocalHybrid.TermCache(maxCachedPostings)
 
   /** Resolve every query term to its cached postings — fetching misses

@@ -244,27 +244,38 @@ private[graft] object LocalHybrid {
       64, 0.75f, true)
     private var rows = 0L
 
+    // every entry costs at least 1 toward the budget: zero-row entries
+    // (absent-term empties, overCap verdicts) would otherwise never
+    // count and never evict, so a long tail of unique junk terms on the
+    // public endpoint would grow the map without bound — the r17
+    // second-review finding; with the floor, entry COUNT is bounded by
+    // maxRows too
+    private def cost(tp: TermPost): Long = math.max(tp.sizeRows, 1L)
+
     def get(term: String): Option[TermPost] = synchronized {
       Option(map.get(term))
     }
 
     /** Admit a fetched term. Returns false (and caches nothing) only
-      * when the entry's own rows exceed the whole budget.
+      * when the entry's own cost exceeds the whole budget.
       */
     def put(term: String, tp: TermPost): Boolean = synchronized {
-      if (tp.sizeRows > maxRows) false
+      if (cost(tp) > maxRows) false
       else {
         val old = map.remove(term)
-        if (old != null) rows -= old.sizeRows
+        if (old != null) rows -= cost(old)
         map.put(term, tp)
-        rows += tp.sizeRows
+        rows += cost(tp)
         val it = map.entrySet().iterator()
         while (rows > maxRows && it.hasNext) {
           val e = it.next()
-          if (e.getKey != term) { rows -= e.getValue.sizeRows; it.remove() }
+          if (e.getKey != term) { rows -= cost(e.getValue); it.remove() }
         }
         true
       }
     }
+
+    /** Entry count — bounded by the budget (spec-pinned). */
+    def size: Int = synchronized(map.size())
   }
 }

@@ -176,6 +176,11 @@ class LocalHybridSpec extends SparkSpec {
     assert(cache.put("the", LocalHybrid.TermPost(1000000L,
       Array.empty[(Long, Long, Long)], overCap = true)))
     assert(cache.get("the").exists(_.overCap))
+    // zero-row entries cost 1 toward the budget, so a long tail of junk
+    // terms cannot grow the map without bound (entry count <= budget)
+    (0 until 50).foreach(i =>
+      assert(cache.put(s"junk$i", tp(0))))
+    assert(cache.size <= 4, s"entry count ${cache.size} over the budget")
   }
 
   test("over-cap terms fall back distributed with identical wire results") {
