@@ -594,28 +594,9 @@ object UnigramTok {
     */
   def tokenIds(df: DataFrame, idCol: String, textCol: String,
                pieces: Seq[(String, Double)],
-               unk: String = Unk): DataFrame = {
-    require(!Set("word", "pos", "token", "token_id", "__wpos", "__tpos")(idCol),
-      s"idCol '$idCol' collides with tokenIds' internal/output columns " +
-        "(word, pos, token, token_id) — rename it")
-    val spark = df.sparkSession
-    val words = df
-      .select(col(idCol),
-        posexplode(graft.functions.TextFunctions.tokens(col(textCol))))
-      .select(col(idCol), col("pos").as("__wpos"), col("col").as("word"))
-      .where(length(col("word")) > 0)
-    val perTok = segmentWords(words.select("word").distinct(), pieces, unk)
-      .select(col("word"), posexplode(col("tokens")))
-      .select(col("word"), col("pos").as("__tpos"), col("col").as("token"))
-    import spark.implicits._
-    val ids = vocabIds(pieces, unk).toDF("token", "token_id")
-    words.join(perTok, "word")
-      .join(broadcast(ids), "token")
-      .withColumn("pos", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
-          .orderBy(col("__wpos"), col("__tpos"))).cast("long") - 1)
-      .select(col(idCol), col("pos"), col("token_id"))
-  }
+               unk: String = Unk): DataFrame =
+    TokenExport.tokenIds(df, idCol, textCol,
+      words => segmentWords(words, pieces, unk), vocabIds(pieces, unk))
 
   /** Per-document token count under the unigram model —
     * [[WordPiece.tokenCounts]]' shape: distinct words segment once, one
