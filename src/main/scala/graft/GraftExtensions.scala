@@ -73,6 +73,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       arity("bloom_agg", 3)(children =>
         new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
           children.head, children(1), children(2)))))
+    // Broadcast-shipped bloom probe (graft.functions.BloomBroadcasts): the
+    // first argument is a tiny registry-key STRING literal, resolved at
+    // analysis time to the broadcast handle — the filter bytes never enter
+    // the plan or the task binary (the literal form re-allocates a multi-MB
+    // array per task; measured as the e9b G1-storm regression, r18).
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_probe"),
+      new ExpressionInfo(
+        classOf[graft.functions.BloomMightContainBc].getName, "bloom_probe"),
+      arity("bloom_probe", 2)(children => {
+        val key = children.head match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(s, _)
+              if s != null => s.toString
+          case _ => throw new IllegalArgumentException(
+            "bloom_probe's first argument must be a non-null registry-key " +
+              "string literal from BloomBroadcasts.register")
+        }
+        graft.functions.BloomMightContainBc(
+          graft.functions.BloomBroadcasts.lookup(key), children(1))
+      })))
     ext.injectFunction((
       new FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(

@@ -74,6 +74,37 @@ object Profile {
         time("pairs")(Queries.e2MinhashPairs(spark, sfDir).count())
         time("sig")(Queries.e2MinhashSig(spark, sfDir).count())
         time("sig2")(Queries.e2MinhashSig(spark, sfDir).count())
+      case "reps" =>
+        // args(1) = query name: 6 materialized reps with per-stage metrics
+        // and driver GC deltas, to localize a per-rep degradation
+        import org.apache.spark.scheduler._
+        val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+        spark.sparkContext.addSparkListener(new SparkListener {
+          override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+            val si = sc.stageInfo
+            val m = si.taskMetrics
+            val wall = for { s <- si.submissionTime; c <- si.completionTime } yield c - s
+            stages.add(f"PROFSTAGE id=${si.stageId} tasks=${si.numTasks} " +
+              f"wallMs=${wall.getOrElse(-1L)} runMs=${m.executorRunTime} " +
+              f"cpuMs=${m.executorCpuTime / 1000000} gcMs=${m.jvmGCTime} " +
+              f"deserMs=${m.executorDeserializeTime} name=${si.name.take(50)}")
+          }
+        })
+        val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+        def gcMs(): Long = { var s = 0L; gcBeans.forEach(b => s += b.getCollectionTime); s }
+        val fn = Queries.all(args(1))
+        Bench.materialize(fn(spark, "/root/testdata/sf0.001")) // warm
+        (1 to 6).foreach { i =>
+          stages.clear()
+          val g0 = gcMs()
+          val t0 = System.nanoTime()
+          Bench.materialize(fn(spark, sfDir))
+          val wall = (System.nanoTime() - t0) / 1e9
+          val rt = Runtime.getRuntime
+          println(f"PROF rep$i t=$wall%.2f driverGcMs=${gcMs() - g0} " +
+            f"heapUsedMb=${(rt.totalMemory() - rt.freeMemory()) / 1048576}")
+          stages.forEach(s => println(s"  $s"))
+        }
       case q =>
         val t0 = System.nanoTime()
         val full = Queries.all(q)(spark, sfDir)

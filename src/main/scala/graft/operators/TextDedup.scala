@@ -243,9 +243,10 @@ object TextDedup {
     * table overhead) that broadcast stops fitting. Here the bench side
     * folds into ONE Bloom filter (Spark's own codegen'd
     * `BloomFilterAggregate`, spark-sketch bits — a few MB at fpp 10⁻⁶),
-    * the filter ships as a literal, and the corpus scan flags shingles
-    * with `bloom_might_contain` — scan-local, no broadcast hash table, no
-    * bench-side distinct shuffle (duplicate inserts are free).
+    * the filter ships once per executor as a broadcast (`bloom_probe`,
+    * [[graft.functions.BloomBroadcasts]]), and the corpus scan flags
+    * shingles scan-locally — no broadcast hash table, no bench-side
+    * distinct shuffle (duplicate inserts are free).
     *
     * Guarantees: NO false negatives — a contaminated document can never
     * slip through, the property decontamination actually needs. False
@@ -348,12 +349,27 @@ object TextDedup {
       // same space-joined windows, same n<k empty guard, zip_with form)
       transform(array(tokens(text)), w =>
         exists(shingles(w, shingleK),
-          s => call_function("bloom_might_contain", lit(bf), hash60(s)))), 1)
+          s => bloomProbe(bf, hash60(s)))), 1)
+
+  /** The probe Column: broadcast-shipped filter ([[graft.functions
+    * .BloomBroadcasts]] — a multi-MB `lit(bf)` would ride every task
+    * binary and be re-allocated per task; measured as the e9b G1 storm,
+    * r18). Registration is idempotent per content, so repeated plan
+    * builds reuse one broadcast; only the tiny registry KEY enters the
+    * plan. `SparkSession.active` is sound here: Column construction
+    * happens on the driver.
+    */
+  private def bloomProbe(bf: Array[Byte], h: Column): Column =
+    call_function("bloom_probe",
+      lit(graft.functions.BloomBroadcasts.register(
+        org.apache.spark.sql.SparkSession.active, bf)),
+      h)
 
   /** The PROBE half of [[contaminationBloom]]: flag corpus shingles
     * against a prebuilt filter (fresh from [[benchShingleBloom]] or loaded
-    * from durable artifacts). Scan-local — the filter ships as one codegen
-    * literal, no broadcast hash table, no bench-side work at all.
+    * from durable artifacts). Scan-local — the filter ships ONCE per
+    * executor as a broadcast ([[graft.functions.BloomBroadcasts]]), no
+    * broadcast hash TABLE, no bench-side work at all.
     */
   def contaminationBloomWith(
       corpus: DataFrame, textCol: String, idCol: String, shingleK: Int,
@@ -365,7 +381,7 @@ object TextDedup {
         .agg(countDistinct(col("h")).as("n_shingles")).limit(0)
     else
       corpusShingles
-        .where(call_function("bloom_might_contain", lit(bf), col("h")))
+        .where(bloomProbe(bf, col("h")))
         .groupBy(col(idCol))
         .agg(countDistinct(col("h")).as("n_shingles"))
   }

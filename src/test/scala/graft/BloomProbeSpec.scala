@@ -1,0 +1,69 @@
+package graft
+
+import graft.functions.BloomBroadcasts
+import org.apache.spark.sql.functions._
+
+/** [[graft.functions.BloomBroadcasts]] / `bloom_probe` — the broadcast
+  * shipping vehicle for bloom filters (the r18 fix for the e9b per-task
+  * literal-allocation storm). Probe parity with Spark's own literal-form
+  * `bloom_might_contain` is the contract: identical bits, different
+  * transport.
+  */
+class BloomProbeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def buildBloom(hs: Seq[Long]): Array[Byte] =
+    hs.toDF("h").agg(
+      call_function("bloom_agg", col("h"), lit(hs.size.toLong), lit(8192L)))
+      .head().getAs[Array[Byte]](0)
+
+  test("bloom_probe == bloom_might_contain bit-for-bit; registry idempotent") {
+    val bf = buildBloom((1L to 200L).map(_ * 7919))
+    val k1 = BloomBroadcasts.register(spark, bf)
+    val k2 = BloomBroadcasts.register(spark, bf)
+    assert(k1 == k2, "same content must reuse one broadcast")
+    val probes = (1L to 2000L).toDF("h")
+    val got = probes
+      .select(col("h"), call_function("bloom_probe", lit(k1), col("h") * 7919).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val want = probes
+      .select(col("h"),
+        call_function("bloom_might_contain", lit(bf), col("h") * 7919).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == want)
+    assert((1L to 200L).forall(got(_)), "no false negatives")
+  }
+
+  test("unknown key and non-literal key refuse loudly; unregister drops") {
+    val ex = intercept[Exception] {
+      Seq(1L).toDF("h")
+        .select(call_function("bloom_probe", lit("nope"), col("h"))).collect()
+    }
+    assert(ex.getMessage.contains("no filter registered"), ex.getMessage)
+    val ex2 = intercept[Exception] {
+      Seq(("k", 1L)).toDF("k", "h")
+        .select(call_function("bloom_probe", col("k"), col("h"))).collect()
+    }
+    assert(ex2.getMessage.contains("string literal"), ex2.getMessage)
+    val bf = buildBloom(Seq(42L))
+    val k = BloomBroadcasts.register(spark, bf)
+    BloomBroadcasts.unregister(k)
+    intercept[Exception] {
+      Seq(1L).toDF("h")
+        .select(call_function("bloom_probe", lit(k), col("h"))).collect()
+    }
+    // re-register after retirement works (a fresh broadcast)
+    assert(BloomBroadcasts.register(spark, bf) == k)
+    BloomBroadcasts.unregister(k)
+  }
+
+  test("null hash yields null, not a probe of garbage") {
+    val bf = buildBloom(Seq(42L))
+    val k = BloomBroadcasts.register(spark, bf)
+    val r = Seq(Some(42L), None).toDF("h")
+      .select(call_function("bloom_probe", lit(k), col("h")).as("p"))
+      .collect().map(x => if (x.isNullAt(0)) null else x.getBoolean(0))
+    assert(r(0) == true && r(1) == null)
+    BloomBroadcasts.unregister(k)
+  }
+}
