@@ -2629,6 +2629,22 @@ object Queries {
       Tables.documents(s, d), "doc_id", "text", FixedUgPieces)
       .orderBy("doc_id", "pos")
 
+  /** T33 — SAMPLED token-id export ([[operators.UnigramTok
+    * .sampledTokenIds]]): t31's FFBS draw composed with t32's id/position
+    * grain — one EPOCH of subword-regularized training data (Kudo §3.5:
+    * resample per epoch by varying the seed, reproduce per epoch by
+    * fixing it), hash-pinned at α = 1 where the sampler's arithmetic is
+    * cross-engine exact. The oracle replays the t31 enumeration-mass FFBS
+    * under seed 't33', then joins the generated model-order id table and
+    * windows per doc exactly like t32. UnigramTokSpec pins the epoch
+    * story: two seeds differ, one seed is stable, and each epoch's frame
+    * feeds [[operators.SequencePack.packTokenIds]].
+    */
+  val t33UnigramSampledIds: Q = (s, d) =>
+    operators.UnigramTok.sampledTokenIds(
+        Tables.documents(s, d), "doc_id", "text", FixedUgProbs, seed = "t33")
+      .orderBy("doc_id", "pos")
+
   /** T24c — t24 re-driven through a FOREIGN artifact: a BERT-format
     * `vocab.txt` (one piece per line, line number = id, `[UNK]` in the
     * file) written by the session fixture and read back by
@@ -2731,13 +2747,14 @@ object Queries {
   private val foreignModelStage = new operators.SessionCache[String]
   /** Session fixture for the FOREIGN-format tokenizer artifacts (the
     * files real migrations start from): a BERT `vocab.txt` carrying
-    * `[UNK]` + [[FixedWpPieces]], a GPT-2 `merges.txt` carrying
-    * [[BpeFixedMerges]] under the byte-level discipline, a GPT-2
-    * `vocab.json` carrying that model's published-id table, and a
+    * `[UNK]` at line 0 + [[FixedWpPieces]], a GPT-2 `merges.txt` carrying
+    * [[BpeFixedMerges]] under the byte-level discipline, and a
     * SentencePiece `.vocab` carrying [[FixedUgPieces]] — each written in
     * the PUBLISHED text format (not this engine's parquet layouts), so
-    * the t24c/t19b/t27b rows prove the interchange loaders serve
-    * hash-identically to the in-memory models.
+    * the t24c/t26b/t19b/t27b rows prove the interchange loaders serve
+    * hash-identically to the in-memory models. (GPT-2 `vocab.json`
+    * loading is exercised by ModelStoreSpec's unit fixtures — ADVICE
+    * r17: this comment previously overstated what THIS fixture writes.)
     */
   private def ensureForeignModels(s: SparkSession): String =
     foreignModelStage.getOrBuild(operators.SessionCache.token(s)) {
@@ -2766,7 +2783,7 @@ object Queries {
     * discipline) leaves some words uncoverable — they emit nothing, the
     * documented Z=0 contract.
     */
-  private val FixedUgProbs: Seq[(String, Double)] =
+  private[graft] val FixedUgProbs: Seq[(String, Double)] =
     "abcdefghijklmnopqrstvwy".map(c => (c.toString, 1.0 / 16)) ++ Seq(
       ("th", 2.0 / 16), ("the", 3.0 / 16), ("an", 2.0 / 16),
       ("in", 2.0 / 16), ("er", 3.0 / 16), ("sc", 2.0 / 16),
@@ -2822,6 +2839,53 @@ object Queries {
       .orderBy("word", "pos")
   }
 
+  /** T29b — the EM LOOP's chained arithmetic under the HASH gate
+    * ([[operators.UnigramTok.emIterations]]): two CHAINED quantized EM
+    * iterations from the dyadic [[FixedUgProbs]] seed over the corpus's
+    * word-frequency table, emitting the round-2 piece probabilities. The
+    * r17 self-review proved the loop is where fit bugs live (the emIters
+    * chaining no-op survived t28 precisely because t28 pins ONE E-step);
+    * this row replays E-step → grid-quantize → exact DECIMAL aggregate →
+    * normalize → re-grid → E-step in DuckDB with the t28 enumeration
+    * oracle as the inner E-step — every inter-round value is a decimal
+    * grid point, so the engines agree bit-for-bit (margins spec-pinned,
+    * UnigramTokSpec). t29 (the full fit with floor/prune loop control)
+    * stays rows-only; this row puts the loop's ARITHMETIC under the hard
+    * signal.
+    */
+  val t29bUnigramEm2: Q = (s, d) => {
+    import s.implicits._
+    operators.UnigramTok.emIterations(
+        operators.BpeTrain.wordFreq(Tables.documents(s, d), "text"),
+        FixedUgProbs, iters = 2)
+      .toDF("piece", "p")
+      .orderBy("piece")
+  }
+
+  /** T29c — the full loop BODY under the hash gate ([[operators
+    * .UnigramTok.emPruneOnce]]): t29b's two chained EM rounds, then ONE
+    * likelihood-loss prune (Kudo §3.2's vocabulary shrink — each
+    * multi-symbol piece scores count·(log p − altScore), altScore the
+    * Viterbi score of its own text without it; seed singles protected;
+    * keep the larger of vocabTarget's multi budget and the pruneKeep
+    * fraction) and a grid renormalize. The oracle replays the prune by
+    * ENUMERATING each candidate's alternative segmentations with the
+    * piece excluded and ranking by the same loss; `ln` enters only the
+    * kept-set ORDERING (robust to last-bit libm differences — the spec
+    * pins the loss gaps), while the emitted probs stay exact decimal-grid
+    * arithmetic. With t29b this puts E→M chaining AND prune — the whole
+    * fit loop body — under the hard signal; only [[operators.UnigramTok
+    * .fit]]'s outer while-loop control remains rows-only (t29).
+    */
+  val t29cUnigramPrune: Q = (s, d) => {
+    import s.implicits._
+    operators.UnigramTok.emPruneOnce(
+        operators.BpeTrain.wordFreq(Tables.documents(s, d), "text"),
+        FixedUgProbs, iters = 2, vocabTarget = 30, pruneKeep = 0.5)
+      .toDF("piece", "p")
+      .orderBy("piece")
+  }
+
   /** T26 — WordPiece token-id export ([[operators.WordPiece.tokenIds]]):
     * the BERT vocab.txt grain — one row per (doc, position) with the
     * piece's rank id (unk = one past the vocabulary), positions ordered
@@ -2834,6 +2898,24 @@ object Queries {
     operators.WordPiece.tokenIds(
       Tables.documents(s, d), "doc_id", "text", FixedWpPieces)
       .orderBy("doc_id", "pos")
+
+  /** T26b — token-id export through a FOREIGN id assignment
+    * ([[operators.WordPiece.tokenIdsWith]] ∘ [[graft.sources.ModelStore
+    * .loadBertVocabIds]]): the session fixture's `vocab.txt` ships
+    * `[UNK]` at line 0 — the id layout a real BERT vocab has and the one
+    * [[operators.WordPiece.vocabIds]]' unk-last synthesis CANNOT
+    * reproduce (ADVICE r17: feeding a stripped foreign vocab to the
+    * rank-id path silently shifts every post-unk id off the published
+    * assignment). The oracle replays t26's segmentation with the id
+    * VALUES generated from the fixture's line order, unk = 0.
+    */
+  val t26bWordpieceIdsBert: Q = (s, d) => {
+    val (vocab, unk) = graft.sources.ModelStore.loadBertVocabIds(
+      s, s"${ensureForeignModels(s)}/vocab.txt")
+    operators.WordPiece.tokenIdsWith(
+        Tables.documents(s, d), "doc_id", "text", vocab, unk)
+      .orderBy("doc_id", "pos")
+  }
 
   /** T25 — per-document WordPiece token counts
     * ([[operators.WordPiece.tokenCounts]]): the budget a BERT-style
@@ -3025,6 +3107,72 @@ object Queries {
     FixedUgProbs.map { case (p, pr) =>
       s"('${p.replace("'", "''")}', ${p.codePointCount(0, p.length)}, " +
         f"$pr%.4f)"
+    }.mkString(", ")
+
+  // the shared t29b/t29c CTE chain: TWO quantized EM rounds (enumeration
+  // E-step; v = round(e·freq, 6) — lossless as DOUBLE and DECIMAL(38,6)
+  // in any engine; exact decimal per-piece sums; one double division;
+  // re-grid) ending at c2, round 2's per-piece decimal counts
+  private lazy val duckUgEm2Ctes: String =
+    (s"""w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      |wfq AS (SELECT word, CAST(count(*) AS DOUBLE) AS freq FROM w
+      |  WHERE len(word) > 0 GROUP BY word),
+      |p0 AS (SELECT * FROM (VALUES $duckUgProbs) AS t(piece, plen, prob)),
+      |rec1 AS (
+      |  SELECT word, CAST(1 AS BIGINT) AS i, '' AS acc,
+      |    CAST(1 AS DOUBLE) AS pr FROM wfq
+      |  UNION ALL
+      |  SELECT r.word, CAST(r.i + p.plen AS BIGINT),
+      |    r.acc || p.piece || chr(31), r.pr * p.prob
+      |  FROM rec1 r JOIN p0 p ON substr(r.word, r.i, p.plen) = p.piece
+      |  WHERE r.i <= len(r.word)),
+      |term1 AS (SELECT word, string_split(rtrim(acc, chr(31)), chr(31)) AS toks,
+      |    pr FROM rec1 WHERE i = len(word) + 1),
+      |z1 AS (SELECT word, sum(pr) AS z FROM term1 GROUP BY word),
+      |occ1 AS (SELECT word, unnest(toks) AS piece, pr FROM term1),
+      |num1 AS (SELECT word, piece, sum(pr) AS num FROM occ1 GROUP BY word, piece),
+      |c1 AS (SELECT piece,
+      |    SUM(CAST(round(n.num / z.z * f.freq, 6) AS DECIMAL(38,6))) AS c
+      |  FROM num1 n JOIN z1 z USING (word) JOIN wfq f USING (word)
+      |  GROUP BY piece
+      |  HAVING SUM(CAST(round(n.num / z.z * f.freq, 6) AS DECIMAL(38,6))) > 0),
+      |p1 AS (SELECT piece, plen, prob FROM (
+      |    SELECT piece, len(piece) AS plen,
+      |      round(CAST(c AS DOUBLE) /
+      |        CAST((SELECT SUM(c) FROM c1) AS DOUBLE), 6) AS prob
+      |    FROM c1) WHERE prob > 0),
+      |rec2 AS (
+      |  SELECT word, CAST(1 AS BIGINT) AS i, '' AS acc,
+      |    CAST(1 AS DOUBLE) AS pr FROM wfq
+      |  UNION ALL
+      |  SELECT r.word, CAST(r.i + p.plen AS BIGINT),
+      |    r.acc || p.piece || chr(31), r.pr * p.prob
+      |  FROM rec2 r JOIN p1 p ON substr(r.word, r.i, p.plen) = p.piece
+      |  WHERE r.i <= len(r.word)),
+      |term2 AS (SELECT word, string_split(rtrim(acc, chr(31)), chr(31)) AS toks,
+      |    pr FROM rec2 WHERE i = len(word) + 1),
+      |z2 AS (SELECT word, sum(pr) AS z FROM term2 GROUP BY word),
+      |occ2 AS (SELECT word, unnest(toks) AS piece, pr FROM term2),
+      |num2 AS (SELECT word, piece, sum(pr) AS num FROM occ2 GROUP BY word, piece),
+      |c2 AS (SELECT piece,
+      |    SUM(CAST(round(n.num / z.z * f.freq, 6) AS DECIMAL(38,6))) AS c
+      |  FROM num2 n JOIN z2 z USING (word) JOIN wfq f USING (word)
+      |  GROUP BY piece
+      |  HAVING SUM(CAST(round(n.num / z.z * f.freq, 6) AS DECIMAL(38,6))) > 0)""")
+      .stripMargin
+
+  // the t33 oracle's piece -> id table over the PROB model (model order +
+  // unk one past the end), generated from the engine's own vocabIds
+  private lazy val duckUgProbIds: String =
+    operators.UnigramTok.vocabIds(FixedUgProbs).map { case (t, i) =>
+      s"('${t.replace("'", "''")}', $i)"
+    }.mkString(", ")
+
+  // the t26b oracle's token -> id table: the FIXTURE's vocab.txt line
+  // order (unk at line 0), the published-id layout loadBertVocabIds keeps
+  private lazy val duckWpIdsBert: String =
+    (operators.WordPiece.Unk +: FixedWpPieces).zipWithIndex.map { case (t, i) =>
+      s"('${t.replace("'", "''")}', $i)"
     }.mkString(", ")
 
   // the t26 oracle's piece -> id table, generated from the engine's own
@@ -5585,6 +5733,118 @@ object Queries {
         |SELECT word, CAST(j - 1 AS BIGINT) AS pos, toks[j] AS token
         |FROM fin, unnest(generate_series(1, len(toks))) AS u(j)
         |ORDER BY word, pos""").stripMargin,
+    // t29b chains TWO quantized EM rounds: the t28 enumeration E-step,
+    // v = round(e·freq, 6) (a decimal-grid value — lossless as DOUBLE and
+    // as DECIMAL(38,6) in any engine), exact decimal per-piece sums
+    // (order-independent, so enumeration vs forward–backward cannot
+    // diverge), one double division, re-grid, then the same E-step again
+    // under the round-1 grid probs
+    "t29b_unigram_em2" ->
+      (s"""WITH RECURSIVE $duckUgEm2Ctes
+        |SELECT piece, p FROM (
+        |  SELECT piece,
+        |    round(CAST(c AS DOUBLE) /
+        |      CAST((SELECT SUM(c) FROM c2) AS DOUBLE), 6) AS p
+        |  FROM c2) WHERE p > 0 ORDER BY piece""").stripMargin,
+    // t29c = t29b's chain + ONE prune replay: alt scores by enumerating
+    // each multi piece's own text with the piece EXCLUDED, loss =
+    // count·(ln p − alt) ranks the keep set (ln affects ordering only),
+    // then exact-decimal mass renormalize back onto the grid
+    "t29c_unigram_prune" ->
+      (s"""WITH RECURSIVE $duckUgEm2Ctes,
+        |p2w AS (SELECT piece, plen, prob, cd FROM (
+        |    SELECT piece, len(piece) AS plen, CAST(c AS DOUBLE) AS cd,
+        |      round(CAST(c AS DOUBLE) /
+        |        CAST((SELECT SUM(c) FROM c2) AS DOUBLE), 6) AS prob
+        |    FROM c2) WHERE prob > 0),
+        |mult AS (SELECT piece, plen, prob, cd FROM p2w WHERE plen > 1),
+        |rec3 AS (
+        |  SELECT piece AS target, CAST(1 AS BIGINT) AS i,
+        |    CAST(0 AS DOUBLE) AS s FROM mult
+        |  UNION ALL
+        |  SELECT r.target, CAST(r.i + q.plen AS BIGINT), r.s + ln(q.prob)
+        |  FROM rec3 r JOIN mult m ON m.piece = r.target
+        |  JOIN p2w q ON substr(m.piece, CAST(r.i AS INTEGER), q.plen) = q.piece
+        |    AND q.piece <> m.piece
+        |  WHERE r.i <= m.plen),
+        |alt AS (SELECT r.target AS piece, max(r.s) AS alt
+        |  FROM rec3 r JOIN mult m ON m.piece = r.target
+        |  WHERE r.i = m.plen + 1 GROUP BY r.target),
+        |scored AS (SELECT m.piece, m.prob,
+        |    CASE WHEN a.alt IS NULL THEN CAST('infinity' AS DOUBLE)
+        |         ELSE m.cd * (ln(m.prob) - a.alt) END AS loss
+        |  FROM mult m LEFT JOIN alt a USING (piece)),
+        |ranked AS (SELECT piece, prob,
+        |    row_number() OVER (ORDER BY loss DESC, piece) AS rn FROM scored),
+        |kept AS (SELECT piece, prob FROM ranked WHERE rn <= (
+        |  SELECT LEAST(count(*), GREATEST(
+        |      GREATEST(0, 30 - (SELECT count(*) FROM p2w WHERE plen = 1)),
+        |      CAST(floor(count(*) * 0.5) AS BIGINT)))
+        |  FROM mult)),
+        |nxt AS (SELECT piece, prob FROM p2w WHERE plen = 1
+        |  UNION ALL SELECT piece, prob FROM kept)
+        |SELECT piece, round(prob /
+        |    CAST((SELECT SUM(CAST(prob AS DECIMAL(38,6))) FROM nxt) AS DOUBLE),
+        |  6) AS p
+        |FROM nxt ORDER BY piece""").stripMargin,
+    // t33 = t31's enumeration-mass FFBS replay (seed 't33') composed with
+    // t32's id/position tail: sampled tokens join the generated
+    // model-order id table, positions from the per-doc window
+    "t33_unigram_sampled_ids" ->
+      (s"""WITH RECURSIVE
+        |w0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |wpos AS (SELECT doc_id, i AS wpos, ws[i] AS word
+        |  FROM w0, unnest(generate_series(1, len(ws))) AS t(i)
+        |  WHERE len(ws[i]) > 0),
+        |wf AS (SELECT DISTINCT word FROM wpos),
+        |p AS (SELECT * FROM (VALUES $duckUgProbs) AS t(piece, plen, prob)),
+        |rec AS (
+        |  SELECT word, CAST(1 AS BIGINT) AS i, CAST(1 AS DOUBLE) AS pr FROM wf
+        |  UNION ALL
+        |  SELECT r.word, CAST(r.i + p.plen AS BIGINT), r.pr * p.prob
+        |  FROM rec r JOIN p ON substr(r.word, r.i, p.plen) = p.piece
+        |  WHERE r.i <= len(r.word)),
+        |al AS (SELECT word, i, sum(pr) AS a FROM rec GROUP BY word, i),
+        |cand AS (SELECT a2.word, a2.i, a1.i AS j, a1.a * p.prob AS wgt
+        |  FROM al a2
+        |  JOIN p ON a2.i - p.plen >= 1
+        |  JOIN al a1 ON a1.word = a2.word AND a1.i = a2.i - p.plen
+        |  WHERE a2.i > 1 AND substr(a2.word, a1.i, p.plen) = p.piece),
+        |cm AS (SELECT word, i, j,
+        |    sum(wgt) OVER (PARTITION BY word, i ORDER BY j) AS cum FROM cand),
+        |thr AS (SELECT word, i,
+        |    CAST(('0x' || substring(md5('t33|' || word || '|' ||
+        |      CAST(i - 1 AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
+        |      / 1152921504606846976.0 * a AS t
+        |  FROM al WHERE i > 1),
+        |pick AS (SELECT c.word, c.i, min(c.j) AS j
+        |  FROM cm c JOIN thr ON thr.word = c.word AND thr.i = c.i
+        |  WHERE c.cum > thr.t GROUP BY c.word, c.i),
+        |walk AS (
+        |  SELECT word, CAST(len(word) + 1 AS BIGINT) AS i, '' AS acc
+        |  FROM wf WHERE EXISTS (SELECT 1 FROM al
+        |    WHERE al.word = wf.word AND al.i = len(wf.word) + 1)
+        |  UNION ALL
+        |  SELECT wk.word, pk.j,
+        |    substr(wk.word, pk.j, wk.i - pk.j) || chr(31) || wk.acc
+        |  FROM walk wk JOIN pick pk ON pk.word = wk.word AND pk.i = wk.i
+        |  WHERE wk.i > 1),
+        |fin AS (
+        |  SELECT word, string_split(rtrim(acc, chr(31)), chr(31)) AS toks
+        |  FROM walk WHERE i = 1
+        |  UNION ALL
+        |  SELECT word, ['<unk>'] AS toks FROM wf
+        |  WHERE NOT EXISTS (SELECT 1 FROM al
+        |    WHERE al.word = wf.word AND al.i = len(wf.word) + 1)),
+        |tk AS (SELECT word, j AS tpos, toks[j] AS token
+        |  FROM fin, unnest(generate_series(1, len(toks))) AS u(j)),
+        |ids AS (SELECT * FROM (VALUES $duckUgProbIds) AS t(token, token_id)),
+        |jj AS (SELECT wpos.doc_id, wpos.wpos, tk.tpos, ids.token_id
+        |  FROM wpos JOIN tk USING (word) JOIN ids USING (token))
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wpos, tpos) - 1 AS BIGINT) AS pos,
+        |  CAST(token_id AS BIGINT) AS token_id
+        |FROM jj ORDER BY doc_id, pos""").stripMargin,
     // t28 enumerates every segmentation with a RUNNING PROBABILITY
     // PRODUCT (exact under the dyadic fixture), then expected count =
     // per-piece summed mass / per-word total mass — one division, same
@@ -5610,6 +5870,23 @@ object Queries {
         |SELECT n.word, n.piece, round(n.num / z.z, 6) AS e
         |FROM num n JOIN z USING (word)
         |ORDER BY word, piece""").stripMargin,
+    // t26b = t26's segmentation replay under the FIXTURE's line-order id
+    // table (unk at line 0 — the published BERT assignment)
+    "t26b_wordpiece_ids_bert" ->
+      (s"""WITH RECURSIVE $duckWpSegmentCtes,
+        |wpos AS (SELECT doc_id, i AS wpos, ws[i] AS word
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) s,
+        |  unnest(generate_series(1, len(ws))) AS t(i)
+        |  WHERE len(ws[i]) > 0),
+        |tk AS (SELECT word, j AS tpos, toks[j] AS token
+        |  FROM fin, unnest(generate_series(1, len(toks))) AS u(j)),
+        |ids AS (SELECT * FROM (VALUES $duckWpIdsBert) AS t(token, token_id)),
+        |jj AS (SELECT wpos.doc_id, wpos.wpos, tk.tpos, ids.token_id
+        |  FROM wpos JOIN tk USING (word) JOIN ids USING (token))
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wpos, tpos) - 1 AS BIGINT) AS pos,
+        |  CAST(token_id AS BIGINT) AS token_id
+        |FROM jj ORDER BY doc_id, pos""").stripMargin,
     "t26_wordpiece_ids" ->
       (s"""WITH RECURSIVE $duckWpSegmentCtes,
         |wpos AS (SELECT doc_id, i AS wpos, ws[i] AS word
@@ -6118,8 +6395,12 @@ object Queries {
     "t24b_wordpiece_loaded" -> t24bWordpieceLoaded,
     "t25_wordpiece_counts" -> t25WordpieceCounts,
     "t26_wordpiece_ids" -> t26WordpieceIds,
+    "t26b_wordpiece_ids_bert" -> t26bWordpieceIdsBert,
     "t27_unigram_segment" -> t27UnigramSegment,
     "t28_unigram_estep" -> t28UnigramEstep,
+    "t29b_unigram_em2" -> t29bUnigramEm2,
+    "t29c_unigram_prune" -> t29cUnigramPrune,
+    "t33_unigram_sampled_ids" -> t33UnigramSampledIds,
     "t31_unigram_sample" -> t31UnigramSample,
     "t32_unigram_ids" -> t32UnigramIds,
     "t29_unigram_fit" -> t29UnigramFit,

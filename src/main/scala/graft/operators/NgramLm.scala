@@ -214,9 +214,10 @@ object NgramLm {
   def scoreAbsDiscount(docs: DataFrame, idCol: String, textCol: String,
                        model: Model): DataFrame = {
     require(!Reserved(idCol) && idCol != "n_trigrams" && idCol != "nll" &&
-      !Set("t3", "t2", "d3", "d2", "m3", "m2")(idCol),
+      !Set("t3", "t2", "d3", "d2", "m3", "m2",
+        "c2low", "c1last", "n_total")(idCol),
       s"idCol must avoid the internal names ${Reserved.mkString(", ")}, " +
-        "t3, t2, d3, d2, m3, m2")
+        "t3, t2, d3, d2, m3, m2, c2low, c1last, n_total")
     val bigLow = model.bigrams.select(col("w1").as("w2"),
       col("w2").as("w3"), col("c2").as("c2low"))
     val uniLast = model.unigrams.select(col("w1").as("w3"),

@@ -225,10 +225,22 @@ object UnigramTok {
     * serving path; the corpus never re-tokenizes per EM iteration.
     */
   def expectedCounts(words: DataFrame,
-                     pieces: Seq[(String, Double)]): DataFrame = {
+                     pieces: Seq[(String, Double)]): DataFrame =
+    expectedCountsWith(words,
+      words.sparkSession.sparkContext.broadcast(probTable(pieces)))
+
+  /** [[expectedCounts]] against a CALLER-OWNED broadcast table, so loop
+    * drivers ([[fit]]'s emRound) can destroy the broadcast once their
+    * round's collect completes — one-shot callers accumulate at most one
+    * broadcast per call, but an EM fit broadcasts per round (plus prune
+    * rounds) and would otherwise pin every stale table on driver and
+    * executors for the job's lifetime (ADVICE r17).
+    */
+  private[graft] def expectedCountsWith(
+      words: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[ProbTable]): DataFrame = {
     val session = words.sparkSession
     import session.implicits._
-    val bc = session.sparkContext.broadcast(probTable(pieces))
     words.select(col("word").cast("string")).as[String]
       .mapPartitions { it =>
         val t = bc.value
@@ -387,12 +399,37 @@ object UnigramTok {
     best(n)
   }
 
-  // deterministic per-piece aggregation: numerators fold in sorted-word
-  // order (array_sort on the (word, v) struct, then a sequential
-  // `aggregate` fold), so the distributed sum is partitioning-independent
-  // — the fit's spec replica replays the identical IEEE fold
-  private def sortedFoldSum(wv: Column): Column =
-    aggregate(array_sort(wv), lit(0.0), (a, x) => a + x.getField("v"))
+  // Deterministic per-piece aggregation: exact fixed-scale DECIMAL
+  // accumulation (the q3 money-sum discipline). A decimal sum is exact and
+  // therefore ORDER-INDEPENDENT — the distributed result is
+  // partitioning-independent with O(1) per-group aggregation state and
+  // map-side partial combine. The r17 form (`aggregate(array_sort(
+  // collect_list(struct(word, v))))`) achieved the same determinism by
+  // materializing, per piece, every (word, v) struct of every distinct
+  // word containing that piece — for a frequent single-symbol piece that
+  // array is nearly the whole word vocabulary, an executor OOM by
+  // construction at 10⁸–10⁹ distinct words (VERDICT r17 #1). The spec
+  // replica replays the identical arithmetic: Spark's double→decimal(38,18)
+  // cast is BigDecimal(Double.toString(v)).setScale(18, HALF_UP), summed
+  // exactly, read back as double.
+  private val EmCountScale = 18
+  private def decimalSum(v: Column): Column =
+    sum(v.cast(org.apache.spark.sql.types.DecimalType(38, EmCountScale)))
+      .cast("double")
+
+  /** The spec-replica twin of the distributed accumulation: fold doubles
+    * through the same fixed-scale decimals Spark's cast produces. Public
+    * to the test package so the fit replica shares one definition.
+    */
+  private[graft] def decimalFoldSum(vs: Iterable[Double],
+                                    scale: Int = EmCountScale): Double = {
+    var acc = java.math.BigDecimal.ZERO
+    vs.foreach { v =>
+      acc = acc.add(new java.math.BigDecimal(java.lang.Double.toString(v))
+        .setScale(scale, java.math.RoundingMode.HALF_UP))
+    }
+    acc.doubleValue
+  }
 
   /** EM training of the unigram LM vocabulary (Kudo, ACL 2018 §3.2) —
     * the missing leg of the three-tokenizer-family story beside
@@ -405,8 +442,9 @@ object UnigramTok {
     *      probabilities ∝ substring counts.
     *   2. EM: `emIters` rounds of E-step (distributed
     *      [[expectedCounts]] over distinct words, freq-weighted,
-    *      aggregated with a sorted sequential fold so the result is
-    *      partitioning-independent) and M-step (normalize counts).
+    *      aggregated with exact fixed-scale DECIMAL sums so the result is
+    *      partitioning-independent at O(1) per-group state) and M-step
+    *      (normalize counts).
     *   3. PRUNE (while vocabulary > `vocabTarget`): each multi-symbol
     *      piece x scores loss = count(x) · (logp(x) − alt(x)) where
     *      alt(x) is the Viterbi score of x's own text with x excluded —
@@ -420,8 +458,9 @@ object UnigramTok {
     * seeding is one explode + groupBy over the collapsed vocabulary; the
     * M-step, prune scoring, and loop control are driver-side over the
     * piece table only — vocabulary-scaled, `maxVocab`-guarded, never
-    * corpus-scaled. Deterministic for a given corpus: every float sum
-    * folds in a sorted order, argsorts break ties on the piece string.
+    * corpus-scaled. Deterministic for a given corpus: the distributed sum
+    * is exact-decimal (order-independent), driver float sums fold in a
+    * sorted order, argsorts break ties on the piece string.
     * Returns the trained `(piece, logp)` table, sorted by piece — the
     * exact shape [[segmentWords]] serves.
     */
@@ -482,15 +521,23 @@ object UnigramTok {
       // coverage alphabet alive at negligible, deterministic mass
       def emRound(cur: Array[(String, Double)])
           : Array[(String, Double, Double)] = {
-        val counts = expectedCounts(wf.toDF("word", "freq").select("word"),
-            cur.toSeq)
-          .join(wf.toDF("word", "freq"), "word")
-          .select(col("piece"),
-            struct(col("word"),
-              (col("e") * col("freq").cast("double")).as("v")).as("wv"))
-          .groupBy("piece")
-          .agg(sortedFoldSum(collect_list(col("wv"))).as("c"))
-          .as[(String, Double)].collect().sortBy(_._1)
+        val bc = session.sparkContext.broadcast(probTable(cur.toSeq))
+        // destroy the round's table once its collect completes — an EM fit
+        // otherwise accumulates one stale broadcast per round (ADVICE r17)
+        // a piece whose decimal-accumulated mass is exact zero is unused
+        // at count resolution and drops here (the r17 IEEE fold kept
+        // denormal ghosts alive; a kept zero would normalize to p = 0 and
+        // poison the next round's table) — seed singles re-enter via the
+        // required-character floor below
+        val counts = (try {
+          expectedCountsWith(wf.toDF("word", "freq").select("word"), bc)
+            .join(wf.toDF("word", "freq"), "word")
+            .select(col("piece"),
+              (col("e") * col("freq").cast("double")).as("v"))
+            .groupBy("piece")
+            .agg(decimalSum(col("v")).as("c"))
+            .as[(String, Double)].collect().sortBy(_._1)
+        } finally bc.destroy()).filter(_._2 > 0.0)
         val tot0 = counts.foldLeft(0.0) { case (a, (_, c)) => a + c }
         val floorC = tot0 * SingleFloor
         val present = counts.iterator.map(_._1).toSet
@@ -565,6 +612,150 @@ object UnigramTok {
     } finally wf.unpersist()
   }
 
+  // ---------------------------------------------------------------------
+  // Quantized chained EM — the cross-engine-VERIFIABLE face of the trainer
+  // ---------------------------------------------------------------------
+
+  /** Round x to the 10^-scale decimal grid exactly as Spark's `round`
+    * does (BigDecimal over Double.toString, HALF_UP) — the JVM twin of
+    * the SQL quantization both engines replay.
+    */
+  private[graft] def quantize(x: Double, scale: Int): Double =
+    new java.math.BigDecimal(java.lang.Double.toString(x))
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue
+
+  /** `iters` CHAINED EM rounds with per-round QUANTIZATION onto the
+    * 10^-`quantScale` decimal grid — the loop body of [[fit]] in a form a
+    * foreign engine can replay BIT-EXACTLY (the t29b gate row):
+    *
+    *   - E-step: [[expectedCounts]] under the current probs (the engine
+    *     runs forward–backward; a replayer may enumerate — under a dyadic
+    *     seed round 1's expectations are exact either way, and from round
+    *     2 on both sides run under IDENTICAL grid-quantized doubles);
+    *   - weight & quantize: `round(e · freq, quantScale)` — a grid value
+    *     is exactly representable both as a double and as a
+    *     DECIMAL(38, quantScale), so the cast is lossless in ANY engine;
+    *   - aggregate: exact decimal SUM (order-independent, O(1) per-group
+    *     state — the same accumulator [[fit]] uses); pieces whose rounded
+    *     count is zero drop (no path uses them at grid resolution);
+    *   - M-step: one double division c/tot, then quantize back onto the
+    *     grid. tot is the exact decimal sum of the per-piece counts.
+    *
+    * Every inter-round value is a grid point, so engines only ever
+    * disagree by last-bit noise INSIDE a round, which the quantization
+    * absorbs (UnigramTokSpec pins the boundary margins on the gate
+    * corpus). No required-character floor here: the floor is [[fit]]'s
+    * training-robustness discipline; this face keeps the arithmetic
+    * minimal so it can sit under a hash gate. Returns (piece, PROB) on
+    * the grid, sorted by piece.
+    */
+  def emIterations(words: DataFrame, seed: Seq[(String, Double)],
+                   iters: Int, quantScale: Int = 6): Seq[(String, Double)] =
+    emChain(words, seed, iters, quantScale)
+      .map { case (p, pr, _) => (p, pr) }.toSeq
+
+  /** [[emIterations]] + ONE likelihood-loss prune + grid renormalize —
+    * the full loop body (E→M chained, then prune) under the hash gate.
+    * Prune logic mirrors [[fit]]: seed singles are never pruned, each
+    * multi-symbol piece scores loss = count · (log p − altScore) with
+    * altScore the Viterbi score of its own text without it, the
+    * `pruneKeep` fraction (never below `vocabTarget`) survives, ties
+    * break on the piece string. Only the kept SET depends on `log`
+    * (an ordering, robust to last-bit libm differences when the loss
+    * gaps are wide — spec-pinned on the gate corpus); the OUTPUT probs
+    * are grid-renormalized grid points, so the row hashes.
+    */
+  def emPruneOnce(words: DataFrame, seed: Seq[(String, Double)],
+                  iters: Int, vocabTarget: Int, pruneKeep: Double = 0.75,
+                  quantScale: Int = 6): Seq[(String, Double)] = {
+    require(vocabTarget > 0, s"vocabTarget $vocabTarget must be > 0")
+    require(pruneKeep > 0.0 && pruneKeep < 1.0,
+      s"pruneKeep $pruneKeep outside (0,1)")
+    val last = emChain(words, seed, iters, quantScale)
+    val singles = seed.iterator.map(_._1)
+      .filter(p => p.codePointCount(0, p.length) == 1).toSet
+    val (single, multi) = last.partition { case (p, _, _) => singles(p) }
+    val targetMulti = math.max(0, vocabTarget - single.length)
+    val keepN = math.min(multi.length,
+      math.max(targetMulti, (multi.length * pruneKeep).toInt))
+    val kept =
+      if (keepN >= multi.length) multi
+      else {
+        val logp = last.iterator
+          .map { case (p, pr, _) => (p, math.log(pr)) }.toMap
+        val maxLen = last.iterator
+          .map { case (p, _, _) => p.codePointCount(0, p.length) }.max
+        multi.map { case (p, pr, c) =>
+          val alt = viterbiScore(BpeTrain.codePointSyms(p), logp, maxLen, p)
+          val loss =
+            if (alt == Double.NegativeInfinity) Double.PositiveInfinity
+            else c * (math.log(pr) - alt)
+          (p, pr, loss)
+        }.sortBy { case (p, _, loss) => (-loss, p) }.take(keepN)
+      }
+    val next = (single.map { case (p, pr, _) => (p, pr) } ++
+      kept.map { case (p, pr, _) => (p, pr) }).sortBy(_._1)
+    // exact-decimal mass of grid points, one double division, re-grid —
+    // the same three steps a SQL replayer runs
+    val mass = decimalFoldSum(next.map(_._2), quantScale)
+    next.map { case (p, pr) => (p, quantize(pr / mass, quantScale)) }.toSeq
+  }
+
+  /** Shared chain: returns the LAST round's (piece, prob, count), probs
+    * and the division inputs all on the grid (see [[emIterations]]).
+    */
+  private[graft] def emChain(words: DataFrame, seed: Seq[(String, Double)],
+      iters: Int, quantScale: Int): Array[(String, Double, Double)] = {
+    require(iters >= 1, s"iters $iters must be >= 1")
+    require(quantScale >= 1 && quantScale <= 18,
+      s"quantScale $quantScale outside [1,18]")
+    val session = words.sparkSession
+    import session.implicits._
+    val wf = words
+      .select(col("word").cast("string"), col("freq").cast("long"))
+      .toDF("word", "freq").persist()
+    try {
+      var cur = seed.sortBy(_._1).toArray
+      var last: Array[(String, Double, Double)] = null
+      var it = 0
+      while (it < iters) {
+        val bc = session.sparkContext.broadcast(probTable(cur.toSeq))
+        val counts = try {
+          expectedCountsWith(wf.select("word"), bc)
+            .join(wf, "word")
+            .select(col("piece"),
+              round(col("e") * col("freq").cast("double"), quantScale).as("v"))
+            .groupBy("piece")
+            .agg(sum(col("v").cast(
+              org.apache.spark.sql.types.DecimalType(38, quantScale)))
+              .cast("double").as("c"))
+            .where(col("c") > 0.0)
+            .as[(String, Double)].collect().sortBy(_._1)
+        } finally bc.destroy()
+        require(counts.nonEmpty,
+          "quantized EM: every expected count rounded to zero — raise " +
+            "quantScale or check the seed covers the corpus")
+        // the decimal→double read-back must be lossless or the grid
+        // contract (and cross-engine equality) silently breaks
+        val maxExact = 9.0e15 / math.pow(10, quantScale)
+        counts.foreach { case (p, c) => require(c <= maxExact,
+          s"quantized EM count for '$p' ($c) exceeds the exactly-" +
+            s"representable double range at scale $quantScale") }
+        val tot = decimalFoldSum(counts.map(_._2), quantScale)
+        // a probability that rounds BELOW the grid is indistinguishable
+        // from zero at this resolution — such pieces drop (deterministic
+        // on both sides of the gate; keeping a p=0 piece would poison the
+        // next round's table)
+        last = counts.map { case (p, c) =>
+            (p, quantize(c / tot, quantScale), c) }
+          .filter { case (_, pr, _) => pr > 0.0 }
+        cur = last.map { case (p, pr, _) => (p, pr) }
+        it += 1
+      }
+      last
+    } finally wf.unpersist()
+  }
+
   /** Piece → id table in MODEL ORDER (the SentencePiece convention: the
     * vocab file's line order IS the id assignment — [[graft.sources
     * .ModelStore.loadSentencePieceVocab]] preserves it), with the unk
@@ -597,6 +788,23 @@ object UnigramTok {
                unk: String = Unk): DataFrame =
     TokenExport.tokenIds(df, idCol, textCol,
       words => segmentWords(words, pieces, unk), vocabIds(pieces, unk))
+
+  /** SAMPLED token-id export — the grain subword regularization exists
+    * for (Kudo §3.5): per EPOCH, re-draw every word's segmentation under
+    * the model ([[sampleSegmentWords]] with `seed` = the epoch id) and
+    * export (doc, pos, token_id) exactly like [[tokenIds]] — feed each
+    * epoch's frame to [[SequencePack.packTokenIds]] and the training
+    * tensors resample per epoch while staying bit-reproducible per seed
+    * (same seed → same ids everywhere; the t33 gate row hash-pins one
+    * epoch at α = 1). Ids are [[vocabIds]] model order, same as Viterbi
+    * export — only the segmentation draw differs.
+    */
+  def sampledTokenIds(df: DataFrame, idCol: String, textCol: String,
+                      pieces: Seq[(String, Double)], seed: String,
+                      alpha: Double = 1.0, unk: String = Unk): DataFrame =
+    TokenExport.tokenIds(df, idCol, textCol,
+      words => sampleSegmentWords(words, pieces, seed, alpha, unk),
+      vocabIds(pieces, unk))
 
   /** Per-document token count under the unigram model —
     * [[WordPiece.tokenCounts]]' shape: distinct words segment once, one

@@ -178,6 +178,28 @@ object WordPiece {
     TokenExport.tokenIds(df, idCol, textCol,
       words => segmentWords(words, pieces, unk), vocabIds(pieces, unk))
 
+  /** [[tokenIds]] under an EXPLICIT id assignment — the foreign-vocab
+    * export path (ADVICE r17): a real BERT `vocab.txt` carries `[UNK]` at
+    * an interior line, so [[vocabIds]]' synthesized unk-last ids would
+    * shift every later id off the PUBLISHED assignment a migrating
+    * pipeline must keep. Here `vocab` maps every token — including the
+    * unk at its own file line — to its published id
+    * ([[graft.sources.ModelStore.loadBertVocabIds]] produces exactly
+    * this); segmentation serves the non-unk pieces in vocab order.
+    */
+  def tokenIdsWith(df: DataFrame, idCol: String, textCol: String,
+                   vocab: Seq[(String, Long)], unk: String = Unk): DataFrame = {
+    require(vocab.map(_._1).distinct.size == vocab.size,
+      "vocab contains duplicate tokens — ids would be ambiguous")
+    require(vocab.map(_._2).distinct.size == vocab.size,
+      "vocab contains duplicate ids — two tokens claim one id")
+    require(vocab.exists(_._1 == unk),
+      s"vocab lacks the unk token '$unk' — uncoverable words need its id")
+    val pieces = vocab.map(_._1).filterNot(_ == unk)
+    TokenExport.tokenIds(df, idCol, textCol,
+      words => segmentWords(words, pieces, unk), vocab)
+  }
+
   // ---------------------------------------------------------------------
   // Training: BPE's loop under the likelihood objective
   // ---------------------------------------------------------------------

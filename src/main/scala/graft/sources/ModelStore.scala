@@ -229,14 +229,19 @@ object ModelStore {
     } finally out.close()
   }
 
-  /** Load a BERT `vocab.txt` — one piece per line, the 0-based LINE
-    * NUMBER is the token id (exactly [[graft.operators.WordPiece
-    * .vocabIds]]' convention, so ids agree between a foreign vocab and a
-    * self-trained one). Returns (pieces in line order, unk): the unk
-    * token must be present in the file (BERT ships `[UNK]` at a fixed
-    * line), because a wordpiece tokenizer without its escape hatch
-    * cannot serve. A trailing empty line is tolerated (editors add one);
-    * an empty line anywhere else is a truncation signal and refuses.
+  /** Load a BERT `vocab.txt` for SEGMENTATION — one piece per line,
+    * returned in line order INCLUDING the unk line (BERT ships `[UNK]`
+    * at a fixed, usually interior, line). For ID EXPORT use
+    * [[loadBertVocabIds]]: the published id is the 0-based line number,
+    * and because the unk occupies its own line, [[graft.operators
+    * .WordPiece.vocabIds]]' synthesized unk-one-past-the-end ids agree
+    * with the file only when `[UNK]` happens to be the LAST line —
+    * feeding these pieces (unk stripped) to `vocabIds` would silently
+    * shift every post-unk id off the published assignment (ADVICE r17).
+    * The unk token must be present (a wordpiece tokenizer without its
+    * escape hatch cannot serve). A trailing empty line is tolerated
+    * (editors add one); an empty line anywhere else is a truncation
+    * signal and refuses.
     */
   def loadBertVocab(spark: SparkSession, path: String,
                     unk: String = graft.operators.WordPiece.Unk)
@@ -255,6 +260,18 @@ object ModelStore {
       s"vocab.txt at $path lacks the unk token '$unk' — a wordpiece " +
         "vocabulary without its escape hatch cannot serve")
     (lines, unk)
+  }
+
+  /** [[loadBertVocab]] with the PUBLISHED id assignment: (token, 0-based
+    * line number) for EVERY line — the unk keeps its own file id. Feed
+    * to [[graft.operators.WordPiece.tokenIdsWith]] (the t26b gate row
+    * drives exactly this path with `[UNK]` at line 0).
+    */
+  def loadBertVocabIds(spark: SparkSession, path: String,
+                       unk: String = graft.operators.WordPiece.Unk)
+      : (Seq[(String, Long)], String) = {
+    val (lines, u) = loadBertVocab(spark, path, unk)
+    (lines.zipWithIndex.map { case (p, i) => (p, i.toLong) }, u)
   }
 
   /** Write a BERT-convention `vocab.txt` (round-trip twin of

@@ -304,9 +304,12 @@ class UnigramTokSpec extends SparkSpec {
             scala.collection.mutable.ArrayBuffer.empty) += ((w, e * f))
         })
       }
+      // the engine's exact-decimal accumulation (order-independent, so the
+      // replica needs no word sort — summing in any order is identical);
+      // exact-zero masses drop, mirroring the engine's c > 0 filter
       val counts = perPiece.toSeq.map { case (p, wv) =>
-        (p, wv.sortBy(_._1).foldLeft(0.0)(_ + _._2))
-      }.sortBy(_._1)
+        (p, UnigramTok.decimalFoldSum(wv.map(_._2)))
+      }.filter(_._2 > 0.0).sortBy(_._1)
       // the engine's required-character floor, replicated
       val tot0 = counts.foldLeft(0.0) { case (a, (_, c)) => a + c }
       val floorC = tot0 * 1e-9
@@ -504,6 +507,157 @@ class UnigramTokSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       UnigramTok.sampleSegmentWords(df, dyadic, "s1", alpha = 0.0)
     }
+  }
+
+  /** Quantized-EM replica by ENUMERATION — the t29b oracle's method in
+    * Scala: per-word expectations via [[bruteExpected]] (never
+    * forward–backward), the same grid rounding (string-decimal HALF_UP,
+    * [[UnigramTok.quantize]]), exact BigDecimal per-piece sums, one
+    * double division per normalize. Bit-equality with the engine's
+    * distributed chain is exactly the property that makes the t29b hash
+    * row sound: grid values are lossless in any engine, and within-round
+    * last-bit noise (enumeration vs forward–backward) is absorbed by the
+    * quantization.
+    */
+  private def localEmChain(words: Seq[(String, Long)],
+      seed: Seq[(String, Double)], iters: Int,
+      scale: Int): Seq[(String, Double, Double)] = {
+    val Zero = java.math.BigDecimal.ZERO
+    def dec(v: Double) =
+      new java.math.BigDecimal(java.lang.Double.toString(v))
+        .setScale(scale, java.math.RoundingMode.HALF_UP)
+    var cur = seed
+    var out: Seq[(String, Double, Double)] = null
+    (1 to iters).foreach { _ =>
+      val pm = cur.toMap
+      val acc = scala.collection.mutable.HashMap.empty[String, java.math.BigDecimal]
+      words.foreach { case (w, f) =>
+        bruteExpected(w, pm).foreach(_.foreach { case (p, e) =>
+          val v = UnigramTok.quantize(e * f.toDouble, scale)
+          acc(p) = acc.getOrElse(p, Zero).add(dec(v))
+        })
+      }
+      val counts = acc.toSeq.filter(_._2.signum > 0).sortBy(_._1)
+      val tot = counts.map(_._2).fold(Zero)(_.add(_)).doubleValue
+      out = counts.map { case (p, c) =>
+          (p, UnigramTok.quantize(c.doubleValue / tot, scale), c.doubleValue) }
+        .filter { case (_, pr, _) => pr > 0.0 }
+      cur = out.map { case (p, pr, _) => (p, pr) }
+    }
+    out
+  }
+
+  // a dyadic seed that COVERS fitCorpus (letters f,a,s,t,e,r,m) — the
+  // quantized chain's contract, like fit's seed singles
+  private val fitDyadic: Seq[(String, Double)] =
+    "fastermu".map(c => (c.toString, 1.0 / 16)) ++ Seq(
+      ("st", 2.0 / 16), ("ea", 2.0 / 16), ("er", 2.0 / 16),
+      ("re", 2.0 / 16), ("fast", 3.0 / 16), ("ast", 2.0 / 16))
+
+  test("emIterations == enumeration replica BIT-exactly (fit corpus)") {
+    val df = fitCorpus.toDF("word", "freq")
+    (1 to 3).foreach { iters =>
+      val got = UnigramTok.emIterations(df, fitDyadic, iters)
+      val want = localEmChain(fitCorpus, fitDyadic, iters, 6)
+        .map { case (p, pr, _) => (p, pr) }
+      assert(got == want, s"iters=$iters:\n got=$got\nwant=$want")
+    }
+  }
+
+  test("emIterations == enumeration replica on the REAL gate corpus (t29b shape)") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val wf = BpeTrain.wordFreq(docs, "text")
+    val words = wf.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val got = UnigramTok.emIterations(wf, Queries.FixedUgProbs, iters = 2)
+    val want = localEmChain(words, Queries.FixedUgProbs, 2, 6)
+      .map { case (p, pr, _) => (p, pr) }
+    assert(got == want)
+    assert(got.nonEmpty && got.forall { case (_, pr) => pr > 0 && pr < 1 })
+    // every output is a 1e-6 grid point — the lossless-cast contract
+    got.foreach { case (p, pr) =>
+      assert(UnigramTok.quantize(pr, 6) == pr, s"$p off-grid: $pr")
+    }
+  }
+
+  test("emPruneOnce: fit-consistent keep rule, grid renormalize, guards") {
+    val df = fitCorpus.toDF("word", "freq")
+    val full = UnigramTok.emIterations(df, fitDyadic, iters = 2)
+    // prune to fewer pieces than survive EM: singles stay, mass re-grids
+    val pruned = UnigramTok.emPruneOnce(df, fitDyadic, iters = 2,
+      vocabTarget = 9, pruneKeep = 0.34)
+    assert(pruned.size < full.size, s"no prune: ${full.size} -> ${pruned.size}")
+    val singles = fitDyadic.map(_._1).filter(_.length == 1).toSet
+    val kept = pruned.map(_._1).toSet
+    assert(full.map(_._1).filter(singles).forall(kept),
+      "surviving singles must never be pruned")
+    pruned.foreach { case (p, pr) =>
+      assert(UnigramTok.quantize(pr, 6) == pr, s"$p off-grid: $pr") }
+    // generous target -> prune is a no-op on the EM output
+    val noop = UnigramTok.emPruneOnce(df, fitDyadic, iters = 2,
+      vocabTarget = 1000, pruneKeep = 0.5)
+    assert(noop.map(_._1) == full.map(_._1))
+    intercept[IllegalArgumentException] {
+      UnigramTok.emIterations(df, fitDyadic, iters = 0) }
+    intercept[IllegalArgumentException] {
+      UnigramTok.emIterations(df, fitDyadic, iters = 1, quantScale = 0) }
+    intercept[IllegalArgumentException] {
+      UnigramTok.emPruneOnce(df, fitDyadic, 1, vocabTarget = 0) }
+  }
+
+  test("t29c keep boundary is robust to libm last-bit noise (gate corpus)") {
+    // the prune's kept SET is the only thing `ln` influences (the output
+    // probs are grid arithmetic); cross-engine log differences are ~1 ulp,
+    // so the gate is sound iff the loss gap AT THE KEEP BOUNDARY dwarfs
+    // that noise — pinned here on the exact t29c configuration
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val wf = BpeTrain.wordFreq(docs, "text")
+    val last = UnigramTok.emChain(wf, Queries.FixedUgProbs, 2, 6)
+    val singles = Queries.FixedUgProbs.map(_._1)
+      .filter(p => p.codePointCount(0, p.length) == 1).toSet
+    val (single, multi) = last.partition { case (p, _, _) => singles(p) }
+    val targetMulti = math.max(0, 30 - single.length)
+    val keepN = math.min(multi.length,
+      math.max(targetMulti, (multi.length * 0.5).toInt))
+    assert(keepN > 0 && keepN < multi.length, "t29c must really prune")
+    val logp = last.map { case (p, pr, _) => (p, math.log(pr)) }.toMap
+    val maxLen = last.map { case (p, _, _) => p.codePointCount(0, p.length) }.max
+    val losses = multi.map { case (p, pr, c) =>
+      val alt = UnigramTok.viterbiScore(
+        BpeTrain.codePointSyms(p), logp, maxLen, p)
+      c * (math.log(pr) - alt)
+    }.sorted(Ordering[Double].reverse)
+    val gap = losses(keepN - 1) - losses(keepN)
+    assert(gap > 1e-6 * math.max(1.0, losses(keepN - 1).abs),
+      s"keep-boundary gap $gap too narrow: ${losses(keepN - 1)} vs ${losses(keepN)}")
+  }
+
+  test("sampledTokenIds: the epoch story — seeds resample, a seed reproduces, packs feed") {
+    // "aaa" has a FLAT posterior under `dyadic` (a|aa vs aa|a split the
+    // mass), so nearby seeds genuinely resample it
+    val docs = Seq((1L, "ab scan ab"), (2L, "abc b scan"),
+      (3L, "abab aa"), (4L, "aaa aaa"))
+      .toDF("doc_id", "text")
+    // probs: dyadic table reused; ids are model order over the SAME table
+    def epoch(seed: String) = UnigramTok.sampledTokenIds(
+        docs, "doc_id", "text", dyadic, seed)
+      .orderBy($"doc_id", $"pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val e1 = epoch("epoch1")
+    val e1again = epoch("epoch1")
+    assert(e1 == e1again, "one seed must be bit-stable")
+    // at least one of a few epochs must differ (the corpus has words with
+    // multiple segmentations under `dyadic` — e.g. abab, aa)
+    assert((2 to 10).exists(k => epoch(s"epoch$k") != e1),
+      "different seeds should eventually resample a segmentation")
+    // ids stay in-model: every id < |pieces| + 1 (unk one past the end)
+    assert(e1.forall(_._3 <= dyadic.size.toLong))
+    // each epoch's frame feeds the packer directly (the training loop's
+    // per-epoch composition); same seed -> same tensors
+    def pack(seed: String) = graft.operators.SequencePack.packTokenIds(
+        UnigramTok.sampledTokenIds(docs, "doc_id", "text", dyadic, seed),
+        "doc_id", ctxLen = 4)
+      .orderBy($"chunk_id").collect().map(_.toSeq).toSeq
+    assert(pack("epoch1") == pack("epoch1"), "pack must be seed-stable")
   }
 
   test("emIters chains: later iterations re-estimate from the previous") {

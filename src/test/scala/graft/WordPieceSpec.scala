@@ -275,4 +275,31 @@ class WordPieceSpec extends SparkSpec {
       graft.sources.ModelStore.loadWordPiece(spark, broken)
     }
   }
+
+  test("tokenIdsWith: PUBLISHED interior-unk ids survive; rank-id path would shift them") {
+    import spark.implicits._
+    // a real vocab.txt layout: [UNK] at line 0, pieces after — the ids a
+    // migrating pipeline must keep (ADVICE r17)
+    val vocab = Seq(("[UNK]", 0L), ("a", 1L), ("ab", 2L), ("b", 3L))
+    val docs = Seq((1L, "ab xq a")).toDF("doc_id", "text")
+    val got = WordPiece.tokenIdsWith(docs, "doc_id", "text", vocab, "[UNK]")
+      .orderBy("pos").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0L, 2L), (1L, 0L), (2L, 1L)), got.toSeq.toString)
+    // the synthesized unk-LAST ids disagree on every post-unk token —
+    // exactly the silent shift tokenIdsWith exists to prevent
+    val shifted = WordPiece.vocabIds(Seq("a", "ab", "b"), "[UNK]").toMap
+    assert(shifted("[UNK]") == 3L && shifted("a") == 0L)
+    intercept[IllegalArgumentException] {
+      WordPiece.tokenIdsWith(docs, "doc_id", "text",
+        vocab :+ (("a", 9L)), "[UNK]")
+    }
+    intercept[IllegalArgumentException] {
+      WordPiece.tokenIdsWith(docs, "doc_id", "text",
+        Seq(("a", 1L), ("b", 1L), ("[UNK]", 0L)), "[UNK]")
+    }
+    intercept[IllegalArgumentException] {
+      WordPiece.tokenIdsWith(docs, "doc_id", "text",
+        Seq(("a", 1L), ("b", 2L)), "[UNK]")
+    }
+  }
 }
