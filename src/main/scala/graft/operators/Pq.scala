@@ -123,7 +123,7 @@ object Pq {
     * IP, squared L2, or the query-independent centroid norm² (cosine's
     * denominator half).
     */
-  private def lut(model: Model, query: Seq[Double])(
+  private[graft] def lut(model: Model, query: Seq[Double])(
       entry: (Array[Double], Int) => Double): Seq[Double] = {
     require(query.length == model.dim,
       s"query dim ${query.length} != model dim ${model.dim}")
@@ -142,10 +142,28 @@ object Pq {
     flat.toIndexedSeq
   }
 
-  private def ipLut(model: Model, query: Seq[Double]): Seq[Double] =
+  // shared with the driver-resident serving tier (graft.serving
+  // .LocalVector): one LUT construction for the expression and its replica
+  private[graft] def ipLut(model: Model, query: Seq[Double]): Seq[Double] =
     lut(model, query) { (cent, j) =>
       var acc = 0.0; var i = 0
       while (i < model.dsub) { acc += cent(i) * query(j * model.dsub + i); i += 1 }
+      acc
+    }
+
+  private[graft] def l2Lut(model: Model, query: Seq[Double]): Seq[Double] =
+    lut(model, query) { (cent, j) =>
+      var acc = 0.0; var i = 0
+      while (i < model.dsub) {
+        val d = query(j * model.dsub + i) - cent(i); acc += d * d; i += 1
+      }
+      acc
+    }
+
+  private[graft] def cnormLut(model: Model, query: Seq[Double]): Seq[Double] =
+    lut(model, query) { (cent, _) =>
+      var acc = 0.0; var i = 0
+      while (i < model.dsub) { acc += cent(i) * cent(i); i += 1 }
       acc
     }
 
@@ -165,21 +183,11 @@ object Pq {
       graft.plans.IvfRegistry.recordLut(ip, "ip")
       call_function("byte_lut_sum", codesCol, typedlit(ip))
     case VectorMetric.L2 =>
-      val l2 = lut(model, query) { (cent, j) =>
-        var acc = 0.0; var i = 0
-        while (i < model.dsub) {
-          val d = query(j * model.dsub + i) - cent(i); acc += d * d; i += 1
-        }
-        acc
-      }
+      val l2 = l2Lut(model, query)
       graft.plans.IvfRegistry.recordLut(l2, "dist")
       call_function("byte_lut_sum", codesCol, typedlit(l2))
     case VectorMetric.Cosine =>
-      val norms = lut(model, query) { (cent, _) =>
-        var acc = 0.0; var i = 0
-        while (i < model.dsub) { acc += cent(i) * cent(i); i += 1 }
-        acc
-      }
+      val norms = cnormLut(model, query)
       // zero-norm guard, same convention as AnnSearch.exactScore/Sq8.score
       val qn = math.sqrt(query.map(x => x * x).sum)
       if (qn == 0.0) lit(0.0)

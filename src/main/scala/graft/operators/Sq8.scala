@@ -95,29 +95,51 @@ object Sq8 {
     *
     * Cosine = IP̂ / (√‖v̂‖² · ‖q‖); codes are never decoded on any path.
     */
+  // The query-side parameter builders are shared with the driver-resident
+  // serving tier ([[graft.serving.LocalVector]]): ONE construction for both
+  // the Catalyst expression and its in-process replica, so they can never
+  // silently diverge.
+
+  /** IP weights + bias: w = scale ⊙ q, bias = Σ minᵢ·qᵢ (left fold). */
+  private[graft] def ipParams(model: Model, query: Seq[Double])
+      : (IndexedSeq[Double], Double) = {
+    require(query.length == model.dim)
+    (query.indices.map(i => model.scales(i) * query(i)),
+      query.indices.map(i => model.mins(i) * query(i)).sum)
+  }
+
+  private[graft] def decodedEntry(model: Model)(i: Int, c: Int): Double =
+    model.mins(i) + model.scales(i) * c
+
+  private[graft] def lutFlat(model: Model)(
+      entry: (Int, Int) => Double): IndexedSeq[Double] = {
+    val flat = new Array[Double](model.dim * 256)
+    var i = 0
+    while (i < model.dim) {
+      var c = 0
+      while (c < 256) { flat(i * 256 + c) = entry(i, c); c += 1 }
+      i += 1
+    }
+    flat.toIndexedSeq
+  }
+
+  private[graft] def l2LutFor(model: Model, query: Seq[Double]): IndexedSeq[Double] =
+    lutFlat(model)((i, c) => { val d = decodedEntry(model)(i, c) - query(i); d * d })
+
+  private[graft] def normLutFor(model: Model): IndexedSeq[Double] =
+    lutFlat(model)((i, c) => { val v = decodedEntry(model)(i, c); v * v })
+
   def score(codesCol: Column, model: Model, query: Seq[Double],
             metric: VectorMetric = VectorMetric.Ip): Column = {
     require(query.length == model.dim)
     def ipScore: Column = {
-      val w = query.indices.map(i => model.scales(i) * query(i))
-      val bias = query.indices.map(i => model.mins(i) * query(i)).sum
+      val (w, bias) = ipParams(model, query)
       call_function("byte_dot", codesCol, typedlit(w)) + lit(bias)
     }
-    def lut(entry: (Int, Int) => Double): Column = {
-      val flat = new Array[Double](model.dim * 256)
-      var i = 0
-      while (i < model.dim) {
-        var c = 0
-        while (c < 256) { flat(i * 256 + c) = entry(i, c); c += 1 }
-        i += 1
-      }
-      call_function("byte_lut_sum", codesCol, typedlit(flat.toIndexedSeq))
-    }
-    def decoded(i: Int, c: Int): Double = model.mins(i) + model.scales(i) * c
     metric match {
       case VectorMetric.Ip => ipScore
       case VectorMetric.L2 =>
-        lut((i, c) => { val d = decoded(i, c) - query(i); d * d })
+        call_function("byte_lut_sum", codesCol, typedlit(l2LutFor(model, query)))
       case VectorMetric.Cosine =>
         // zero-norm guard: a zero query or an all-zero decoded row scores
         // 0 instead of tripping ANSI divide-by-zero (AnnSearch.exactScore
@@ -125,7 +147,8 @@ object Sq8 {
         val qn = math.sqrt(query.map(x => x * x).sum)
         if (qn == 0.0) lit(0.0)
         else {
-          val nrm = sqrt(lut((i, c) => { val v = decoded(i, c); v * v }))
+          val nrm = sqrt(
+            call_function("byte_lut_sum", codesCol, typedlit(normLutFor(model))))
           when(nrm > 0, ipScore / (nrm * lit(qn))).otherwise(lit(0.0))
         }
     }
