@@ -213,12 +213,19 @@ object ScalingBench {
     // linear wall); t29 is the full EM fit (vocabulary-scaled driver
     // loop — one decade bounds it, the loop count grows with log of the
     // seed size)
+    // r18: t29b (chained quantized EM — vocabulary-collapsed like t28),
+    // t29c (one prune on top — driver loop over the vocabulary only) and
+    // t33 (sampled export — scan-shaped like t32/x4) join the ladder;
+    // t29's entry was deleted from scaling.json for this run so the fit
+    // re-measures under the r18 exact-DECIMAL E-step aggregation (O(1)
+    // per-group state replacing the collect_list word arrays)
     val names10 = Seq("e2_minhash_pairs", "e4_jaccard_pairs", "e4c_jaccard_zipf",
       "e4d_jaccard_zipf_exact", "e8_dedup_cluster", "p3_corpus_recipe",
       "m4_cdc_apply", "u2_k_anonymity", "r3_bm25_topk",
       "f1_fuzzy_join", "r2_retrieval_ivf", "t12_bpe_pairs", "t21_ngram_lm",
       "x4_pack_token_ids", "t30_ngram_absdiscount", "t28_unigram_estep",
-      "t29_unigram_fit")
+      "t29_unigram_fit", "t29b_unigram_em2", "t29c_unigram_prune",
+      "t33_unigram_sampled_ids")
     // second decade, CAPPED rows only: these are the designated 100 TB
     // plans, and two decades turn one ratio into a growth exponent.
     // e4/e4d stay at one decade on purpose — e4d is the documented
@@ -229,7 +236,7 @@ object ScalingBench {
       "e8_dedup_cluster", "p3_corpus_recipe", "m4_cdc_apply", "u2_k_anonymity",
       "r3_bm25_topk", "f1_fuzzy_join", "r2_retrieval_ivf", "t12_bpe_pairs",
       "t21_ngram_lm", "x4_pack_token_ids", "t30_ngram_absdiscount",
-      "t28_unigram_estep")
+      "t28_unigram_estep", "t29b_unigram_em2", "t33_unigram_sampled_ids")
     // build the ANN fixtures BEFORE the steal window opens (r13
     // self-review #2): the emb10000 build writes ~16 GB of parquet, and a
     // steal count spanning fixture IO can no longer flag a

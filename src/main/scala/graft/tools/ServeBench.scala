@@ -10,6 +10,7 @@ object ServeBench {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = graft.GraftSession.local()
     println("HYBRID_RPS " + graft.Bench.hybridRps(spark, sfDir))
+    println("SERVING_RPS " + graft.Bench.servingRps(spark, sfDir))
     spark.stop()
   }
 }

@@ -110,16 +110,19 @@ class PlanAuditSpec extends SparkSpec {
       s"u1 must not scan the document text: $read")
   }
 
-  test("e9b: the bloom probe plans ONE corpus scan — no bench scan, no join; the filter rides as a literal") {
+  test("e9b: the bloom probe plans ONE corpus scan — no bench scan, no join; the filter is broadcast-backed") {
     // the 100 TB decontamination claim: the bench side is a prebuilt
     // periodic artifact, so the per-corpus-job plan must touch only the
     // corpus — one parquet scan, zero joins, the filter folded into the
-    // scan-side predicate as a codegen literal (bloom_might_contain)
+    // scan-side predicate as the BROADCAST-backed bloom_probe (r18: the
+    // literal form re-allocated the multi-MB filter per task)
     val p = plan("e9b_contamination_bloom")
     val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
     assert(scans == 1, s"expected exactly one (corpus) scan, got $scans:\n${p.take(800)}")
     assert(!p.contains("Join"), s"bloom probe must not plan any join:\n${p.take(800)}")
-    assert(p.contains("might_contain"), "the filter literal must gate the scan side")
+    assert(p.contains("bloom_probe"), "the broadcast probe must gate the scan side")
+    assert(!p.contains("might_contain"),
+      "the literal-form probe must not reappear (per-task allocation)")
   }
 
   test("e10: passage overlap never plans a cartesian or pair-expanding join") {
