@@ -2204,11 +2204,14 @@ object Queries {
       .limit(20)
 
   /** T13 the learned tokenizer itself: 8 merges trained on the corpus
-    * vocabulary, emitted as (merge_rank, left_sym, right_sym). The
-    * training loop's per-iteration argmax is not SQL-expressible, so the
-    * driver records rows only; the exact merge list is spec-pinned
-    * (BpeTrainSpec replays the published algorithm independently) and
-    * t12 is the loop body's deterministic hash-green twin.
+    * vocabulary, emitted as (merge_rank, left_sym, right_sym) — HASH
+    * compared since r18: the loop is pure integer arithmetic with
+    * binary-order tie-breaks, so the oracle unrolls all 8 iterations
+    * (pair counts → argmax → a recursive merge-fold walk,
+    * [[duckBpeFitReplay]]) and lands on the identical list. The exact
+    * merge list is additionally spec-pinned (BpeTrainSpec replays the
+    * published algorithm independently) and t12 remains the loop body's
+    * single-iteration twin.
     */
   val t13BpeMerges: Q = (s, d) => {
     val session = s
@@ -3160,6 +3163,60 @@ object Queries {
       |  GROUP BY piece
       |  HAVING SUM(CAST(round(n.num / z.z * f.freq, 6) AS DECIMAL(38,6))) > 0)""")
       .stripMargin
+
+  /** The t13 oracle: [[operators.BpeTrain.fit]]'s 8-merge loop unrolled
+    * into one SQL chain. Per iteration k: `pc_k` counts freq-weighted
+    * adjacent pairs of seg_{k-1} (overlap-inclusive, exactly
+    * [[operators.BpeTrain.pairCounts]]); `m_k` is the argmax under
+    * (count DESC, left, right) binary order; `walk_k` replays
+    * [[operators.BpeTrain.mergeCol]]'s fold as a recursive walk whose
+    * state is (emitted prefix, LAST symbol) — fuse when last = l and the
+    * next symbol = r (a fused composite can never refuse, l+r ≠ l) —
+    * sidestepping the string-replace false-match trap the t14 oracle's
+    * fixed list avoids only by construction. Every step is integer
+    * arithmetic or binary string comparison, identical in any engine.
+    */
+  private lazy val duckBpeFitReplay: String = {
+    def iter(k: Int): String = {
+      val prev = s"seg${k - 1}"
+      s"""pc$k AS MATERIALIZED (SELECT s.syms[i] AS l, s.syms[i + 1] AS r,
+         |    CAST(sum(s.freq) AS BIGINT) AS c
+         |  FROM $prev s, unnest(generate_series(1, len(s.syms) - 1)) AS t(i)
+         |  WHERE len(s.syms) >= 2 GROUP BY 1, 2),
+         |m$k AS MATERIALIZED (SELECT l, r FROM pc$k ORDER BY c DESC, l, r LIMIT 1),
+         |walk$k AS (
+         |  SELECT s.word, CAST(1 AS BIGINT) AS i, CAST('' AS VARCHAR) AS done,
+         |    s.syms[1] AS last
+         |  FROM $prev s
+         |  UNION ALL
+         |  SELECT wk.word, wk.i + 1,
+         |    CASE WHEN wk.last = m.l AND s.syms[wk.i + 1] = m.r
+         |         THEN wk.done ELSE wk.done || wk.last || chr(31) END,
+         |    CASE WHEN wk.last = m.l AND s.syms[wk.i + 1] = m.r
+         |         THEN wk.last || s.syms[wk.i + 1] ELSE s.syms[wk.i + 1] END
+         |  FROM walk$k wk JOIN $prev s USING (word) CROSS JOIN m$k m
+         |  WHERE wk.i < len(s.syms)),
+         |seg$k AS MATERIALIZED (SELECT wk.word, s.freq,
+         |    string_split(wk.done || wk.last, chr(31)) AS syms
+         |  FROM walk$k wk JOIN $prev s USING (word)
+         |  WHERE wk.i = len(s.syms))""".stripMargin
+    }
+    val iters = (1 to 8).map(iter).mkString(",\n")
+    val merges = (1 to 8).map(k =>
+      s"SELECT CAST(${k - 1} AS BIGINT) AS merge_rank, " +
+        s"l AS left_sym, r AS right_sym FROM m$k")
+      .mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE
+       |w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+       |wfq AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM w WHERE len(word) > 0 GROUP BY word),
+       |seg0 AS MATERIALIZED (SELECT word, freq,
+       |  string_split(word, '') AS syms FROM wfq),
+       |$iters
+       |SELECT * FROM (
+       |  $merges
+       |) ORDER BY merge_rank""".stripMargin
+  }
 
   // the t33 oracle's piece -> id table over the PROB model (model order +
   // unk one past the end), generated from the engine's own vocabIds
@@ -5395,6 +5452,16 @@ object Queries {
         |SELECT token, CAST(count(*) AS BIGINT) AS n
         |FROM tok WHERE len(token) > 0
         |GROUP BY token ORDER BY n DESC, token LIMIT 200""".stripMargin,
+    // t13: the BPE TRAINING LOOP replayed exactly — 8 unrolled
+    // iterations of (adjacent-pair counts over the current segmentation
+    // → argmax by (count DESC, left, right) → one greedy left-to-right
+    // merge pass as a recursive fold walk carrying mergeCol's exact
+    // state: fuse when the accumulator's LAST symbol is l and the next
+    // is r). All-integer arithmetic and binary string order on both
+    // engines, so the learned list hashes (the loop was rows-only since
+    // r13; the t29b chaining precedent showed loops CAN sit under the
+    // hard signal when every step is engine-portable)
+    "t13_bpe_merges" -> duckBpeFitReplay,
     // BPE training's gate-able iteration: vocabulary-weighted adjacent
     // char-pair counts, top-20 fully ordered (count desc, left, right)
     "t12_bpe_pairs" ->

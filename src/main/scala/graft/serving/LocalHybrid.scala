@@ -128,9 +128,17 @@ private[graft] object LocalHybrid {
   def bm25Rank(terms: Array[String], posts: Map[String, TermPost],
                nDocs: Double, avgdl: Double, k1: Double, b: Double,
                k: Int): Array[(Long, Long, Double)] = {
-    val byId = new java.util.HashMap[
-      java.lang.Long, scala.collection.mutable.ArrayBuffer[(String, Double)]]()
-    terms.foreach { t =>
+    // Process the (distinct) terms in UTF-8 ascending order UP FRONT:
+    // each candidate's contributions then arrive already in the
+    // `array_sort(struct(term, c))` fold order, so the per-candidate
+    // accumulator adds them in the IDENTICAL IEEE sequence with no
+    // per-candidate buffer or sort. (r18 hot-path fix: on a common-term
+    // query the old shape built and string-sorted one buffer per
+    // candidate document — Σ df(t) tuple allocations plus |candidates|
+    // sorts per request.)
+    val ordered = terms.sortWith(utf8Lt)
+    val acc = new java.util.HashMap[java.lang.Long, java.lang.Double]()
+    ordered.foreach { t =>
       posts.get(t).foreach { tp =>
         if (tp.rows.nonEmpty) {
           val df = tp.df.toDouble
@@ -141,25 +149,18 @@ private[graft] object LocalHybrid {
             val tfn = tf.toDouble * (k1 + 1.0) /
               (tf.toDouble + k1 * ((1.0 - b) + b * dl.toDouble / avgdl))
             val c = idf * tfn
-            var buf = byId.get(id)
-            if (buf == null) {
-              buf = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-              byId.put(id, buf)
-            }
-            buf += ((t, c))
+            val prev = acc.get(id)
+            acc.put(id, if (prev == null) c else prev.doubleValue() + c)
           }
         }
       }
     }
-    val scored = new Array[(Long, Double)](byId.size())
-    val it = byId.entrySet().iterator()
+    val scored = new Array[(Long, Double)](acc.size())
+    val it = acc.entrySet().iterator()
     var i = 0
     while (it.hasNext) {
       val e = it.next()
-      val parts = e.getValue.sortWith((p, q) => utf8Lt(p._1, q._1))
-      var acc = 0.0
-      parts.foreach { case (_, c) => acc += c }
-      scored(i) = (e.getKey.longValue(), round6(acc))
+      scored(i) = (e.getKey.longValue(), round6(e.getValue.doubleValue()))
       i += 1
     }
     scala.util.Sorting.stableSort(scored,
