@@ -925,6 +925,28 @@ object Queries {
       .orderBy($"vec_id")
   }
 
+  /** C7b — the DETERMINISTIC coarse-quantizer build under the HASH gate
+    * ([[operators.QuantKmeans.fit]]): 3 quantized Lloyd iterations,
+    * nlist 8, over the embeddings table — every centroid component a
+    * decimal-grid point, init and argmin engine-portable — emitted as
+    * (cluster_idx, dim_idx, c) scalars. MLlib's KMeans (c7) stays the
+    * default trainer and stays rows-only (its float reductions are
+    * order-dependent by construction); this row is the reproducible
+    * twin that puts the IVF build's ALGORITHM — assignment expression,
+    * mean updates, empty-cluster handling — under the hard signal, the
+    * t29b/t13 discipline applied to the index family.
+    */
+  val c7bKmeansDet: Q = (s, d) => {
+    import s.implicits._
+    operators.QuantKmeans.fit(
+        Tables.embeddings(s, d), "vec_id", "embedding", nlist = 8, iters = 3)
+      .zipWithIndex.flatMap { case (cv, ci) =>
+        cv.zipWithIndex.map { case (v, di) => (ci.toLong, di.toLong, v) }
+      }.toSeq
+      .toDF("cluster_idx", "dim_idx", "c")
+      .orderBy("cluster_idx", "dim_idx")
+  }
+
   /** C8' IVF nprobe-pruned ANN (searcher.js:99-110 approximate path) —
     * rows-only (approximate by design; recall measured in tests and dumped
     * by Verify as recall.json). The index comes from [[IvfIndex.buildCached]]
@@ -3163,6 +3185,60 @@ object Queries {
       |  GROUP BY piece
       |  HAVING SUM(CAST(round(n.num / z.z * f.freq, 6) AS DECIMAL(38,6))) > 0)""")
       .stripMargin
+
+  /** The c7b oracle: [[operators.QuantKmeans.fit]]'s quantized Lloyd
+    * loop unrolled (nlist 8, 3 iterations). Per iteration: a correlated
+    * argmin over the centroid table using the IDENTICAL distance
+    * expression (‖c‖² − 2·(v·c), both sequential folds over grid/exact
+    * values — bit-equal in any IEEE engine, so the argmin needs no
+    * tolerance), then per-(cluster, dim) exact-decimal means of
+    * grid-quantized components, re-gridded; memberless clusters keep
+    * their previous centroid via the LEFT JOIN COALESCE. Init = the 8
+    * vectors with the smallest (md5-hash60(id), id), components
+    * gridded. MATERIALIZED per stage (the t13 CTE-inlining lesson).
+    */
+  private lazy val duckQuantKmeansReplay: String = {
+    def iter(k: Int): String = {
+      val prev = s"cent${k - 1}"
+      s"""a$k AS MATERIALIZED (
+         |  SELECT e.vec_id, e.embedding, (
+         |      SELECT c.cid FROM $prev c
+         |      ORDER BY list_sum(list_transform(c.cv, x -> x * x)) -
+         |        2.0 * list_sum(list_transform(list_zip(e.embedding, c.cv),
+         |          p -> p[1]::DOUBLE * p[2])),
+         |        c.cid
+         |      LIMIT 1) AS cl
+         |  FROM emb e),
+         |u$k AS MATERIALIZED (
+         |  SELECT cl AS cid, CAST(i - 1 AS BIGINT) AS dim,
+         |    round(CAST(SUM(CAST(round(embedding[i]::DOUBLE, 6)
+         |        AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS m
+         |  FROM a$k, unnest(generate_series(1, len(embedding))) AS t(i)
+         |  GROUP BY 1, 2),
+         |cent$k AS MATERIALIZED (
+         |  SELECT l.cid, list(COALESCE(u.m, l.prev) ORDER BY l.dim) AS cv
+         |  FROM (SELECT c.cid, CAST(i - 1 AS BIGINT) AS dim, c.cv[i] AS prev
+         |        FROM $prev c, unnest(generate_series(1, len(c.cv))) AS t(i)) l
+         |  LEFT JOIN u$k u ON u.cid = l.cid AND u.dim = l.dim
+         |  GROUP BY l.cid)""".stripMargin
+    }
+    val iters = (1 to 3).map(iter).mkString(",\n")
+    s"""WITH
+       |emb AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
+       |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+       |cent0 AS MATERIALIZED (
+       |  SELECT cid, cv FROM (
+       |    SELECT row_number() OVER (ORDER BY
+       |        ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+       |        CAST(vec_id AS VARCHAR)) - 1 AS cid,
+       |      list_transform(embedding, x -> round(x::DOUBLE, 6)) AS cv
+       |    FROM emb) WHERE cid < 8),
+       |$iters
+       |SELECT c.cid AS cluster_idx, CAST(i - 1 AS BIGINT) AS dim_idx,
+       |  c.cv[i] AS c
+       |FROM cent3 c, unnest(generate_series(1, len(c.cv))) AS t(i)
+       |ORDER BY cluster_idx, dim_idx""".stripMargin
+  }
 
   /** The t13 oracle: [[operators.BpeTrain.fit]]'s 8-merge loop unrolled
     * into one SQL chain. Per iteration k: `pc_k` counts freq-weighted
@@ -5462,6 +5538,8 @@ object Queries {
     // r13; the t29b chaining precedent showed loops CAN sit under the
     // hard signal when every step is engine-portable)
     "t13_bpe_merges" -> duckBpeFitReplay,
+    // c7b: the quantized-KMeans loop replay (see duckQuantKmeansReplay)
+    "c7b_kmeans_det" -> duckQuantKmeansReplay,
     // BPE training's gate-able iteration: vocabulary-weighted adjacent
     // char-pair counts, top-20 fully ordered (count desc, left, right)
     "t12_bpe_pairs" ->
@@ -6392,6 +6470,7 @@ object Queries {
     "r2_retrieval_ivf" -> r2RetrievalIvf,
     "q3_profile" -> q3Profile,
     "c7_ivf_cluster" -> c7IvfCluster,
+    "c7b_kmeans_det" -> c7bKmeansDet,
     "c7_sq8_ann" -> c7Sq8Ann,
     "c7_pq_ann" -> c7PqAnn,
     "c8_ann_ivf" -> c8AnnIvf,

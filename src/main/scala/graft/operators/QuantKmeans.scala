@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** DETERMINISTIC, cross-engine-verifiable KMeans — quantized Lloyd
+  * iterations under the t29b grid discipline, giving the IVF family a
+  * coarse-quantizer whose centroids are bit-reproducible across
+  * partitionings, re-runs, AND engines (the hash-gated c7b row):
+  *
+  *  - INIT: the `nlist` vectors with the smallest
+  *    (md5-hash60(id), id) — data-dependent, seedless, replayable
+  *    anywhere md5 exists; components grid-quantized to 10^-quantScale.
+  *  - ASSIGN: argmin over centroids of ‖c‖² − 2·(v·c) with a first-min
+  *    tie-break — [[IvfIndex.assign]]'s EXACT expression shape, so the
+  *    assignment is the one the serving path would compute. Both terms
+  *    are fixed sequential folds over grid/exact values, so the
+  *    distances are bit-identical in any IEEE engine: the argmin needs
+  *    no tolerance.
+  *  - UPDATE: per (cluster, dim), the mean of GRID-quantized components
+  *    via exact DECIMAL sums (order-independent, O(1) per-group state,
+  *    map-side combine) and one double division, re-gridded. Clusters
+  *    that lose every member keep their previous centroid.
+  *
+  * Scale shape: each iteration is one assignment scan (O(nlist·dim) per
+  * row, the same arithmetic any IVF insert pays) plus one
+  * vocabulary-independent (nlist·dim)-group aggregation; the driver
+  * holds only the centroid table. MLlib's KMeans ([[IvfIndex.build]])
+  * remains the default trainer — this is the REPRODUCIBLE-index option
+  * for pipelines that need the coarse quantizer itself to be an
+  * auditable artifact (same corpus → same index bytes, bit-for-bit).
+  */
+object QuantKmeans {
+
+  /** Fit `nlist` grid-quantized centroids; returns them in init order
+    * (cluster id = position). `df` needs a unique-ish id column (init
+    * ranking) and an array vector column.
+    */
+  def fit(df: DataFrame, idCol: String, vecCol: String, nlist: Int,
+          iters: Int, quantScale: Int = 6): Array[Array[Double]] = {
+    require(nlist >= 1, s"nlist $nlist must be >= 1")
+    require(iters >= 1, s"iters $iters must be >= 1")
+    require(quantScale >= 1 && quantScale <= 18,
+      s"quantScale $quantScale outside [1,18]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = df.select(col(idCol).cast("string").as("__id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .where(col("__id").isNotNull && col("__v").isNotNull)
+      .persist()
+    try {
+      val init = vecs
+        .orderBy(graft.functions.TextFunctions.hash60(col("__id")), col("__id"))
+        .limit(nlist)
+        .select("__v").as[Seq[Double]].collect()
+      require(init.nonEmpty, "empty input — nothing to cluster")
+      var cents: Array[Array[Double]] = init
+        .map(_.map(x => UnigramTok.quantize(x, quantScale)).toArray).toArray
+      val dotFn: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+          org.apache.spark.sql.Column =
+        if (spark.catalog.functionExists("fast_dot"))
+          graft.functions.VectorFunctions.fastDot
+        else graft.functions.VectorFunctions.dot
+      var it = 0
+      while (it < iters) {
+        // IvfIndex.assign's expression, under the current grid centroids
+        val dists = cents.map { c =>
+          lit(c.map(x => x * x).sum) -
+            lit(2.0) * dotFn(col("__v"), typedlit(c.toIndexedSeq))
+        }
+        val arr = array(dists.toIndexedSeq: _*)
+        val upd = vecs
+          .withColumn("__c", (array_position(arr, array_min(arr)) - 1).cast("int"))
+          .select(col("__c"), posexplode(col("__v")).as(Seq("__d", "__x")))
+          .groupBy("__c", "__d")
+          .agg(
+            sum(round(col("__x"), quantScale)
+              .cast(org.apache.spark.sql.types.DecimalType(38, quantScale)))
+              .cast("double").as("s"),
+            count(lit(1)).cast("double").as("n"))
+          .collect()
+        val next = cents.map(_.clone()) // memberless clusters keep position
+        upd.foreach { r =>
+          val c = r.getInt(0); val d = r.getInt(1)
+          next(c)(d) = UnigramTok.quantize(r.getDouble(2) / r.getDouble(3),
+            quantScale)
+        }
+        cents = next
+        it += 1
+      }
+      cents
+    } finally vecs.unpersist()
+  }
+
+  /** [[fit]] packaged as an [[IvfIndex.Model]] + the assigned frame —
+    * the deterministic twin of [[IvfIndex.build]] (assignment through
+    * the same [[IvfIndex.assign]] expression the build and streaming
+    * paths share).
+    */
+  def buildDeterministic(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int,
+      quantScale: Int = 6): (DataFrame, IvfIndex.Model) = {
+    val model = IvfIndex.Model(fit(df, idCol, vecCol, nlist, iters, quantScale))
+    (IvfIndex.assign(df, vecCol, model), model)
+  }
+}
