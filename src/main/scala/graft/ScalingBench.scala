@@ -225,7 +225,12 @@ object ScalingBench {
       "f1_fuzzy_join", "r2_retrieval_ivf", "t12_bpe_pairs", "t21_ngram_lm",
       "x4_pack_token_ids", "t30_ngram_absdiscount", "t28_unigram_estep",
       "t29_unigram_fit", "t29b_unigram_em2", "t29c_unigram_prune",
-      "t33_unigram_sampled_ids", "c7b_kmeans_det")
+      "t33_unigram_sampled_ids")
+    // c7b (QuantKmeans) is NOT in the ladder: the copies fixture carries
+    // only the document-side tables, and the index family's decade story
+    // is already owned by the ann/ivf_maintenance sections (build grows
+    // linearly, append/probe flat) — c7b's per-iteration work is the
+    // same assignment scan those sections measure
     // second decade, CAPPED rows only: these are the designated 100 TB
     // plans, and two decades turn one ratio into a growth exponent.
     // e4/e4d stay at one decade on purpose — e4d is the documented
