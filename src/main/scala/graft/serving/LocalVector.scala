@@ -156,22 +156,54 @@ private[graft] object LocalVector {
 
   /** `ORDER BY score [DESC|ASC], id ASC LIMIT k` over scored row indices.
     * Returns the kept indices in served order, paired with their scores.
+    *
+    * O(n log k) bounded-heap selection (VERDICT r18 #5 — the full
+    * per-request sort was O(n log n) over up to `maxLocalIndex` rows).
+    * Order semantics are IDENTICAL to the former stable full sort: the
+    * (score, id) comparator with the row INDEX as the final tie-break is
+    * a total order, and under a total order "k smallest, emitted
+    * ascending" equals "stable sort, take k" — compare-equal rows (same
+    * score AND same id, i.e. duplicates) keep first-encountered-first,
+    * exactly what TimSort's stability gave.
     */
   def rank(scores: Array[Double], ids: Array[Any], descending: Boolean,
            idLt: (Any, Any) => Boolean, k: Int): Array[Int] = {
-    val idx = Array.range(0, scores.length)
-    val ord = new Ordering[Int] {
-      def compare(a: Int, b: Int): Int = {
-        val sa = normKey(scores(a)); val sb = normKey(scores(b))
-        // java.lang.Double.compare: NaN largest — Spark's double order
-        val c = java.lang.Double.compare(sa, sb)
+    val n = scores.length
+    def cmp(a: Int, b: Int): Int = {
+      val sa = normKey(scores(a)); val sb = normKey(scores(b))
+      // java.lang.Double.compare: NaN largest — Spark's double order
+      val c = java.lang.Double.compare(sa, sb)
+      val d =
         if (c != 0) { if (descending) -c else c }
         else if (idLt(ids(a), ids(b))) -1
         else if (idLt(ids(b), ids(a))) 1
         else 0
+      if (d != 0) d else Integer.compare(a, b)
+    }
+    if (k <= 0 || n == 0) return Array.empty[Int]
+    if (k >= n) return Array.range(0, n).sortWith((a, b) => cmp(a, b) < 0)
+    // binary max-heap of the k best so far; a candidate enters only when
+    // strictly smaller than the current worst, so the selection is exact
+    val heap = Array.range(0, k)
+    def siftDown(i0: Int): Unit = {
+      var i = i0
+      var moved = true
+      while (moved) {
+        val l = 2 * i + 1; val r = l + 1
+        var m = i
+        if (l < k && cmp(heap(l), heap(m)) > 0) m = l
+        if (r < k && cmp(heap(r), heap(m)) > 0) m = r
+        if (m == i) moved = false
+        else { val t = heap(i); heap(i) = heap(m); heap(m) = t; i = m }
       }
     }
-    // sortWith is TimSort under the hood — stable, like Spark's sort
-    idx.sortWith((a, b) => ord.compare(a, b) < 0).take(k)
+    var i = k / 2 - 1
+    while (i >= 0) { siftDown(i); i -= 1 }
+    var j = k
+    while (j < n) {
+      if (cmp(j, heap(0)) < 0) { heap(0) = j; siftDown(0) }
+      j += 1
+    }
+    heap.sortWith((a, b) => cmp(a, b) < 0)
   }
 }

@@ -57,6 +57,41 @@ class BloomProbeSpec extends SparkSpec {
     BloomBroadcasts.unregister(k)
   }
 
+  test("registry is LRU-bounded: eviction destroys, recent use survives") {
+    val base = BloomBroadcasts.registeredCount
+    // distinct contents: one broadcast each. 20 items per filter — a
+    // SINGLE-item 8192-bit filter sets so few bits that different items
+    // routinely produce identical bytes (measured: 64 one-item filters
+    // collapsed to 43 distinct contents), which would keep the registry
+    // under the bound and void the test
+    def bloom(i: Int): Array[Byte] =
+      buildBloom((0L until 20L).map(j => i * 1000003L + j * 7919L))
+    val first = BloomBroadcasts.register(spark, bloom(0))
+    val keys = (1 until BloomBroadcasts.MaxEntries)
+      .map(i => BloomBroadcasts.register(spark, bloom(i)))
+    assert((keys :+ first).distinct.size == BloomBroadcasts.MaxEntries,
+      "fixture filters must have pairwise-distinct contents")
+    // touch `first` so it is the most recently used, then overflow by one:
+    // the eviction must pick the LRU entry (keys.head), not `first`
+    Seq(1L).toDF("h")
+      .select(call_function("bloom_probe", lit(first), col("h"))).collect()
+    val overflow = BloomBroadcasts.register(spark, bloom(BloomBroadcasts.MaxEntries))
+    assert(BloomBroadcasts.registeredCount <= BloomBroadcasts.MaxEntries,
+      s"registry grew past the bound: ${BloomBroadcasts.registeredCount}")
+    // the recently-used entry still serves...
+    Seq(1L).toDF("h")
+      .select(call_function("bloom_probe", lit(first), col("h"))).collect()
+    // ...while the evicted LRU entry refuses loudly (same as unregister)
+    val ex = intercept[Exception] {
+      Seq(1L).toDF("h")
+        .select(call_function("bloom_probe", lit(keys.head), col("h"))).collect()
+    }
+    assert(ex.getMessage.contains("no filter registered"), ex.getMessage)
+    // clean up this test's entries so later suites see the prior state
+    (Seq(first, overflow) ++ keys).foreach(BloomBroadcasts.unregister)
+    assert(BloomBroadcasts.registeredCount <= math.max(base, 0))
+  }
+
   test("null hash yields null, not a probe of garbage") {
     val bf = buildBloom(Seq(42L))
     val k = BloomBroadcasts.register(spark, bf)

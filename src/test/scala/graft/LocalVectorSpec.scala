@@ -91,6 +91,45 @@ class LocalVectorSpec extends SparkSpec {
     assert(asc.toSeq == Seq(2L, 3L, 4L, 5L, 1L), asc.toSeq.toString)
   }
 
+  test("bounded-heap rank == stable full sort take(k) (fuzz: NaN, -0.0, dup ids)") {
+    // the former implementation, kept as the semantic reference: stable
+    // TimSort under the (score, id) comparator, take k
+    def reference(scores: Array[Double], ids: Array[Any], descending: Boolean,
+                  idLtF: (Any, Any) => Boolean, k: Int): Array[Int] = {
+      val ord = new Ordering[Int] {
+        def compare(a: Int, b: Int): Int = {
+          def nk(d: Double) = if (d == 0.0) 0.0 else d
+          val c = java.lang.Double.compare(nk(scores(a)), nk(scores(b)))
+          if (c != 0) { if (descending) -c else c }
+          else if (idLtF(ids(a), ids(b))) -1
+          else if (idLtF(ids(b), ids(a))) 1
+          else 0
+        }
+      }
+      Array.range(0, scores.length)
+        .sortWith((a, b) => ord.compare(a, b) < 0).take(k)
+    }
+    val lt = (a: Any, b: Any) => a.asInstanceOf[Long] < b.asInstanceOf[Long]
+    val rnd = new scala.util.Random(97L)
+    for (trial <- 0 until 300) {
+      val n = rnd.nextInt(60)
+      val scores = Array.fill(n)(rnd.nextInt(5) match {
+        case 0 => Double.NaN
+        case 1 => -0.0
+        case 2 => 0.0
+        case _ => math.floor(rnd.nextDouble() * 8) // coarse grid: many ties
+      })
+      // ids drawn from a small pool so exact (score, id) duplicates occur
+      val ids: Array[Any] = Array.fill(n)(rnd.nextInt(6).toLong: Any)
+      val k = rnd.nextInt(n + 2)
+      val desc = rnd.nextBoolean()
+      val got = LocalVector.rank(scores, ids, desc, lt, k)
+      val want = reference(scores, ids, desc, lt, k)
+      assert(got.toSeq == want.toSeq,
+        s"trial $trial n=$n k=$k desc=$desc:\n got=${got.toSeq}\n want=${want.toSeq}\n scores=${scores.toSeq}\n ids=${ids.toSeq}")
+    }
+  }
+
   test("kernel replicas match the Catalyst expressions on random input") {
     val rnd = new scala.util.Random(3L)
     val vecs = Seq.fill(40)(Array.fill(24)(rnd.nextFloat() * 4 - 2))
