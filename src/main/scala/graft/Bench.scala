@@ -174,6 +174,73 @@ object Bench {
     }.mkString("{", ",", "}")
   } catch { case _: Throwable => "{}" }
 
+  /** Append-serve sidecar (VERDICT r18 #1 — the reference's loader
+    * inserts while the searcher serves): sustained vector-endpoint
+    * throughput WHILE a maintenance thread appends new rows into the
+    * served index and atomically refreshes ([[graft.serving.SearchService
+    * .appendAndRefresh]]). Reports req/s and p95 over the maintenance
+    * window, the number of refreshes completed, and errors (must be 0 —
+    * every request answers from either the old or the new snapshot).
+    * bench_detail only.
+    */
+  private[graft] def refreshRps(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): String = try {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.clusteredEmbeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val queries = emb.orderBy(col("vec_id")).limit(25).collect()
+      .map(_.getSeq[Float](1).toArray)
+    // append payload: existing vectors under fresh ids (the assignment +
+    // encode cost is what matters, not the values)
+    val payload = emb.orderBy(col("vec_id")).limit(200).collect()
+      .map(_.getSeq[Float](1).toArray)
+    val dir = graft.sources.TempDirs.register(
+      s"/tmp/graft_bench_refresh_${ProcessHandle.current().pid()}")
+    val svc = new graft.serving.SearchService(
+      emb, "embedding", "vec_id", mode = "ivf_sq8", nlist = 32, nprobe = 4,
+      maxReqPerSec = Int.MaxValue, indexDir = Some(dir))
+    try {
+      queries.take(5).foreach(svc.searchVector) // warm
+      val stopAt = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val lat = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
+      val errs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val nThreads = 8
+      val t0 = System.nanoTime()
+      val searchers = (0 until nThreads).map { t =>
+        new Thread(() => {
+          var i = 0
+          while (!stopAt.get()) {
+            val s = System.nanoTime()
+            try {
+              if (svc.searchVector(queries((t * 31 + i) % queries.length)).isEmpty)
+                errs.incrementAndGet()
+            } catch { case _: Throwable => errs.incrementAndGet() }
+            lat.add((System.nanoTime() - s) / 1e6)
+            i += 1
+          }
+        })
+      }
+      searchers.foreach(_.start())
+      val refreshes = 4
+      val maxId = 10000000L // past any fixture vec_id: appended ids are new
+      (0 until refreshes).foreach { b =>
+        import spark.implicits._
+        svc.appendAndRefresh(
+          payload.zipWithIndex.map { case (v, i) => (maxId + b * 1000 + i, v) }
+            .toSeq.toDF("vec_id", "embedding"))
+      }
+      stopAt.set(true)
+      searchers.foreach(_.join(30000))
+      val wall = (System.nanoTime() - t0) / 1e9
+      val times = {
+        import scala.jdk.CollectionConverters._
+        lat.asScala.map(_.doubleValue).toIndexedSeq
+      }
+      def f1(d: Double) = "%.1f".formatLocal(java.util.Locale.ROOT, d)
+      s"""{"rps":${f1(times.size / wall)},"p95_ms":${f1(percentile(times, 0.95))},"clients":$nThreads,"n":${times.size},"refreshes":$refreshes,"appended_rows":${refreshes * payload.length},"errors":${errs.get()}}"""
+    } finally svc.stop()
+  } catch { case _: Throwable => "{}" }
+
   /** Hybrid TEXT retrieval throughput ([[graft.serving
     * .HybridSearchService]]): concurrent clients POSTing query strings to
     * /hybrid — per request a pushed-In(term) BM25 probe of the persisted
@@ -505,8 +572,13 @@ object Bench {
         }
       }.toMap
     }
+    // same success-first rule as preBand (ADVICE r18): when every earlier
+    // pass failed, `best` is a time-to-error — a successful p4 re-run
+    // timing must win over it even when slower
     val withGc = preBand.map { case (name, best) =>
-      name -> p4.get(name).filter(_._3).toSeq.+:(best).minBy(_._1)
+      val cands = best +: p4.get(name).filter(_._3).toSeq
+      val succeeded = cands.filter(_._3)
+      name -> (if (succeeded.nonEmpty) succeeded else cands).minBy(_._1)
     }
     val bandOutliers = withGc.collect {
       case (name, (t, _, _)) if bands.get(name).exists(b => t > 2 * b) =>
@@ -556,6 +628,7 @@ object Bench {
         s""","gc_ms":$gcJson""" +
         s""","serving_ms":${servingLatency(spark, sfDir)}""" +
         s""","serving_rps":${servingRps(spark, sfDir)}""" +
+        s""","refresh_rps":${refreshRps(spark, sfDir)}""" +
         s""","hybrid_rps":${hybridRps(spark, sfDir)}""" +
         s""","nprobe_curve":${nprobeCurve(spark, sfDir)}""" +
         scaling +

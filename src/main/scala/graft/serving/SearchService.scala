@@ -103,7 +103,13 @@ class SearchService(
     // planning or job scheduling. Over budget (or an exotic id type) every
     // request falls back to the distributed plan, identical results.
     // 0 disables.
-    maxLocalIndex: Int = 200000) {
+    maxLocalIndex: Int = 200000,
+    // Cell budget for that snapshot: rows × (vector dim + code bytes). A
+    // row-count budget alone lets a wide-embedding table (768–1536 dims)
+    // silently collect hundreds of MB onto the driver at construction and
+    // on every refresh (ADVICE r18); 32M cells ≈ 128 MB of float payload.
+    // Over budget → the distributed plan serves, identical results.
+    maxLocalCells: Long = 32L << 20) {
 
   // fail at construction, not as a 501 on the first request (the same
   // loud-edge contract IvfIndex.search/rankCentroids now enforce)
@@ -211,6 +217,26 @@ class SearchService(
     val model = ivf.getOrElse(throw new IllegalStateException(
       "indexStream needs a quantized mode (ivf, ivf_sq8, ivf_pq)"))._2
     layout(IvfIndex.assign(rows, vecCol, model))
+  }
+
+  /** BATCH append-serve — the reference's operating mode (loader.js
+    * inserting while searcher.js serves): map `rows` into the served
+    * layout (the SAME fixed-centroid assignment + codec models the load
+    * fitted — [[indexStream]]'s projection), append them into `indexDir`'s
+    * `cluster_id` partition layout, then [[refresh]]. Requests keep
+    * answering throughout: in-flight scans hold the PREVIOUS parquet file
+    * listing (an append never deletes files, so that snapshot stays
+    * readable), and the swap is two volatile writes — a request observes
+    * either the old or the new snapshot, both complete. Delta-sized end to
+    * end: one narrow assignment scan of `rows` plus a partitioned append;
+    * the periodic full rebuild (a new service load) absorbs centroid
+    * drift, exactly like Milvus sealing growing segments.
+    */
+  def appendAndRefresh(rows: DataFrame): Unit = {
+    val dir = indexDir.getOrElse(throw new IllegalStateException(
+      "appendAndRefresh needs indexDir (the in-memory load is immutable)"))
+    indexStream(rows).write.mode("append").partitionBy("cluster_id").parquet(dir)
+    refresh()
   }
 
   /** Re-snapshot the served index from `indexDir` (∪ `deltaDir` once the
@@ -327,6 +353,15 @@ class SearchService(
     if (needCodes && frame.schema("__codes").dataType != BinaryType) return None
     val n = snap match { case None => nRows; case Some((f, _)) => f.count() }
     if (n > maxLocalIndex) return None
+    // rows × width cell budget BEFORE collecting (ADVICE r18): one tiny
+    // agg job at load/refresh time, never a wide collect that only then
+    // turns out to be hundreds of MB
+    val widthCols = (if (needVec) Seq(max(size(col(vecCol)))) else Nil) ++
+      (if (needCodes) Seq(max(length(col("__codes")))) else Nil)
+    val width = if (widthCols.isEmpty) 1L
+      else frame.agg(widthCols.head, widthCols.tail: _*).head().toSeq
+        .map { case null => 0L; case v: Int => v.toLong }.sum
+    if (n * math.max(width, 1L) > maxLocalCells) return None
     val cols = keepCols.map(col) ++
       (if (needVec) Seq(col(vecCol)) else Nil) ++
       (if (needCodes) Seq(col("__codes")) else Nil) ++
@@ -348,6 +383,12 @@ class SearchService(
     val vecDim =
       if (!needVec || rows.isEmpty) -1 else rows.head.getSeq[Float](vecAt).size
     if (needVec && rows.exists(_.getSeq[Float](vecAt).size != vecDim))
+      return None
+    // a null ELEMENT inside a vector would unbox to 0.0f in the snapshot
+    // arrays while the Catalyst kernels null-score the whole row and the
+    // plan sorts it last (ADVICE r18) — same refusal as mixed dims: check
+    // the BOXED seq, where the null is still visible
+    if (needVec && rows.exists(_.getSeq[Any](vecAt).contains(null)))
       return None
     if (needCodes && rows.nonEmpty) {
       val cl = rows.head.getAs[Array[Byte]](codesAt).length

@@ -334,6 +334,97 @@ class SearchServiceSpec extends SparkSpec {
     } finally svc.stop()
   }
 
+  test("append-serve: appendAndRefresh ≡ a fresh service over base ∪ delta, local tier AND distributed fallback (VERDICT r18 #1)") {
+    // Same-model comparator (the buildArtifacts handoff): both services
+    // boot from one ModelStore artifact set, so the appended service and a
+    // fresh service constructed over the already-unioned table must serve
+    // IDENTICAL (id, score) lists — any divergence means append re-encoded
+    // or dropped something. Checked on BOTH tiers: the driver-resident
+    // snapshot (rebuilt by refresh) and the distributed plan (budget 0).
+    val table = clusteredVectors()
+    val pid = ProcessHandle.current().pid()
+    val mdir = graft.sources.TempDirs.register(s"/tmp/graft_app_models_$pid")
+    SearchService.buildArtifacts(table, "vec", "ivf_sq8", nlist = 4, dir = mdir)
+    val extra = (0 until 7).map(i =>
+      (2000L + i, Array.tabulate(16)(d => if (d / 4 == (i % 4)) 11.5f else 0.1f)))
+    val unionTbl = table.union(extra.toDF("id", "vec"))
+    def mk(tbl: org.apache.spark.sql.DataFrame, tag: String, budget: Int) =
+      new SearchService(tbl, "vec", "id", topK = 15,
+        mode = "ivf_sq8", nlist = 4, nprobe = 4,
+        indexDir = Some(graft.sources.TempDirs.register(
+          s"/tmp/graft_app_${tag}_$pid")),
+        modelDir = Some(mdir), maxLocalIndex = budget)
+    val grown = mk(table, "grown_loc", 200000)
+    val grownDist = mk(table, "grown_dist", 0)
+    val fresh = mk(unionTbl, "fresh_loc", 200000)
+    val freshDist = mk(unionTbl, "fresh_dist", 0)
+    try {
+      grown.appendAndRefresh(extra.toDF("id", "vec"))
+      grownDist.appendAndRefresh(extra.toDF("id", "vec"))
+      assert(grown.localTierActive,
+        "refresh must REBUILD the driver-resident snapshot over the union")
+      assert(!grownDist.localTierActive)
+      val rnd = new scala.util.Random(13L)
+      val queries = (0 until 4).map { c =>
+        Array.tabulate(16)(d =>
+          (if (d / 4 == c) 10.0f else 0.0f) + (rnd.nextFloat() - 0.5f))
+      }
+      queries.zipWithIndex.foreach { case (q, qi) =>
+        def rows(s: SearchService) =
+          s.searchVector(q).map(r => (r.getLong(0), r.getDouble(r.length - 1)))
+        val g = rows(grown); val f = rows(fresh)
+        val gd = rows(grownDist); val fd = rows(freshDist)
+        assert(g == f, s"q$qi local tier: grown=$g fresh=$f")
+        assert(gd == fd, s"q$qi distributed: grown=$gd fresh=$fd")
+        assert(g == gd, s"q$qi tiers diverge: local=$g dist=$gd")
+        assert(g.exists(_._1 >= 2000L),
+          s"q$qi: appended rows never served: $g")
+      }
+    } finally Seq(grown, grownDist, fresh, freshDist).foreach(_.stop())
+  }
+
+  test("requests keep answering DURING refresh: concurrent search ∥ appendAndRefresh, zero failures") {
+    val table = clusteredVectors()
+    val pid = ProcessHandle.current().pid()
+    val svc = new SearchService(table, "vec", "id", topK = 15,
+      mode = "ivf_sq8", nlist = 4, nprobe = 2,
+      indexDir = Some(graft.sources.TempDirs.register(
+        s"/tmp/graft_live_$pid")))
+    try {
+      val rnd = new scala.util.Random(5L)
+      val q = Array.tabulate(16)(d =>
+        (if (d / 4 == 1) 10.0f else 0.0f) + (rnd.nextFloat() - 0.5f))
+      val stopAt = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val answered = new java.util.concurrent.atomic.AtomicInteger(0)
+      val searchers = (0 until 3).map(_ => new Thread(() => {
+        while (!stopAt.get()) {
+          try {
+            val got = svc.searchVector(q)
+            // every answer is complete: a full top-k from SOME snapshot
+            if (got.size == 15) answered.incrementAndGet()
+            else errors.add(new AssertionError(s"partial answer: ${got.size}"))
+          } catch { case t: Throwable => errors.add(t) }
+        }
+      }))
+      searchers.foreach(_.start())
+      // 4 maintenance appends, each followed by the atomic swap
+      (0 until 4).foreach { b =>
+        svc.appendAndRefresh(
+          (0 until 10).map(i => (5000L + b * 10 + i,
+            Array.tabulate(16)(d => if (d / 4 == 1) 11.0f else 0.2f)))
+            .toDF("id", "vec"))
+      }
+      stopAt.set(true)
+      searchers.foreach(_.join(30000))
+      assert(errors.isEmpty, s"requests failed during refresh: ${errors.peek()}")
+      assert(answered.get() > 0, "no request completed during the window")
+      // post-refresh: appended rows are served
+      val after = svc.searchVector(q).map(_.getLong(0)).toSet
+      assert(after.exists(_ >= 5000L), s"appended rows not served: $after")
+    } finally svc.stop()
+  }
+
   test("rerank + growing segment: streamed delta rows re-score exactly, never dropped") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
