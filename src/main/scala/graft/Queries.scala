@@ -2911,6 +2911,31 @@ object Queries {
       .orderBy("piece")
   }
 
+  /** T29d — the FULL trainer under the hash gate ([[operators.UnigramTok
+    * .quantizedFit]]): corpus seeding (substrings ≤ 4, singles always
+    * kept), the required-character floor, and the
+    * prune-while-above-target LOOP — [[operators.UnigramTok.fit]]'s
+    * actual control flow — on the t29b decimal grid. At the gate corpus
+    * the loop runs 4 data-dependent outer rounds (EM → prune ×3, then an
+    * EM whose vocabulary lands ≤ target); the oracle unrolls 5 rounds
+    * with a DONE-LATCH (each round's state passes through unchanged once
+    * any stop condition held), so engine and replay agree on WHERE the
+    * loop stopped, not just on each round's arithmetic. This retires the
+    * training story's last rows-only surface (VERDICT r18 next-round #2):
+    * t28 pinned the E-step, t29b the chaining, t29c the prune — t29d
+    * pins seeding, floor, and loop control. t29 (the IEEE-float
+    * production fit) remains rows-only by nature, now with a hash-green
+    * twin of its ENTIRE algorithm.
+    */
+  val t29dUnigramQuantFit: Q = (s, d) => {
+    import s.implicits._
+    operators.UnigramTok.quantizedFit(
+        operators.BpeTrain.wordFreq(Tables.documents(s, d), "text"),
+        vocabTarget = 60, emIters = 1, pruneKeep = 0.5, maxRounds = 8)
+      .toDF("piece", "p")
+      .orderBy("piece")
+  }
+
   /** T26 — WordPiece token-id export ([[operators.WordPiece.tokenIds]]):
     * the BERT vocab.txt grain — one row per (doc, position) with the
     * piece's rank id (unk = one past the vocabulary), positions ordered
@@ -3185,6 +3210,134 @@ object Queries {
       |  GROUP BY piece
       |  HAVING SUM(CAST(round(n.num / z.z * f.freq, 6) AS DECIMAL(38,6))) > 0)""")
       .stripMargin
+
+  /** The t29d oracle: [[operators.UnigramTok.quantizedFit]]'s whole
+    * trainer unrolled — corpus seed (substring counts, singles kept,
+    * quantized integer-ratio probs), then `R` outer rounds each of: the
+    * t28 enumeration E-step under the previous STATE, exact-decimal
+    * counts, the required-character floor (round(tot·1e-6) — one multiply
+    * + one re-grid, exactly the engine's two steps), grid M-step, the
+    * t29c prune replay (alt scores by excluded enumeration, ln enters
+    * ordering only), and a grid renormalize. CONTROL FLOW is replayed via
+    * a done-latch: d$k = d$(k-1) OR |postEM| ≤ V OR keepN ≥ |multi|, and
+    * st$k passes st$(k-1) through untouched once done — so a converged
+    * round's successors are no-ops, mirroring the engine's loop exit
+    * (the engine REQUIRES convergence within the same R, so a
+    * non-converged corpus fails loudly on the engine side rather than
+    * silently diverging). Every stage MATERIALIZED (the t13 CTE-inlining
+    * lesson).
+    */
+  private lazy val duckUgQuantFitReplay: String = {
+    // R must equal the query's maxRounds: 8 gives two rounds of headroom
+    // over the measured worst case (6 at the 100x token-disjoint scaling
+    // fixture; 4 at the gate SFs) — extra rounds are pure pass-through
+    val V = 60; val PK = "0.5"; val R = 8
+    def round(k: Int): String = {
+      val prev = s"st${k - 1}"
+      s"""rec$k AS (
+         |  SELECT word, CAST(1 AS BIGINT) AS i, '' AS acc,
+         |    CAST(1 AS DOUBLE) AS pr FROM wfq
+         |  UNION ALL
+         |  SELECT r.word, CAST(r.i + p.plen AS BIGINT),
+         |    r.acc || p.piece || chr(31), r.pr * p.prob
+         |  FROM rec$k r JOIN $prev p ON substr(r.word, r.i, p.plen) = p.piece
+         |  WHERE r.i <= len(r.word)),
+         |term$k AS (SELECT word, string_split(rtrim(acc, chr(31)), chr(31)) AS toks,
+         |    pr FROM rec$k WHERE i = len(word) + 1),
+         |z$k AS (SELECT word, sum(pr) AS z FROM term$k GROUP BY word),
+         |occ$k AS (SELECT word, unnest(toks) AS piece, pr FROM term$k),
+         |num$k AS (SELECT word, piece, sum(pr) AS num FROM occ$k GROUP BY word, piece),
+         |c$k AS MATERIALIZED (SELECT piece,
+         |    CAST(SUM(CAST(round(n.num / z.z * f.freq, 6) AS DECIMAL(38,6))) AS DOUBLE) AS c
+         |  FROM num$k n JOIN z$k z USING (word) JOIN wfq f USING (word)
+         |  GROUP BY piece
+         |  HAVING SUM(CAST(round(n.num / z.z * f.freq, 6) AS DECIMAL(38,6))) > 0),
+         |fl$k AS MATERIALIZED (SELECT round(
+         |    CAST((SELECT SUM(CAST(c AS DECIMAL(38,6))) FROM c$k) AS DOUBLE) * 1e-6,
+         |    6) AS fl),
+         |f$k AS MATERIALIZED (
+         |  SELECT c.piece,
+         |    CASE WHEN c.piece IN (SELECT piece FROM sgl)
+         |          AND c.c < (SELECT fl FROM fl$k)
+         |         THEN (SELECT fl FROM fl$k) ELSE c.c END AS c
+         |  FROM c$k c
+         |  UNION ALL
+         |  SELECT s.piece, (SELECT fl FROM fl$k) AS c FROM sgl s
+         |  WHERE s.piece NOT IN (SELECT piece FROM c$k)),
+         |pe$k AS MATERIALIZED (SELECT piece, plen, prob, c FROM (
+         |    SELECT piece, len(piece) AS plen, c,
+         |      round(c / (SELECT CAST(SUM(CAST(c AS DECIMAL(38,6))) AS DOUBLE)
+         |                 FROM f$k), 6) AS prob
+         |    FROM f$k) WHERE prob > 0),
+         |mult$k AS MATERIALIZED (
+         |  SELECT piece, plen, prob, c FROM pe$k WHERE plen > 1),
+         |recp$k AS (
+         |  SELECT piece AS target, CAST(1 AS BIGINT) AS i,
+         |    CAST(0 AS DOUBLE) AS s FROM mult$k
+         |  UNION ALL
+         |  SELECT r.target, CAST(r.i + q.plen AS BIGINT), r.s + ln(q.prob)
+         |  FROM recp$k r JOIN mult$k m ON m.piece = r.target
+         |  JOIN pe$k q ON substr(m.piece, CAST(r.i AS INTEGER), q.plen) = q.piece
+         |    AND q.piece <> m.piece
+         |  WHERE r.i <= m.plen),
+         |alt$k AS (SELECT r.target AS piece, max(r.s) AS alt
+         |  FROM recp$k r JOIN mult$k m ON m.piece = r.target
+         |  WHERE r.i = m.plen + 1 GROUP BY r.target),
+         |scored$k AS (SELECT m.piece, m.prob,
+         |    CASE WHEN a.alt IS NULL THEN CAST('infinity' AS DOUBLE)
+         |         ELSE m.c * (ln(m.prob) - a.alt) END AS loss
+         |  FROM mult$k m LEFT JOIN alt$k a USING (piece)),
+         |kn$k AS MATERIALIZED (SELECT LEAST(count(*), GREATEST(
+         |    GREATEST(0, $V - (SELECT count(*) FROM pe$k WHERE plen = 1)),
+         |    CAST(floor(count(*) * $PK) AS BIGINT))) AS kn, count(*) AS nm
+         |  FROM mult$k),
+         |ranked$k AS (SELECT piece, prob,
+         |    row_number() OVER (ORDER BY loss DESC, piece) AS rn FROM scored$k),
+         |nx$k AS (SELECT piece, prob FROM pe$k WHERE plen = 1
+         |  UNION ALL SELECT piece, prob FROM ranked$k
+         |  WHERE rn <= (SELECT kn FROM kn$k)),
+         |pr$k AS MATERIALIZED (SELECT piece, round(prob /
+         |    (SELECT CAST(SUM(CAST(prob AS DECIMAL(38,6))) AS DOUBLE) FROM nx$k),
+         |  6) AS prob FROM nx$k),
+         |d$k AS MATERIALIZED (SELECT (SELECT done FROM d${k - 1})
+         |    OR ((SELECT count(*) FROM pe$k) <= $V)
+         |    OR ((SELECT kn FROM kn$k) >= (SELECT nm FROM kn$k)) AS done),
+         |st$k AS MATERIALIZED (
+         |  SELECT piece, plen, prob FROM $prev WHERE (SELECT done FROM d${k - 1})
+         |  UNION ALL
+         |  SELECT piece, plen, prob FROM pe$k
+         |  WHERE NOT (SELECT done FROM d${k - 1})
+         |    AND (((SELECT count(*) FROM pe$k) <= $V)
+         |      OR ((SELECT kn FROM kn$k) >= (SELECT nm FROM kn$k)))
+         |  UNION ALL
+         |  SELECT piece, len(piece) AS plen, prob FROM pr$k
+         |  WHERE NOT (SELECT done FROM d${k - 1})
+         |    AND NOT ((SELECT count(*) FROM pe$k) <= $V)
+         |    AND NOT ((SELECT kn FROM kn$k) >= (SELECT nm FROM kn$k)))""".stripMargin
+    }
+    val rounds = (1 to R).map(round).mkString(",\n")
+    s"""WITH RECURSIVE
+       |w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+       |wfq AS MATERIALIZED (SELECT word, CAST(count(*) AS DOUBLE) AS freq
+       |  FROM w WHERE len(word) > 0 GROUP BY word),
+       |seedc AS MATERIALIZED (SELECT piece, c, single FROM (
+       |    SELECT substr(word, i, L) AS piece, SUM(freq) AS c,
+       |      MAX(CASE WHEN L = 1 THEN 1 ELSE 0 END) AS single
+       |    FROM wfq,
+       |      unnest(generate_series(1, len(word))) AS t(i),
+       |      unnest(generate_series(1, 4)) AS u(L)
+       |    WHERE i + L - 1 <= len(word)
+       |    GROUP BY 1)
+       |  WHERE c >= 2 OR single = 1),
+       |sgl AS MATERIALIZED (SELECT piece FROM seedc WHERE single = 1),
+       |st0 AS MATERIALIZED (SELECT piece, plen, prob FROM (
+       |    SELECT piece, len(piece) AS plen,
+       |      round(c / (SELECT SUM(c) FROM seedc), 6) AS prob
+       |    FROM seedc) WHERE prob > 0),
+       |d0 AS (SELECT FALSE AS done),
+       |$rounds
+       |SELECT piece, prob AS p FROM st$R ORDER BY piece""".stripMargin
+  }
 
   /** The c7b oracle: [[operators.QuantKmeans.fit]]'s quantized Lloyd
     * loop unrolled (nlist 8, 3 iterations). Per iteration: a correlated
@@ -5932,6 +6085,10 @@ object Queries {
         |    CAST((SELECT SUM(CAST(prob AS DECIMAL(38,6))) FROM nxt) AS DOUBLE),
         |  6) AS p
         |FROM nxt ORDER BY piece""").stripMargin,
+    // t29d replays the WHOLE quantized trainer: corpus seed, floored EM
+    // rounds, prune replays, and the loop's done-latch — see
+    // duckUgQuantFitReplay for the construction
+    "t29d_unigram_quantfit" -> duckUgQuantFitReplay,
     // t33 = t31's enumeration-mass FFBS replay (seed 't33') composed with
     // t32's id/position tail: sampled tokens join the generated
     // model-order id table, positions from the per-doc window
@@ -6546,6 +6703,7 @@ object Queries {
     "t28_unigram_estep" -> t28UnigramEstep,
     "t29b_unigram_em2" -> t29bUnigramEm2,
     "t29c_unigram_prune" -> t29cUnigramPrune,
+    "t29d_unigram_quantfit" -> t29dUnigramQuantFit,
     "t33_unigram_sampled_ids" -> t33UnigramSampledIds,
     "t31_unigram_sample" -> t31UnigramSample,
     "t32_unigram_ids" -> t32UnigramIds,

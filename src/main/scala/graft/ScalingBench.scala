@@ -219,13 +219,17 @@ object ScalingBench {
     // t29's entry was deleted from scaling.json for this run so the fit
     // re-measures under the r18 exact-DECIMAL E-step aggregation (O(1)
     // per-group state replacing the collect_list word arrays)
+    // r19: t29d (the FULL quantized trainer — seed + floored EM + prune
+    // loop) joins both decades; like t29b its per-round aggregation state
+    // is vocabulary-collapsed, so wall should stay near-flat as the
+    // token-disjoint copies grow the corpus but not the template vocab
     val names10 = Seq("e2_minhash_pairs", "e4_jaccard_pairs", "e4c_jaccard_zipf",
       "e4d_jaccard_zipf_exact", "e8_dedup_cluster", "p3_corpus_recipe",
       "m4_cdc_apply", "u2_k_anonymity", "r3_bm25_topk",
       "f1_fuzzy_join", "r2_retrieval_ivf", "t12_bpe_pairs", "t21_ngram_lm",
       "x4_pack_token_ids", "t30_ngram_absdiscount", "t28_unigram_estep",
       "t29_unigram_fit", "t29b_unigram_em2", "t29c_unigram_prune",
-      "t33_unigram_sampled_ids")
+      "t29d_unigram_quantfit", "t33_unigram_sampled_ids")
     // c7b (QuantKmeans) is NOT in the ladder: the copies fixture carries
     // only the document-side tables, and the index family's decade story
     // is already owned by the ann/ivf_maintenance sections (build grows
@@ -241,7 +245,8 @@ object ScalingBench {
       "e8_dedup_cluster", "p3_corpus_recipe", "m4_cdc_apply", "u2_k_anonymity",
       "r3_bm25_topk", "f1_fuzzy_join", "r2_retrieval_ivf", "t12_bpe_pairs",
       "t21_ngram_lm", "x4_pack_token_ids", "t30_ngram_absdiscount",
-      "t28_unigram_estep", "t29b_unigram_em2", "t33_unigram_sampled_ids")
+      "t28_unigram_estep", "t29b_unigram_em2", "t29d_unigram_quantfit",
+      "t33_unigram_sampled_ids")
     // build the ANN fixtures BEFORE the steal window opens (r13
     // self-review #2): the emb10000 build writes ~16 GB of parquet, and a
     // steal count spanning fixture IO can no longer flag a

@@ -521,30 +521,124 @@ class UnigramTokSpec extends SparkSpec {
     */
   private def localEmChain(words: Seq[(String, Long)],
       seed: Seq[(String, Double)], iters: Int,
-      scale: Int): Seq[(String, Double, Double)] = {
+      scale: Int,
+      margin: (Double, String) => Unit = (_, _) => ())
+      : Seq[(String, Double, Double)] = {
     val Zero = java.math.BigDecimal.ZERO
     def dec(v: Double) =
       new java.math.BigDecimal(java.lang.Double.toString(v))
         .setScale(scale, java.math.RoundingMode.HALF_UP)
     var cur = seed
     var out: Seq[(String, Double, Double)] = null
-    (1 to iters).foreach { _ =>
+    (1 to iters).foreach { it =>
       val pm = cur.toMap
       val acc = scala.collection.mutable.HashMap.empty[String, java.math.BigDecimal]
       words.foreach { case (w, f) =>
         bruteExpected(w, pm).foreach(_.foreach { case (p, e) =>
+          margin(e * f.toDouble, s"it$it e*f $w/$p")
           val v = UnigramTok.quantize(e * f.toDouble, scale)
           acc(p) = acc.getOrElse(p, Zero).add(dec(v))
         })
       }
       val counts = acc.toSeq.filter(_._2.signum > 0).sortBy(_._1)
       val tot = counts.map(_._2).fold(Zero)(_.add(_)).doubleValue
+      counts.foreach { case (p, c) =>
+        margin(c.doubleValue / tot, s"it$it M $p") }
       out = counts.map { case (p, c) =>
           (p, UnigramTok.quantize(c.doubleValue / tot, scale), c.doubleValue) }
         .filter { case (_, pr, _) => pr > 0.0 }
       cur = out.map { case (p, pr, _) => (p, pr) }
     }
     out
+  }
+
+  /** Driver-side replica of [[UnigramTok.quantizedFit]] using the
+    * ENUMERATION E-step — the independent algorithm the distributed t29d
+    * trainer must agree with, with a hook reporting every PRE-QUANTIZE
+    * value so the margin audit can check grid-boundary distances.
+    */
+  private def localQuantFit(words: Seq[(String, Long)], vocabTarget: Int,
+      emIters: Int, pruneKeep: Double, floorFrac: Double, maxRounds: Int,
+      margin: (Double, String) => Unit = (_, _) => ())
+      : Seq[(String, Double)] = {
+    val Zero = java.math.BigDecimal.ZERO
+    def dec(v: Double) =
+      new java.math.BigDecimal(java.lang.Double.toString(v))
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+    def decSum(vs: Iterable[Double]): Double =
+      vs.map(dec).fold(Zero)(_.add(_)).doubleValue
+    // seed: every substring <= 4 with freq-weighted count >= 2; singles
+    // unconditionally kept
+    val sc = scala.collection.mutable.Map.empty[String, (Long, Boolean)]
+    words.foreach { case (w, f) =>
+      if (w != null && w.nonEmpty) {
+        val syms = BpeTrain.codePointSyms(w)
+        for (j <- syms.indices; k <- (j + 1) to math.min(syms.length, j + 4)) {
+          val p = syms.slice(j, k).mkString
+          val (c, s) = sc.getOrElse(p, (0L, false))
+          sc(p) = (c + f, s || k - j == 1)
+        }
+      }
+    }
+    val seed = sc.toArray.collect {
+      case (p, (c, s)) if c >= 2L || s => (p, c) }.sortBy(_._1)
+    val singles = sc.collect { case (p, (_, true)) => p }.toSet
+    val seedTotal = seed.foldLeft(0L) { case (a, (_, c)) => a + c }
+    seed.foreach { case (p, c) =>
+      margin(c.toDouble / seedTotal.toDouble, s"seed $p") }
+    var probs: Array[(String, Double)] = seed
+      .map { case (p, c) =>
+        (p, UnigramTok.quantize(c.toDouble / seedTotal.toDouble, 6)) }
+      .filter(_._2 > 0.0)
+    var done = false
+    var rounds = 0
+    var last: Array[(String, Double, Double)] = null
+    while (!done) {
+      assert(rounds < maxRounds, s"replica did not converge in $maxRounds")
+      (1 to emIters).foreach { _ =>
+        val pm = probs.toMap
+        val acc = scala.collection.mutable.HashMap.empty[String, java.math.BigDecimal]
+        words.foreach { case (w, f) =>
+          bruteExpected(w, pm).foreach(_.foreach { case (p, e) =>
+            margin(e * f.toDouble, s"r$rounds e*f $w/$p")
+            acc(p) = acc.getOrElse(p, Zero)
+              .add(dec(UnigramTok.quantize(e * f.toDouble, 6)))
+          })
+        }
+        val counts = acc.toSeq.filter(_._2.signum > 0).sortBy(_._1)
+          .map { case (p, c) => (p, c.doubleValue) }
+        val tot0 = decSum(counts.map(_._2))
+        margin(tot0 * floorFrac, s"r$rounds floor")
+        val fl = UnigramTok.quantize(tot0 * floorFrac, 6)
+        assert(fl > 0.0, "replica floor rounded to zero")
+        val present = counts.iterator.map(_._1).toSet
+        val all = (counts.map { case (p, c) =>
+            (p, if (singles(p) && c < fl) fl else c)
+          } ++ singles.toSeq.filterNot(present).sorted.map(p => (p, fl)))
+          .sortBy(_._1)
+        val tot = decSum(all.map(_._2))
+        all.foreach { case (p, c) => margin(c / tot, s"r$rounds M $p") }
+        last = all.map { case (p, c) =>
+            (p, UnigramTok.quantize(c / tot, 6), c) }
+          .filter { case (_, pr, _) => pr > 0.0 }.toArray
+        probs = last.map { case (p, pr, _) => (p, pr) }
+      }
+      if (probs.length <= vocabTarget) done = true
+      else {
+        val (next, noop) =
+          UnigramTok.pruneKept(last, singles, vocabTarget, pruneKeep)
+        if (noop) done = true
+        else {
+          val mass = decSum(next.map(_._2))
+          next.foreach { case (p, pr) =>
+            margin(pr / mass, s"r$rounds renorm $p") }
+          probs = next.map { case (p, pr) =>
+            (p, UnigramTok.quantize(pr / mass, 6)) }
+        }
+      }
+      rounds += 1
+    }
+    probs.sortBy(_._1).toSeq
   }
 
   // a dyadic seed that COVERS fitCorpus (letters f,a,s,t,e,r,m) — the
@@ -629,6 +723,148 @@ class UnigramTokSpec extends SparkSpec {
     val gap = losses(keepN - 1) - losses(keepN)
     assert(gap > 1e-6 * math.max(1.0, losses(keepN - 1).abs),
       s"keep-boundary gap $gap too narrow: ${losses(keepN - 1)} vs ${losses(keepN)}")
+  }
+
+  test("quantizedFit == enumeration replica on the REAL gate corpus (t29d shape)") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val wf = BpeTrain.wordFreq(docs, "text")
+    val words = wf.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val got = UnigramTok.quantizedFit(wf, vocabTarget = 60,
+      emIters = 1, pruneKeep = 0.5, maxRounds = 8)
+    val want = localQuantFit(words, vocabTarget = 60,
+      emIters = 1, pruneKeep = 0.5, floorFrac = 1e-6, maxRounds = 8)
+    assert(got == want, {
+      val g = got.toMap; val w = want.toMap
+      val ks = (g.keySet ++ w.keySet).filter(k => g.get(k) != w.get(k))
+      s"diverge at $ks: got=${ks.map(g.get)}, want=${ks.map(w.get)}"
+    })
+    // the trainer's contract: at/under target, singles alive, grid output
+    assert(got.size <= 60 && got.nonEmpty)
+    val singles = got.map(_._1).filter(_.length == 1).toSet
+    assert(singles.nonEmpty, "coverage singles must survive the full fit")
+    got.foreach { case (p, pr) =>
+      assert(UnigramTok.quantize(pr, 6) == pr, s"$p off-grid: $pr") }
+  }
+
+  test("quantizedFit guards refuse loudly") {
+    val df = fitCorpus.toDF("word", "freq")
+    intercept[IllegalArgumentException] { UnigramTok.quantizedFit(df, 0) }
+    intercept[IllegalArgumentException] {
+      UnigramTok.quantizedFit(df, 5, emIters = 0) }
+    intercept[IllegalArgumentException] {
+      UnigramTok.quantizedFit(df, 5, pruneKeep = 1.0) }
+    intercept[IllegalArgumentException] {
+      UnigramTok.quantizedFit(df, 5, floorFrac = 0.0) }
+    intercept[IllegalArgumentException] {
+      UnigramTok.quantizedFit(df, 5, maxRounds = 0) }
+    // non-convergence within maxRounds is LOUD, not a silent truncation —
+    // a 1-round budget cannot complete the prune loop on this corpus
+    val ex = intercept[IllegalArgumentException] {
+      UnigramTok.quantizedFit(df, vocabTarget = 2, emIters = 1,
+        pruneKeep = 0.9, maxRounds = 1)
+    }
+    assert(ex.getMessage.contains("maxRounds"), ex.getMessage)
+  }
+
+  test("rounding-boundary margins on the gate corpus: t29b/t29c/t29d pre-quantize values sit far from .5 (ADVICE r18)") {
+    // Spark's round (BigDecimal-over-Double.toString, HALF_UP) and
+    // DuckDB's round (half-away-from-zero on the exact binary value)
+    // agree EXCEPT within ~1 ulp of a .5 grid boundary; the engines also
+    // differ by last-bit noise (enumeration vs forward-backward) BEFORE
+    // rounding. The gates are sound iff every value either engine rounds
+    // sits far from the boundary relative to that noise — checked here
+    // for every pre-quantize value of the exact gate configurations.
+    var checked = 0L
+    def gridMargin(v: Double, what: String): Unit = {
+      val s = v * 1e6
+      assert(!s.isNaN && !s.isInfinite, s"$what: non-finite $v")
+      val d = math.abs((s - math.floor(s)) - 0.5)
+      // threshold: 1000x the largest cross-engine noise plausible at this
+      // magnitude (1 ulp of the scaled value), floored at 1e-9
+      assert(d > math.max(1e-9, Math.ulp(s) * 1e3),
+        s"$what: $v sits $d from the .5 boundary (scaled $s)")
+      checked += 1
+    }
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val words = BpeTrain.wordFreq(docs, "text")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // t29b/t29c: two chained rounds under the dyadic fixture seed; the
+    // t29c renorm divisions
+    val last = localEmChain(words, Queries.FixedUgProbs, 2, 6, gridMargin)
+    val singles = Queries.FixedUgProbs.map(_._1)
+      .filter(p => p.codePointCount(0, p.length) == 1).toSet
+    val (next, noop) = UnigramTok.pruneKept(last.toArray, singles, 30, 0.5)
+    assert(!noop, "t29c must really prune")
+    val mass = UnigramTok.decimalFoldSum(next.map(_._2), 6)
+    next.foreach { case (p, pr) => gridMargin(pr / mass, s"t29c renorm $p") }
+    // t29d: the full trainer's margins, exact gate configuration
+    localQuantFit(words, vocabTarget = 60, emIters = 1, pruneKeep = 0.5,
+      floorFrac = 1e-6, maxRounds = 8, margin = gridMargin)
+    info(s"checked $checked pre-quantize values")
+    assert(checked > 1000, s"audit too small: $checked")
+  }
+
+  test("t29d keep boundary is robust to libm last-bit noise at every pruning round (gate corpus)") {
+    // same discipline as the t29c boundary test, but per ROUND of the
+    // full trainer: ln enters only the kept-set ordering, so each round's
+    // loss gap at its keep boundary must dwarf ~1-ulp libm differences
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val wf = BpeTrain.wordFreq(docs, "text")
+    val words = wf.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // replay the trainer, checking the gap whenever a prune fires
+    var prunes = 0
+    val Zero = java.math.BigDecimal.ZERO
+    def dec(v: Double) = new java.math.BigDecimal(
+      java.lang.Double.toString(v)).setScale(6, java.math.RoundingMode.HALF_UP)
+    val sc = scala.collection.mutable.Map.empty[String, (Long, Boolean)]
+    words.foreach { case (w, f) =>
+      val syms = BpeTrain.codePointSyms(w)
+      for (j <- syms.indices; k <- (j + 1) to math.min(syms.length, j + 4)) {
+        val p = syms.slice(j, k).mkString
+        val (c, s) = sc.getOrElse(p, (0L, false))
+        sc(p) = (c + f, s || k - j == 1)
+      }
+    }
+    val seed = sc.toArray.collect {
+      case (p, (c, s)) if c >= 2L || s => (p, c) }.sortBy(_._1)
+    val singles = sc.collect { case (p, (_, true)) => p }.toSet
+    val seedTotal = seed.map(_._2).sum
+    var probs = seed.map { case (p, c) =>
+      (p, UnigramTok.quantize(c.toDouble / seedTotal.toDouble, 6)) }
+      .filter(_._2 > 0.0)
+    var done = false
+    var rounds = 0
+    while (!done && rounds < 8) {
+      val last = UnigramTok.emRoundFloor(
+        wf, probs, singles, 1e-6, 6)
+      probs = last.map { case (p, pr, _) => (p, pr) }
+      if (probs.length <= 60) done = true
+      else {
+        val (single, multi) = last.partition { case (p, _, _) => singles(p) }
+        val keepN = math.min(multi.length,
+          math.max(math.max(0, 60 - single.length), (multi.length * 0.5).toInt))
+        if (keepN >= multi.length) done = true
+        else {
+          val logp = last.map { case (p, pr, _) => (p, math.log(pr)) }.toMap
+          val maxLen = last.map { case (p, _, _) =>
+            p.codePointCount(0, p.length) }.max
+          val losses = multi.map { case (p, pr, c) =>
+            val alt = UnigramTok.viterbiScore(
+              BpeTrain.codePointSyms(p), logp, maxLen, p)
+            c * (math.log(pr) - alt)
+          }.sorted(Ordering[Double].reverse)
+          val gap = losses(keepN - 1) - losses(keepN)
+          assert(gap > 1e-6 * math.max(1.0, losses(keepN - 1).abs),
+            s"round $rounds keep-boundary gap $gap too narrow")
+          prunes += 1
+          val (next, _) = UnigramTok.pruneKept(last, singles, 60, 0.5)
+          probs = UnigramTok.renormGrid(next, 6)
+        }
+      }
+      rounds += 1
+    }
+    assert(done, "gate configuration must converge within the unroll")
+    assert(prunes >= 2, s"gate configuration must prune repeatedly: $prunes")
   }
 
   test("sampledTokenIds: the epoch story — seeds resample, a seed reproduces, packs feed") {
