@@ -96,19 +96,22 @@ object Bench {
     */
   /** One blocking POST; drains the response, returns the status. Shared
     * by the serving_rps and hybrid_rps sidecars (self-review r16 #5).
+    * java.net.http.HttpClient, not HttpURLConnection: the legacy client
+    * writes headers and body as two small packets, and Nagle holds the
+    * second behind the peer's delayed ACK — a ~40 ms per-request stall
+    * that pinned every measured endpoint at clients/0.05 req/s (r19; the
+    * server side's TCP_NODELAY is set in HttpServing for the same
+    * reason). A measurement client must not BE the bottleneck.
     */
+  private val httpClient = java.net.http.HttpClient.newBuilder()
+    .version(java.net.http.HttpClient.Version.HTTP_1_1).build()
   private def httpPost(port: Int, path: String, body: Array[Byte]): Int = {
-    val conn = new java.net.URL(s"http://127.0.0.1:$port$path")
-      .openConnection().asInstanceOf[java.net.HttpURLConnection]
-    conn.setRequestMethod("POST")
-    conn.setDoOutput(true)
-    conn.setFixedLengthStreamingMode(body.length)
-    conn.getOutputStream.write(body)
-    conn.getOutputStream.close()
-    val code = conn.getResponseCode
-    val in = if (code < 400) conn.getInputStream else conn.getErrorStream
-    if (in != null) { in.readAllBytes(); in.close() }
-    code
+    val req = java.net.http.HttpRequest
+      .newBuilder(java.net.URI.create(s"http://127.0.0.1:$port$path"))
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray(body))
+      .build()
+    httpClient.send(req,
+      java.net.http.HttpResponse.BodyHandlers.discarding()).statusCode()
   }
 
   private[graft] def servingRps(
@@ -133,7 +136,9 @@ object Bench {
     }
     val images = (0 until 32).map(jpeg)
     val nThreads = 8
-    val perThread = 25
+    // r19: the de-Nagled endpoints answer in single-digit ms — a longer
+    // burst keeps the measured window meaningful
+    val perThread = 50
     def post(port: Int, body: Array[Byte]): Int = httpPost(port, "/search", body)
     def measure(mode: String): (Double, Double, Int) = {
       val svc = new graft.serving.SearchService(
@@ -274,7 +279,7 @@ object Bench {
       // warmup itself (and LocalHybridSpec) exercises
       bodies.foreach(post)
       val nThreads = 4
-      val perThread = 10
+      val perThread = 50 // r19: sub-20ms requests need a longer burst
       val lat = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
       val errs = new java.util.concurrent.atomic.AtomicInteger(0)
       val t0 = System.nanoTime()

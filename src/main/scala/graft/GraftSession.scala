@@ -16,6 +16,18 @@ import org.apache.spark.sql.SparkSession
   *    skew joins, the behavior we rely on at cluster scale.
   */
 object GraftSession {
+  // TCP_NODELAY for any JDK HttpServer the serving layer starts in this
+  // JVM. sun.net.httpserver.ServerConfig snapshots the property in its
+  // CLASS initializer, and something on the Spark startup path can load
+  // it before the serving layer does — measured r19: with the property
+  // set only at service construction, every HTTP endpoint kept a ~47 ms
+  // Nagle/delayed-ACK response stall (p95 pinned at ~50 ms, throughput =
+  // clients/0.05) while the identical handler answered in 1.3 ms once
+  // the property preceded ServerConfig. Session construction is the
+  // earliest shared chokepoint, so it is set here (and, belt-and-braces,
+  // in HttpServing).
+  System.setProperty("sun.net.httpserver.nodelay", "true")
+
   def builder(cpus: String): SparkSession.Builder =
     SparkSession.builder()
       .master(s"local[$cpus]")

@@ -118,6 +118,100 @@ private[graft] object LocalHybrid {
     def sizeRows: Long = rows.length.toLong
   }
 
+  /** Open-addressing long→double accumulator (power-of-two capacity,
+    * linear probing, Fibonacci spread) — the [[bm25Rank]] hot path touches
+    * one slot per posting row with ZERO boxing (r19 throughput fix: the
+    * boxed `java.util.HashMap[Long, Double]` cost two allocations per
+    * posting row, and a common-term request scores Σ df(t) ≈ 10⁵ rows —
+    * allocation, not arithmetic, dominated the per-request profile).
+    * Accumulation order per key is the caller's insertion order, so the
+    * IEEE fold sequence is exactly the boxed map's.
+    */
+  private final class LongDoubleAccum(initialCapacity: Int) {
+    private var cap = Integer.highestOneBit(
+      math.max(16, initialCapacity) * 2 - 1) << 1
+    private var keys = new Array[Long](cap)
+    private var used = new Array[Boolean](cap)
+    private var vals = new Array[Double](cap)
+    private var n = 0
+    def size: Int = n
+    private def slot(k: Long, ks: Array[Long], us: Array[Boolean]): Int = {
+      val mask = ks.length - 1
+      var i = (((k ^ (k >>> 32)) * 0x9E3779B97F4A7C15L) >>> 32).toInt & mask
+      while (us(i) && ks(i) != k) i = (i + 1) & mask
+      i
+    }
+    private def grow(): Unit = {
+      val nk = new Array[Long](cap << 1)
+      val nu = new Array[Boolean](cap << 1)
+      val nv = new Array[Double](cap << 1)
+      var i = 0
+      while (i < cap) {
+        if (used(i)) {
+          val j = slot(keys(i), nk, nu)
+          nk(j) = keys(i); nu(j) = true; nv(j) = vals(i)
+        }
+        i += 1
+      }
+      cap <<= 1; keys = nk; used = nu; vals = nv
+    }
+    def add(k: Long, v: Double): Unit = {
+      if (n * 2 >= cap) grow()
+      val i = slot(k, keys, used)
+      if (!used(i)) { used(i) = true; keys(i) = k; vals(i) = v; n += 1 }
+      else vals(i) += v
+    }
+    def foreach(f: (Long, Double) => Unit): Unit = {
+      var i = 0
+      while (i < cap) { if (used(i)) f(keys(i), vals(i)); i += 1 }
+    }
+  }
+
+  /** `(score DESC, id ASC) LIMIT k` over parallel arrays via an O(n log k)
+    * bounded max-heap (the [[LocalVector.rank]] discipline) — replaces the
+    * former full stable sort with IDENTICAL output: ids are unique, so the
+    * comparator is a total order and "k smallest, emitted ascending"
+    * equals "stable sort, take k". Scores here are never NaN (integer-
+    * derived BM25/cosine/RRF arithmetic), so the old `>`-predicate order
+    * and compare-based order coincide, −0.0 = 0.0 included.
+    */
+  private def selectTop(ids: Array[Long], scores: Array[Double],
+                        k: Int): Array[(Long, Long, Double)] = {
+    val n = ids.length
+    def cmp(a: Int, b: Int): Int = {
+      if (scores(a) > scores(b)) -1
+      else if (scores(b) > scores(a)) 1
+      else java.lang.Long.compare(ids(a), ids(b))
+    }
+    val m = math.min(k, n)
+    if (m <= 0) return Array.empty
+    val out: Array[Int] =
+      if (k >= n) Array.range(0, n).sortWith((a, b) => cmp(a, b) < 0)
+      else {
+        val heap = Array.range(0, k)
+        def siftDown(i0: Int): Unit = {
+          var i = i0; var moved = true
+          while (moved) {
+            val l = 2 * i + 1; val r = l + 1
+            var mx = i
+            if (l < k && cmp(heap(l), heap(mx)) > 0) mx = l
+            if (r < k && cmp(heap(r), heap(mx)) > 0) mx = r
+            if (mx == i) moved = false
+            else { val t = heap(i); heap(i) = heap(mx); heap(mx) = t; i = mx }
+          }
+        }
+        var i = k / 2 - 1
+        while (i >= 0) { siftDown(i); i -= 1 }
+        var j = k
+        while (j < n) {
+          if (cmp(j, heap(0)) < 0) { heap(0) = j; siftDown(0) }
+          j += 1
+        }
+        heap.sortWith((a, b) => cmp(a, b) < 0)
+      }
+    out.zipWithIndex.map { case (idx, r) => (r.toLong, ids(idx), scores(idx)) }
+  }
+
   /** Replica of `Bm25.searchIndex` for ONE query whose terms are all
     * locally cached: per-candidate contributions c = idf · tfn with the
     * exact operand order of the Catalyst expression, folded in term
@@ -137,7 +231,9 @@ private[graft] object LocalHybrid {
     // candidate document — Σ df(t) tuple allocations plus |candidates|
     // sorts per request.)
     val ordered = terms.sortWith(utf8Lt)
-    val acc = new java.util.HashMap[java.lang.Long, java.lang.Double]()
+    var total = 0
+    ordered.foreach(t => posts.get(t).foreach(tp => total += tp.rows.length))
+    val acc = new LongDoubleAccum(math.min(total, 1 << 16))
     ordered.foreach { t =>
       posts.get(t).foreach { tp =>
         if (tp.rows.nonEmpty) {
@@ -148,26 +244,16 @@ private[graft] object LocalHybrid {
             // (tf·(k1+1)) / (tf + k1·((1−b) + (b·dl)/avgdl)) — exact order
             val tfn = tf.toDouble * (k1 + 1.0) /
               (tf.toDouble + k1 * ((1.0 - b) + b * dl.toDouble / avgdl))
-            val c = idf * tfn
-            val prev = acc.get(id)
-            acc.put(id, if (prev == null) c else prev.doubleValue() + c)
+            acc.add(id, idf * tfn)
           }
         }
       }
     }
-    val scored = new Array[(Long, Double)](acc.size())
-    val it = acc.entrySet().iterator()
+    val ids = new Array[Long](acc.size)
+    val scores = new Array[Double](acc.size)
     var i = 0
-    while (it.hasNext) {
-      val e = it.next()
-      scored(i) = (e.getKey.longValue(), round6(e.getValue.doubleValue()))
-      i += 1
-    }
-    scala.util.Sorting.stableSort(scored,
-      (p: (Long, Double), q: (Long, Double)) =>
-        p._2 > q._2 || (p._2 == q._2 && p._1 < q._1))
-    scored.take(k).zipWithIndex
-      .map { case ((id, s), r) => (r.toLong, id, s) }
+    acc.foreach { (id, v) => ids(i) = id; scores(i) = round6(v); i += 1 }
+    selectTop(ids, scores, k)
   }
 
   /** Exact dense top-k over the driver-resident index — the
@@ -183,16 +269,16 @@ private[graft] object LocalHybrid {
         val s = new java.util.HashSet[Integer]()
         probe.foreach(c => s.add(c)); s
       }
-    val scored = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val ids = new Array[Long](index.length)
+    val scores = new Array[Double](index.length)
+    var n = 0
     index.foreach { case (id, emb, cluster) =>
-      if (probeSet == null || probeSet.contains(cluster))
-        scored += ((id, cosineScore(emb, qvec)))
+      if (probeSet == null || probeSet.contains(cluster)) {
+        ids(n) = id; scores(n) = cosineScore(emb, qvec); n += 1
+      }
     }
-    val arr = scored.toArray
-    scala.util.Sorting.stableSort(arr,
-      (p: (Long, Double), q: (Long, Double)) =>
-        p._2 > q._2 || (p._2 == q._2 && p._1 < q._1))
-    arr.take(k).zipWithIndex.map { case ((id, s), r) => (r.toLong, id, s) }
+    selectTop(java.util.Arrays.copyOf(ids, n),
+      java.util.Arrays.copyOf(scores, n), k)
   }
 
   /** Replica of `Bm25.rrf`: contribution 1/((c + rank) + 1.0) per
