@@ -2670,6 +2670,33 @@ object Queries {
         Tables.documents(s, d), "doc_id", "text", FixedUgProbs, seed = "t33")
       .orderBy("doc_id", "pos")
 
+  /** T33b — the epoch-resample training loop END TO END under the hash
+    * (VERDICT r18 next-round #7): two epochs, each drawing fresh
+    * segmentations per word ([[operators.UnigramTok.sampledTokenIds]]
+    * with seeds ep1/ep2) and packing its token stream into 256-token
+    * context windows ([[SequencePack.packTokenIds]], separator id one
+    * past the unk — the GPT-2 boundary discipline at the SentencePiece
+    * vocabulary). t33 pinned one epoch's ids; this row pins the per-epoch
+    * COMPOSITION a trainer actually consumes — resampled ids, separator,
+    * manifest order, window cut — with the epoch column naming which
+    * draw produced each tensor. The driver comparator can't hash array
+    * cells, so input_ids flattens to a space-joined scalar on both sides
+    * (the x4 discipline).
+    */
+  val t33bEpochPack: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val sep = operators.UnigramTok.vocabIds(FixedUgProbs).length.toLong
+    Seq("ep1", "ep2").zipWithIndex.map { case (seed, e) =>
+      SequencePack.packTokenIds(
+          operators.UnigramTok.sampledTokenIds(
+            docs, "doc_id", "text", FixedUgProbs, seed),
+          "doc_id", 256L, sepId = Some(sep))
+        .select(lit(e.toLong).as("epoch"), $"chunk_id", $"n_tokens",
+          array_join($"input_ids".cast("array<string>"), " ").as("input_ids"))
+    }.reduce(_.unionByName(_)).orderBy("epoch", "chunk_id")
+  }
+
   /** T24c — t24 re-driven through a FOREIGN artifact: a BERT-format
     * `vocab.txt` (one piece per line, line number = id, `[UNK]` in the
     * file) written by the session fixture and read back by
@@ -3337,6 +3364,97 @@ object Queries {
        |d0 AS (SELECT FALSE AS done),
        |$rounds
        |SELECT piece, prob AS p FROM st$R ORDER BY piece""".stripMargin
+  }
+
+  /** One epoch of the t33 FFBS sampled-segmentation replay (enumeration
+    * masses, md5 `seed|word|pos` draws, backward walk), CTE names
+    * suffixed with `x` so two epochs compose in one query; ends at
+    * `jj$x(doc_id, wpos, tpos, token_id)`.
+    */
+  private def duckUgSampledCtes(seed: String, x: String): String =
+    s"""w0$x AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |wpos$x AS (SELECT doc_id, i AS wpos, ws[i] AS word
+      |  FROM w0$x, unnest(generate_series(1, len(ws))) AS t(i)
+      |  WHERE len(ws[i]) > 0),
+      |wf$x AS (SELECT DISTINCT word FROM wpos$x),
+      |p$x AS (SELECT * FROM (VALUES $duckUgProbs) AS t(piece, plen, prob)),
+      |rec$x AS (
+      |  SELECT word, CAST(1 AS BIGINT) AS i, CAST(1 AS DOUBLE) AS pr FROM wf$x
+      |  UNION ALL
+      |  SELECT r.word, CAST(r.i + p.plen AS BIGINT), r.pr * p.prob
+      |  FROM rec$x r JOIN p$x p ON substr(r.word, r.i, p.plen) = p.piece
+      |  WHERE r.i <= len(r.word)),
+      |al$x AS (SELECT word, i, sum(pr) AS a FROM rec$x GROUP BY word, i),
+      |cand$x AS (SELECT a2.word, a2.i, a1.i AS j, a1.a * p.prob AS wgt
+      |  FROM al$x a2
+      |  JOIN p$x p ON a2.i - p.plen >= 1
+      |  JOIN al$x a1 ON a1.word = a2.word AND a1.i = a2.i - p.plen
+      |  WHERE a2.i > 1 AND substr(a2.word, a1.i, p.plen) = p.piece),
+      |cm$x AS (SELECT word, i, j,
+      |    sum(wgt) OVER (PARTITION BY word, i ORDER BY j) AS cum FROM cand$x),
+      |thr$x AS (SELECT word, i,
+      |    CAST(('0x' || substring(md5('$seed|' || word || '|' ||
+      |      CAST(i - 1 AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
+      |      / 1152921504606846976.0 * a AS t
+      |  FROM al$x WHERE i > 1),
+      |pick$x AS (SELECT c.word, c.i, min(c.j) AS j
+      |  FROM cm$x c JOIN thr$x thr ON thr.word = c.word AND thr.i = c.i
+      |  WHERE c.cum > thr.t GROUP BY c.word, c.i),
+      |walk$x AS (
+      |  SELECT word, CAST(len(word) + 1 AS BIGINT) AS i, '' AS acc
+      |  FROM wf$x wf WHERE EXISTS (SELECT 1 FROM al$x al
+      |    WHERE al.word = wf.word AND al.i = len(wf.word) + 1)
+      |  UNION ALL
+      |  SELECT wk.word, pk.j,
+      |    substr(wk.word, pk.j, wk.i - pk.j) || chr(31) || wk.acc
+      |  FROM walk$x wk JOIN pick$x pk ON pk.word = wk.word AND pk.i = wk.i
+      |  WHERE wk.i > 1),
+      |fin$x AS (
+      |  SELECT word, string_split(rtrim(acc, chr(31)), chr(31)) AS toks
+      |  FROM walk$x WHERE i = 1
+      |  UNION ALL
+      |  SELECT word, ['<unk>'] AS toks FROM wf$x wf
+      |  WHERE NOT EXISTS (SELECT 1 FROM al$x al
+      |    WHERE al.word = wf.word AND al.i = len(wf.word) + 1)),
+      |tk$x AS (SELECT word, j AS tpos, toks[j] AS token
+      |  FROM fin$x, unnest(generate_series(1, len(toks))) AS u(j)),
+      |ids$x AS (SELECT * FROM (VALUES $duckUgProbIds) AS t(token, token_id)),
+      |jj$x AS (SELECT wpos$x.doc_id, wpos$x.wpos, tk$x.tpos, ids$x.token_id
+      |  FROM wpos$x JOIN tk$x USING (word) JOIN ids$x USING (token))""".stripMargin
+
+  /** The t33b oracle: two [[duckUgSampledCtes]] epochs, each packed by
+    * the x4 manifest-offset tail — per-doc positions from the window,
+    * the separator id one past the unk, the md5-8-prefix draw order,
+    * and `gp // 256` windows with position-ordered `list()` contents.
+    */
+  private lazy val duckEpochPackReplay: String = {
+    val sep = operators.UnigramTok.vocabIds(FixedUgProbs).length
+    def pack(x: String, epoch: Int): String =
+      s"""pid$x AS (SELECT doc_id,
+         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wpos, tpos) - 1 AS BIGINT) AS pos,
+         |  CAST(token_id AS BIGINT) AS token_id FROM jj$x),
+         |sep$x AS (SELECT * FROM pid$x UNION ALL
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS pos,
+         |    CAST($sep AS BIGINT) AS token_id FROM pid$x GROUP BY doc_id),
+         |cnt$x AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+         |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS draw
+         |  FROM sep$x GROUP BY doc_id),
+         |o$x AS (SELECT doc_id, CAST(COALESCE(sum(n) OVER (ORDER BY draw, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+         |  FROM cnt$x),
+         |g$x AS (SELECT sp.doc_id, o$x.tok_offset + sp.pos AS gp, sp.token_id
+         |  FROM sep$x sp JOIN o$x USING (doc_id)),
+         |pk$x AS (SELECT CAST($epoch AS BIGINT) AS epoch, gp // 256 AS chunk_id,
+         |  CAST(count(*) AS BIGINT) AS n_tokens,
+         |  array_to_string(list(token_id ORDER BY gp), ' ') AS input_ids
+         |FROM g$x GROUP BY 2)""".stripMargin
+    s"""WITH RECURSIVE
+       |${duckUgSampledCtes("ep1", "e1")},
+       |${duckUgSampledCtes("ep2", "e2")},
+       |${pack("e1", 0)},
+       |${pack("e2", 1)}
+       |SELECT * FROM (SELECT * FROM pke1 UNION ALL SELECT * FROM pke2)
+       |ORDER BY epoch, chunk_id""".stripMargin
   }
 
   /** The c7b oracle: [[operators.QuantKmeans.fit]]'s quantized Lloyd
@@ -6094,59 +6212,16 @@ object Queries {
     // model-order id table, positions from the per-doc window
     "t33_unigram_sampled_ids" ->
       (s"""WITH RECURSIVE
-        |w0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |wpos AS (SELECT doc_id, i AS wpos, ws[i] AS word
-        |  FROM w0, unnest(generate_series(1, len(ws))) AS t(i)
-        |  WHERE len(ws[i]) > 0),
-        |wf AS (SELECT DISTINCT word FROM wpos),
-        |p AS (SELECT * FROM (VALUES $duckUgProbs) AS t(piece, plen, prob)),
-        |rec AS (
-        |  SELECT word, CAST(1 AS BIGINT) AS i, CAST(1 AS DOUBLE) AS pr FROM wf
-        |  UNION ALL
-        |  SELECT r.word, CAST(r.i + p.plen AS BIGINT), r.pr * p.prob
-        |  FROM rec r JOIN p ON substr(r.word, r.i, p.plen) = p.piece
-        |  WHERE r.i <= len(r.word)),
-        |al AS (SELECT word, i, sum(pr) AS a FROM rec GROUP BY word, i),
-        |cand AS (SELECT a2.word, a2.i, a1.i AS j, a1.a * p.prob AS wgt
-        |  FROM al a2
-        |  JOIN p ON a2.i - p.plen >= 1
-        |  JOIN al a1 ON a1.word = a2.word AND a1.i = a2.i - p.plen
-        |  WHERE a2.i > 1 AND substr(a2.word, a1.i, p.plen) = p.piece),
-        |cm AS (SELECT word, i, j,
-        |    sum(wgt) OVER (PARTITION BY word, i ORDER BY j) AS cum FROM cand),
-        |thr AS (SELECT word, i,
-        |    CAST(('0x' || substring(md5('t33|' || word || '|' ||
-        |      CAST(i - 1 AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
-        |      / 1152921504606846976.0 * a AS t
-        |  FROM al WHERE i > 1),
-        |pick AS (SELECT c.word, c.i, min(c.j) AS j
-        |  FROM cm c JOIN thr ON thr.word = c.word AND thr.i = c.i
-        |  WHERE c.cum > thr.t GROUP BY c.word, c.i),
-        |walk AS (
-        |  SELECT word, CAST(len(word) + 1 AS BIGINT) AS i, '' AS acc
-        |  FROM wf WHERE EXISTS (SELECT 1 FROM al
-        |    WHERE al.word = wf.word AND al.i = len(wf.word) + 1)
-        |  UNION ALL
-        |  SELECT wk.word, pk.j,
-        |    substr(wk.word, pk.j, wk.i - pk.j) || chr(31) || wk.acc
-        |  FROM walk wk JOIN pick pk ON pk.word = wk.word AND pk.i = wk.i
-        |  WHERE wk.i > 1),
-        |fin AS (
-        |  SELECT word, string_split(rtrim(acc, chr(31)), chr(31)) AS toks
-        |  FROM walk WHERE i = 1
-        |  UNION ALL
-        |  SELECT word, ['<unk>'] AS toks FROM wf
-        |  WHERE NOT EXISTS (SELECT 1 FROM al
-        |    WHERE al.word = wf.word AND al.i = len(wf.word) + 1)),
-        |tk AS (SELECT word, j AS tpos, toks[j] AS token
-        |  FROM fin, unnest(generate_series(1, len(toks))) AS u(j)),
-        |ids AS (SELECT * FROM (VALUES $duckUgProbIds) AS t(token, token_id)),
-        |jj AS (SELECT wpos.doc_id, wpos.wpos, tk.tpos, ids.token_id
-        |  FROM wpos JOIN tk USING (word) JOIN ids USING (token))
+        |${duckUgSampledCtes("t33", "")}
         |SELECT doc_id,
         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wpos, tpos) - 1 AS BIGINT) AS pos,
         |  CAST(token_id AS BIGINT) AS token_id
         |FROM jj ORDER BY doc_id, pos""").stripMargin,
+    // t33b: TWO epochs of the t33 replay (seeds ep1/ep2), each packed by
+    // the x4 manifest-offset tail (md5-draw order, separator one past the
+    // unk id, gp // 256 windows) — the epoch-resample training loop
+    // end-to-end under the hash
+    "t33b_epoch_pack" -> duckEpochPackReplay,
     // t28 enumerates every segmentation with a RUNNING PROBABILITY
     // PRODUCT (exact under the dyadic fixture), then expected count =
     // per-piece summed mass / per-word total mass — one division, same
@@ -6705,6 +6780,7 @@ object Queries {
     "t29c_unigram_prune" -> t29cUnigramPrune,
     "t29d_unigram_quantfit" -> t29dUnigramQuantFit,
     "t33_unigram_sampled_ids" -> t33UnigramSampledIds,
+    "t33b_epoch_pack" -> t33bEpochPack,
     "t31_unigram_sample" -> t31UnigramSample,
     "t32_unigram_ids" -> t32UnigramIds,
     "t29_unigram_fit" -> t29UnigramFit,
