@@ -3462,9 +3462,13 @@ object Queries {
     * argmin over the centroid table using the IDENTICAL distance
     * expression (‖c‖² − 2·(v·c), both sequential folds over grid/exact
     * values — bit-equal in any IEEE engine, so the argmin needs no
-    * tolerance), then per-(cluster, dim) exact-decimal means of
-    * grid-quantized components, re-gridded; memberless clusters keep
-    * their previous centroid via the LEFT JOIN COALESCE. Init = the 8
+    * tolerance), then per-(cluster, dim) exact-decimal sums of
+    * grid-quantized components with the mean rounded by EXACT INTEGER
+    * half-away arithmetic in HUGEINT ([[operators.QuantKmeans
+    * .gridMeanExact]]'s formula verbatim — r19: a double-division mean
+    * lands ON half-grid points where the engines' round conventions
+    * diverge); memberless clusters keep their previous centroid via the
+    * LEFT JOIN COALESCE. Init = the 8
     * vectors with the smallest (md5-hash60(id), id), components
     * gridded. MATERIALIZED per stage (the t13 CTE-inlining lesson).
     */
@@ -3481,11 +3485,16 @@ object Queries {
          |      LIMIT 1) AS cl
          |  FROM emb e),
          |u$k AS MATERIALIZED (
-         |  SELECT cl AS cid, CAST(i - 1 AS BIGINT) AS dim,
-         |    round(CAST(SUM(CAST(round(embedding[i]::DOUBLE, 6)
-         |        AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS m
-         |  FROM a$k, unnest(generate_series(1, len(embedding))) AS t(i)
-         |  GROUP BY 1, 2),
+         |  SELECT cid, dim, CAST(CASE WHEN su >= 0
+         |      THEN (2 * su + n) // (2 * n)
+         |      ELSE -((2 * (-su) + n) // (2 * n)) END AS DOUBLE) / 1e6 AS m
+         |  FROM (
+         |    SELECT cl AS cid, CAST(i - 1 AS BIGINT) AS dim,
+         |      CAST(SUM(CAST(round(embedding[i]::DOUBLE, 6)
+         |          AS DECIMAL(38,6))) * 1000000 AS HUGEINT) AS su,
+         |      CAST(COUNT(*) AS HUGEINT) AS n
+         |    FROM a$k, unnest(generate_series(1, len(embedding))) AS t(i)
+         |    GROUP BY 1, 2)),
          |cent$k AS MATERIALIZED (
          |  SELECT l.cid, list(COALESCE(u.m, l.prev) ORDER BY l.dim) AS cv
          |  FROM (SELECT c.cid, CAST(i - 1 AS BIGINT) AS dim, c.cv[i] AS prev

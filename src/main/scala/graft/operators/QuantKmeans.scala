@@ -19,8 +19,11 @@ import org.apache.spark.sql.functions._
   *    no tolerance.
   *  - UPDATE: per (cluster, dim), the mean of GRID-quantized components
   *    via exact DECIMAL sums (order-independent, O(1) per-group state,
-  *    map-side combine) and one double division, re-gridded. Clusters
-  *    that lose every member keep their previous centroid.
+  *    map-side combine), rounded onto the grid by EXACT INTEGER
+  *    half-away arithmetic ([[gridMeanExact]] — never a double division,
+  *    whose rounding sits convention-dependent when the exact mean lands
+  *    on a half-grid point). Clusters that lose every member keep their
+  *    previous centroid.
   *
   * Scale shape: each iteration is one assignment scan (O(nlist·dim) per
   * row, the same arithmetic any IVF insert pays) plus one
@@ -86,20 +89,51 @@ object QuantKmeans {
           .agg(
             sum(round(col("__x"), quantScale)
               .cast(org.apache.spark.sql.types.DecimalType(38, quantScale)))
-              .cast("double").as("s"),
-            count(lit(1)).cast("double").as("n"))
+              .as("s"),
+            count(lit(1)).as("n"))
           .collect()
         val next = cents.map(_.clone()) // memberless clusters keep position
         upd.foreach { r =>
           val c = r.getInt(0); val d = r.getInt(1)
-          next(c)(d) = UnigramTok.quantize(r.getDouble(2) / r.getDouble(3),
-            quantScale)
+          next(c)(d) = gridMeanExact(r.getDecimal(2), r.getLong(3), quantScale)
         }
         cents = next
         it += 1
       }
       cents
     } finally vecs.unpersist()
+  }
+
+  /** Half-away-from-zero rounding of the EXACT rational s/n onto the
+    * 10^-scale grid, in pure integer arithmetic — `s` is an exact
+    * DECIMAL(·, scale) sum, so `s/n` is an exact rational and
+    * `⌊(2·|units| + n) / (2n)⌋` is its half-away grid rounding with NO
+    * double division anywhere. Why (r19 margin-audit finding): a
+    * double-path `round(s.double / n, scale)` frequently lands WITHIN AN
+    * ULP OF (or exactly on) a .5 grid boundary — the sf0.001 fixture's
+    * iteration-1 means include s=−4.49475, n=60, an exact −74912.5 at
+    * scale 6 — and there Spark's toString-HALF_UP and DuckDB's
+    * float-scaled half-away genuinely DIVERGE (−0.074912 vs −0.074913).
+    * The r18 gate stayed green only because Lloyd's update forgets
+    * intermediate centroids when no assignment flips; integer replay
+    * makes the cross-engine agreement structural instead of lucky. Both
+    * engines compute the identical integer, then the identical canonical
+    * grid double.
+    */
+  private[graft] def gridMeanExact(s: java.math.BigDecimal, n: Long,
+                                   scale: Int): Double = {
+    require(n > 0, s"mean over non-positive count $n")
+    val units = s.setScale(scale).unscaledValue()
+    val neg = units.signum() < 0
+    val a = units.abs()
+    val m = a.shiftLeft(1).add(java.math.BigInteger.valueOf(n))
+      .divide(java.math.BigInteger.valueOf(2L * n))
+    val signed = if (neg) m.negate() else m
+    // the grid double must be exact (the same read-back guard as the
+    // decimal sums): |mean·10^scale| within the 2^53 integer range
+    require(signed.abs().bitLength() < 53,
+      s"quantized mean $signed exceeds the exactly-representable range")
+    signed.doubleValue() / math.pow(10, scale)
   }
 
   /** [[fit]] packaged as an [[IvfIndex.Model]] + the assigned frame —

@@ -17,11 +17,14 @@ class QuantKmeansSpec extends SparkSpec {
     * — only the execution is single-threaded.
     */
   private def localLloyd(rows: Seq[(String, Array[Double])], nlist: Int,
-                         iters: Int, scale: Int): Array[Array[Double]] = {
+                         iters: Int, scale: Int,
+                         margin: (Double, String) => Unit = (_, _) => ())
+      : Array[Array[Double]] = {
     val init = rows
       .sortBy { case (id, _) =>
         (graft.functions.TextFunctions.hash60Local(id), id) }
       .take(nlist)
+    init.foreach(_._2.foreach(x => margin(x, "init component")))
     var cents = init
       .map(_._2.map(x => UnigramTok.quantize(x, scale))).toArray
     (1 to iters).foreach { _ =>
@@ -42,9 +45,15 @@ class QuantKmeansSpec extends SparkSpec {
       cents = cents.zipWithIndex.map { case (c, i) =>
         if (sums(i).isEmpty) c
         else c.indices.toArray.map { d =>
-          val s = UnigramTok.decimalFoldSum(
-            sums(i).map(v => UnigramTok.quantize(v(d), scale)), scale)
-          UnigramTok.quantize(s / sums(i).length.toDouble, scale)
+          sums(i).foreach(v => margin(v(d), "member component"))
+          // exact integer half-away mean, the engine's gridMeanExact —
+          // no margin call: there is no double division to audit
+          val dec = sums(i).map(v => UnigramTok.quantize(v(d), scale))
+            .foldLeft(java.math.BigDecimal.ZERO) { (a, x) =>
+              a.add(new java.math.BigDecimal(java.lang.Double.toString(x))
+                .setScale(scale, java.math.RoundingMode.HALF_UP))
+            }
+          QuantKmeans.gridMeanExact(dec, sums(i).length.toLong, scale)
         }
       }
     }
@@ -66,6 +75,40 @@ class QuantKmeansSpec extends SparkSpec {
       "distributed fit must equal the driver replica bit-for-bit")
     // every component is a grid point
     a.foreach(_.foreach(x => assert(UnigramTok.quantize(x, 6) == x)))
+  }
+
+  test("c7b rounding-boundary audit: conventions agree on every remaining double round (ADVICE r18)") {
+    // MEANS are integer-exact since r19 (gridMeanExact — this audit is
+    // what CAUGHT the double-division mean landing on half-grid points:
+    // s=-4.49475/n=60 is exactly -74912.5 at scale 6, where Spark's
+    // toString-HALF_UP and DuckDB's float-scaled half-away genuinely
+    // diverge, and the r18 gate survived only because Lloyd's update
+    // forgets unflipped intermediates). What remains double-rounded is
+    // the component quantize round(x, 6); its operands are identical on
+    // both engines (no pre-round noise), so the audit asserts CONVENTION
+    // agreement on each shared double — Spark's BigDecimal-over-
+    // Double.toString HALF_UP vs DuckDB's float-scaled std::round —
+    // rather than a boundary distance.
+    var checked = 0L
+    def gridMargin(v: Double, what: String): Unit = {
+      val sc = v * 1e6
+      assert(!sc.isNaN && !sc.isInfinite, s"$what: non-finite $v")
+      val spark6 = UnigramTok.quantize(v, 6)
+      // DuckDB's DOUBLE round: std::round(v * 10^6) / 10^6 — float
+      // multiply, half AWAY from zero (the r18 memory-note convention)
+      val duck6 = (if (sc >= 0) math.floor(sc + 0.5)
+                   else math.ceil(sc - 0.5)) / 1e6
+      assert(spark6 == duck6,
+        s"$what: $v rounds differently by convention ($spark6 vs $duck6)")
+      checked += 1
+    }
+    val df = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+    val rows = df.selectExpr("cast(vec_id as string)",
+        "cast(embedding as array<double>)")
+      .collect().map(r => (r.getString(0), r.getSeq[Double](1).toArray)).toSeq
+    localLloyd(rows, 8, 3, 6, gridMargin)
+    info(s"checked $checked pre-quantize values")
+    assert(checked > 1000, s"audit too small: $checked")
   }
 
   test("memberless clusters keep their previous centroid") {

@@ -776,13 +776,30 @@ class UnigramTokSpec extends SparkSpec {
     // for every pre-quantize value of the exact gate configurations.
     var checked = 0L
     def gridMargin(v: Double, what: String): Unit = {
-      val s = v * 1e6
-      assert(!s.isNaN && !s.isInfinite, s"$what: non-finite $v")
-      val d = math.abs((s - math.floor(s)) - 0.5)
-      // threshold: 1000x the largest cross-engine noise plausible at this
-      // magnitude (1 ulp of the scaled value), floored at 1e-9
-      assert(d > math.max(1e-9, Math.ulp(s) * 1e3),
-        s"$what: $v sits $d from the .5 boundary (scaled $s)")
+      val sc = v * 1e6
+      assert(!sc.isNaN && !sc.isInfinite, s"$what: non-finite $v")
+      if (what.contains("e*f")) {
+        // NOISE-BEARING values (enumeration vs forward-backward compute
+        // e differently): the boundary distance must dwarf the last-bit
+        // noise — threshold 1000x an ulp of the scaled value
+        val d = math.abs((sc - math.floor(sc)) - 0.5)
+        assert(d > math.max(1e-9, Math.ulp(sc) * 1e3),
+          s"$what: $v sits $d from the .5 boundary (scaled $sc)")
+      } else {
+        // IDENTICAL-OPERAND values (decimal-sum divisions, the floor
+        // product, seed integer ratios): both engines hold the same
+        // double, so only CONVENTION agreement matters — Spark's
+        // toString-HALF_UP == exact-binary HALF_UP, and the float-scaled
+        // value must not land EXACTLY on .5 (the one case a half-away
+        // float path could split from exact-binary)
+        val spark6 = UnigramTok.quantize(v, 6)
+        // DuckDB's DOUBLE round: std::round(v * 10^6) / 10^6 — float
+        // multiply, half AWAY from zero (the r18 memory-note convention)
+        val duck6 = (if (sc >= 0) math.floor(sc + 0.5)
+                     else math.ceil(sc - 0.5)) / 1e6
+        assert(spark6 == duck6,
+          s"$what: $v rounds differently by convention ($spark6 vs $duck6)")
+      }
       checked += 1
     }
     val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
