@@ -2688,9 +2688,13 @@ object Queries {
     val docs = Tables.documents(s, d)
     val sep = operators.UnigramTok.vocabIds(FixedUgProbs).length.toLong
     Seq("ep1", "ep2").zipWithIndex.map { case (seed, e) =>
+      // packTokenIds executes its input lineage 4× (manifest pass +
+      // sep-union + join side — its own scaladoc says materialize an
+      // expensive input first); the FFBS sampling pass is the epoch's
+      // dominant cost, so pin it once (measured 5.4 s → ~2 s, r19)
       SequencePack.packTokenIds(
           operators.UnigramTok.sampledTokenIds(
-            docs, "doc_id", "text", FixedUgProbs, seed),
+            docs, "doc_id", "text", FixedUgProbs, seed).localCheckpoint(),
           "doc_id", 256L, sepId = Some(sep))
         .select(lit(e.toLong).as("epoch"), $"chunk_id", $"n_tokens",
           array_join($"input_ids".cast("array<string>"), " ").as("input_ids"))
@@ -3988,8 +3992,13 @@ object Queries {
   val x4PackTokenIds: Q = (s, d) => {
     import s.implicits._
     val model = graft.sources.ModelStore.loadBpe(s, s"${ensureBpeModels(s)}/gpt2b")
+    // materialize ONCE before packing: packTokenIds executes its input
+    // lineage 4× (its scaladoc's documented contract — the production
+    // shape writes ids to a lake first), and the BPE segmentation is the
+    // expensive half of this row (measured 2.3 s → ~1.2 s, r19)
     val ids = operators.BpeTrain.tokenIds(
       Tables.documents(s, d).where($"doc_id" % 10 === 0), "doc_id", "text", model)
+      .localCheckpoint()
     SequencePack.packTokenIds(ids, "doc_id", 512L, sepId = Some(260L))
       .select($"chunk_id", $"n_tokens",
         array_join($"input_ids".cast("array<string>"), " ").as("input_ids"))

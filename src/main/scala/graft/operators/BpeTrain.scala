@@ -410,7 +410,12 @@ object BpeTrain {
     val session = words.sparkSession
     import session.implicits._
     val bc = session.sparkContext.broadcast(merges.toArray)
-    words.select(col("word").cast("string")).as[String]
+    // Spread BEFORE the merge-apply pass: a distinct/groupBy input's
+    // map-side bytes look tiny, so AQE coalesces it to ONE partition
+    // while the per-word merge loop amplifies beyond bytes (the Spread
+    // scaladoc's case; measured serial ~0.4 s stages, r19)
+    Spread.byCols(words.select(col("word").cast("string")), Seq(col("word")))
+      .as[String]
       .mapPartitions { it =>
         val ms = bc.value
         val ranks = mergeRanks(ms)

@@ -52,13 +52,28 @@ object LmScore {
     // per row group on a small gate file) — the t5/p3 rule
     val toks = Spread.byCols(docs, Seq(col(textCol)))
       .select(tokens(col(textCol)).as("w"))
-    val uni = toks.select(explode(col("w")).as("w1"))
-    val unigrams = uni.groupBy("w1").agg(count(lit(1)).as("c1"))
-    val bigrams = toks
-      .select(explode(bigramPairs(col("w"))).as("b"))
-      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .agg(count(lit(1)).as("c12"))
-    val vocab = unigrams.count()
+    // ONE corpus scan + ONE aggregation for both orders, materialized
+    // once (the NgramLm.fit r19 shape): the previous two aggregations
+    // plus the eager vocab count scanned and re-tokenized the corpus
+    // three times, and a composed fit→score plan re-ran each table's
+    // aggregation again on the join side. Counts are bit-identical; the
+    // checkpoint pins the MODEL (vocabulary-sized), never the corpus.
+    val gram = "struct<ord:int,w1:string,w2:string>"
+    val counts = toks.select(explode(concat(
+        expr("transform(w, x -> struct(1, x, CAST(NULL AS STRING)))")
+          .cast(s"array<$gram>"),
+        transform(bigramPairs(col("w")),
+          b => struct(lit(2).as("ord"), b.getField("w1").as("w1"),
+            b.getField("w2").as("w2"))))).as("g"))
+      .groupBy(col("g.ord").as("ord"), col("g.w1").as("w1"),
+        col("g.w2").as("w2"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val unigrams = counts.where(col("ord") === 1)
+      .select(col("w1"), col("c").as("c1"))
+    val bigrams = counts.where(col("ord") === 2)
+      .select(col("w1"), col("w2"), col("c").as("c12"))
+    val vocab = unigrams.count() // a cached-scan count, not a corpus pass
     Model(bigrams, unigrams, vocab)
   }
 

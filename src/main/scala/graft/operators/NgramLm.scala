@@ -77,8 +77,17 @@ object NgramLm {
   }
 
   /** Count the three n-gram orders over the corpus — the periodic fit job.
-    * Three map-side-combined aggregations sharing one tokenized lineage;
-    * every number is an exact long.
+    * ONE corpus scan and ONE map-side-combined aggregation for all three
+    * orders (each token array explodes into its unigram/bigram/trigram
+    * grams in a single Generate, keyed by gram order), materialized once
+    * via localCheckpoint — the r19 shape: the previous three separate
+    * aggregations scanned and re-tokenized the corpus three times, and a
+    * composed fit→score plan re-ran the unigram aggregation once per
+    * score-side reference (7 corpus scans in t21's plan). Counts are
+    * bit-identical (each gram occurrence contributes exactly one row to
+    * the same group either way); every number is an exact long. The
+    * checkpoint pins the MODEL (vocabulary-sized — the artifact [[save]]
+    * persists anyway), never the corpus.
     */
   def fit(docs: DataFrame, textCol: String): Model = {
     // spread ahead of the explode — the t5/p3 rule: the 3× position
@@ -86,18 +95,30 @@ object NgramLm {
     // row-group split count
     val toks = Spread.byCols(docs, Seq(col(textCol)))
       .select(tokens(col(textCol)).as("w"))
-    val unigrams = toks.select(explode(col("w")).as("w1"))
-      .groupBy("w1").agg(count(lit(1)).as("c1"))
-    val bigrams = toks
-      .select(explode(LmScore.bigramPairs(col("w"))).as("b"))
-      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .agg(count(lit(1)).as("c2"))
-    val trigrams = toks
-      .select(explode(trigramTriples(col("w"))).as("t"))
-      .groupBy(col("t.w1").as("w1"), col("t.w2").as("w2"),
-        col("t.w3").as("w3"))
-      .agg(count(lit(1)).as("c3"))
-    Model(trigrams, bigrams, unigrams)
+    val gram = "struct<ord:int,w1:string,w2:string,w3:string>"
+    val grams = toks.select(explode(concat(
+        expr(s"transform(w, x -> struct(1, x, CAST(NULL AS STRING), CAST(NULL AS STRING)))")
+          .cast(s"array<$gram>"),
+        transform(LmScore.bigramPairs(col("w")),
+          b => struct(lit(2).as("ord"), b.getField("w1").as("w1"),
+            b.getField("w2").as("w2"),
+            lit(null).cast("string").as("w3"))),
+        transform(trigramTriples(col("w")),
+          t => struct(lit(3).as("ord"), t.getField("w1").as("w1"),
+            t.getField("w2").as("w2"), t.getField("w3").as("w3")))))
+        .as("g"))
+    val counts = grams
+      .groupBy(col("g.ord").as("ord"), col("g.w1").as("w1"),
+        col("g.w2").as("w2"), col("g.w3").as("w3"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    Model(
+      counts.where(col("ord") === 3)
+        .select(col("w1"), col("w2"), col("w3"), col("c").as("c3")),
+      counts.where(col("ord") === 2)
+        .select(col("w1"), col("w2"), col("c").as("c2")),
+      counts.where(col("ord") === 1)
+        .select(col("w1"), col("c").as("c1")))
   }
 
   /** Score each document: average negative log Stupid-Backoff score per

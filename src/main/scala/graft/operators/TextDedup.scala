@@ -400,10 +400,15 @@ object TextDedup {
       df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
     // shingleRows is THE shingle producer (same codegen'd path the
     // minhash/jaccard/contamination ops use) — one implementation to keep
-    // value-identical with the oracles
+    // value-identical with the oracles. localCheckpoint: sh feeds BOTH the
+    // DF count and the join-back, and without it Catalyst re-runs the
+    // tokenize → window → shingle → hash → distinct pipeline per branch
+    // (the passageScrub precedent; the pinned set is the distinct
+    // (doc, hash) table the join shuffles anyway)
     val sh = shingleRows(df, textCol, idCol, k)
       .select(col(idCol), hash60(col("s")).as("h"))
       .distinct()
+      .localCheckpoint()
     val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val shared = sh.join(dfreq.where(col("df") >= 2), "h")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))

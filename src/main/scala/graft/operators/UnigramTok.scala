@@ -105,7 +105,13 @@ object UnigramTok {
     val session = words.sparkSession
     import session.implicits._
     val bc = session.sparkContext.broadcast(pieceTable(pieces))
-    words.select(col("word").cast("string")).as[String]
+    // Spread BEFORE the lattice pass: the input is typically a distinct/
+    // groupBy output whose map-side bytes look tiny, so AQE coalesces it
+    // to ONE partition — but the per-word Viterbi lattice amplifies far
+    // beyond bytes (the Spread scaladoc's exact case; measured ~0.45 s
+    // single-task stages across the tokenizer gate rows, r19).
+    Spread.byCols(words.select(col("word").cast("string")), Seq(col("word")))
+      .as[String]
       .mapPartitions { it =>
         val t = bc.value
         // null word -> null tokens, the applier contract of the siblings
@@ -241,7 +247,11 @@ object UnigramTok {
       bc: org.apache.spark.broadcast.Broadcast[ProbTable]): DataFrame = {
     val session = words.sparkSession
     import session.implicits._
-    words.select(col("word").cast("string")).as[String]
+    // spread before the forward–backward lattice pass — see
+    // [[segmentWords]]; the downstream per-piece aggregation is an exact
+    // decimal sum, so the result is partitioning-independent by design
+    Spread.byCols(words.select(col("word").cast("string")), Seq(col("word")))
+      .as[String]
       .mapPartitions { it =>
         val t = bc.value
         it.flatMap { w =>
@@ -358,7 +368,9 @@ object UnigramTok {
     val session = words.sparkSession
     import session.implicits._
     val bc = session.sparkContext.broadcast(probTable(pieces))
-    words.select(col("word").cast("string")).as[String]
+    // spread before the FFBS lattice pass — see [[segmentWords]]
+    Spread.byCols(words.select(col("word").cast("string")), Seq(col("word")))
+      .as[String]
       .mapPartitions { it =>
         val t = bc.value
         it.map(w => (w,

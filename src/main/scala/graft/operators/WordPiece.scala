@@ -114,7 +114,12 @@ object WordPiece {
     val session = words.sparkSession
     import session.implicits._
     val bc = session.sparkContext.broadcast(pieceTables(pieces))
-    words.select(col("word").cast("string")).as[String]
+    // Spread BEFORE the greedy-match pass: a distinct/groupBy input's
+    // map-side bytes look tiny, so AQE coalesces it to ONE partition
+    // while the per-word matching amplifies beyond bytes (the Spread
+    // scaladoc's case; measured serial ~0.4 s stages, r19)
+    Spread.byCols(words.select(col("word").cast("string")), Seq(col("word")))
+      .as[String]
       .mapPartitions { it =>
         val t = bc.value
         // null word -> null tokens, the BpeTrain applier contract
