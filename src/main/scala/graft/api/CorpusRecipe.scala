@@ -223,9 +223,16 @@ final class CorpusRecipe private (
     * text — chain a `gate(length(col("text")) > 0)` to drop them.
     */
   def scrubSharedPassages(k: Int = 8): CorpusRecipe = {
-    val cleaned = TextDedup.passageScrub(frame, textCol, idCol, k)
+    // pin the recipe frame ONCE at the scrub boundary: passageScrub
+    // references its input twice (the token pass and the n_tot scan) and
+    // the rebuild joins the frame a third time — in a composed recipe
+    // (p5: boilerplate-drop → normalize → scrub) each reference re-ran
+    // the whole upstream chain (r19; the pinned set is corpus-sized, the
+    // same posture as passageScrub's own internal checkpoints)
+    val pinned = frame.localCheckpoint()
+    val cleaned = TextDedup.passageScrub(pinned, textCol, idCol, k)
       .select(col(idCol), col("clean_text"))
-    next(frame.drop(textCol).join(cleaned, Seq(idCol))
+    next(pinned.drop(textCol).join(cleaned, Seq(idCol))
       .withColumnRenamed("clean_text", textCol))
   }
 

@@ -618,8 +618,12 @@ object BpeTrain {
       .select(col("word"), col("pos").as("__tpos"), col("col").as("token"))
     import spark.implicits._
     val ids = vocab(model).toDF("token", "token_id")
-    words.join(perTok, "word")
-      .join(broadcast(ids), "token")
+    // spread on the window key before the per-doc position window — the
+    // TokenExport discipline (AQE otherwise coalesces the window's
+    // exchange to one partition and the sort + row_number run serially)
+    Spread.byCols(
+        words.join(perTok, "word").join(broadcast(ids), "token"),
+        Seq(col(idCol)))
       .withColumn("pos", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
           .orderBy(col("__wpos"), col("__tpos"))).cast("long") - 1)

@@ -153,7 +153,11 @@ object TextDedup {
       metricName: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(smallCap >= 2, "smallCap must be >= 2")
-    val sized = buckets
+    // spread on the bucket key so the size window (and the cell explode
+    // fused onto its stage) runs at deliberate parallelism — AQE would
+    // coalesce the window's exchange on map-side bytes, the wrong proxy
+    // for a stage whose downstream pair emission amplifies O(b²) (r19)
+    val sized = Spread.byCols(buckets, Seq(col("__bk")))
       .withColumn("__bsz", count(lit(1)).over(Window.partitionBy(col("__bk"))))
       .observe(metricName,
         max(col("__bsz")).as("max_bucket"),
@@ -435,7 +439,12 @@ object TextDedup {
     // count AND the coverage join — localCheckpoint each shared subtree
     // once, or Catalyst re-runs the tokenize/explode/window pipeline per
     // branch (the measured recompute trap saltedIndexMatches documents)
-    val tok = tokenRows(df, textCol, idCol).localCheckpoint()
+    // re-spread after the checkpoint: an ExistingRDD scan reports
+    // UnknownPartitioning, so the shingle window would otherwise insert
+    // an ENSURE_REQUIREMENTS exchange that AQE coalesces to one
+    // partition, serializing the lead()-window pass (r19)
+    val tok = Spread.byCols(
+      tokenRows(df, textCol, idCol).localCheckpoint(), Seq(col(idCol)))
     val sh = shingleRowsPos(tok, idCol, k)
       .select(col(idCol), col("pos"), hash60(col("s")).as("h"))
       .localCheckpoint()
@@ -518,11 +527,23 @@ object TextDedup {
       .withColumn("__ng",
         greatest(lit(1), ceil(col("__df") / lit(smallCap.toDouble))).cast("int"))
       .localCheckpoint()
-    val probe = sized.select(col(idCol), col(blockCol), col("n"), col("t"),
-      explode(expr("sequence(0, __ng - 1)")).as("__s"))
-    val build = sized.select(col(idCol).as("__bid"), col(blockCol).as("__bb"),
-      col("n").as("__bn"), col("t").as("__bt"),
-      pmod(xxhash64(col(idCol)), col("__ng")).cast("int").as("__s"))
+    // Spread EXPLICITLY on the join keys: the probe/build exchanges'
+    // map-side bytes are index-sized while the join OUTPUT amplifies
+    // O(df²/smallCap) past them, so AQE's coalescing legally collapses
+    // the ENSURE_REQUIREMENTS shuffles to ONE partition and the salted
+    // emission the cells exist to distribute runs serially (measured: a
+    // single-task 9.5 s stage inside e4d, r19). REPARTITION_BY_NUM on
+    // exactly the join keys satisfies the join's clustering, so these
+    // stay the ONLY exchanges — the bucketPairs discipline.
+    val probe = Spread.byCols(
+      sized.select(col(idCol), col(blockCol), col("n"), col("t"),
+        explode(expr("sequence(0, __ng - 1)")).as("__s")),
+      Seq(col("t"), col(blockCol), col("__s")))
+    val build = Spread.byCols(
+      sized.select(col(idCol).as("__bid"), col(blockCol).as("__bb"),
+        col("n").as("__bn"), col("t").as("__bt"),
+        pmod(xxhash64(col(idCol)), col("__ng")).cast("int").as("__s")),
+      Seq(col("__bt"), col("__bb"), col("__s")))
     probe.as("a").join(build.as("b").hint("shuffle_hash"),
         col("a.t") === col("b.__bt") &&
           col(s"a.$blockCol") === col("b.__bb") &&
