@@ -1373,8 +1373,16 @@ object Queries {
     val docs = Tables.documents(s, d)
     val queries = hashedChunkEmb(docs.where($"doc_id" < 3))
       .select($"cid".as("qid"), $"emb")
-    AnnSearch.batchTopK(hashedChunkEmb(docs.where($"doc_id" >= 3)), "emb", "cid",
-      queries, "qid", "emb", 5, VectorMetric.Cosine)
+    // spread the freshly-built corpus before the broadcast scoring
+    // product: AQE coalesces the embed aggregate to ONE partition
+    // (embedding-sized map bytes) and the |chunks|×|queries| scoring ran
+    // serially (a measured 1.3–2.2 s single-task stage, r19); the serving
+    // path's cached index keeps batchTopK exchange-free, so the spread
+    // belongs at this build-side call, not in the operator
+    AnnSearch.batchTopK(
+      operators.Spread.byCols(
+        hashedChunkEmb(docs.where($"doc_id" >= 3)), Seq($"cid")),
+      "emb", "cid", queries, "qid", "emb", 5, VectorMetric.Cosine)
   }
 
   /** R2 — r1's retrieval corpus served through the BATCHED IVF path

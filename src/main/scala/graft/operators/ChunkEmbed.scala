@@ -42,10 +42,18 @@ object ChunkEmbed {
     * the sd2 and r-family gate rows.
     */
   private def bagOfWords(tok: DataFrame, keyCol: String, dim: Int): DataFrame =
-    tok.select(col(keyCol), hash60(col("t")).as("h"))
-      .select(col(keyCol), (col("h") % dim).as("b"),
-        when(shiftright(col("h"), 6) % 2 === 0, 1.0).otherwise(-1.0).as("sgn"))
-      .groupBy(col(keyCol), col("b")).agg(sum(col("sgn")).as("v"))
+    // the explicit spread between the two groupBys replaces the second
+    // exchange (clustering on keyCol is satisfied) and keeps AQE from
+    // coalescing it to one partition: the dense-assemble transform —
+    // an interpreted dim-entry HOF per chunk — is fused onto the final
+    // aggregate's stage and ran serially there (a measured 1.4–2.5 s
+    // single-task stage inside r1, r19)
+    Spread.byCols(
+        tok.select(col(keyCol), hash60(col("t")).as("h"))
+          .select(col(keyCol), (col("h") % dim).as("b"),
+            when(shiftright(col("h"), 6) % 2 === 0, 1.0).otherwise(-1.0).as("sgn"))
+          .groupBy(col(keyCol), col("b")).agg(sum(col("sgn")).as("v")),
+        Seq(col(keyCol)))
       .groupBy(col(keyCol))
       .agg(map_from_entries(collect_list(struct(col("b"), col("v")))).as("m"))
       .select(col(keyCol), transform(sequence(lit(0), lit(dim - 1)),

@@ -244,13 +244,18 @@ object UnigramTok {
     */
   private[graft] def expectedCountsWith(
       words: DataFrame,
-      bc: org.apache.spark.broadcast.Broadcast[ProbTable]): DataFrame = {
+      bc: org.apache.spark.broadcast.Broadcast[ProbTable],
+      spread: Boolean = true): DataFrame = {
     val session = words.sparkSession
     import session.implicits._
     // spread before the forward–backward lattice pass — see
     // [[segmentWords]]; the downstream per-piece aggregation is an exact
-    // decimal sum, so the result is partitioning-independent by design
-    Spread.byCols(words.select(col("word").cast("string")), Seq(col("word")))
+    // decimal sum, so the result is partitioning-independent by design.
+    // Loop drivers (fit/emIterations/quantizedFit) persist their word
+    // table ALREADY spread and pass spread = false — one shuffle at
+    // persist time instead of one per EM/prune round.
+    val in = words.select(col("word").cast("string"))
+    (if (spread) Spread.byCols(in, Seq(col("word"))) else in)
       .as[String]
       .mapPartitions { it =>
         val t = bc.value
@@ -487,8 +492,12 @@ object UnigramTok {
       s"pruneKeep $pruneKeep outside (0,1)")
     val session = words.sparkSession
     import session.implicits._
-    val wf = words
-      .select(col("word").cast("string"), col("freq").cast("long"))
+    // persist ALREADY spread by word: the seed flatMap and every EM/prune
+    // round's lattice pass then run at deliberate parallelism off the
+    // cached partitions (one shuffle here instead of one per round)
+    val wf = Spread.byCols(
+        words.select(col("word").cast("string"), col("freq").cast("long")),
+        Seq(col("word")))
       .as[(String, Long)].persist()
     try {
       // ---- seed: substring counts, singles unconditionally kept ----
@@ -542,7 +551,8 @@ object UnigramTok {
         // poison the next round's table) — seed singles re-enter via the
         // required-character floor below
         val counts = (try {
-          expectedCountsWith(wf.toDF("word", "freq").select("word"), bc)
+          expectedCountsWith(wf.toDF("word", "freq").select("word"), bc,
+              spread = false)
             .join(wf.toDF("word", "freq"), "word")
             .select(col("piece"),
               (col("e") * col("freq").cast("double")).as("v"))
@@ -744,8 +754,9 @@ object UnigramTok {
       s"quantScale $quantScale outside [1,18]")
     val session = words.sparkSession
     import session.implicits._
-    val wf = words
-      .select(col("word").cast("string"), col("freq").cast("long"))
+    val wf = Spread.byCols(
+        words.select(col("word").cast("string"), col("freq").cast("long")),
+        Seq(col("word")))
       .toDF("word", "freq").persist()
     try {
       var cur = seed.sortBy(_._1).toArray
@@ -754,7 +765,7 @@ object UnigramTok {
       while (it < iters) {
         val bc = session.sparkContext.broadcast(probTable(cur.toSeq))
         val counts = try {
-          expectedCountsWith(wf.select("word"), bc)
+          expectedCountsWith(wf.select("word"), bc, spread = false)
             .join(wf, "word")
             .select(col("piece"),
               round(col("e") * col("freq").cast("double"), quantScale).as("v"))
@@ -835,8 +846,9 @@ object UnigramTok {
       s"quantScale $quantScale outside [1,18]")
     val session = words.sparkSession
     import session.implicits._
-    val wf = words
-      .select(col("word").cast("string"), col("freq").cast("long"))
+    val wf = Spread.byCols(
+        words.select(col("word").cast("string"), col("freq").cast("long")),
+        Seq(col("word")))
       .toDF("word", "freq").persist()
     try {
       // ---- seed: fit's substring counts, singles unconditionally kept
@@ -910,7 +922,7 @@ object UnigramTok {
     import session.implicits._
     val bc = session.sparkContext.broadcast(probTable(cur.toSeq))
     val counts = try {
-      expectedCountsWith(wf.select("word"), bc)
+      expectedCountsWith(wf.select("word"), bc, spread = false)
         .join(wf, "word")
         .select(col("piece"),
           round(col("e") * col("freq").cast("double"), quantScale).as("v"))
