@@ -1179,10 +1179,47 @@ object Queries {
     stage.toString
   }
 
+  /** [[stageForStream]] splitting the single fixture file into `n`
+    * parquet parts — for streams whose per-row map work is expensive
+    * (e2s's per-doc MinHash sketch): a SINGLE-file micro-batch scans as
+    * one task, serializing the sketch inside the scan stage (measured
+    * 3.3 s of the row's ~3.9 s, r19; an explicit repartition inside the
+    * micro-batch measured ~2× WORSE — streaming shuffle+state overhead —
+    * so the parallelism comes from the source layout instead, exactly
+    * how a production drop directory arrives: many files). Output is
+    * unchanged: the state function processes each bucket id-ascending,
+    * so within-batch arrival order is immaterial. Freshness marker keyed
+    * on the source (size, mtime) — a regenerated fixture re-stages.
+    */
+  private def stageForStreamSplit(
+      s: SparkSession, d: String, tableFile: String, n: Int): String = {
+    val pathTag = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val stage = java.nio.file.Paths.get(graft.sources.TempDirs.register(
+      s"/tmp/graft_streamsplit_${tableFile.stripSuffix(".parquet")}_" +
+        s"${ProcessHandle.current().pid()}_${n}_" +
+        d.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + pathTag))
+    val src = java.nio.file.Paths.get(s"$d/$tableFile")
+    val tag = s"${java.nio.file.Files.size(src)}#" +
+      s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}#$n"
+    val marker = stage.resolve("_staged")
+    val fresh = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == tag
+    if (!fresh) {
+      deleteDir(stage)
+      s.read.parquet(src.toString).repartition(n)
+        .write.mode("overwrite").parquet(stage.toString)
+      java.nio.file.Files.write(marker, tag.getBytes("UTF-8"))
+    }
+    stage.toString
+  }
+
   val e2sStreamPairs: Q = (s, d) => {
     import s.implicits._
     val schema = Tables.documents(s, d).schema
-    val stage = stageForStream(d, "documents.parquet")
+    // split staging: the per-doc sketch is the batch's dominant cost and
+    // a one-file batch runs it on one task — see [[stageForStreamSplit]]
+    val stage = stageForStreamSplit(s, d, "documents.parquet", 8)
     val stream = s.readStream.schema(schema).parquet(stage)
       .select($"doc_id".as("id"), $"text")
       .as[graft.streaming.StreamDoc]
