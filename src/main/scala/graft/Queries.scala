@@ -2732,18 +2732,32 @@ object Queries {
     import s.implicits._
     val docs = Tables.documents(s, d)
     val sep = operators.UnigramTok.vocabIds(FixedUgProbs).length.toLong
-    Seq("ep1", "ep2").zipWithIndex.map { case (seed, e) =>
-      // packTokenIds executes its input lineage 4× (manifest pass +
-      // sep-union + join side — its own scaladoc says materialize an
-      // expensive input first); the FFBS sampling pass is the epoch's
-      // dominant cost, so pin it once (measured 5.4 s → ~2 s, r19)
-      SequencePack.packTokenIds(
-          operators.UnigramTok.sampledTokenIds(
-            docs, "doc_id", "text", FixedUgProbs, seed).localCheckpoint(),
-          "doc_id", 256L, sepId = Some(sep))
-        .select(lit(e.toLong).as("epoch"), $"chunk_id", $"n_tokens",
-          array_join($"input_ids".cast("array<string>"), " ").as("input_ids"))
-    }.reduce(_.unionByName(_)).orderBy("epoch", "chunk_id")
+    // The epochs are INDEPENDENT jobs with eager construction work (the
+    // ids checkpoint + packManifest's prefix-sum pass run at build time),
+    // so build them from a 2-thread pool — the guide's overlap-independent-
+    // jobs pattern: epoch 2's jobs back-fill executors while epoch 1's
+    // tail drains. Each epoch is a pure function of (corpus, seed); the
+    // union is deterministic regardless of completion order.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val frames = try {
+      val futs = Seq("ep1", "ep2").zipWithIndex.map { case (seed, e) =>
+        pool.submit(new java.util.concurrent.Callable[DataFrame] {
+          override def call(): DataFrame =
+            // packTokenIds executes its input lineage 4× (manifest pass +
+            // sep-union + join side — its own scaladoc says materialize
+            // an expensive input first); the FFBS sampling pass is the
+            // epoch's dominant cost, so pin it once (5.4 s → ~2 s, r19)
+            SequencePack.packTokenIds(
+                operators.UnigramTok.sampledTokenIds(
+                  docs, "doc_id", "text", FixedUgProbs, seed).localCheckpoint(),
+                "doc_id", 256L, sepId = Some(sep))
+              .select(lit(e.toLong).as("epoch"), $"chunk_id", $"n_tokens",
+                array_join($"input_ids".cast("array<string>"), " ").as("input_ids"))
+        })
+      }
+      futs.map(_.get())
+    } finally pool.shutdown()
+    frames.reduce(_.unionByName(_)).orderBy("epoch", "chunk_id")
   }
 
   /** T24c — t24 re-driven through a FOREIGN artifact: a BERT-format
