@@ -628,17 +628,24 @@ object Bench {
           s""","scaling":${new String(bytes, "UTF-8").trim}"""
         } else ""
       } catch { case _: Throwable => "" }
+      // Sidecars run ~4–5 min of wall outside the judged per-query total;
+      // SPARK_GRAFT_SIDECARS=0 skips them for local verify cycles (every
+      // key stays present and parse-valid, marked skipped). The driver
+      // never sets the env, so its bench_detail.json is unchanged.
+      val sidecarsOn = sys.env.getOrElse("SPARK_GRAFT_SIDECARS", "1") != "0"
+      def sidecar(f: => String): String =
+        if (sidecarsOn) f else """{"skipped":true}"""
       val detail = line(6).dropRight(1) +
         s""","bands_n":${bands.size},"band_outliers":${bandOutliers.mkString("{", ",", "}")}""" +
         s""","gc_ms":$gcJson""" +
-        s""","serving_ms":${servingLatency(spark, sfDir)}""" +
-        s""","serving_rps":${servingRps(spark, sfDir)}""" +
-        s""","refresh_rps":${refreshRps(spark, sfDir)}""" +
-        s""","hybrid_rps":${hybridRps(spark, sfDir)}""" +
-        s""","nprobe_curve":${nprobeCurve(spark, sfDir)}""" +
+        s""","serving_ms":${sidecar(servingLatency(spark, sfDir))}""" +
+        s""","serving_rps":${sidecar(servingRps(spark, sfDir))}""" +
+        s""","refresh_rps":${sidecar(refreshRps(spark, sfDir))}""" +
+        s""","hybrid_rps":${sidecar(hybridRps(spark, sfDir))}""" +
+        s""","nprobe_curve":${sidecar(nprobeCurve(spark, sfDir))}""" +
         scaling +
-        s""","bpe_apply":${bpeApply(spark)}""" +
-        s""","ingest_fps_per_core":${ingestThroughput(spark)}}"""
+        s""","bpe_apply":${sidecar(bpeApply(spark))}""" +
+        s""","ingest_fps_per_core":${sidecar(ingestThroughput(spark))}}"""
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_detail.json"), detail.getBytes("UTF-8"))
     } catch { case _: Throwable => }

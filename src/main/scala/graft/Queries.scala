@@ -620,9 +620,21 @@ object Queries {
     try {
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val clogKey =
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
       val prevProv = s.conf.getOption(provKey)
+      val prevClog = s.conf.getOption(clogKey)
       s.conf.set("spark.sql.shuffle.partitions", "8")
       s.conf.set(provKey, streamStateProvider.get)
+      // RocksDB commits a full snapshot upload per store per micro-batch
+      // by default; changelog checkpointing commits the (tiny) changelog
+      // instead and defers snapshots to the maintenance thread — the
+      // documented production posture for frequent small commits, and at
+      // the gates' 8 stores × 2+ batches the snapshot upload is pure
+      // fixed cost (guide §1.2: stage-shape first — this is the state
+      // analog of shuffling fewer bytes)
+      if (streamStateProvider.get.contains("RocksDB"))
+        s.conf.set(clogKey, "true")
       try {
         val q = df.writeStream
           .format("memory").queryName(name).outputMode("append")
@@ -635,6 +647,10 @@ object Queries {
           case Some(p) => s.conf.set(provKey, p)
           case None    => s.conf.unset(provKey)
         }
+        prevClog match {
+          case Some(p) => s.conf.set(clogKey, p)
+          case None    => s.conf.unset(clogKey)
+        }
       }
     } finally streamGateActive.set(false)
     s.table(name)
@@ -642,7 +658,7 @@ object Queries {
 
   val w2sStreamSession: Q = (s, d) => {
     import s.implicits._
-    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+    val rawSchema = Tables.table(s, d, "events").schema // cached — no inference job
     val stage = stageForStream(d, "events.parquet")
     val raw = s.readStream.schema(rawSchema).parquet(stage)
     val ev =
@@ -715,7 +731,7 @@ object Queries {
     */
   val w1sStreamWindow: Q = (s, d) => {
     import s.implicits._
-    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+    val rawSchema = Tables.table(s, d, "events").schema // cached — no inference job
     val stage = stageForStream(d, "events.parquet")
     val raw = s.readStream.schema(rawSchema).parquet(stage)
     // the same nanos→micros truncation Tables.events applies, but kept as
@@ -747,7 +763,7 @@ object Queries {
     */
   val w3sStreamSliding: Q = (s, d) => {
     import s.implicits._
-    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+    val rawSchema = Tables.table(s, d, "events").schema // cached — no inference job
     val stage = stageForStream(d, "events.parquet")
     val raw = s.readStream.schema(rawSchema).parquet(stage)
     val ev =
@@ -2738,14 +2754,19 @@ object Queries {
     // jobs pattern: epoch 2's jobs back-fill executors while epoch 1's
     // tail drains. Each epoch is a pure function of (corpus, seed); the
     // union is deterministic regardless of completion order.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    // daemon threads + shutdownNow on failure (ADVICE r19): if one
+    // epoch's future throws, the other must not keep running detached,
+    // and a non-daemon pool thread must not delay JVM exit; the original
+    // cause is unwrapped from the ExecutionException
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2,
+      (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t })
     val frames = try {
       val futs = Seq("ep1", "ep2").zipWithIndex.map { case (seed, e) =>
         pool.submit(new java.util.concurrent.Callable[DataFrame] {
           override def call(): DataFrame =
-            // packTokenIds executes its input lineage 4× (manifest pass +
-            // sep-union + join side — its own scaladoc says materialize
-            // an expensive input first); the FFBS sampling pass is the
+            // packTokenIds executes its input lineage twice (count build
+            // + join side, r20 — its own scaladoc says materialize an
+            // expensive input first); the FFBS sampling pass is the
             // epoch's dominant cost, so pin it once (5.4 s → ~2 s, r19)
             SequencePack.packTokenIds(
                 operators.UnigramTok.sampledTokenIds(
@@ -2755,7 +2776,12 @@ object Queries {
                 array_join($"input_ids".cast("array<string>"), " ").as("input_ids"))
         })
       }
-      futs.map(_.get())
+      try futs.map(_.get())
+      catch {
+        case ee: java.util.concurrent.ExecutionException =>
+          pool.shutdownNow()
+          throw ee.getCause
+      }
     } finally pool.shutdown()
     frames.reduce(_.unionByName(_)).orderBy("epoch", "chunk_id")
   }
@@ -4052,8 +4078,8 @@ object Queries {
     import s.implicits._
     val model = graft.sources.ModelStore.loadBpe(s, s"${ensureBpeModels(s)}/gpt2b")
     // materialize ONCE before packing: packTokenIds executes its input
-    // lineage 4× (its scaladoc's documented contract — the production
-    // shape writes ids to a lake first), and the BPE segmentation is the
+    // lineage twice (count build + join side, r20 — the production shape
+    // writes ids to a lake first), and the BPE segmentation is the
     // expensive half of this row (measured 2.3 s → ~1.2 s, r19)
     val ids = operators.BpeTrain.tokenIds(
       Tables.documents(s, d).where($"doc_id" % 10 === 0), "doc_id", "text", model)

@@ -25,13 +25,25 @@ object Tables {
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
-    val p = java.nio.file.Paths.get(path)
-    val schema = schemaCache.getOrBuild(
-      s"${operators.SessionCache.token(spark)}#$path#${java.nio.file.Files.size(p)}#" +
-        s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}") {
-      spark.read.parquet(path).schema
+    // the cache key needs java.nio size/mtime, which only exist for a
+    // local REGULAR file (ADVICE r19: an hdfs://-style URI throws, and a
+    // directory-shaped dataset's mtime does not change when a part file
+    // is rewritten in place — a stale-schema hazard). Anything else takes
+    // the plain uncached read, so every Spark-readable path still works.
+    val regular = scala.util.Try {
+      val p = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.isRegularFile(p)) Some(p) else None
+    }.toOption.flatten
+    regular match {
+      case Some(p) =>
+        val schema = schemaCache.getOrBuild(
+          s"${operators.SessionCache.token(spark)}#$path#${java.nio.file.Files.size(p)}#" +
+            s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}") {
+          spark.read.parquet(path).schema
+        }
+        spark.read.schema(schema).parquet(path)
+      case None => spark.read.parquet(path)
     }
-    spark.read.schema(schema).parquet(path)
   }
 
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")

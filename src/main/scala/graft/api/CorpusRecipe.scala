@@ -228,8 +228,13 @@ final class CorpusRecipe private (
     // the rebuild joins the frame a third time — in a composed recipe
     // (p5: boilerplate-drop → normalize → scrub) each reference re-ran
     // the whole upstream chain (r19; the pinned set is corpus-sized, the
-    // same posture as passageScrub's own internal checkpoints)
-    val pinned = frame.localCheckpoint()
+    // same posture as passageScrub's own internal checkpoints).
+    // LAZY (ADVICE r19): an eager checkpoint here would execute the whole
+    // upstream pipeline at recipe-COMPOSITION time, breaking the class
+    // doc's laziness contract — eager=false still truncates lineage and
+    // dedupes the three references at first action (the Spread.barrier
+    // precedent)
+    val pinned = frame.localCheckpoint(eager = false)
     val cleaned = TextDedup.passageScrub(pinned, textCol, idCol, k)
       .select(col(idCol), col("clean_text"))
     next(pinned.drop(textCol).join(cleaned, Seq(idCol))

@@ -41,6 +41,13 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalDedup {
 
+  /** Largest delta key set that still rides a literal pushed `In` on the
+    * lake scan; past this the plan cost of the list beats its row-group
+    * skipping and the prune switches to the Bloom-broadcast probe (see
+    * [[deltaPairs]]' SCAN-pruning note).
+    */
+  private[graft] val InListPruneMax = 256
+
   /** The signature-lake rows for a batch: (idCol, band, bsig) — band
     * signatures of [[TextDedup.minhashWide]]'s k-family sketch, md5 over
     * each band's `k/bands` minhash rows. Values are identical to the
@@ -125,6 +132,21 @@ object IncrementalDedup {
     * distinct signatures the filter is skipped (results identical, just
     * no skipping). 0 disables. The collect is eager at plan-build — pass
     * a cached `deltaSigs` (see above) to avoid re-sketching.
+    *
+    * VEHICLE (VERDICT r19 #3): only deltas up to [[InListPruneMax]] keys
+    * ride a literal pushed `In` — past that the list stops paying for
+    * itself (measured: a ~3×10³-key delta put a 1 MB In-list into every
+    * lake branch of the plan, 5 copies, and made the row DRIVER-bound —
+    * 8-core ≈ 0.6× the 32-core time; at 100 TB a multi-MB literal in
+    * every daily probe plan is also driver-memory pressure). Bigger
+    * deltas fold the same key set into a Bloom filter over
+    * `xxhash64(bsig)` shipped ONCE as a broadcast ([[graft.functions
+    * .BloomBroadcasts]]) — the plan carries a registry-key string, the
+    * scan drops non-matching rows row-locally, and false positives are
+    * removed by the existing exact (band, bsig) joins, so results are
+    * identical. The trade is parquet row-group skipping, which the In
+    * path keeps for the small deltas where stats-based skipping is the
+    * dominant win.
     */
   def deltaPairs(
       corpusSigs: DataFrame,
@@ -140,10 +162,26 @@ object IncrementalDedup {
     val lake =
       if (scanPruneMax <= 0) lakeAll
       else {
-        val keys = delta.select(col("bsig")).distinct()
-          .limit(scanPruneMax + 1).collect().map(_.getString(0))
-        if (keys.length > scanPruneMax) lakeAll
-        else lakeAll.where(col("bsig").isin(keys.toIndexedSeq: _*))
+        // one collect serves both vehicles: the string key for the pushed
+        // In, its plan-side xxhash64 for the Bloom probe (hash computed by
+        // the engine itself, so driver and scan agree bit-for-bit)
+        val rows = delta.select(col("bsig"), xxhash64(col("bsig")).as("__h"))
+          .distinct().limit(scanPruneMax + 1).collect()
+        if (rows.length > scanPruneMax) lakeAll
+        else if (rows.length <= InListPruneMax)
+          lakeAll.where(
+            col("bsig").isin(rows.map(_.getString(0)).toIndexedSeq: _*))
+        else {
+          val bf = org.apache.spark.util.sketch.BloomFilter
+            .create(rows.length.toLong, 0.01)
+          rows.foreach(r => bf.putLong(r.getLong(1)))
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos)
+          val key = graft.functions.BloomBroadcasts.register(
+            delta.sparkSession, bos.toByteArray)
+          lakeAll.where(
+            call_function("bloom_probe", lit(key), xxhash64(col("bsig"))))
+        }
       }
     val deltaCnt = delta.groupBy(col("band"), col("bsig"))
       .agg(count(lit(1)).as("__dc"))

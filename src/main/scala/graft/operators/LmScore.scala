@@ -56,8 +56,14 @@ object LmScore {
     // once (the NgramLm.fit r19 shape): the previous two aggregations
     // plus the eager vocab count scanned and re-tokenized the corpus
     // three times, and a composed fit→score plan re-ran each table's
-    // aggregation again on the join side. Counts are bit-identical; the
-    // checkpoint pins the MODEL (vocabulary-sized), never the corpus.
+    // aggregation again on the join side. Counts are bit-identical. The
+    // checkpoint pins the DISTINCT-GRAM count table — it grows with the
+    // corpus's unigram+bigram type counts, not with the raw corpus, but
+    // it is NOT merely vocabulary-sized (ADVICE r19); at the 100 TB
+    // posture the production fit writes counts to the model lake
+    // ([[save]]) and reads them back — the in-memory pin is the
+    // bench-scale choice (a non-reliable checkpoint also fails the job
+    // on executor loss instead of recomputing).
     val gram = "struct<ord:int,w1:string,w2:string>"
     val counts = toks.select(explode(concat(
         expr("transform(w, x -> struct(1, x, CAST(NULL AS STRING)))")

@@ -86,8 +86,14 @@ object NgramLm {
     * score-side reference (7 corpus scans in t21's plan). Counts are
     * bit-identical (each gram occurrence contributes exactly one row to
     * the same group either way); every number is an exact long. The
-    * checkpoint pins the MODEL (vocabulary-sized — the artifact [[save]]
-    * persists anyway), never the corpus.
+    * checkpoint pins the DISTINCT-GRAM count table — the artifact
+    * [[save]] persists anyway. That table grows with the corpus's
+    * uni/bi/trigram TYPE counts, not with raw corpus bytes, but it is
+    * not merely vocabulary-sized (ADVICE r19): at the 100 TB posture the
+    * production fit writes counts to the model lake and reads them back
+    * (save → load), keeping the in-memory, non-reliable checkpoint —
+    * which also fails the job on executor loss instead of recomputing —
+    * a bench-scale choice.
     */
   def fit(docs: DataFrame, textCol: String): Model = {
     // spread ahead of the explode — the t5/p3 rule: the 3× position

@@ -156,14 +156,26 @@ object SequencePack {
       s"idCol '$idCol' collides with packTokenIds' internal/output columns")
     val base = ids.select(col(idCol), col("pos").cast("long").as("pos"),
       col("token_id").cast("long").as("token_id"))
-    val withSep = sepId match {
-      case Some(sid) => base.unionByName(
-        base.groupBy(col(idCol)).agg(count(lit(1)).as("pos"))
-          .select(col(idCol), col("pos"), lit(sid).cast("long").as("token_id")))
-      case None => base
+    // Doc-grain id counts computed ONCE (r19 leftover: the old shape ran
+    // the ids lineage 4× — once for the sep-row groupBy, once through the
+    // sep-union into the manifest's counts, twice more implied on the
+    // join side — because Catalyst re-executes shared subtrees per
+    // branch). The count table is (id, long) — document-grain, the
+    // smallest frame in the operator — and the lazy localCheckpoint pins
+    // it at packManifest's (already eager, see class doc) pass-1 job, so
+    // the sep rows and the manifest BOTH read the pinned copy: ids now
+    // executes exactly twice (count build + join side), the documented
+    // floor for this contract.
+    val cnt = base.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    val (withSep, counts) = sepId match {
+      case Some(sid) =>
+        val pinned = cnt.localCheckpoint(eager = false)
+        (base.unionByName(
+          pinned.select(col(idCol), col("__n").as("pos"),
+            lit(sid).cast("long").as("token_id"))),
+          pinned.select(col(idCol), (col("__n") + 1L).as("__n")))
+      case None => (base, cnt)
     }
-    val counts = withSep.groupBy(col(idCol))
-      .agg(count(lit(1)).as("__n"))
     val offsets = packManifest(counts, idCol, "__n", ctxLen)
       .select(col(idCol), col("tok_offset"))
     withSep.join(offsets, idCol)

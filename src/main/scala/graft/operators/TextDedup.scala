@@ -438,13 +438,18 @@ object TextDedup {
     // tok feeds the shingle pass AND the kept anti-join; sh feeds the DF
     // count AND the coverage join — localCheckpoint each shared subtree
     // once, or Catalyst re-runs the tokenize/explode/window pipeline per
-    // branch (the measured recompute trap saltedIndexMatches documents)
-    // re-spread after the checkpoint: an ExistingRDD scan reports
+    // branch (the measured recompute trap saltedIndexMatches documents).
+    // tok's checkpoint is LAZY (r20, VERDICT r19 #5): sh's eager
+    // checkpoint job computes through tok and materializes its persist on
+    // the way, so ONE pre-job pins both frames instead of two serial
+    // checkpoint boundaries; the kept anti-join later reads the pinned
+    // tok. re-spread after the checkpoint: an ExistingRDD scan reports
     // UnknownPartitioning, so the shingle window would otherwise insert
     // an ENSURE_REQUIREMENTS exchange that AQE coalesces to one
     // partition, serializing the lead()-window pass (r19)
     val tok = Spread.byCols(
-      tokenRows(df, textCol, idCol).localCheckpoint(), Seq(col(idCol)))
+      tokenRows(df, textCol, idCol).localCheckpoint(eager = false),
+      Seq(col(idCol)))
     val sh = shingleRowsPos(tok, idCol, k)
       .select(col(idCol), col("pos"), hash60(col("s")).as("h"))
       .localCheckpoint()
@@ -584,8 +589,16 @@ object TextDedup {
       .select(col(idCol), col(blockCol), array_distinct(tokens(col(textCol))).as("ts"))
       .select(col(idCol), col(blockCol), size(col("ts")).as("n"),
         explode(col("ts")).as("t"))
-    saltedIndexMatches(tok, idCol, blockCol, tau, maxTokenDf, smallCap,
-        "graft.jaccard.tokendf")
+    // Spread the partial→final pair-count exchange on exactly the groupBy
+    // keys: pair keys are ~unique so map-side combine reduces nothing, the
+    // map output is the full O(df²/smallCap) candidate emission, and AQE's
+    // byte proxy under-sizes the ENSURE_REQUIREMENTS exchange it rides
+    // (r19 "not yet optimized" leftover; the REPARTITION_BY_NUM satisfies
+    // the aggregation's clustering so the exchange count is unchanged)
+    Spread.byCols(
+        saltedIndexMatches(tok, idCol, blockCol, tau, maxTokenDf, smallCap,
+          "graft.jaccard.tokendf"),
+        Seq(col("d1"), col("d2"), col("n1"), col("n2")))
       .groupBy(col("d1"), col("d2"), col("n1"), col("n2"))
       .agg(count(lit(1)).as("i"))
       .withColumn("jac", col("i") * lit(1.0) / (col("n1") + col("n2") - col("i")))
@@ -631,8 +644,12 @@ object TextDedup {
     // Prefix tokens are rare BY CONSTRUCTION on a Zipfian corpus, but the
     // same DF cap + salting guards the degenerate uniform-DF case where
     // every prefix collapses onto the same few tokens.
-    val cand = saltedIndexMatches(pref, idCol, blockCol, tau, maxTokenDf,
-        smallCap, "graft.jaccard.prefix.tokendf")
+    // same partial→final spread as [[jaccardPairs]]: distinct is a groupBy
+    // on all four ~unique columns riding the same AQE-sized exchange
+    val cand = Spread.byCols(
+        saltedIndexMatches(pref, idCol, blockCol, tau, maxTokenDf,
+          smallCap, "graft.jaccard.prefix.tokendf"),
+        Seq(col("d1"), col("d2"), col("n1"), col("n2")))
       .distinct()
     val sets = tok.select(col(idCol), col("ts"))
     cand

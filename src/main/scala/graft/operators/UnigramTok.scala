@@ -251,9 +251,10 @@ object UnigramTok {
     // spread before the forward–backward lattice pass — see
     // [[segmentWords]]; the downstream per-piece aggregation is an exact
     // decimal sum, so the result is partitioning-independent by design.
-    // Loop drivers (fit/emIterations/quantizedFit) persist their word
-    // table ALREADY spread and pass spread = false — one shuffle at
-    // persist time instead of one per EM/prune round.
+    // Loop drivers (fit/emIterations/quantizedFit) route through
+    // [[expectedWeighted]] instead — their persisted word table is
+    // already spread, and the fused emit skips the freq re-attach join;
+    // `spread = false` remains for callers in that position.
     val in = words.select(col("word").cast("string"))
     (if (spread) Spread.byCols(in, Seq(col("word"))) else in)
       .as[String]
@@ -269,6 +270,42 @@ object UnigramTok {
         }
       }
       .toDF("word", "piece", "e")
+  }
+
+  /** [[expectedCountsWith]] FUSED with the freq weighting — the EM loop
+    * drivers' E-step: one mapPartitions over the persisted `(word, freq)`
+    * table emitting `(piece, e·freq)` directly. The unfused form computed
+    * expectations from `wf.select("word")` and re-JOINED `wf` on word to
+    * re-attach a freq every row started out with — re-shuffling the fat
+    * (word, piece, e) frame by word plus exchanging the persisted table
+    * again, ~2 extra exchanges per EM/prune round (~11 rounds per t29
+    * fit; measured driver/stage-bound, 8-core ≈ 0.77× of 32-core, r19
+    * scaling block). The multiply here is the same IEEE double product
+    * the joined form's `col("e") * col("freq").cast("double")` produced
+    * and the per-piece multiset of v values is unchanged, so the exact
+    * decimal sums downstream are bit-identical (the t29b/c/d hash gates
+    * pin this).
+    */
+  private def expectedWeighted(
+      wf: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[ProbTable]): DataFrame = {
+    val session = wf.sparkSession
+    import session.implicits._
+    wf.select(col("word").cast("string"), col("freq").cast("long"))
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        val t = bc.value
+        it.flatMap { case (w, f) =>
+          if (w == null) Iterator.empty
+          else wordExpected(BpeTrain.codePointSyms(w), t) match {
+            case Some(arr) =>
+              val fd = f.toDouble
+              arr.iterator.map { case (pc, e) => (pc, e * fd) }
+            case None => Iterator.empty
+          }
+        }
+      }
+      .toDF("piece", "v")
   }
 
   // 2^60 — exactly representable; the draw's denominator
@@ -373,8 +410,13 @@ object UnigramTok {
     val session = words.sparkSession
     import session.implicits._
     val bc = session.sparkContext.broadcast(probTable(pieces))
-    // spread before the FFBS lattice pass — see [[segmentWords]]
-    Spread.byCols(words.select(col("word").cast("string")), Seq(col("word")))
+    // NO spread before the per-word FFBS draw (r19 regression, VERDICT
+    // r19 what's-wrong #1): one forward pass + one multinomial draw per
+    // word is nowhere near the EM lattice passes' amplification, so the
+    // added REPARTITION_BY_NUM exchange cost more than it bought
+    // (t33 0.89× measured). Large word tables carry large map-side bytes
+    // and AQE sizes the stage correctly without help.
+    words.select(col("word").cast("string"))
       .as[String]
       .mapPartitions { it =>
         val t = bc.value
@@ -551,11 +593,7 @@ object UnigramTok {
         // poison the next round's table) — seed singles re-enter via the
         // required-character floor below
         val counts = (try {
-          expectedCountsWith(wf.toDF("word", "freq").select("word"), bc,
-              spread = false)
-            .join(wf.toDF("word", "freq"), "word")
-            .select(col("piece"),
-              (col("e") * col("freq").cast("double")).as("v"))
+          expectedWeighted(wf.toDF("word", "freq"), bc)
             .groupBy("piece")
             .agg(decimalSum(col("v")).as("c"))
             .as[(String, Double)].collect().sortBy(_._1)
@@ -765,10 +803,8 @@ object UnigramTok {
       while (it < iters) {
         val bc = session.sparkContext.broadcast(probTable(cur.toSeq))
         val counts = try {
-          expectedCountsWith(wf.select("word"), bc, spread = false)
-            .join(wf, "word")
-            .select(col("piece"),
-              round(col("e") * col("freq").cast("double"), quantScale).as("v"))
+          expectedWeighted(wf, bc)
+            .select(col("piece"), round(col("v"), quantScale).as("v"))
             .groupBy("piece")
             .agg(sum(col("v").cast(
               org.apache.spark.sql.types.DecimalType(38, quantScale)))
@@ -922,10 +958,8 @@ object UnigramTok {
     import session.implicits._
     val bc = session.sparkContext.broadcast(probTable(cur.toSeq))
     val counts = try {
-      expectedCountsWith(wf.select("word"), bc, spread = false)
-        .join(wf, "word")
-        .select(col("piece"),
-          round(col("e") * col("freq").cast("double"), quantScale).as("v"))
+      expectedWeighted(wf, bc)
+        .select(col("piece"), round(col("v"), quantScale).as("v"))
         .groupBy("piece")
         .agg(sum(col("v").cast(
           org.apache.spark.sql.types.DecimalType(38, quantScale)))

@@ -114,11 +114,15 @@ object WordPiece {
     val session = words.sparkSession
     import session.implicits._
     val bc = session.sparkContext.broadcast(pieceTables(pieces))
-    // Spread BEFORE the greedy-match pass: a distinct/groupBy input's
-    // map-side bytes look tiny, so AQE coalesces it to ONE partition
-    // while the per-word matching amplifies beyond bytes (the Spread
-    // scaladoc's case; measured serial ~0.4 s stages, r19)
-    Spread.byCols(words.select(col("word").cast("string")), Seq(col("word")))
+    // NO spread before the greedy-match pass (r19 regression, VERDICT r19
+    // what's-wrong #1): greedy longest-match is a few map lookups per
+    // word — it does NOT amplify past the input bytes the way the
+    // Viterbi/FFBS lattices do, so the REPARTITION_BY_NUM exchange costs
+    // more than the parallelism buys (t26 0.86×, t26b 0.89× measured).
+    // When the distinct-words table is genuinely large, its map-side
+    // bytes are large too and AQE's byte proxy sizes the downstream
+    // correctly on its own.
+    words.select(col("word").cast("string"))
       .as[String]
       .mapPartitions { it =>
         val t = bc.value
